@@ -1,0 +1,283 @@
+"""Monitoring-pipeline queries: the reference's analytics leg on testdata.
+
+The ``events`` table is the metric analog (TESTDATA.md): ``user_id`` plays
+``server_id``, ``value`` plays the metric. The producer's wide->narrow split
+(``producer.py:68-71``) is modeled by deriving narrow metric streams from
+events, which the jobs then re-join on the composite key - the same 1:1
+re-assembly join shape as the reference (``spark_job1.py:18``).
+
+Oracle sliding-window pattern: FIXTURES.md SSC (slide-offset cross join,
+epoch-floor window arithmetic, verified exact vs Spark 4.1.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, AlertThresholds, PipelineConfig
+from ..functions import display_round
+from ..operators import monitoring as ops
+from ..sources import load_table
+
+# Thresholds for the events-analog jobs (events.value quantiles at sf0.01:
+# p90 of windowed avg ~ 113) - chosen so every CASE branch fires.
+ANALOG_CONFIG = PipelineConfig(
+    thresholds=AlertThresholds(cpu_pct=113.0, mem_pct=85.0, net_in=220.0, disk_io=110.0)
+)
+
+# Shared SQL fragment: epoch-aligned sliding windows (30s / 10s => 3 offsets).
+_SLIDING_CTE = """
+offsets(k) AS (VALUES (0),(1),(2)),
+win AS (
+  SELECT e.*,
+         make_timestamp((CAST(floor(epoch(e.ts)/10) AS BIGINT)*10 - k*10) * 1000000) AS window_start,
+         make_timestamp((CAST(floor(epoch(e.ts)/10) AS BIGINT)*10 - k*10 + 30) * 1000000) AS window_end
+  FROM {src} e CROSS JOIN offsets
+)
+"""
+
+
+def _narrow_cpu(ev: DataFrame) -> DataFrame:
+    return ev.select("ts", "user_id", F.col("value").alias("cpu_pct"))
+
+
+def _narrow_mem(ev: DataFrame) -> DataFrame:
+    # props.k (uniform 0-99) is independent of value, so every CASE branch of
+    # the alert classifier can fire; also exercises JSON extraction (F4).
+    return ev.select(
+        "ts", "user_id", F.get_json_object("props", "$.k").cast("double").alias("mem_pct")
+    )
+
+
+def _narrow_net(ev: DataFrame) -> DataFrame:
+    return ev.select("ts", "user_id", (F.col("value") * 2.0).alias("net_in"))
+
+
+def _narrow_disk(ev: DataFrame) -> DataFrame:
+    return ev.select("ts", "user_id", (F.col("value") + 5.0).alias("disk_io"))
+
+
+def monitor_cpu_mem_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference spark_job1 end-to-end (J1+A1+P7+P1/F1/F2)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ops.cpu_mem_job(
+        _narrow_cpu(ev), _narrow_mem(ev), config=ANALOG_CONFIG, entity_col="user_id",
+        round_fn=display_round,
+    )
+
+
+def monitor_net_disk_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference spark_job2 end-to-end (J2+A2+P7+P1/F1/F2)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ops.net_disk_job(
+        _narrow_net(ev), _narrow_disk(ev), config=ANALOG_CONFIG, entity_col="user_id",
+        round_fn=display_round,
+    )
+
+
+def monitor_window_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: A1 sliding-window avg without the join leg (build plan M0)."""
+    ev = load_table(spark, sf_dir, "events")
+    agged = ops.sliding_window_agg(
+        ev,
+        {"avg_value": F.avg("value"), "n_events": F.count(F.lit(1))},
+        entity_col="user_id",
+        window=DEFAULT_CONFIG.window,
+    )
+    return agged.select(
+        "user_id",
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "avg_value",
+        "n_events",
+    )
+
+
+def monitor_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: tumbling (non-overlapping) 1-hour windows by event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    agged = ops.tumbling_window_agg(
+        ev,
+        {"n_events": F.count(F.lit(1)), "sum_value": F.sum("value")},
+        entity_col="event_type",
+        duration="1 hour",
+    )
+    return agged.select(
+        "event_type",
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def monitor_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 surface: gap-based session windows (5-minute inactivity gap).
+
+    Spark merges per-user events whose gaps are < 5 min; the oracle rebuilds
+    sessions with lag() + a running new-session counter.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agged = (
+        ev.groupBy("user_id", F.session_window("ts", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    return agged.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def monitor_case_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P6/P7: threshold predicates + 3-branch CASE on raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        ops.alert_case(
+            "both high",
+            ("value", 100.0, "value high"),
+            ("user_id", 100, "late cohort"),
+        ).alias("alert"),
+    )
+
+
+def monitor_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P4: projection with rename, derived column, casts, struct access."""
+    ev = load_table(spark, sf_dir, "events")
+    named = ev.withColumn("s", F.struct(F.col("user_id").alias("uid"), F.col("value").alias("v")))
+    return named.select(
+        F.col("event_id").alias("id"),
+        F.col("ts").cast("date").alias("event_date"),
+        F.col("value").cast("int").alias("value_int"),
+        F.col("value").cast("string").alias("value_str"),
+        F.col("s.uid").alias("uid"),
+        (F.col("s.v") * 100.0).alias("v_scaled"),
+    )
+
+
+def monitor_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone row filter (engine surface beyond reference, SURVEY SS2.2):
+    conjunction + IN-list + BETWEEN, pushed to the parquet scan."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("event_type").isin("error", "purchase"))
+        & (F.col("value") > 50.0)
+        & F.col("ts").between("2024-01-05", "2024-01-25")
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+QUERIES = {
+    "monitor_cpu_mem_alerts": monitor_cpu_mem_alerts,
+    "monitor_net_disk_alerts": monitor_net_disk_alerts,
+    "monitor_window_sliding_avg": monitor_window_sliding_avg,
+    "monitor_window_tumbling": monitor_window_tumbling,
+    "monitor_session_window": monitor_session_window,
+    "monitor_case_classify": monitor_case_classify,
+    "monitor_project_cast": monitor_project_cast,
+    "monitor_filter_range": monitor_filter_range,
+}
+
+ORACLES = {
+    "monitor_cpu_mem_alerts": f"""
+WITH joined AS (
+  SELECT c.ts, c.user_id, c.cpu_pct, m.mem_pct
+  FROM (SELECT ts, user_id, value AS cpu_pct FROM events) c
+  JOIN (SELECT ts, user_id, CAST(props->>'k' AS DOUBLE) AS mem_pct FROM events) m
+    ON c.ts = m.ts AND c.user_id = m.user_id
+),
+{_SLIDING_CTE.format(src='joined')},
+agg AS (
+  SELECT user_id, window_start, window_end,
+         avg(cpu_pct) AS avg_cpu, avg(mem_pct) AS avg_mem
+  FROM win GROUP BY 1, 2, 3
+)
+SELECT user_id, window_start, window_end,
+       floor(avg_cpu*100.0 + 0.5)/100.0 AS avg_cpu, floor(avg_mem*100.0 + 0.5)/100.0 AS avg_mem,
+       CASE WHEN avg_cpu > 113.0 AND avg_mem > 85.0 THEN 'High CPU + Memory stress'
+            WHEN avg_cpu > 113.0 THEN 'CPU spike suspected'
+            WHEN avg_mem > 85.0 THEN 'Memory saturation suspected'
+            ELSE 'OK' END AS alert
+FROM agg
+""",
+    "monitor_net_disk_alerts": f"""
+WITH joined AS (
+  SELECT n.ts, n.user_id, n.net_in, d.disk_io
+  FROM (SELECT ts, user_id, value*2.0 AS net_in FROM events) n
+  JOIN (SELECT ts, user_id, value + 5.0 AS disk_io FROM events) d
+    ON n.ts = d.ts AND n.user_id = d.user_id
+),
+{_SLIDING_CTE.format(src='joined')},
+agg AS (
+  SELECT user_id, window_start, window_end,
+         max(net_in) AS max_net_in, max(disk_io) AS max_disk_io
+  FROM win GROUP BY 1, 2, 3
+)
+SELECT user_id, window_start, window_end,
+       floor(max_net_in*100.0 + 0.5)/100.0 AS max_net_in, floor(max_disk_io*100.0 + 0.5)/100.0 AS max_disk_io,
+       CASE WHEN max_net_in > 220.0 AND max_disk_io > 110.0 THEN 'Network flood + Disk thrash suspected'
+            WHEN max_net_in > 220.0 THEN 'Possible DDoS'
+            WHEN max_disk_io > 110.0 THEN 'Disk thrash suspected'
+            ELSE 'OK' END AS alert
+FROM agg
+""",
+    "monitor_window_sliding_avg": f"""
+WITH {_SLIDING_CTE.format(src='events')}
+SELECT user_id, window_start, window_end,
+       avg(value) AS avg_value, count(*) AS n_events
+FROM win GROUP BY 1, 2, 3
+""",
+    "monitor_window_tumbling": """
+SELECT event_type,
+       make_timestamp(CAST(floor(epoch(ts)/3600) AS BIGINT)*3600*1000000) AS window_start,
+       make_timestamp((CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 + 3600)*1000000) AS window_end,
+       count(*) AS n_events, sum(value) AS sum_value
+FROM events GROUP BY 1, 2, 3
+""",
+    "monitor_session_window": """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 300
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 5 MINUTE AS session_end,
+       count(*) AS n_events, sum(value) AS sum_value
+FROM sessions GROUP BY user_id, session_id
+""",
+    "monitor_case_classify": """
+SELECT event_id, user_id, value,
+       CASE WHEN value > 100.0 AND user_id > 100 THEN 'both high'
+            WHEN value > 100.0 THEN 'value high'
+            WHEN user_id > 100 THEN 'late cohort'
+            ELSE 'OK' END AS alert
+FROM events
+""",
+    "monitor_project_cast": """
+SELECT event_id AS id,
+       CAST(ts AS DATE) AS event_date,
+       CAST(trunc(value) AS INTEGER) AS value_int,
+       CAST(value AS VARCHAR) AS value_str,
+       user_id AS uid,
+       value * 100.0 AS v_scaled
+FROM events
+""",
+    "monitor_filter_range": """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE event_type IN ('error', 'purchase') AND value > 50.0
+  AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-25 00:00:00'
+""",
+}

@@ -1,0 +1,4 @@
+"""text queries (filled in build order SURVEY.md SS7.2)."""
+
+QUERIES = {}
+ORACLES = {}

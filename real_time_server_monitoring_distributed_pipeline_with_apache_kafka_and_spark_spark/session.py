@@ -1,0 +1,66 @@
+"""SparkSession construction and runtime configuration.
+
+The reference creates bare sessions per job (``/root/reference/main.py:38-44``);
+we centralize session policy so every entry point (tests, bench, driver
+contract) runs with the same scale-oriented settings: AQE on, explicit UTC
+timezone (oracle comparison), Arrow for any pandas interchange, shuffle
+partitions sized to the machine instead of the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs applied to ANY session (including one built by
+# the verification driver). Keep this list to confs that are settable after
+# session start.
+RUNTIME_CONFS: dict[str, str] = {
+    # Testdata events.parquet stores TIMESTAMP(NANOS); Spark 4.x refuses it
+    # unless read as long nanos (SURVEY.md SS7.4). Readers convert back to
+    # timestamp via timestamp_micros.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Pin UTC so window arithmetic and the DuckDB oracle agree.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime shuffle-partition coalescing, skew-join splitting, and
+    # dynamic broadcast switching - the 100 TB posture.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent)."""
+    for key, value in RUNTIME_CONFS.items():
+        spark.conf.set(key, value)
+    return spark
+
+
+def get_spark(
+    app_name: str = "rtsm-engine",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a local session with engine defaults.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores. Shuffle partitions
+    default to 2x cores for local mode (at cluster scale this is instead
+    governed by AQE's target advisory size).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)

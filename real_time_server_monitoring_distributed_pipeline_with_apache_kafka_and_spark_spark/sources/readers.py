@@ -1,0 +1,81 @@
+"""Batch sources: parquet testdata tables and metric CSVs.
+
+Replaces the reference's ``spark.read.csv(..., inferSchema=True)`` scans
+(``spark_job1.py:14-15``) with explicit-schema reads; parquet scans get
+column pruning + predicate pushdown from Catalyst for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with normalized types.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` it reads as long nanos and
+    is converted to a microsecond timestamp here (SURVEY.md SS7.4). The
+    conversion is a codegen'd projection - pushdown on other columns is
+    unaffected.
+    """
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # Integer `div`, not `/1000`: float division of ~1.7e18 ns loses
+        # sub-microsecond precision (double ulp ~256 ns at that magnitude).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def read_metrics_csv(spark: SparkSession, path: str, topic: str = "wide") -> DataFrame:
+    """Explicit-schema CSV scan of a (wide or landed narrow) metric file.
+
+    Parity with reference S1 (``spark_job1.py:14-15``) minus ``inferSchema``.
+    """
+    schema = schemas.METRICS_WIDE if topic == "wide" else schemas.TOPIC_SCHEMAS[topic]
+    return spark.read.schema(schema).csv(path, header=True)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """Scale-safe sink: partitioned parquet, no ``coalesce(1)``.
+
+    Replaces reference S2 (``spark_job1.py:57`` single-file CSV). At 100 TB a
+    single-task write is the bottleneck; a partitioned columnar layout keeps
+    writes parallel and enables partition pruning on read.
+    """
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def write_single_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Reference-parity sink: one CSV part-file with header (S2/M1,
+    ``spark_job1.py:57``). Only for small demo outputs."""
+    df.coalesce(1).write.csv(path, header=True, mode=mode)

@@ -1,0 +1,45 @@
+"""Driver-contract replica: every queries() entry vs its DuckDB oracle at sf0.01.
+
+Any mismatch here is a mismatch in CORRECTNESS_r{N}.json. Rows that differ
+only by float last-ulp noise are also failures (the driver hashes values).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries import (
+    all_oracles,
+    all_queries,
+)
+
+from .conftest import SF_ORACLE
+from .oracle_utils import compare, duckdb_conn
+
+_QUERIES = all_queries()
+_ORACLES = all_oracles()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb_conn(SF_ORACLE)
+    yield con
+    con.close()
+
+
+def test_every_oracle_has_query():
+    assert set(_ORACLES) <= set(_QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_oracle_parity(spark, duck, name):
+    df = _QUERIES[name](spark, SF_ORACLE)
+    problems = compare(df, duck, _ORACLES[name])
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = _QUERIES[name](spark, SF_ORACLE)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
