@@ -1,4 +1,527 @@
-"""relational queries (filled in build order SURVEY.md SS7.2)."""
+"""Relational query pack: the full join/agg/window/set-op engine surface.
 
-QUERIES = {}
-ORACLES = {}
+The reference only exercises inner equi-joins and windowed avg/max
+(SURVEY.md SS2.3-2.6 "not present" rows); this module covers the rest of the
+surface a user of a general engine needs, on the TPC-H-ish testdata.
+
+Float determinism policy (oracle hash-matching): sums of monetary doubles
+are computed in exact DECIMAL(12,2) arithmetic (order-independent in any
+engine) and cast to DOUBLE at the end; averages are derived sum/count, not
+float ``avg()`` whose accumulation order varies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+_MONEY = "decimal(12,2)"
+
+
+def _dsum(col) -> F.Column:
+    """Exact, order-independent sum of a 2-decimal double, as double."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.sum(col.cast(_MONEY)).cast("double")
+
+
+def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: 2-key groupBy, 8 aggregates with derived expressions.
+
+    The classic scan->partial agg->shuffle(2 keys)->final agg plan; at 100 TB
+    the partial aggregation collapses 600M rows/partition to 6 groups before
+    the exchange.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    price = F.col("l_extendedprice").cast(_MONEY)
+    disc = F.col("l_discount").cast(_MONEY)
+    tax = F.col("l_tax").cast(_MONEY)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast(_MONEY)).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def rel_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join fact->dim + aggregation by dim attribute.
+
+    customer is small at every SF: broadcast it (no shuffle of orders)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice").alias("total_revenue"),
+        )
+    )
+
+
+def rel_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join: lineitem |> orders |> customer |> nation |> region.
+
+    Dims broadcast (nation/region are tiny, customer small); only the
+    fact->orders join shuffles. Revenue per region/nation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    price = F.col("l_extendedprice").cast(_MONEY)
+    disc = F.col("l_discount").cast(_MONEY)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(price * (1 - disc)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def rel_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: every customer, order count (0 for orderless)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(_dsum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+def rel_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): customers having at least one 'O' order."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def rel_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers with no orders at all."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+def rel_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-nation supplier and customer counts."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    s = supplier.groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_suppliers"))
+    c = customer.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_customers"))
+    return (
+        s.join(c, s.s_nationkey == c.c_nationkey, "full_outer")
+        .select(
+            F.coalesce(s.s_nationkey, c.c_nationkey).alias("nationkey"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        )
+    )
+
+
+def rel_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny dims (basis for similarity search)."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name", "n_regionkey")
+
+
+def rel_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice: ranking window + filter.
+
+    At scale: partial top-k per partition would beat a full sort per key,
+    but row_number over (custkey) is shuffle-once and AQE-coalesced.
+    Deterministic tiebreak on o_orderkey.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank_in_cust", F.row_number().over(w))
+        .filter(F.col("rank_in_cust") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_cust")
+    )
+
+
+def rel_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: running sum, rank, lag/lead per customer timeline."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(_MONEY))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_spent"),
+        F.row_number().over(w).alias("order_seq"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
+    )
+
+
+def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: EXCEPT / INTERSECT / UNION ALL with a tag column."""
+    orders = load_table(spark, sf_dir, "orders")
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    both = o_cust.intersect(f_cust).select(F.lit("both").alias("cohort"), "o_custkey")
+    # subtract == SQL EXCEPT (set semantics); exceptAll would keep left-side
+    # keys whose multiplicity exceeds the right side's.
+    only_o = o_cust.subtract(f_cust).select(F.lit("open_only").alias("cohort"), "o_custkey")
+    return both.unionByName(only_o)
+
+
+def rel_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (dedup on the projected key pair)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select("c_mktsegment", "c_nationkey").distinct()
+
+
+def rel_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi count-distinct in one aggregation (expand + two-phase agg)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with subtotal rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (mktsegment, nationkey): all grouping-set combinations."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.cube("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _dsum("c_acctbal").alias("sum_acctbal"),
+    )
+
+
+def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns per market segment."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["O", "F", "P"])
+    )
+
+
+def rel_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: orderBy + limit (TakeOrderedAndProject - no full sort).
+
+    Deterministic tiebreak on o_orderkey so the row set is stable.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def rel_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING: post-aggregation filter."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), _dsum("o_totalprice").alias("total_spent"))
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+def rel_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string functions (F3/F4 surface and beyond)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.col("p_name").contains("green").alias("has_green"),
+        F.col("p_type").startswith("STANDARD").alias("is_standard"),
+    )
+
+
+def rel_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date/time functions (F1 surface and beyond)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_format("o_orderdate", "HH:mm:ss").alias("order_time"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_95"),
+        F.to_date("o_orderdate").alias("order_date"),
+    )
+
+
+def rel_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math functions restricted to IEEE-exact ops (cross-engine)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    v = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        F.abs(v - 3000.0).alias("abs_dev"),
+        F.ceil(v).alias("price_ceil"),
+        F.floor(v).alias("price_floor"),
+        F.sqrt(v).alias("price_sqrt"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.signum(v - 3000.0).alias("dev_sign"),
+        (v * v).alias("price_sq"),
+        F.greatest(v, F.lit(1000.0)).alias("price_floor1k"),
+        F.least(v, F.lit(5000.0)).alias("price_cap5k"),
+    )
+
+
+def rel_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalars: coalesce / nullif / null predicates."""
+    customer = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return customer.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "segment_or_other"
+        ),
+        F.when(bal < 0, None).otherwise(bal).alias("pos_bal"),
+        (bal < 0).alias("is_negative"),
+        F.isnull(F.nullif(F.col("c_nationkey"), F.lit(3))).alias("is_nation3"),
+    )
+
+
+QUERIES = {
+    "rel_pricing_summary": rel_pricing_summary,
+    "rel_join_customer_orders": rel_join_customer_orders,
+    "rel_multiway_revenue": rel_multiway_revenue,
+    "rel_join_left_outer": rel_join_left_outer,
+    "rel_join_semi": rel_join_semi,
+    "rel_join_anti": rel_join_anti,
+    "rel_join_full_outer": rel_join_full_outer,
+    "rel_cross_join": rel_cross_join,
+    "rel_topk_per_group": rel_topk_per_group,
+    "rel_window_running": rel_window_running,
+    "rel_set_ops": rel_set_ops,
+    "rel_distinct": rel_distinct,
+    "rel_count_distinct": rel_count_distinct,
+    "rel_rollup": rel_rollup,
+    "rel_cube": rel_cube,
+    "rel_pivot": rel_pivot,
+    "rel_orderby_limit": rel_orderby_limit,
+    "rel_having": rel_having,
+    "rel_string_funcs": rel_string_funcs,
+    "rel_date_funcs": rel_date_funcs,
+    "rel_math_funcs": rel_math_funcs,
+    "rel_conditional_funcs": rel_conditional_funcs,
+}
+
+ORACLES = {
+    "rel_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+  CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "rel_join_customer_orders": """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    "rel_multiway_revenue": """
+SELECT r_name, n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+    "rel_join_left_outer": """
+SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+       coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0.0) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""",
+    "rel_join_semi": """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+""",
+    "rel_join_anti": """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    "rel_join_full_outer": """
+WITH s AS (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1),
+     c AS (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY 1)
+SELECT coalesce(s_nationkey, c_nationkey) AS nationkey,
+       coalesce(n_suppliers, 0) AS n_suppliers,
+       coalesce(n_customers, 0) AS n_customers
+FROM s FULL OUTER JOIN c ON s_nationkey = c_nationkey
+""",
+    "rel_cross_join": """
+SELECT r_name, n_name, n_regionkey FROM region CROSS JOIN nation
+""",
+    "rel_topk_per_group": """
+SELECT o_custkey, o_orderkey, o_totalprice, rank_in_cust FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_cust
+  FROM orders
+) WHERE rank_in_cust <= 3
+""",
+    "rel_window_running": """
+SELECT o_custkey, o_orderkey, o_orderdate,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_spent,
+  row_number() OVER w AS order_seq,
+  lag(o_orderkey, 1) OVER w AS prev_orderkey,
+  lead(o_orderkey, 1) OVER w AS next_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    "rel_set_ops": """
+WITH o_cust AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+     f_cust AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+SELECT 'both' AS cohort, o_custkey FROM (SELECT * FROM o_cust INTERSECT SELECT * FROM f_cust)
+UNION ALL
+SELECT 'open_only' AS cohort, o_custkey FROM (SELECT * FROM o_cust EXCEPT SELECT * FROM f_cust)
+""",
+    "rel_distinct": """
+SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+""",
+    "rel_count_distinct": """
+SELECT count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT o_orderstatus) AS n_statuses,
+       count(*) AS n_orders
+FROM orders
+""",
+    "rel_rollup": """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "rel_cube": """
+SELECT c_mktsegment, c_nationkey, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+""",
+    "rel_pivot": """
+SELECT c_mktsegment,
+  coalesce(count(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS "O",
+  coalesce(count(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS "F",
+  coalesce(count(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS "P"
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    "rel_orderby_limit": """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+    "rel_having": """
+SELECT o_custkey, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+FROM orders GROUP BY o_custkey HAVING count(*) >= 3
+""",
+    "rel_string_funcs": """
+SELECT p_partkey,
+  upper(p_name) AS name_upper,
+  lower(p_brand) AS brand_lower,
+  CAST(length(p_name) AS INTEGER) AS name_len,
+  substr(p_type, 1, 5) AS type_prefix,
+  concat_ws('|', p_brand, p_type) AS brand_type,
+  replace(p_name, ' ', '_') AS name_snake,
+  trim('  pad  ') AS trimmed,
+  string_split(p_name, ' ')[1] AS first_word,
+  contains(p_name, 'green') AS has_green,
+  starts_with(p_type, 'STANDARD') AS is_standard
+FROM part
+""",
+    "rel_date_funcs": """
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS INTEGER) AS order_year,
+  CAST(month(o_orderdate) AS INTEGER) AS order_month,
+  CAST(day(o_orderdate) AS INTEGER) AS order_day,
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+  strftime(o_orderdate, '%H:%M:%S') AS order_time,
+  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+  CAST(o_orderdate AS DATE) AS order_date
+FROM orders
+""",
+    "rel_math_funcs": """
+SELECT l_orderkey,
+  abs(l_extendedprice - 3000.0) AS abs_dev,
+  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+  sqrt(l_extendedprice) AS price_sqrt,
+  l_orderkey % 7 AS key_mod7,
+  CAST(sign(l_extendedprice - 3000.0) AS DOUBLE) AS dev_sign,
+  l_extendedprice * l_extendedprice AS price_sq,
+  greatest(l_extendedprice, 1000.0) AS price_floor1k,
+  least(l_extendedprice, 5000.0) AS price_cap5k
+FROM lineitem WHERE l_linenumber = 1
+""",
+    "rel_conditional_funcs": """
+SELECT c_custkey,
+  coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_or_other,
+  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS pos_bal,
+  c_acctbal < 0 AS is_negative,
+  nullif(c_nationkey, 3) IS NULL AS is_nation3
+FROM customer
+""",
+}
