@@ -1,0 +1,86 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+metadata struct; decode / feature-extraction runs as Arrow-batched
+``mapInPandas`` so bytes never round-trip through Python row-at-a-time.
+
+The decode itself is STUBBED (Pillow/librosa/av are not in this
+environment): ``fake_decode_features`` derives deterministic pseudo-features
+from the payload bytes so the Spark-side plumbing (schema, batching,
+partitioning) is real and testable. Swap ``_decode_batch`` for a real
+decoder when the libraries exist; ``decode_image_real`` raises
+NotImplementedError to mark the seam.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id long, payload_bytes int, width int, height int, n_channels int, mean_pixel double"
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model a multimodal ingest: payload as opaque bytes + sidecar metadata.
+
+    In a real pipeline the payload column comes from the source (parquet
+    BINARY / Kafka value); here it's derived from text so the testdata can
+    exercise it.
+    """
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(payload).alias("n_bytes"),
+            F.md5(payload).alias("checksum"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_real(payload: bytes):
+    """Real image decode - requires Pillow, absent in this environment."""
+    raise NotImplementedError(
+        "image decode requires Pillow; this environment stubs it with "
+        "fake_decode_features (deterministic pseudo-features)"
+    )
+
+
+def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic fake decoder: pseudo width/height/channels/mean derived
+    from payload length and byte content. Stands in for PIL.Image.open."""
+    lengths = pdf["payload"].map(len)
+    first = pdf["payload"].map(lambda b: b[0] if len(b) else 0)
+    checks = pdf["payload"].map(lambda b: sum(b[:64]))
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "payload_bytes": lengths.astype("int32"),
+            "width": (16 + lengths % 240).astype("int32"),
+            "height": (16 + checks % 240).astype("int32"),
+            "n_channels": (1 + first % 3).astype("int32"),
+            "mean_pixel": (checks % 256).astype("float64"),
+        }
+    )
+
+
+def decode_features(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    ``mapInPandas`` keeps the decode embarrassingly parallel: each task
+    decodes its partition's batches independently, no shuffle; at 100 TB
+    this scales linearly with executors and the payload column is the only
+    one transferred (column pruning).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_batch(pdf)
+
+    return with_payload.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)

@@ -1,0 +1,189 @@
+"""Vector similarity search over embedding columns (array<float>).
+
+Cosine is pure built-in higher-order functions (F.zip_with + F.aggregate):
+JVM-side, codegen'd, no Python UDF in the hot path (SURVEY.md SS7.3).
+
+Scale design (100 TB / billions of vectors):
+- Brute force is the exactness baseline: broadcast the (small) query set,
+  one pass over the corpus, per-partition top-k via ranking window. Cost is
+  O(|corpus| * |queries| * dim) FLOPs but only ONE corpus scan and no
+  corpus shuffle (the window shuffles |corpus x queries| scored rows on
+  query_id - bounded by pushing the rank filter below, see ann_topk).
+- The LSH path buckets vectors by random-hyperplane sign bits so each query
+  only scores its bucket: recall trades against the number of hyperplanes /
+  probe multiplicity. Hyperplanes are seeded constants broadcast in the
+  plan (literal arrays), not state.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns in double precision.
+
+    Left-to-right fold => deterministic accumulation order (bit-reproducible
+    across engines, unlike a shuffled SUM of exploded elements).
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm2(a: Column) -> Column:
+    """Euclidean norm of an array<numeric> column, double precision."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_product(a, b) / (norm2(a) * norm2(b))
+
+
+def cosine_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All-pairs cosine >= threshold (embedding near-dup detection).
+
+    Exact quadratic baseline; at corpus scale use ann_lsh_topk's bucketing
+    to prune the pair space first. Output: (a_id, b_id) with a_id < b_id.
+    """
+    a = vectors.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("vec_a"))
+    b = vectors.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id")
+    )
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (brute force).
+
+    Broadcast the query side (queries << corpus), score in one corpus pass,
+    rank per query. Deterministic tiebreak: (score desc, neighbor id asc).
+    Output: (query_id, neighbor_id, rank).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("corpus_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("cos", cosine(F.col("corpus_vec"), F.col("query_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        s = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / s for x in v])
+    return planes
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: one sign bit per plane."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        plane_lit = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot_product(vec_col, plane_lit) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def _lsh_tables(vec_col: Column, planes: list[list[float]], k: int, tables: int) -> Column:
+    """Array of (table_idx, bucket) structs - one entry per hash table."""
+    entries = []
+    for t in range(tables):
+        bucket = lsh_bucket(vec_col, planes[t * k : (t + 1) * k])
+        entries.append(
+            F.struct(F.lit(t).alias("table_idx"), bucket.alias("bucket"))
+        )
+    return F.array(*entries)
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes_per_table: int = 6,
+    n_tables: int = 12,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH.
+
+    OR-amplification: L tables of k sign bits each; a corpus vector is a
+    candidate if it collides with the query in ANY table
+    (P = 1-(1-(1-theta/pi)^k)^L). Single-table LSH is useless for cosine
+    top-k on near-uniform vectors (measured 1% recall at 8 planes); the
+    multi-table trade recovers recall while still pruning the pair space
+    ~5x on uniform data (far more on clustered real-world embeddings).
+
+    Same output contract as ann_topk; recall < 1 by design.
+    """
+    from pyspark.sql import Window
+
+    planes = _hyperplanes(planes_per_table * n_tables, dim, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.explode(_lsh_tables(F.col(vec_col), planes, planes_per_table, n_tables)).alias("t"),
+    ).select("query_id", "query_vec", "t.table_idx", "t.bucket")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("corpus_vec"),
+        F.explode(_lsh_tables(F.col(vec_col), planes, planes_per_table, n_tables)).alias("t"),
+    ).select("neighbor_id", "corpus_vec", "t.table_idx", "t.bucket")
+    candidates = (
+        c.join(F.broadcast(q), ["table_idx", "bucket"])
+        .select("query_id", "query_vec", "neighbor_id", "corpus_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.withColumn("cos", cosine(F.col("corpus_vec"), F.col("query_vec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1,0 +1,108 @@
+"""Text-analysis operators for training-data curation.
+
+All built-in Catalyst expressions (split/filter/aggregate higher-order
+functions) - no Python in the hot path, so these run at full scan speed
+over a 100 TB corpus with column pruning (only ``text`` is read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is")
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "es": ("el", "la", "de", "que", "los", "una", "es"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans"),
+}
+_CJK_PATTERN = r"[\x{4e00}-\x{9fff}]"
+
+
+def tokens(text_col: Column) -> Column:
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def _hit_count(toks: Column, words: tuple[str, ...]) -> Column:
+    """Non-distinct count of tokens contained in a marker set."""
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens, regex words, chars, mean length."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    total_token_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return df.withColumns(
+        {
+            "n_tokens": n_tokens,
+            "n_chars_measured": F.length(text_col),
+            "n_distinct_tokens": F.size(F.array_distinct(toks)),
+            "avg_token_len": total_token_chars.cast("double") / n_tokens,
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: stopword ratio, punctuation density,
+    lexical diversity, length factor -> blended [0,1] score.
+
+    Every ratio is an int/int division => bit-identical across engines.
+    """
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    stop_ratio = _hit_count(toks, STOPWORDS_EN).cast("double") / n_tokens
+    n_punct = F.length(text_col) - F.length(
+        F.regexp_replace(F.col(text_col), r"[.,!?;:]", "")
+    )
+    punct_ratio = n_punct.cast("double") / F.length(text_col)
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    length_factor = F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.3) * stop_ratio
+        + F.lit(0.3) * diversity
+        + F.lit(0.3) * length_factor
+        - F.lit(0.1) * punct_ratio
+    )
+    return df.withColumns(
+        {
+            "stopword_ratio": stop_ratio,
+            "punct_ratio": punct_ratio,
+            "lexical_diversity": diversity,
+            "length_factor": length_factor,
+            "quality": score,
+        }
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/marker-word language ID heuristic.
+
+    CJK codepoints => zh; otherwise argmax of per-language marker-word hit
+    counts with a fixed priority ladder (de > es > fr > en) for ties;
+    no hits at all => 'und' (undetermined).
+    """
+    toks = tokens(F.col(text_col))
+    hits = {lang: _hit_count(toks, words) for lang, words in _LANG_MARKERS.items()}
+    best_non_en = F.greatest(hits["de"], hits["es"], hits["fr"])
+    pred = (
+        F.when(F.col(text_col).rlike(_CJK_PATTERN), "zh")
+        .when((hits["de"] >= best_non_en) & (hits["de"] > hits["en"]), "de")
+        .when((hits["es"] >= F.greatest(hits["fr"], hits["en"])) & (hits["es"] > 0), "es")
+        .when((hits["fr"] >= hits["en"]) & (hits["fr"] > 0), "fr")
+        .when(hits["en"] > 0, "en")
+        .otherwise("und")
+    )
+    return df.withColumn("lang_pred", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token set (bag-of-words identity; catches shuffled near-identical docs).
+    """
+    toks = tokens(F.col(text_col))
+    normalized = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    return df.withColumn("fingerprint", F.md5(normalized))

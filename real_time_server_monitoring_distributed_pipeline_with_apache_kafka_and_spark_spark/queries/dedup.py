@@ -1,4 +1,115 @@
-"""dedup queries (filled in build order SURVEY.md SS7.2)."""
+"""Dedup queries over the ``documents`` / ``embeddings`` tables.
 
-QUERIES = {}
-ORACLES = {}
+Oracle notes:
+- n-gram Jaccard is fully SQL-expressible (inverted shingle index join);
+  jaccard = common/(|A|+|B|-common) is int/int division => exact doubles.
+- MinHash-LSH / SimHash outputs depend on xxhash64, which DuckDB does not
+  implement => rows-only checks for the LSH candidate paths; their FINAL
+  scores are exact Jaccard / hamming, and tests pin recall against the
+  exact pair set.
+- Embedding cosine: both engines fold left-to-right in double precision
+  (verified bit-exact), so the pair set is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as ops
+from ..operators.similarity import cosine_pairs
+from ..sources import load_table
+
+JACCARD_THRESHOLD = 0.8
+COSINE_THRESHOLD = 0.4
+
+# DuckDB shingle CTE mirroring operators.dedup.word_shingles (3-gram, distinct)
+_SHINGLE_CTE = """
+docs AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM docs, UNNEST(range(1, len(w) - 1)) t(i)
+  WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id)
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by full text: representative id + multiplicity."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.exact_dedup(docs, ["text"], "doc_id").select(
+        "doc_id", "n_copies", F.length("text").alias("text_len")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (>= 0.8) via inverted index."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = ops.word_shingles(docs)
+    return ops.jaccard_pairs(shingled, threshold=JACCARD_THRESHOLD)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH (64 perms, 16x4 bands) candidates verified by exact
+    Jaccard. Probabilistic recall => rows-only driver check; recall vs the
+    exact pair set is pinned in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = ops.word_shingles(docs)
+    return ops.minhash_lsh_pairs(shingled, threshold=JACCARD_THRESHOLD)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3 of 64 bits), chunk-join
+    candidates. xxhash64-dependent => rows-only driver check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.simhash_pairs(docs, max_hamming=3)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: all pairs with cosine >= 0.4 (exact, quadratic)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, threshold=COSINE_THRESHOLD)
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "dedup_exact": """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies, length(text) AS text_len
+FROM documents GROUP BY text
+""",
+    "dedup_ngram_jaccard": f"""
+WITH {_SHINGLE_CTE},
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, common,
+       common * 1.0 / (sa.n_shingles + sb.n_shingles - common) AS jaccard
+FROM pairs
+JOIN sizes sa ON a_id = sa.doc_id
+JOIN sizes sb ON b_id = sb.doc_id
+WHERE common * 1.0 / (sa.n_shingles + sb.n_shingles - common) >= {JACCARD_THRESHOLD}
+""",
+    "dedup_embedding_cosine": f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= {COSINE_THRESHOLD}
+""",
+}

@@ -1,4 +1,66 @@
-"""similarity queries (filled in build order SURVEY.md SS7.2)."""
+"""Similarity-search queries over the ``embeddings`` table.
 
-QUERIES = {}
-ORACLES = {}
+Output contract is rank-only (query_id, neighbor_id, rank) - cosine scores
+stay internal, so last-ulp float differences can only matter where two
+neighbors tie to ~1e-15, which the deterministic id tiebreak makes
+unobservable in practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as ops
+from ..sources import load_table
+
+N_QUERIES = 20
+TOP_K = 5
+
+
+def _split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    return corpus, queries
+
+
+def sim_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for the first 20 vectors (brute force,
+    broadcast query side, single corpus pass)."""
+    corpus, queries = _split(spark, sf_dir)
+    return ops.ann_topk(corpus, queries, k=TOP_K)
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via multi-table random-hyperplane LSH (12 tables
+    x 6 planes). Seeded-constant hyperplanes live in the plan as literals;
+    recall vs brute force is pinned in tests. Rows-only driver check."""
+    corpus, queries = _split(spark, sf_dir)
+    return ops.ann_lsh_topk(corpus, queries, k=TOP_K)
+
+
+QUERIES = {
+    "sim_ann_bruteforce": sim_ann_bruteforce,
+    "sim_ann_lsh": sim_ann_lsh,
+}
+
+ORACLES = {
+    "sim_ann_bruteforce": f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(c.v, q.v)
+         / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos
+  FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+""",
+}

@@ -1,0 +1,76 @@
+"""Quality pins for the approximate (rows-only) dedup/similarity paths.
+
+The driver can only check these run; these tests pin that the LSH paths
+actually FIND the near-duplicates the exact algorithms find.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators import (
+    dedup as d,
+)
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators import (
+    similarity as s,
+)
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources import (
+    load_table,
+)
+
+from .conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_ORACLE, "documents").cache()
+
+
+def test_minhash_lsh_recall(spark, docs):
+    shingled = d.word_shingles(docs).cache()
+    exact = {
+        (r.a_id, r.b_id) for r in d.jaccard_pairs(shingled, threshold=0.8).collect()
+    }
+    lsh = {(r.a_id, r.b_id) for r in d.minhash_lsh_pairs(shingled, threshold=0.8).collect()}
+    assert exact, "testdata should contain seeded near-dup pairs"
+    assert lsh <= exact, "LSH output is Jaccard-verified; no false positives possible"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.95, f"LSH recall {recall:.2%} below 95% (16x4 bands at s>=0.8)"
+
+
+def test_simhash_finds_neardups(spark, docs):
+    shingled = d.word_shingles(docs)
+    exact = {
+        (r.a_id, r.b_id) for r in d.jaccard_pairs(shingled, threshold=0.9).collect()
+    }
+    sim = {(r.a_id, r.b_id) for r in d.simhash_pairs(docs).collect()}
+    assert exact
+    recall = len(sim & exact) / len(exact)
+    assert recall >= 0.85, f"SimHash recall {recall:.2%} vs exact jaccard>=0.9 pairs"
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in s.ann_topk(corpus, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in s.ann_lsh_topk(corpus, queries, k=5).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    # Uniform random vectors are LSH's adversarial case (no cluster
+    # structure); 12x6 multi-table should still recover a solid fraction.
+    assert recall >= 0.35, f"ANN-LSH recall {recall:.2%} suspiciously low"
+    assert len(approx) > 0
+
+
+def test_exact_dedup_representative(spark):
+    rows = [(1, "a b c"), (2, "a b c"), (3, "x y z")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.n_copies for r in d.exact_dedup(df, ["text"], "doc_id").collect()}
+    assert out == {1: 2, 3: 1}
