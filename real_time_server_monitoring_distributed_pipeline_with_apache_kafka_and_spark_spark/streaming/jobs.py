@@ -1,0 +1,88 @@
+"""Streaming analytics legs: the reference jobs under Structured Streaming.
+
+The batch operator library (operators/monitoring.py) is reused verbatim -
+Structured Streaming compiles the same logical plan into an incremental
+one. What streaming adds on top (SURVEY.md SS2.7):
+
+- watermarks (T3): the reference has NO late-data policy (batch emit-once);
+  we bound state with ``withWatermark`` so the 30s/10s window state and the
+  stream-stream join buffers don't grow forever.
+- output modes: ``append`` emits each window once, after the watermark
+  passes its end (closest to the reference's emit-once-at-end semantics,
+  continuously).
+- delivery (T4): checkpoint + idempotent sinks give exactly-once to files,
+  replacing producer acks/retries + consumer auto-commit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG
+from ..operators import monitoring as ops
+
+DEFAULT_WATERMARK = "1 minute"
+
+
+def watermarked(df: DataFrame, ts_col: str = "ts", delay: str = DEFAULT_WATERMARK) -> DataFrame:
+    return df.withWatermark(ts_col, delay)
+
+
+def streaming_cpu_mem_job(
+    cpu: DataFrame,
+    mem: DataFrame,
+    config=DEFAULT_CONFIG,
+    entity_col: str = "server_id",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """spark_job1 as a continuous pipeline: stream-stream inner join on
+    (ts, entity) -> sliding window avg -> CASE alert.
+
+    The join IS the reference's implicit stream-alignment (SURVEY SS2.3):
+    topics interleave arbitrarily, the watermark bounds how long one side
+    waits for the other before its join state is evicted.
+    """
+    joined = ops.join_metric_streams(
+        watermarked(cpu, delay=watermark),
+        watermarked(mem, delay=watermark),
+        keys=("ts", entity_col),
+    )
+    agged = ops.sliding_window_agg(
+        joined,
+        {"avg_cpu": F.avg("cpu_pct"), "avg_mem": F.avg("mem_pct")},
+        entity_col=entity_col,
+        window=config.window,
+    )
+    alerts = agged.withColumn(
+        "alert",
+        ops.alert_case(
+            "High CPU + Memory stress",
+            ("avg_cpu", config.thresholds.cpu_pct, "CPU spike suspected"),
+            ("avg_mem", config.thresholds.mem_pct, "Memory saturation suspected"),
+        ),
+    )
+    return ops.format_window_output(alerts, entity_col, ["avg_cpu", "avg_mem"])
+
+
+def streaming_window_alerts(
+    events: DataFrame,
+    value_col: str = "cpu_pct",
+    entity_col: str = "server_id",
+    config=DEFAULT_CONFIG,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Single-stream windowed aggregation + alert (no join leg)."""
+    agged = ops.sliding_window_agg(
+        watermarked(events, delay=watermark),
+        {"avg_value": F.avg(value_col), "n_events": F.count(F.lit(1))},
+        entity_col=entity_col,
+        window=config.window,
+    )
+    return agged.select(
+        entity_col,
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "avg_value",
+        "n_events",
+    )

@@ -1,0 +1,175 @@
+"""Streaming-leg tests (SURVEY.md SS5 item 4): Kafka-shaped parse + demux,
+windowed agg under watermark, late-data drop, stream-stream join - all via
+file/memory streams (no broker in this environment)."""
+
+from __future__ import annotations
+
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark import (
+    schemas,
+)
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.config import (
+    DEFAULT_CONFIG,
+)
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.kafka import (
+    kafka_source,
+)
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming import (
+    jobs,
+    parse,
+)
+
+from .fixtures import metrics_wide_df, narrow_splits
+
+
+def test_parse_and_demux_kafka_shape(spark):
+    records = spark.createDataFrame(
+        [
+            ("topic-cpu", "2024-01-01 20:53:00,server_1,93.5"),
+            ("topic-cpu", "garbage,without,numeric"),
+            ("topic-mem", "2024-01-01 20:53:00,server_1,55.1"),
+            ("topic-net", "2024-01-01 20:53:00,server_1,100.0,200.0"),
+        ],
+        ["topic", "value"],
+    )
+    cpu = parse.demux_topic(records, "topic-cpu", "cpu").collect()
+    assert len(cpu) == 2
+    good = [r for r in cpu if r.server_id == "server_1"][0]
+    assert good.cpu_pct == 93.5 and good.ts is not None
+    bad = [r for r in cpu if r.server_id != "server_1"][0]
+    assert bad.cpu_pct is None  # malformed message -> NULLs, not job failure
+    net = parse.demux_topic(records, "topic-net", "net").collect()
+    assert len(net) == 1 and net[0].net_out == 200.0
+
+
+def test_wire_roundtrip(spark):
+    wide = metrics_wide_df(spark)
+    cpu, *_ = narrow_splits(wide)
+    wire = parse.to_wire(cpu, "cpu", "topic-cpu")
+    assert wire.columns == ["topic", "value"]
+    back = wire.select(
+        parse.parse_metric_value(F.col("value"), "cpu").alias("m")
+    ).select("m.*")
+    assert back.schema == schemas.METRICS_CPU or [f.name for f in back.schema] == [
+        "ts", "server_id", "cpu_pct",
+    ]
+    orig = {(r.ts, r.server_id, r.cpu_pct) for r in cpu.collect()}
+    rt = {(r.ts, r.server_id, r.cpu_pct) for r in back.collect()}
+    assert rt == orig
+
+
+def test_kafka_source_builder(spark):
+    reader = kafka_source(spark, DEFAULT_CONFIG.kafka, max_offsets_per_trigger=1000)
+    assert reader is not None  # option plumbing only; no broker to connect
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    d = {n: str(tmp_path / n) for n in ("cpu1", "cpu2", "ckpt")}
+    yield d
+    for p in d.values():
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _write_csv(df, path):
+    df.coalesce(1).write.mode("append").csv(path, header=False)
+
+
+def test_streaming_window_agg_matches_batch(spark, tmp_path):
+    """File-source stream through the SAME operator as batch; complete mode
+    output equals the batch aggregation."""
+    wide = metrics_wide_df(spark)
+    cpu, *_ = narrow_splits(wide)
+    src = str(tmp_path / "cpu_src")
+    _write_csv(cpu, src)
+
+    stream = spark.readStream.schema(schemas.METRICS_CPU).csv(src)
+    agg = jobs.streaming_window_alerts(stream, value_col="cpu_pct")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT server_id, window_start, avg_value, n_events FROM win_out"
+        ).collect()
+    finally:
+        q.stop()
+    batch = (
+        cpu.groupBy("server_id", F.window("ts", "30 seconds", "10 seconds"))
+        .agg(F.avg("cpu_pct").alias("avg_value"), F.count(F.lit(1)).alias("n_events"))
+        .select("server_id", F.col("window.start").alias("window_start"), "avg_value", "n_events")
+        .collect()
+    )
+    key = lambda r: (r.server_id, r.window_start)  # noqa: E731
+    got_map = {key(r): (r.avg_value, r.n_events) for r in got}
+    batch_map = {key(r): (r.avg_value, r.n_events) for r in batch}
+    assert set(got_map) == set(batch_map)
+    for k, (avg_g, n_g) in got_map.items():
+        avg_b, n_b = batch_map[k]
+        # avg differs in last ULP between paths (summation order); n is exact
+        assert n_g == n_b and abs(avg_g - avg_b) < 1e-9, (k, got_map[k], batch_map[k])
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """T3: a row older than (max event time - watermark) arriving in a later
+    micro-batch is excluded from append-mode results."""
+    src = str(tmp_path / "late_src")
+    on_time = spark.createDataFrame(
+        [("2024-01-01 00:00:05", "s1", 10.0), ("2024-01-01 00:10:00", "s1", 99.0)],
+        ["ts_s", "server_id", "cpu_pct"],
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "server_id", "cpu_pct")
+    late = spark.createDataFrame(
+        [("2024-01-01 00:00:07", "s1", 50.0)], ["ts_s", "server_id", "cpu_pct"]
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "server_id", "cpu_pct")
+
+    _write_csv(on_time, src)
+    stream = (
+        spark.readStream.schema(schemas.METRICS_CPU)
+        .option("maxFilesPerTrigger", "1")
+        .csv(src)
+    )
+    agg = jobs.streaming_window_alerts(stream, value_col="cpu_pct", watermark="1 minute")
+    q = agg.writeStream.outputMode("append").format("memory").queryName("late_out").start()
+    try:
+        q.processAllAvailable()  # batch 1: watermark -> 00:09:00
+        time.sleep(0.5)
+        _write_csv(late, src)  # 00:00:07 is far below the watermark
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM late_out WHERE server_id='s1'").collect()
+    finally:
+        q.stop()
+    # windows containing 00:00:05 closed with n_events == 1: late row dropped
+    early = [r for r in rows if r.window_start.minute == 0 and r.window_start.second in (40, 50, 0)]
+    assert early, "early windows should have been emitted after watermark passed"
+    assert all(r.n_events == 1 for r in early), "late row must not be double-counted"
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """T4/J1: watermarked stream-stream inner join on (ts, server_id)
+    produces the batch join's row count."""
+    wide = metrics_wide_df(spark)
+    cpu, mem, _, _ = narrow_splits(wide)
+    cpu_src, mem_src = str(tmp_path / "cpu"), str(tmp_path / "mem")
+    _write_csv(cpu, cpu_src)
+    _write_csv(mem, mem_src)
+    cpu_s = spark.readStream.schema(schemas.METRICS_CPU).csv(cpu_src)
+    mem_s = spark.readStream.schema(schemas.METRICS_MEM).csv(mem_src)
+    joined = jobs.watermarked(cpu_s).join(
+        jobs.watermarked(mem_s), on=["ts", "server_id"], how="inner"
+    )
+    q = joined.writeStream.outputMode("append").format("memory").queryName("join_out").start()
+    try:
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(*) c FROM join_out").collect()[0].c
+    finally:
+        q.stop()
+    assert n == cpu.count() == 2400
