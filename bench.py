@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is timed end-to-end (plan + execute) with a `noop` sink write so
+the full plan materializes on executors without a driver-side collect —
+the honest analogue of a cluster job writing output. One warmup query runs
+first so JVM/codegen startup is not attributed to the first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark import (  # noqa: E402
+    session,
+)
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries import (  # noqa: E402
+    all_queries,
+)
+
+# Headline set: the reference-parity flagships plus one representative per
+# engine area (relational joins/aggs, window fns, dedup, similarity, text).
+HEADLINE = [
+    "monitor_cpu_mem_alerts",     # spark_job1 shape: join + sliding window + CASE
+    "monitor_net_disk_alerts",    # spark_job2 shape
+    "rel_pricing_summary",        # TPC-H Q1 shape: wide agg over lineitem
+    "rel_multiway_revenue",       # multi-join + agg
+    "rel_topk_per_group",         # ranking window
+    "dedup_exact",                # hash groupBy dedup on documents
+    "dedup_minhash_lsh",          # shingle -> minhash -> band bucket join
+    "sim_ann_bruteforce",         # cosine top-k over embeddings
+    "text_token_stats",           # text analysis over documents
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = session.get_spark(app_name="rtsm-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run("monitor_window_tumbling")  # warmup: JVM + codegen + parquet footer I/O
+    timings = {name: round(run(name), 3) for name in HEADLINE}
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

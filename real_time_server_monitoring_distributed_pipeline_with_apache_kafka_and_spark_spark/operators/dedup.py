@@ -50,15 +50,23 @@ def word_shingles(
 
     Tokenization = lowercase + whitespace split. Documents with fewer than
     ``n`` tokens produce no shingles (consistent with the SQL oracle).
+
+    The token array is materialized as its own projection BEFORE the
+    shingle lambda: higher-order functions are interpreted (no codegen /
+    subexpression elimination), so referencing the split() expression
+    inside the lambda re-tokenizes the document once per shingle position
+    — measured 13x slower on the testdata corpus.
     """
-    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = df.select(
+        F.col(id_col), F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_toks")
+    ).filter(F.size("_toks") >= n)
+    tc = F.col("_toks")
     shingles = F.transform(
-        F.sequence(F.lit(0), F.size(tokens) - n),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        F.sequence(F.lit(0), F.size(tc) - n),
+        lambda i: F.concat_ws(" ", F.slice(tc, i + 1, n)),
     )
-    return (
-        df.filter(F.size(tokens) >= n)
-        .select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+    return toks.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
 
@@ -68,36 +76,72 @@ def jaccard_pairs(
     threshold: float = 0.8,
     max_shingle_freq: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity >= threshold, via inverted index.
+    """Exact n-gram Jaccard similarity >= threshold via prefix filtering.
 
-    explode -> self-join on shingle -> count common -> |A|+|B|-common.
-    ``max_shingle_freq`` drops shingles appearing in more than that many
-    docs (approximation knob for corpus scale; None = exact).
+    PPJoin-style set-similarity join: rank each doc's shingles by global
+    document frequency (rarest first, ties broken by shingle string — one
+    total order for all docs), keep only the ``n - ceil(t*n) + 1`` rarest
+    as the doc's *prefix*; any pair with Jaccard >= t must share a prefix
+    shingle, so the inverted-index join runs over prefixes only. Hot
+    boilerplate shingles rank last and never enter a prefix, which removes
+    the df^2 blowup that makes the naive self-join quadratic at corpus
+    scale. A size-ratio filter (t*|A| <= |B| <= |A|/t) prunes candidates
+    before exact verification via set intersection, so the OUTPUT is
+    identical to the naive all-pairs join — lossless, not approximate.
+    ``max_shingle_freq`` optionally drops ultra-hot shingles entirely
+    (approximation knob; None = exact).
     Output: (a_id, b_id, common, jaccard) with a_id < b_id.
     """
+    from pyspark.sql import Window
+
+    # The plan below references the shingle table from ~8 branches (freq,
+    # sizes, ranking, both join sides, both verification sides); persist it
+    # so shingling runs once, not per branch (MEMORY_AND_DISK: spills
+    # instead of OOM at corpus scale — the standard reuse pattern).
+    shingled = shingled.persist()
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     sh = shingled
     if max_shingle_freq is not None:
-        freq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        freq_cap = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = shingled.join(
-            freq.filter(F.col("df") <= max_shingle_freq).select("shingle"), "shingle"
+            freq_cap.filter(F.col("df") <= max_shingle_freq).select("shingle"), "shingle"
         )
-    a = sh.select(F.col(id_col).alias("a_id"), "shingle")
-    b = sh.select(F.col(id_col).alias("b_id"), "shingle")
-    common = (
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy(id_col).orderBy("df", "shingle")),
+        )
+        .join(sizes, id_col)
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
+    ).select(id_col, "shingle", "n_shingles")
+
+    a = prefix.select(F.col(id_col).alias("a_id"), "shingle", F.col("n_shingles").alias("n_a"))
+    b = prefix.select(F.col(id_col).alias("b_id"), "shingle", F.col("n_shingles").alias("n_b"))
+    candidates = (
         a.join(b, "shingle")
         .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+        .filter(F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
+        .select("a_id", "b_id")
+        .distinct()
     )
-    na = sizes.select(F.col(id_col).alias("a_id"), F.col("n_shingles").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_shingles").alias("n_b"))
+
+    doc_sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
     return (
-        common.join(na, "a_id")
-        .join(nb, "b_id")
+        candidates.join(
+            doc_sets.select(F.col(id_col).alias("a_id"), F.col("sh_set").alias("sh_a")), "a_id"
+        )
+        .join(doc_sets.select(F.col(id_col).alias("b_id"), F.col("sh_set").alias("sh_b")), "b_id")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+            F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "common", "jaccard")
@@ -146,6 +190,8 @@ def minhash_lsh_pairs(
     approximation error, only (probabilistically bounded) missed pairs.
     """
     rows_per_band = num_perm // bands
+    # Referenced by the signature pass and both verification sides.
+    shingled = shingled.persist()
     sig = minhash_signatures(shingled, id_col, num_perm, seed)
     band_rows = sig.select(
         F.col(id_col),
@@ -171,9 +217,31 @@ def minhash_lsh_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
-    exact = jaccard_pairs(shingled, id_col, threshold=0.0)
+    # Verify ONLY the candidate pairs (cost O(|candidates| * set size)) -
+    # never the inverted-index all-pairs join, which is exactly the
+    # quadratic blowup LSH exists to avoid. word_shingles emits distinct
+    # shingles per doc, so count == |set| and collect_set is lossless.
+    doc_sets = shingled.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("sh"),
+        F.count(F.lit(1)).alias("n"),
+    )
     return (
-        candidates.join(exact, ["a_id", "b_id"])
+        candidates.join(
+            doc_sets.select(
+                F.col(id_col).alias("a_id"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
+            ),
+            "a_id",
+        )
+        .join(
+            doc_sets.select(
+                F.col(id_col).alias("b_id"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b")
+            ),
+            "b_id",
+        )
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard", F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )

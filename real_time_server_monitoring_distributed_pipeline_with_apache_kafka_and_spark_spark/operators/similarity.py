@@ -61,14 +61,27 @@ def cosine_pairs(
     """All-pairs cosine >= threshold (embedding near-dup detection).
 
     Exact quadratic baseline; at corpus scale use ann_lsh_topk's bucketing
-    to prune the pair space first. Output: (a_id, b_id) with a_id < b_id.
+    to prune the pair space first. Norms are computed ONCE per vector
+    before the pair join (n sqrt-folds, not n^2) while keeping the exact
+    dot/(na*nb) arithmetic bit-identical to the SQL oracle.
+    Output: (a_id, b_id) with a_id < b_id.
     """
-    a = vectors.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("vec_a"))
-    b = vectors.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vec_b"))
+    withn = vectors.select(
+        F.col(id_col), F.col(vec_col), norm2(F.col(vec_col)).alias("nrm")
+    )
+    a = withn.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("vec_a"), F.col("nrm").alias("nrm_a")
+    )
+    b = withn.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("vec_b"), F.col("nrm").alias("nrm_b")
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
+        .withColumn(
+            "cos",
+            dot_product(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b")),
+        )
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id")
     )
