@@ -20,6 +20,8 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -102,15 +104,22 @@ def ann_topk(
     """
     from pyspark.sql import Window
 
+    # Norms are per-vector, not per-pair: compute them below the join so the
+    # N*Q pair score is one dot product, not a dot plus two sqrt-folds.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm2(F.col(vec_col)).alias("q_nrm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("corpus_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("corpus_vec"),
+        norm2(F.col(vec_col)).alias("c_nrm"),
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .withColumn("cos", cosine(F.col("corpus_vec"), F.col("query_vec")))
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "cos",
+        dot_product(F.col("corpus_vec"), F.col("query_vec"))
+        / (F.col("c_nrm") * F.col("q_nrm")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -143,7 +152,14 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
 
 
 def _lsh_tables(vec_col: Column, planes: list[list[float]], k: int, tables: int) -> Column:
-    """Array of (table_idx, bucket) structs - one entry per hash table."""
+    """Array of (table_idx, bucket) structs - one entry per hash table.
+
+    Built-in-expression formulation; kept for environments without Arrow.
+    ann_lsh_topk uses the vectorized ``_bucket_udf`` instead: k*tables
+    interpreted dot-folds per vector is the dominant cost of the LSH path
+    (measured 5x slower than brute force at 2k vectors, inverting the
+    whole point of bucketing).
+    """
     entries = []
     for t in range(tables):
         bucket = lsh_bucket(vec_col, planes[t * k : (t + 1) * k])
@@ -151,6 +167,31 @@ def _lsh_tables(vec_col: Column, planes: list[list[float]], k: int, tables: int)
             F.struct(F.lit(t).alias("table_idx"), bucket.alias("bucket"))
         )
     return F.array(*entries)
+
+
+def _bucket_udf(planes: list[list[float]], k: int, tables: int):
+    """Arrow-batched bucket computation: one numpy matmul per batch.
+
+    Returns a pandas_udf mapping an array<float> column to array<long> of
+    ``tables`` bucket ids (bit j of table t = sign of dot with plane
+    t*k+j). The plane matrix is a task-local constant (shipped in the
+    serialized UDF, analogous to a broadcast variable).
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    pm = np.asarray(planes, dtype=np.float64)  # (k*tables) x dim
+    weights = 1 << np.arange(k, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)  # batch x dim
+        bits = (m @ pm.T >= 0).astype(np.int64)  # batch x (k*tables)
+        per_table = np.stack(
+            [bits[:, t * k : (t + 1) * k] @ weights for t in range(tables)], axis=1
+        )  # batch x tables
+        return pd.Series(list(per_table))
+
+    return buckets
 
 
 def ann_lsh_topk(
@@ -178,22 +219,29 @@ def ann_lsh_topk(
     from pyspark.sql import Window
 
     planes = _hyperplanes(planes_per_table * n_tables, dim, seed)
+    buckets = _bucket_udf(planes, planes_per_table, n_tables)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
-        F.explode(_lsh_tables(F.col(vec_col), planes, planes_per_table, n_tables)).alias("t"),
-    ).select("query_id", "query_vec", "t.table_idx", "t.bucket")
+        norm2(F.col(vec_col)).alias("q_nrm"),
+        F.posexplode(buckets(F.col(vec_col))).alias("table_idx", "bucket"),
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("corpus_vec"),
-        F.explode(_lsh_tables(F.col(vec_col), planes, planes_per_table, n_tables)).alias("t"),
-    ).select("neighbor_id", "corpus_vec", "t.table_idx", "t.bucket")
+        norm2(F.col(vec_col)).alias("c_nrm"),
+        F.posexplode(buckets(F.col(vec_col))).alias("table_idx", "bucket"),
+    )
     candidates = (
         c.join(F.broadcast(q), ["table_idx", "bucket"])
-        .select("query_id", "query_vec", "neighbor_id", "corpus_vec")
+        .select("query_id", "query_vec", "q_nrm", "neighbor_id", "corpus_vec", "c_nrm")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = candidates.withColumn("cos", cosine(F.col("corpus_vec"), F.col("query_vec")))
+    scored = candidates.withColumn(
+        "cos",
+        dot_product(F.col("corpus_vec"), F.col("query_vec"))
+        / (F.col("c_nrm") * F.col("q_nrm")),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
