@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""CLI dispatcher — drop-in replacement for the reference's ``main.py``.
+
+Same roles as ``/root/reference/main.py:13-48`` (``producer``,
+``consumer1``, ``consumer2``, ``spark-job1``, ``spark-job2``), same
+``config.yaml`` layout, but every leg is Spark-native:
+
+- ``producer``   — wide metrics CSV -> 4 narrow (topic, value) wire streams
+                   -> batch Kafka sink (replaces the kafka-python replay
+                   loop, producer.py:61-86). ``--dry-run`` lands the wire
+                   messages as parquet instead, so the full transform runs
+                   without a broker.
+- ``consumer1/2``— Structured Streaming Kafka source -> topic demux ->
+                   typed CSV landing with checkpointed offsets (replaces
+                   the poll/append/flush consumers; exactly-once instead of
+                   auto-commit at-most-once).
+- ``spark-job1/2``— batch analytics over the landed files: join -> sliding
+                   window agg -> CASE alerts -> CSV (spark_job1.py /
+                   spark_job2.py semantics, explicit schemas, no
+                   inferSchema).
+- ``stream-job1`` — bonus: spark-job1's plan as one continuous pipeline
+                   (Kafka -> parse -> stream-stream join -> windowed agg
+                   -> alerts), which the reference's design doc aspired to
+                   but never wired up.
+
+Usage: python main.py <role> [--config config.yaml] [--parquet] [--dry-run]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark import (  # noqa: E402
+    config as cfg,
+    schemas,
+    session,
+)
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators import (  # noqa: E402
+    monitoring as ops,
+)
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources import (  # noqa: E402
+    kafka as kafka_io,
+    readers,
+)
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming import (  # noqa: E402
+    parse,
+)
+
+ROLES = (
+    "producer",
+    "consumer1",
+    "consumer2",
+    "spark-job1",
+    "spark-job2",
+    "stream-job1",
+)
+
+# (metric, topic-attr, landed file stem) per consumer, consumer1.py:30-36 /
+# consumer2.py:30-36.
+CONSUMER_TOPICS = {
+    "consumer1": [("cpu", "topic_cpu", "cpu_data"), ("mem", "topic_mem", "mem_data")],
+    "consumer2": [("net", "topic_net", "net_data"), ("disk", "topic_disk", "disk_data")],
+}
+
+
+def wire_messages(spark, config: cfg.PipelineConfig):
+    """The producer's wide->narrow fan-out (producer.py:68-71) as one
+    DataFrame: union of per-topic (topic, value) CSV messages."""
+    wide = readers.read_metrics_csv(spark, config.paths.data_file, "wide")
+    parts = [
+        parse.to_wire(wide.select("ts", "server_id", *cols), metric, getattr(config.kafka, attr))
+        for metric, attr, cols in [
+            ("cpu", "topic_cpu", ["cpu_pct"]),
+            ("mem", "topic_mem", ["mem_pct"]),
+            ("net", "topic_net", ["net_in", "net_out"]),
+            ("disk", "topic_disk", ["disk_io"]),
+        ]
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def run_producer(spark, config: cfg.PipelineConfig, dry_run: bool) -> None:
+    wire = wire_messages(spark, config)
+    if dry_run:
+        dest = os.path.join(config.paths.output_dir, "wire_messages")
+        wire.write.mode("overwrite").parquet(dest)
+        print(f"dry-run: wire messages -> {dest}")
+        return
+    (
+        wire.write.format("kafka")
+        .option("kafka.bootstrap.servers", config.kafka.broker)
+        .option("kafka.compression.type", "snappy")
+        .option("kafka.acks", "all")
+        .save()
+    )
+
+
+def run_consumer(spark, config: cfg.PipelineConfig, role: str) -> None:
+    """Kafka -> demux -> typed CSV landing, one streaming query per topic."""
+    topics = CONSUMER_TOPICS[role]
+    records = kafka_io.kafka_source(
+        spark, config.kafka, topics=[getattr(config.kafka, attr) for _, attr, _ in topics]
+    ).load()
+    queries = []
+    for metric, attr, stem in topics:
+        landed = parse.demux_topic(records, getattr(config.kafka, attr), metric)
+        queries.append(
+            landed.writeStream.format("csv")
+            .option("path", os.path.join(config.paths.output_dir, stem))
+            .option(
+                "checkpointLocation",
+                os.path.join(config.paths.output_dir, f"_checkpoint_{stem}"),
+            )
+            .option("header", "true")
+            .start()
+        )
+    for q in queries:
+        q.awaitTermination()
+
+
+def _landed(spark, config: cfg.PipelineConfig, stem: str, metric: str):
+    """Read a landed metric table; accepts both our directory landing and
+    the reference's single ``<stem>.csv`` file."""
+    base = config.paths.output_dir
+    path = os.path.join(base, stem)
+    if not os.path.exists(path) and os.path.exists(path + ".csv"):
+        path = path + ".csv"
+    return spark.read.schema(schemas.TOPIC_SCHEMAS[metric]).csv(path, header=True)
+
+
+def run_spark_job(spark, config: cfg.PipelineConfig, role: str, parquet: bool) -> None:
+    if role == "spark-job1":
+        result = ops.cpu_mem_job(
+            _landed(spark, config, "cpu_data", "cpu"),
+            _landed(spark, config, "mem_data", "mem"),
+            config=config,
+            time_format="HH:mm:ss",
+        )
+        stem = "cpu_mem_alerts"
+    else:
+        result = ops.net_disk_job(
+            _landed(spark, config, "net_data", "net"),
+            _landed(spark, config, "disk_data", "disk"),
+            config=config,
+            time_format="HH:mm:ss",
+        )
+        stem = "net_disk_alerts"
+    dest = os.path.join(config.paths.output_dir, stem)
+    if parquet:
+        readers.write_partitioned_parquet(result, dest)
+    else:
+        readers.write_single_csv(result, dest)
+    print(f"{role}: alerts -> {dest}")
+
+
+def run_stream_job1(spark, config: cfg.PipelineConfig) -> None:
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming import (
+        jobs,
+    )
+
+    records = kafka_io.kafka_source(
+        spark, config.kafka, topics=[config.kafka.topic_cpu, config.kafka.topic_mem]
+    ).load()
+    cpu = parse.demux_topic(records, config.kafka.topic_cpu, "cpu")
+    mem = parse.demux_topic(records, config.kafka.topic_mem, "mem")
+    alerts = jobs.streaming_cpu_mem_job(cpu, mem, config=config)
+    (
+        alerts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(config.paths.output_dir, "cpu_mem_alerts_stream"))
+        .option(
+            "checkpointLocation",
+            os.path.join(config.paths.output_dir, "_checkpoint_stream_job1"),
+        )
+        .start()
+        .awaitTermination()
+    )
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("role", choices=ROLES)
+    ap.add_argument("--config", help="reference-layout config.yaml")
+    ap.add_argument(
+        "--parquet", action="store_true", help="partitioned parquet output (scale-safe sink)"
+    )
+    ap.add_argument(
+        "--dry-run", action="store_true", help="producer: land wire messages locally, no broker"
+    )
+    args = ap.parse_args(argv)
+
+    config = cfg.from_yaml(args.config) if args.config else cfg.DEFAULT_CONFIG
+    os.makedirs(config.paths.output_dir, exist_ok=True)
+    from pyspark.sql import SparkSession
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = session.get_spark(app_name=f"rtsm-{args.role}")
+
+    if args.role == "producer":
+        run_producer(spark, config, args.dry_run)
+    elif args.role in CONSUMER_TOPICS:
+        run_consumer(spark, config, args.role)
+    elif args.role in ("spark-job1", "spark-job2"):
+        run_spark_job(spark, config, args.role, args.parquet)
+    elif args.role == "stream-job1":
+        run_stream_job1(spark, config)
+    if owns_session:  # don't stop a session we borrowed (tests, notebooks)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

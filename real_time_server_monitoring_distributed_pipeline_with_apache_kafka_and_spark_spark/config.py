@@ -45,10 +45,60 @@ class KafkaConfig:
 
 
 @dataclass(frozen=True)
+class PathsConfig:
+    """Input/output paths (reference config.yaml:28-30)."""
+
+    data_file: str = "data/dataset.csv"
+    output_dir: str = "output/"
+
+
+@dataclass(frozen=True)
 class PipelineConfig:
     window: WindowConfig = field(default_factory=WindowConfig)
     thresholds: AlertThresholds = field(default_factory=AlertThresholds)
     kafka: KafkaConfig = field(default_factory=KafkaConfig)
+    paths: PathsConfig = field(default_factory=PathsConfig)
 
 
 DEFAULT_CONFIG = PipelineConfig()
+
+
+def from_yaml(path: str) -> PipelineConfig:
+    """Load a reference-layout ``config.yaml`` (so an existing user's config
+    file works verbatim: kafka.broker_ip/topics, spark_jobs.window_duration/
+    slide_duration, alert_thresholds.*, paths.*). Missing keys fall back to
+    the reference defaults above.
+    """
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    kafka = raw.get("kafka", {}) or {}
+    topics = kafka.get("topics", {}) or {}
+    sj = raw.get("spark_jobs", {}) or {}
+    thr = raw.get("alert_thresholds", {}) or {}
+    paths = raw.get("paths", {}) or {}
+    d = DEFAULT_CONFIG
+    return PipelineConfig(
+        window=WindowConfig(
+            duration=sj.get("window_duration", d.window.duration),
+            slide=sj.get("slide_duration", d.window.slide),
+        ),
+        thresholds=AlertThresholds(
+            cpu_pct=float(thr.get("cpu_pct", d.thresholds.cpu_pct)),
+            mem_pct=float(thr.get("mem_pct", d.thresholds.mem_pct)),
+            net_in=float(thr.get("net_in", d.thresholds.net_in)),
+            disk_io=float(thr.get("disk_io", d.thresholds.disk_io)),
+        ),
+        kafka=KafkaConfig(
+            broker=kafka.get("broker_ip", d.kafka.broker),
+            topic_cpu=topics.get("cpu", d.kafka.topic_cpu),
+            topic_mem=topics.get("mem", d.kafka.topic_mem),
+            topic_net=topics.get("net", d.kafka.topic_net),
+            topic_disk=topics.get("disk", d.kafka.topic_disk),
+        ),
+        paths=PathsConfig(
+            data_file=paths.get("data_file", d.paths.data_file),
+            output_dir=paths.get("output_dir", d.paths.output_dir),
+        ),
+    )
