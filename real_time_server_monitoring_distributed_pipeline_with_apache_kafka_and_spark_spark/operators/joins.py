@@ -1,0 +1,109 @@
+"""Join operators beyond Spark's built-in surface: as-of and salted joins.
+
+The reference's only join shape is the composite-key inner equi-join
+(``spark_job1.py:18``, SURVEY.md SS2.3); these cover the two shapes large
+time-series/monitoring pipelines need that Spark lacks as primitives:
+
+- **as-of join**: for each left row, the most recent right row at or before
+  its timestamp, per key. The naive formulation (range theta-join +
+  aggregation) explodes quadratically inside hot keys; this implementation
+  is the union+window merge: tag both sides, union, one shuffle on the key,
+  per-key ordered ``last(ignorenulls)`` carry-forward. Cost = one shuffle +
+  one sort, independent of time-range density.
+- **salted join**: equi-join where one side has skewed hot keys. Salting
+  splits each hot key into ``n_salts`` subkeys (left side gets a random
+  salt, right side is replicated across all salts), so a hot key's rows
+  spread over ``n_salts`` tasks instead of one straggler. Result is
+  identical to the plain join (verified against the unsalted oracle). AQE
+  skew-join handles moderate skew automatically; explicit salting is for
+  the pathological keys AQE's split granularity can't reach.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    right_value_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: latest right row with ``right.ts <= left.ts`` per key.
+
+    Tie policy: right rows AT the left timestamp match (<=); among right
+    rows sharing one timestamp the last by the sort (arbitrary but
+    deterministic per sort stability on value columns) wins — callers
+    needing a specific tiebreak should pre-aggregate the right side to one
+    row per (key, ts).
+
+    Output: all left columns + ``right_value_cols`` (suffixed) and
+    ``ts<suffix>`` = the matched right timestamp (NULL when no right row
+    precedes the left row).
+    """
+    if right_value_cols is None:
+        right_value_cols = [
+            c for c in right.columns if c not in key_cols and c != ts_col
+        ]
+    left_cols = left.columns
+
+    # _side orders right (0) before left (1) at equal timestamps => <= match.
+    l_tagged = left.select(
+        *key_cols,
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left_cols if c not in key_cols and c != ts_col],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_value_cols],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias(f"{ts_col}{suffix}"),
+    )
+    r_tagged = right.select(
+        *key_cols,
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in key_cols and c != ts_col],
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
+        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+    )
+    merged = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [f"{c}{suffix}" for c in right_value_cols] + [f"{ts_col}{suffix}"]
+    filled = merged.select(
+        *key_cols,
+        ts_col,
+        "_side",
+        *[c for c in left_cols if c not in key_cols and c != ts_col],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join, result-identical to ``left.join(right)``.
+
+    Left rows get ``hash(full row) % n_salts`` (deterministic, uniform);
+    the right side is exploded ``n_salts``-fold. Use when one or a few left
+    keys dominate (hot server, null-ish default key) and the right side is
+    too big to broadcast but small enough that ``n_salts`` copies of it
+    shuffle acceptably — the standard trade for pathological skew.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l_salted = left.withColumn("_salt", salt)
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(n_salts)]))
+    )
+    return l_salted.join(r_salted, on=[*key_cols, "_salt"], how=how).drop("_salt")

@@ -336,6 +336,102 @@ def rel_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.joins.asof_join): each click event gets the
+    most recent error event at or before it, per user.
+
+    The right side is pre-aggregated to one row per (user, ts) so the
+    as-of match is deterministic across engines. Union+window merge: one
+    shuffle on user_id regardless of time density (the naive range-join
+    formulation is quadratic inside hot users).
+    """
+    from ..operators.joins import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+    out = asof_join(clicks, errors, key_cols=["user_id"], ts_col="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("err_value_right").alias("err_value"),
+        F.col("ts_right").alias("err_ts"),
+    )
+
+
+def rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators.joins.salted_join): lineitem x orders on
+    the (potentially hot) orderkey, spread over 8 salted subkeys, then
+    revenue by order priority. Salting is result-invariant, so the oracle
+    is the plain unsalted join."""
+    from ..operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), orders, ["o_orderkey"], n_salts=8
+    )
+    price = F.col("l_extendedprice").cast(_MONEY)
+    disc = F.col("l_discount").cast(_MONEY)
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum(price * (1 - disc)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def rel_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per group: stddev/variance from EXACT decimal
+    power sums (sum x, sum x^2 are exact for 2-decimal inputs, so the final
+    double arithmetic is order-independent and bit-identical across
+    engines — a plain stddev_samp() differs in the last ulp per
+    accumulation order)."""
+    events = load_table(spark, sf_dir, "events")
+    x = F.col("value").cast(_MONEY)
+    x2 = (F.col("value").cast(_MONEY) * F.col("value").cast(_MONEY))
+    grouped = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sum_value"),
+        F.sum(x2).cast("double").alias("_sum_sq"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    n = F.col("n")
+    mean = F.col("sum_value") / n
+    var = (F.col("_sum_sq") - F.col("sum_value") * F.col("sum_value") / n) / (n - 1)
+    return grouped.select(
+        "event_type",
+        "n",
+        "sum_value",
+        mean.alias("mean_value"),
+        var.alias("var_value"),
+        F.sqrt(var).alias("stddev_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per group — the 100 TB path
+    for cardinality (mergeable sketch, no exact-distinct shuffle). Sketch
+    estimates are engine-specific => rows-only driver check; relative
+    error vs exact is pinned in tests."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 QUERIES = {
     "rel_pricing_summary": rel_pricing_summary,
     "rel_join_customer_orders": rel_join_customer_orders,
@@ -359,9 +455,47 @@ QUERIES = {
     "rel_date_funcs": rel_date_funcs,
     "rel_math_funcs": rel_math_funcs,
     "rel_conditional_funcs": rel_conditional_funcs,
+    "rel_asof_join": rel_asof_join,
+    "rel_salted_join": rel_salted_join,
+    "rel_agg_stats": rel_agg_stats,
+    "rel_approx_distinct": rel_approx_distinct,
 }
 
 ORACLES = {
+    "rel_asof_join": """
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+),
+errors AS (
+  SELECT user_id, ts, max(value) AS err_value
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.ts, c.value, e.err_value, e.ts AS err_ts
+FROM clicks c ASOF LEFT JOIN errors e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+""",
+    "rel_salted_join": """
+SELECT o_orderpriority,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    "rel_agg_stats": """
+WITH g AS (
+  SELECT event_type, count(*) AS n,
+    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+    CAST(sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_sq,
+    min(value) AS min_value, max(value) AS max_value
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n, sum_value,
+  sum_value / n AS mean_value,
+  (sum_sq - sum_value * sum_value / n) / (n - 1) AS var_value,
+  sqrt((sum_sq - sum_value * sum_value / n) / (n - 1)) AS stddev_value,
+  min_value, max_value
+FROM g
+""",
     "rel_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
   CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

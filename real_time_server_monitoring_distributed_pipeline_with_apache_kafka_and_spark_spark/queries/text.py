@@ -40,14 +40,81 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.fingerprint(docs).select("doc_id", "fingerprint")
 
 
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document: explode -> tf counts -> df counts
+    (broadcast: |vocab| << corpus) -> score -> ranking window.
+
+    tf = term count / doc tokens; idf = ln(N / df). JVM Math.log and libm
+    log differ in the last ulp for some inputs, so the displayed score is
+    floor-rounded to 9 decimals on both sides (ranking is computed on the
+    raw score; a rank flip would need two distinct (tf, df) pairs within
+    one ulp — equal pairs are exactly equal in both engines and fall to
+    the term-asc tiebreak).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.text import tokens as tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf_cnt"))
+    n_tok = Window.partitionBy("doc_id")
+    df_cnt = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.withColumn("n_tokens", F.sum("tf_cnt").over(n_tok))
+        .join(F.broadcast(df_cnt), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tf_cnt") / F.col("n_tokens"))
+            * F.log(F.col("n_docs") / F.col("df")),
+        )
+    )
+    from ..functions.numeric import display_round
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", display_round(F.col("tfidf"), 9).alias("tfidf"), "rank")
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "text_tfidf": text_tfidf,
 }
 
 ORACLES = {
+    "text_tfidf": f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf_cnt FROM terms GROUP BY doc_id, term
+),
+tf2 AS (
+  SELECT doc_id, term, tf_cnt, sum(tf_cnt) OVER (PARTITION BY doc_id) AS n_tokens FROM tf
+),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term,
+    (CAST(t.tf_cnt AS DOUBLE) / t.n_tokens) * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+  FROM tf2 t JOIN dfc USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, floor(tfidf * 1e9 + 0.5) / 1e9 AS tfidf,
+       CAST(rank AS INTEGER) AS rank FROM (
+  SELECT doc_id, term, tfidf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
     "text_token_stats": f"""
 WITH t AS (SELECT doc_id, text, {_TOKENS} AS toks FROM documents)
 SELECT doc_id,

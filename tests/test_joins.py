@@ -1,0 +1,84 @@
+"""Unit tests for the as-of and salted join operators."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.joins import (
+    asof_join,
+    salted_join,
+)
+
+
+def _ts(s: int):
+    return datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            ("a", _ts(10), 1.0),   # matches right@10 (<= includes equal ts)
+            ("a", _ts(15), 2.0),   # matches right@10 (latest <= 15)
+            ("a", _ts(30), 3.0),   # matches right@25
+            ("b", _ts(5), 4.0),    # no right row at or before => NULL
+            ("c", _ts(50), 5.0),   # key absent on right => NULL
+        ],
+        ["k", "ts", "lv"],
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(10), 100.0), ("a", _ts(25), 200.0), ("b", _ts(8), 300.0)],
+        ["k", "ts", "rv"],
+    )
+    out = {
+        (r.k, r.ts.second): (r.lv, r.rv_right, r.ts_right.second if r.ts_right else None)
+        for r in asof_join(left, right, key_cols=["k"]).collect()
+    }
+    assert out == {
+        ("a", 10): (1.0, 100.0, 10),
+        ("a", 15): (2.0, 100.0, 10),
+        ("a", 30): (3.0, 200.0, 25),
+        ("b", 5): (4.0, None, None),
+        ("c", 50): (5.0, None, None),
+    }
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed left: one hot key with most of the rows
+    left = spark.createDataFrame(
+        [(1, i * 1.0) for i in range(500)] + [(k, k * 10.0) for k in range(2, 20)],
+        ["k", "lv"],
+    )
+    right = spark.createDataFrame([(k, f"r{k}") for k in range(0, 15)], ["k", "rv"])
+    plain = left.join(right, on=["k"], how="inner")
+    salted = salted_join(left, right, ["k"], n_salts=8)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # salt column must not leak
+    assert salted.columns == plain.columns
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL++ estimate within 5% of exact at default rsd=0.05 (3x sigma)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.relational import (
+        rel_approx_distinct,
+    )
+
+    approx = {
+        r.o_orderpriority: r.approx_customers
+        for r in rel_approx_distinct(spark, "/root/testdata/sf0.01").collect()
+    }
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources import (
+        load_table,
+    )
+
+    exact = {
+        r.o_orderpriority: r.n
+        for r in load_table(spark, "/root/testdata/sf0.01", "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) / exact[k] < 0.15, (k, est, exact[k])
