@@ -1,1 +1,1 @@
-from .readers import load_table, load_tables  # noqa: F401
+from .readers import load_table, load_tables, parallelize_if_narrow  # noqa: F401

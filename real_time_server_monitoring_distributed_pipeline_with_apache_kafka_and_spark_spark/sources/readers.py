@@ -51,6 +51,24 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
+def parallelize_if_narrow(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the scan has fewer partitions than
+    cores (small/single-file inputs). At real scale the input already has
+    thousands of partitions and this is a no-op — no shuffle is added.
+
+    Use for long linear per-row compute chains (e.g. a real image-decode
+    UDF over a narrow scan). Do NOT use upstream of multi-branch plans
+    that persist the result: measured on the dedup pipelines, the extra
+    tiny-partition shuffle made every branch slower (ngram 12s -> 31s at
+    sf0.1) — the persist already amortizes the serial scan there.
+    """
+    spark = df.sparkSession
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_metrics_csv(spark: SparkSession, path: str, topic: str = "wide") -> DataFrame:
     """Explicit-schema CSV scan of a (wide or landed narrow) metric file.
 
