@@ -173,3 +173,72 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert n == cpu.count() == 2400
+
+
+def test_stateful_alert_transitions(spark, tmp_path):
+    """T5: applyInPandasWithState debounced transition tracking — streamed
+    result equals an independent Python model, across micro-batches."""
+    import pandas as pd
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.stateful import (
+        track_alert_transitions,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(s, datetime(2024, 1, 1, 0, 0, sec), a) for s, sec, a in rows],
+            ["server_id", "ts_sec", "alert"],
+        ).select("server_id", F.col("ts_sec").alias("window_start"), "alert")
+
+    from datetime import datetime
+
+    batch1 = mk([
+        ("s1", 0, "OK"), ("s1", 10, "OK"),
+        ("s1", 20, "CPU spike suspected"),           # flap: reverts next window
+        ("s1", 30, "OK"),
+        ("s2", 0, "OK"), ("s2", 10, "OK"),
+    ])
+    batch2 = mk([
+        ("s1", 40, "CPU spike suspected"),           # held for 2 windows ->
+        ("s1", 50, "CPU spike suspected"),           # transition emitted @50
+        ("s2", 20, "Memory saturation suspected"),   # spans batch boundary:
+    ])
+    batch3 = mk([
+        ("s2", 30, "Memory saturation suspected"),   # 2nd consecutive -> @30
+        ("s2", 40, "OK"),                            # flap back (1 window only)
+        ("s2", 50, "Memory saturation suspected"),
+    ])
+
+    src = str(tmp_path / "alert_src")
+    for i, b in enumerate([batch1, batch2, batch3]):
+        b.coalesce(1).write.mode("append").csv(f"{src}/b{i}", header=False)
+    schema = "server_id string, window_start timestamp, alert string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .csv(f"{src}/b*")
+    )
+    q = (
+        track_alert_transitions(stream, debounce=2)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("transitions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.server_id, r.window_start.second, r.from_state, r.to_state)
+            for r in spark.sql("SELECT * FROM transitions").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {
+        # initial OK states established at the 2nd OK window
+        ("s1", 10, None, "OK"),
+        ("s2", 10, None, "OK"),
+        # s1's single-window CPU flap suppressed; sustained one emitted
+        ("s1", 50, "OK", "CPU spike suspected"),
+        # s2's transition spans the batch1/batch2/batch3 boundary
+        ("s2", 30, "OK", "Memory saturation suspected"),
+    }
