@@ -86,6 +86,48 @@ def asof_join(
     return filled.filter(F.col("_side") == 1).drop("_side")
 
 
+def bucketed_range_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join ``probe.x BETWEEN build.lo AND build.hi`` without a
+    nested loop.
+
+    Spark plans a pure non-equi join as BroadcastNestedLoopJoin — every
+    probe row tested against every build interval, O(|probe| * |build|),
+    which is the first thing to die at 100 TB. Bucketing converts it to an
+    equi-join: each build interval explodes to the integer buckets it
+    covers, each probe row hashes to exactly ONE bucket, equi-join on the
+    bucket id (shuffle- or broadcast-hash, Catalyst's choice), then the
+    exact BETWEEN predicate filters bucket-mates outside the band. Results
+    are identical to the theta join; each probe row lands in one bucket so
+    no pair dedup is needed. Cost: |build| * (avg_span/width + 1)
+    replication, tunable via bucket_width (pick ~ the median interval
+    span).
+    """
+    bw = float(bucket_width)
+    b = build.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bw).cast("long"),
+                F.floor(F.col(hi_col) / bw).cast("long"),
+            )
+        ),
+    )
+    p = probe.withColumn("_bucket", F.floor(F.col(probe_col) / bw).cast("long"))
+    return (
+        p.join(b, on="_bucket", how=how)
+        .filter(F.col(probe_col).between(F.col(lo_col), F.col(hi_col)))
+        .drop("_bucket")
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -432,6 +432,140 @@ def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p25/median/p75) per group.
+
+    ``F.percentile`` is the exact sort-based aggregate (use
+    ``approx_percentile`` sketches at 100 TB where a full per-group sort
+    is not worth it; that path is rows-only checkable like
+    rel_approx_distinct)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.25).alias("p25"),
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.75).alias("p75"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def rel_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over events.props (multimodal/props surface):
+    path extraction as string and number, typed from_json struct access."""
+    events = load_table(spark, sf_dir, "events")
+    k_int = F.from_json("props", "k INT").getField("k")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("double").alias("k_num"),
+        k_int.alias("k_int"),
+        (k_int % 5).alias("k_mod5"),
+        k_int.isNotNull().alias("has_k"),
+    )
+
+
+def rel_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames + distribution functions: 3-row moving average
+    (exact decimal sum / count), first_value, ntile, percent_rank,
+    cume_dist over each customer's order timeline."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame3 = w.rowsBetween(-2, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(F.col("o_totalprice").cast(_MONEY)).over(frame3).cast("double")
+            / F.count(F.lit(1)).over(frame3)
+        ).alias("moving_avg3"),
+        F.first("o_orderkey").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("first_orderkey"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join via operators.joins.bucketed_range_join:
+    lineitems whose price falls in each large part's +/-10% retail band,
+    as a bucketed equi-join instead of Spark's nested-loop theta join."""
+    from ..operators.joins import bucketed_range_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    bands = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 50)
+        .select(
+            "p_partkey",
+            (F.col("p_retailprice") * 0.9).alias("lo"),
+            (F.col("p_retailprice") * 1.1).alias("hi"),
+        )
+    )
+    joined = bucketed_range_join(li, bands, "l_extendedprice", "lo", "hi", 100.0)
+    return joined.groupBy("p_partkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with an explicit (non-rollup/cube) set list, via the
+    SQL entry point (spark.sql over a registered temp view)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def rel_sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + correlated EXISTS subqueries through spark.sql: customers
+    with above-average balance holding at least one open order. The scalar
+    average is exact decimal-sum/count so the comparison boundary is
+    bit-identical across engines."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer_v c
+        WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                                  / count(*) FROM customer_v)
+          AND EXISTS (SELECT 1 FROM orders_v o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        """
+    )
+
+
+def rel_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over the embedding column (scalar outputs only so
+    the oracle hash compares floats, not list formatting): size,
+    element access, min/max, explicit head-4 sum, higher-order filter."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    head4 = (
+        F.element_at(e, 1).cast("double")
+        + F.element_at(e, 2).cast("double")
+        + F.element_at(e, 3).cast("double")
+        + F.element_at(e, 4).cast("double")
+    )
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("n_dims"),
+        F.element_at(e, 1).cast("double").alias("first_dim"),
+        F.element_at(e, -1).cast("double").alias("last_dim"),
+        F.array_max(e).cast("double").alias("max_dim"),
+        F.array_min(e).cast("double").alias("min_dim"),
+        head4.alias("sum_head4"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
 QUERIES = {
     "rel_pricing_summary": rel_pricing_summary,
     "rel_join_customer_orders": rel_join_customer_orders,
@@ -459,6 +593,13 @@ QUERIES = {
     "rel_salted_join": rel_salted_join,
     "rel_agg_stats": rel_agg_stats,
     "rel_approx_distinct": rel_approx_distinct,
+    "rel_percentile": rel_percentile,
+    "rel_json_funcs": rel_json_funcs,
+    "rel_window_frames": rel_window_frames,
+    "rel_range_join": rel_range_join,
+    "rel_grouping_sets": rel_grouping_sets,
+    "rel_sql_subqueries": rel_sql_subqueries,
+    "rel_array_funcs": rel_array_funcs,
 }
 
 ORACLES = {
@@ -657,5 +798,73 @@ SELECT c_custkey,
   c_acctbal < 0 AS is_negative,
   nullif(c_nationkey, 3) IS NULL AS is_nation3
 FROM customer
+""",
+    "rel_percentile": """
+SELECT o_orderpriority,
+  quantile_cont(o_totalprice, 0.25) AS p25,
+  quantile_cont(o_totalprice, 0.5) AS p50,
+  quantile_cont(o_totalprice, 0.75) AS p75,
+  count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+""",
+    "rel_json_funcs": """
+SELECT event_id,
+  json_extract_string(props, '$.k') AS k_str,
+  CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_num,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) % 5 AS k_mod5,
+  json_extract_string(props, '$.k') IS NOT NULL AS has_k
+FROM events
+""",
+    "rel_window_frames": """
+SELECT o_custkey, o_orderkey,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER f3 AS DOUBLE)
+    / count(*) OVER f3 AS moving_avg3,
+  first_value(o_orderkey) OVER wrun AS first_orderkey,
+  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       f3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+       wrun AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    "rel_range_join": """
+WITH bands AS (
+  SELECT p_partkey, p_retailprice * 0.9 AS lo, p_retailprice * 1.1 AS hi
+  FROM part WHERE p_size = 50
+)
+SELECT p_partkey, count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM lineitem JOIN bands ON l_extendedprice BETWEEN lo AND hi
+GROUP BY p_partkey
+""",
+    "rel_grouping_sets": """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+    "rel_sql_subqueries": """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                          / count(*) FROM customer)
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+""",
+    "rel_array_funcs": """
+SELECT vec_id,
+  CAST(len(embedding) AS INTEGER) AS n_dims,
+  CAST(embedding[1] AS DOUBLE) AS first_dim,
+  CAST(embedding[-1] AS DOUBLE) AS last_dim,
+  CAST(list_max(embedding) AS DOUBLE) AS max_dim,
+  CAST(list_min(embedding) AS DOUBLE) AS min_dim,
+  CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+    + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE) AS sum_head4,
+  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
+FROM embeddings
 """,
 }
