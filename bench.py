@@ -51,6 +51,10 @@ def main() -> None:
     queries = all_queries()
 
     def run(name: str) -> float:
+        # Operators that persist() internally (dedup/similarity pair joins)
+        # would otherwise leak cache across queries, charging later queries
+        # for earlier ones' memory and muddying per-query attribution.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0

@@ -166,12 +166,18 @@ def minhash_signatures(
     no per-permutation shuffle. Output: (id, h0..h{P-1}).
     """
     a_co, b_co = _perm_coeffs(num_perm, seed)
-    base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    # Project the shared xxhash64 base ONCE below the aggregate: declarative
+    # agg expressions get no common-subexpression elimination, so inlining
+    # it would hash every shingle num_perm times.
+    based = shingled.select(
+        F.col(id_col), F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("_h64")
+    )
+    base = F.col("_h64")
     mins = [
         F.min(F.pmod(base * F.lit(a_co[i]) + F.lit(b_co[i]), F.lit(_MERSENNE))).alias(f"h{i}")
         for i in range(num_perm)
     ]
-    return shingled.groupBy(id_col).agg(*mins)
+    return based.groupBy(id_col).agg(*mins)
 
 
 def minhash_lsh_pairs(
