@@ -196,6 +196,102 @@ def ann_topk(
     )
 
 
+def _centroid_udf(centroids: "np.ndarray", n_probe: int):
+    """Arrow-batched coarse-quantizer assignment: one numpy matmul per
+    batch against the (normalized) centroid matrix, returning the
+    ``n_probe`` nearest centroid ids per vector. The centroid matrix is a
+    task-local constant shipped in the serialized UDF (broadcast-like)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        scores = m @ cm.T  # norm of v is constant per row — argmax safe
+        top = np.argsort(-scores, axis=1)[:, :n_probe]
+        return pd.Series(list(top.astype(np.int32)))
+
+    return assign
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 1,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    Standard two-level ANN: k-means-ish centroids partition the corpus
+    into cells; each query probes only its ``n_probe`` nearest cells and
+    reranks those candidates with the exact fold cosine. Centroids are
+    initialized from a deterministic hash-ordered sample and refined with
+    ``kmeans_iters`` Lloyd steps computed as DataFrame aggregations —
+    only the k x dim centroid matrix ever visits the driver (same
+    contract as distributed k-means; O(k*dim), independent of corpus
+    size). Corpus cell assignment is one Arrow-batched matmul pass;
+    candidate generation is an equi-join on cell id. Recall < 1 by
+    design; same output contract as ann_topk.
+    """
+    from pyspark.sql import Window
+
+    # Deterministic seeded init: hash-order the corpus, take k vectors.
+    init = [
+        np.asarray(r[0], dtype=np.float64)
+        for r in corpus.select(vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col) + seed), F.lit(1 << 31)))
+        .limit(n_centroids)
+        .collect()
+    ]
+    centroids = np.stack(init)
+
+    for _ in range(kmeans_iters):
+        assign1 = _centroid_udf(centroids, 1)
+        dim = centroids.shape[1]
+        # Lloyd step as a DataFrame aggregation: avg per (cell, dim),
+        # dim-wide column fan-out (64 avg aggs), one shuffle on cell id.
+        means = (
+            corpus.select(assign1(F.col(vec_col)).getItem(0).alias("cell"), vec_col)
+            .groupBy("cell")
+            .agg(*[F.avg(F.col(vec_col).getItem(d)).alias(f"d{d}") for d in range(dim)])
+            .collect()
+        )
+        for row in means:
+            centroids[row["cell"]] = np.asarray([row[f"d{d}"] for d in range(dim)])
+
+    c_assign = _centroid_udf(centroids, 1)
+    q_assign = _centroid_udf(centroids, n_probe)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("corpus_vec"),
+        norm2(F.col(vec_col)).alias("c_nrm"),
+        c_assign(F.col(vec_col)).getItem(0).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm2(F.col(vec_col)).alias("q_nrm"),
+        F.explode(q_assign(F.col(vec_col))).alias("cell"),
+    )
+    scored = c.join(F.broadcast(q), "cell").withColumn(
+        "cos",
+        dot_product(F.col("corpus_vec"), F.col("query_vec"))
+        / (F.col("c_nrm") * F.col("q_nrm")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
     rng = random.Random(seed)
     planes = []

@@ -20,8 +20,44 @@ _LANG_MARKERS = {
 _CJK_PATTERN = r"[\x{4e00}-\x{9fff}]"
 
 
+# GPT-2-style pre-tokenizer pattern, simplified to the lookahead-free
+# subset shared by Java regex (Spark) and RE2 (DuckDB oracle):
+# contraction suffixes | space?-letters | space?-digits | space?-other.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+# Rolling-hash constants: acc < MOD=2^31-1 and token hashes < 2^32, so
+# acc*BASE + h < 2.2e15 — safe under int64 even with ANSI overflow checks.
+_FP_BASE = 1000003
+_FP_MOD = (1 << 31) - 1
+
+
 def tokens(text_col: Column) -> Column:
     return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def bpe_token_count(text_col: Column) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style word/number/punct
+    regex (the pre-merge segmentation; real BPE merges only split further,
+    so this is the standard cheap proxy for LLM token budgeting)."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(BPE_PATTERN), 0))
+
+
+def rolling_hash(text_col: Column) -> Column:
+    """Order-SENSITIVE polynomial rolling hash over the token stream
+    (Rabin-Karp fold): h = fold(acc * B + md5_32(token) mod P). Unlike the
+    bag-of-words md5 fingerprint, token reordering changes this hash.
+    Engine-portable: md5 is standard everywhere (vs xxhash64), and the
+    fold is exact int64 arithmetic."""
+    toks = tokens(text_col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (
+            acc * F.lit(_FP_BASE)
+            + F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        )
+        % F.lit(_FP_MOD),
+    )
 
 
 def _hit_count(toks: Column, words: tuple[str, ...]) -> Column:
@@ -39,6 +75,7 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumns(
         {
             "n_tokens": n_tokens,
+            "n_bpe_tokens": bpe_token_count(F.col(text_col)),
             "n_chars_measured": F.length(text_col),
             "n_distinct_tokens": F.size(F.array_distinct(toks)),
             "avg_token_len": total_token_chars.cast("double") / n_tokens,
@@ -105,4 +142,9 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     toks = tokens(F.col(text_col))
     normalized = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
-    return df.withColumn("fingerprint", F.md5(normalized))
+    return df.withColumns(
+        {
+            "fingerprint": F.md5(normalized),
+            "rolling_fp": rolling_hash(F.col(text_col)),
+        }
+    )

@@ -40,9 +40,19 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.ann_lsh_topk(corpus, queries, k=TOP_K)
 
 
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF coarse quantization (16 cells, probe 4,
+    1 Lloyd refinement). Centroids are data-derived but deterministic
+    (seeded hash-ordered init); recall vs brute force is pinned in tests.
+    Rows-only driver check."""
+    corpus, queries = _split(spark, sf_dir)
+    return ops.ann_ivf_topk(corpus, queries, k=TOP_K)
+
+
 QUERIES = {
     "sim_ann_bruteforce": sim_ann_bruteforce,
     "sim_ann_lsh": sim_ann_lsh,
+    "sim_ann_ivf": sim_ann_ivf,
 }
 
 ORACLES = {

@@ -14,11 +14,15 @@ _STOP_DE = "('der','die','und','das','ist','nicht','ein')"
 _STOP_ES = "('el','la','de','que','los','una','es')"
 _STOP_FR = "('le','la','les','des','est','une','dans')"
 
+# BPE pattern for the SQL oracle: doubled quote for SQL string literal.
+_BPE_SQL = ops.BPE_PATTERN.replace("'", "''")
+
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ops.token_stats(docs).select(
-        "doc_id", "n_tokens", "n_chars_measured", "n_distinct_tokens", "avg_token_len"
+        "doc_id", "n_tokens", "n_bpe_tokens", "n_chars_measured",
+        "n_distinct_tokens", "avg_token_len",
     )
 
 
@@ -37,7 +41,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return ops.fingerprint(docs).select("doc_id", "fingerprint")
+    return ops.fingerprint(docs).select("doc_id", "fingerprint", "rolling_fp")
 
 
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,6 +123,7 @@ SELECT doc_id, term, floor(tfidf * 1e9 + 0.5) / 1e9 AS tfidf,
 WITH t AS (SELECT doc_id, text, {_TOKENS} AS toks FROM documents)
 SELECT doc_id,
   CAST(len(toks) AS INTEGER) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS INTEGER) AS n_bpe_tokens,
   CAST(length(text) AS INTEGER) AS n_chars_measured,
   CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
   CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_token_len
@@ -160,7 +165,12 @@ FROM h
 """,
     "text_fingerprint": f"""
 SELECT doc_id,
-  md5(array_to_string(list_sort(list_distinct({_TOKENS})), ' ')) AS fingerprint
+  md5(array_to_string(list_sort(list_distinct({_TOKENS})), ' ')) AS fingerprint,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform({_TOKENS},
+        t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT))),
+    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS rolling_fp
 FROM documents
 """,
 }

@@ -1,0 +1,96 @@
+"""Plan-shape regression tests: the 100 TB properties, pinned.
+
+These assert what `.explain("formatted")` proves about the physical plans
+— filters reaching the parquet scan, column pruning, broadcast vs shuffle
+joins, no accidental nested loops. A change that keeps results correct
+but, say, stops pushing the shipdate filter would pass the oracle tests
+and still be a disaster at scale; it fails here instead.
+
+Plans are inspected pre-execution (AdaptiveSparkPlan initial plan): cheap,
+no job runs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans import (
+    plan_report,
+)
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries import (
+    all_queries,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def reports(spark):
+    qs = all_queries()
+
+    def report(name):
+        return plan_report(qs[name](spark, SF_DIR))
+
+    return report
+
+
+def test_filter_pushdown_reaches_scan(reports):
+    r = reports("rel_pricing_summary")
+    assert any("l_shipdate" in f for f in r["pushed_filters"]), r["pushed_filters"]
+
+
+def test_partition_style_filter_pushdown(reports):
+    r = reports("rel_range_join")
+    # The dim filter (p_size = 50) must prune at the scan, not post-scan.
+    assert any("EqualTo(p_size" in f for f in r["pushed_filters"]), r["pushed_filters"]
+
+
+def test_column_pruning_lineitem(reports):
+    r = reports("rel_pricing_summary")
+    # 7 of lineitem's 11 columns are needed; the scan must not read the rest.
+    assert set(r["read_schema_columns"]) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+
+
+def test_column_pruning_documents(reports):
+    r = reports("text_token_stats")
+    assert set(r["read_schema_columns"]) == {"doc_id", "text"}
+
+
+def test_dim_joins_broadcast(reports):
+    # 5-way star join: every dim side must broadcast — only the
+    # lineitem->orders join may shuffle.
+    r = reports("rel_multiway_revenue")
+    assert r["broadcast_joins"] >= 4, r
+    assert r["nested_loop_joins"] == 0, r
+    assert r["exchanges"] <= 1, r
+
+
+def test_range_join_is_not_nested_loop(reports):
+    # The whole point of bucketed_range_join: a BETWEEN join that does NOT
+    # plan as BroadcastNestedLoopJoin.
+    r = reports("rel_range_join")
+    assert r["nested_loop_joins"] == 0, r
+
+
+def test_topk_single_shuffle(reports):
+    # Ranking window over o_custkey: exactly one exchange, no join.
+    r = reports("rel_topk_per_group")
+    assert r["exchanges"] == 1, r
+
+
+def test_narrow_text_pipeline_no_shuffle(reports):
+    # Pure per-row text analysis must be a single scan->project pipeline.
+    r = reports("text_token_stats")
+    assert r["exchanges"] == 0, r
+    assert r["python_stages"] == 0, r
+
+
+def test_ann_bruteforce_broadcasts_queries(reports):
+    # Corpus side must NOT shuffle for scoring: the (tiny) query side is
+    # broadcast into a nested-loop cross join — the intended shape.
+    r = reports("sim_ann_bruteforce")
+    assert r["nested_loop_joins"] >= 1, r
+    assert r["exchanges"] <= 1, r  # only the ranking window shuffles
