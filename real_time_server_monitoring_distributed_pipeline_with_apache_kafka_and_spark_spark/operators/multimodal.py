@@ -84,3 +84,70 @@ def decode_features(with_payload: DataFrame) -> DataFrame:
             yield _decode_batch(pdf)
 
     return with_payload.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id long, payload binary, out_w int, out_h int, n_bytes int"
+
+
+def resize_images(with_payload: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+    """Resize plumbing: 1:1 mapInPandas that rewrites the payload column.
+
+    The real implementation decodes, resamples, and re-encodes per batch
+    (PIL.Image.resize); the stub deterministically truncates/tiles bytes
+    to out_w*out_h so batch shape, schema, and byte-column round-trip
+    through Arrow are exercised for real. Narrow op: no shuffle, scales
+    with executors."""
+    target = out_w * out_h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(
+                lambda b: (b * (target // max(len(b), 1) + 1))[:target]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "n_bytes": resized.map(len).astype("int32"),
+                }
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary, frame_bytes int"
+
+
+def sample_frames(
+    with_payload: DataFrame, frame_size: int = 64, every_n: int = 4
+) -> DataFrame:
+    """Frame sampling plumbing: 1:N mapInPandas (one row per kept frame).
+
+    Models video keyframe extraction: the payload is treated as a
+    concatenated sequence of ``frame_size``-byte frames; every
+    ``every_n``-th frame is emitted as its own row. The real
+    implementation swaps the byte-slicing for av/ffmpeg demux — the
+    Spark-side contract (row explosion inside the Arrow batch, binary
+    output column, downstream per-frame decode) is identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(len(payload) // frame_size, 1)
+                for fi in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    frames.append(bytes(payload[fi * frame_size : (fi + 1) * frame_size]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                    "frame_bytes": pd.Series([len(f) for f in frames], dtype="int32"),
+                }
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)

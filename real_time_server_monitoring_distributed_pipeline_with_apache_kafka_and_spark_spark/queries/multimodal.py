@@ -29,9 +29,31 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.decode_features(ops.attach_binary_payload(docs))
 
 
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (1:1 payload rewrite in mapInPandas). The stub
+    resizer is deterministic, so byte length is oracle-checkable; the
+    payload itself stays binary and is projected out here."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.resize_images(ops.attach_binary_payload(docs)).select(
+        "doc_id", "out_w", "out_h", "n_bytes"
+    )
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (1:N row explosion in mapInPandas): every
+    4th 64-byte frame. Frame count/boundaries are deterministic =>
+    oracle-checkable row-per-frame output."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.sample_frames(ops.attach_binary_payload(docs)).select(
+        "doc_id", "frame_idx", "frame_bytes"
+    )
+
+
 QUERIES = {
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_features": mm_decode_features,
+    "mm_resize": mm_resize,
+    "mm_frame_sample": mm_frame_sample,
 }
 
 ORACLES = {
@@ -41,5 +63,22 @@ SELECT doc_id,
   md5(text) AS checksum,
   'application/octet-stream' AS mime
 FROM documents
+""",
+    "mm_resize": """
+SELECT doc_id,
+  CAST(32 AS INTEGER) AS out_w,
+  CAST(32 AS INTEGER) AS out_h,
+  CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0 ELSE 1024 END AS INTEGER) AS n_bytes
+FROM documents
+""",
+    "mm_frame_sample": """
+WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+f AS (
+  SELECT doc_id, n, unnest(range(0, greatest(n // 64, 1), 4)) AS frame_idx
+  FROM p
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(least(n, 64) AS INTEGER) AS frame_bytes
+FROM f
 """,
 }

@@ -1,0 +1,101 @@
+"""Property-based invariants (SURVEY.md §5.5), via hypothesis.
+
+Each property generates adversarial inputs driver-side, builds ONE small
+DataFrame per example, and checks an invariant that must hold for any
+input — the complement of the fixed-fixture oracle tests. Example counts
+are kept small: every example is a Spark job.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+WINDOW_S = 30
+SLIDE_S = 10
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=50, unique=True
+    )
+)
+def test_sliding_window_membership(spark, epochs):
+    """Every event belongs to exactly duration/slide aligned sliding
+    windows (reference T1 semantics, spark_job1.py:27-30): 30s/10s => 3
+    windows per event, for ANY timestamp."""
+    rows = [
+        (datetime.fromtimestamp(e, tz=timezone.utc).replace(tzinfo=None),)
+        for e in epochs
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    counts = (
+        df.select("ts", F.window("ts", f"{WINDOW_S} seconds", f"{SLIDE_S} seconds"))
+        .groupBy("ts")
+        .count()
+        .collect()
+    )
+    assert len(counts) == len(epochs)
+    assert all(r["count"] == WINDOW_S // SLIDE_S for r in counts)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdefg", min_size=1, max_size=6), min_size=1, max_size=12
+    ),
+    st.randoms(use_true_random=False),
+)
+def test_fingerprint_order_invariance(spark, tokens, rng):
+    """The bag-of-words md5 fingerprint is invariant under token
+    reordering; token/distinct counts likewise. (The rolling hash is the
+    deliberate order-SENSITIVE counterpart — not asserted here because
+    mod-2^31 collisions, while cosmologically rare, are possible.)"""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.text import (
+        fingerprint,
+        token_stats,
+    )
+
+    shuffled = tokens[:]
+    rng.shuffle(shuffled)
+    df = spark.createDataFrame(
+        [(0, " ".join(tokens)), (1, " ".join(shuffled))], "doc_id long, text string"
+    )
+    fps = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    assert fps[0] == fps[1]
+    stats = {
+        r["doc_id"]: (r["n_tokens"], r["n_distinct_tokens"])
+        for r in token_stats(df).collect()
+    }
+    assert stats[0] == stats[1]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.decimals(
+            min_value="-99999.99", max_value="99999.99", places=2, allow_nan=False
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_decimal_sum_partition_invariance(spark, amounts, n_parts):
+    """The engine's exact-decimal sum policy (queries.relational._dsum) is
+    independent of physical partitioning — the double it returns is
+    identical whatever order/parallelism the partial aggregation ran in.
+    (Plain double sum() does NOT have this property; that's why the
+    oracle-matched aggregates cast to DECIMAL first.)"""
+    df = spark.createDataFrame([(float(a),) for a in amounts], "x double")
+    sums = {
+        df.repartition(p).agg(
+            F.sum(F.col("x").cast("decimal(12,2)")).cast("double").alias("s")
+        ).collect()[0]["s"]
+        for p in (1, n_parts)
+    }
+    assert len(sums) == 1
