@@ -172,6 +172,41 @@ def monitor_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "ts", "user_id", "event_type", "value")
 
 
+def monitor_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup (continuous-aggregate pattern): per-minute
+    partials -> per-hour final, with the hour level computed FROM the
+    minute level (sums/counts carried, avg derived at the end).
+
+    At 100 TB this is the standard timeseries economy: the minute table is
+    ~1/60th of raw and each coarser grain re-aggregates the previous one,
+    never the raw stream (mergeable stats only: count/sum/max). The exact
+    DECIMAL sums make the cascade bit-identical to aggregating raw
+    directly - which is exactly what the oracle does."""
+    ev = load_table(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        "user_id", F.date_trunc("minute", "ts").alias("minute_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sv"),
+        F.max("value").alias("mx"),
+    )
+    hour = minute.groupBy(
+        "user_id", F.date_trunc("hour", "minute_start").alias("hour_start")
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("sv").cast("double").alias("sum_value"),
+        F.max("mx").alias("max_value"),
+    )
+    return hour.select(
+        "user_id",
+        "hour_start",
+        "n_events",
+        "sum_value",
+        (F.col("sum_value") / F.col("n_events")).alias("avg_value"),
+        "max_value",
+    )
+
+
 QUERIES = {
     "monitor_cpu_mem_alerts": monitor_cpu_mem_alerts,
     "monitor_net_disk_alerts": monitor_net_disk_alerts,
@@ -181,9 +216,19 @@ QUERIES = {
     "monitor_case_classify": monitor_case_classify,
     "monitor_project_cast": monitor_project_cast,
     "monitor_filter_range": monitor_filter_range,
+    "monitor_rollup_cascade": monitor_rollup_cascade,
 }
 
 ORACLES = {
+    "monitor_rollup_cascade": """
+SELECT user_id,
+       date_trunc('hour', ts) AS hour_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value,
+       max(value) AS max_value
+FROM events GROUP BY 1, 2
+""",
     "monitor_cpu_mem_alerts": f"""
 WITH joined AS (
   SELECT c.ts, c.user_id, c.cpu_pct, m.mem_pct
