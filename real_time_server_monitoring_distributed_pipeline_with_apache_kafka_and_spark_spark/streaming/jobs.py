@@ -86,3 +86,35 @@ def streaming_window_alerts(
         "avg_value",
         "n_events",
     )
+
+
+def rate_replay_stream(
+    data: DataFrame,
+    rows_per_second: int = 100,
+    id_col: str = "row_id",
+) -> DataFrame:
+    """S3's streaming demo path: replay a static dataset at a fixed rate.
+
+    The reference's producer replays its CSV row-by-row into Kafka
+    (``producer.py:61-86``); without a broker, the idiomatic Spark demo is
+    the ``rate`` source (monotonic ``value`` counter at ``rowsPerSecond``)
+    inner-joined to the data keyed by row number — each micro-batch emits
+    the next slice of the dataset, preserving arrival order. The data side
+    is a static (batch) DataFrame: stream-static joins need no watermark
+    and the static side is planned like any dim (broadcast when small).
+    """
+    from pyspark.sql import Window
+
+    spark = data.sparkSession
+    w = Window.orderBy(F.monotonically_increasing_id())
+    # localCheckpoint: the row-number assignment is nondeterministic, which
+    # streaming plans reject — materializing the keyed static side cuts the
+    # lineage so the stream sees a plain (deterministic) scan.
+    keyed = data.withColumn(id_col, F.row_number().over(w) - 1).localCheckpoint()
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+        .select(F.col("value").alias(id_col), F.col("timestamp").alias("emit_ts"))
+    )
+    return rate.join(keyed, id_col)

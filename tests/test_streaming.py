@@ -242,3 +242,38 @@ def test_stateful_alert_transitions(spark, tmp_path):
         # s2's transition spans the batch1/batch2/batch3 boundary
         ("s2", 30, "OK", "Memory saturation suspected"),
     }
+
+
+def test_rate_replay_stream(spark):
+    """S3 streaming replay: the rate source emits the dataset in row order
+    at the configured rate, joined 1:1 to the static side."""
+    import time
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.jobs import (
+        rate_replay_stream,
+    )
+
+    data = spark.createDataFrame(
+        [(f"server_{i}", float(i)) for i in range(40)], "server_id string, cpu_pct double"
+    )
+    replay = rate_replay_stream(data, rows_per_second=200)
+    q = (
+        replay.writeStream.format("memory")
+        .queryName("replay_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = spark.sql("SELECT * FROM replay_sink").collect()
+            if len(got) >= 40:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = {r["row_id"]: (r["server_id"], r["cpu_pct"]) for r in got}
+    # every emitted row matches its static-side record, ids are dense
+    assert len(rows) == 40
+    assert rows[0] == ("server_0", 0.0) and rows[39] == ("server_39", 39.0)
