@@ -91,6 +91,12 @@ def jaccard_pairs(
     ``max_shingle_freq`` optionally drops ultra-hot shingles entirely
     (approximation knob; None = exact).
     Output: (a_id, b_id, common, jaccard) with a_id < b_id.
+
+    Caching contract: the shingle table is ``persist()``-ed (it feeds ~8
+    plan branches) and stays cached after the returned plan materializes.
+    Long-lived sessions must release it — ``spark.catalog.clearCache()``
+    between queries, or ``unpersist()`` on the input after consuming the
+    result.
     """
     from pyspark.sql import Window
 
@@ -161,7 +167,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document, one hash-aggregate pass.
 
-    base = pmod(xxhash64(shingle), 2^61-1); h_i = (a_i*base + b_i) mod p as
+    base = pmod(xxhash64(shingle), 2^31-1); the Mersenne modulus must stay
+    2^31-1 (NOT 2^61-1): a_i * base must fit int64, and Spark 4 ANSI mode
+    turns long overflow into a runtime error. h_i = (a_i*base + b_i) mod p as
     ``num_perm`` wide min() aggregates (codegen'd, map-side partial agg) -
     no per-permutation shuffle. Output: (id, h0..h{P-1}).
     """
@@ -194,6 +202,10 @@ def minhash_lsh_pairs(
     Candidates = equi-join on (band_idx, band_hash); each surviving pair is
     re-scored with exact Jaccard so the output contains no LSH
     approximation error, only (probabilistically bounded) missed pairs.
+
+    Caching contract: same as :func:`jaccard_pairs` — the shingle table
+    stays ``persist()``-ed after materialization; long-lived sessions call
+    ``spark.catalog.clearCache()`` (as bench.py does) or ``unpersist()``.
     """
     rows_per_band = num_perm // bands
     # Referenced by the signature pass and both verification sides.

@@ -45,6 +45,12 @@ def asof_join(
     Output: all left columns + ``right_value_cols`` (suffixed) and
     ``ts<suffix>`` = the matched right timestamp (NULL when no right row
     precedes the left row).
+
+    The carried right columns travel as ONE struct under a single
+    ``last(ignorenulls=True)``: carrying each column independently would
+    stitch values from different right rows whenever a right row holds a
+    NULL in one value column (and ``ts<suffix>`` would not correspond to
+    the row a value came from).
     """
     if right_value_cols is None:
         right_value_cols = [
@@ -52,22 +58,26 @@ def asof_join(
         ]
     left_cols = left.columns
 
+    r_payload = F.struct(
+        *[F.col(c) for c in right_value_cols],
+        F.col(ts_col).alias(f"_asof_{ts_col}"),
+    )
+    payload_type = right.select(r_payload.alias("_r")).schema["_r"].dataType
+
     # _side orders right (0) before left (1) at equal timestamps => <= match.
     l_tagged = left.select(
         *key_cols,
         F.col(ts_col),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left_cols if c not in key_cols and c != ts_col],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_value_cols],
-        F.lit(None).cast(right.schema[ts_col].dataType).alias(f"{ts_col}{suffix}"),
+        F.lit(None).cast(payload_type).alias("_r"),
     )
     r_tagged = right.select(
         *key_cols,
         F.col(ts_col),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in key_cols and c != ts_col],
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
-        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        r_payload.alias("_r"),
     )
     merged = l_tagged.unionByName(r_tagged)
     w = (
@@ -75,15 +85,23 @@ def asof_join(
         .orderBy(ts_col, "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [f"{c}{suffix}" for c in right_value_cols] + [f"{ts_col}{suffix}"]
     filled = merged.select(
         *key_cols,
         ts_col,
         "_side",
         *[c for c in left_cols if c not in key_cols and c != ts_col],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            *key_cols,
+            ts_col,
+            *[c for c in left_cols if c not in key_cols and c != ts_col],
+            *[F.col("_r")[c].alias(f"{c}{suffix}") for c in right_value_cols],
+            F.col("_r")[f"_asof_{ts_col}"].alias(f"{ts_col}{suffix}"),
+        )
+    )
 
 
 def bucketed_range_join(
@@ -109,7 +127,18 @@ def bucketed_range_join(
     no pair dedup is needed. Cost: |build| * (avg_span/width + 1)
     replication, tunable via bucket_width (pick ~ the median interval
     span).
+
+    Inner-only: the post-join BETWEEN filter would drop outer probe rows
+    (NULL lo/hi fail BETWEEN) and the bucket explosion would surface
+    unmatched build rows once per covered bucket — outer variants need a
+    different construction, so anything but ``how='inner'`` raises.
     """
+    if how != "inner":
+        raise ValueError(
+            f"bucketed_range_join supports how='inner' only, got {how!r}: "
+            "the exact-BETWEEN post-filter and build-side bucket replication "
+            "are not outer-join-safe"
+        )
     bw = float(bucket_width)
     b = build.withColumn(
         "_bucket",
@@ -142,7 +171,22 @@ def salted_join(
     keys dominate (hot server, null-ish default key) and the right side is
     too big to broadcast but small enough that ``n_salts`` copies of it
     shuffle acceptably — the standard trade for pathological skew.
+
+    Left-oriented joins only: the right side is exploded ``n_salts``-fold,
+    so right/full outer would surface each unmatched right key
+    ``n_salts`` times — those variants raise.
     """
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "semi", "left_semi", "leftsemi",
+        "anti", "left_anti", "leftanti",
+    }
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports left-oriented joins only ({sorted(allowed)}), "
+            f"got {how!r}: the exploded right side duplicates unmatched right "
+            "keys under right/full outer"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     l_salted = left.withColumn("_salt", salt)
     r_salted = right.withColumn(

@@ -44,6 +44,55 @@ def test_asof_join_semantics(spark):
     }
 
 
+def test_asof_join_null_right_value_stays_consistent(spark):
+    """Right columns are carried as one struct: a NULL value column in the
+    matched right row must surface as NULL (from THAT row), never stitched
+    from an earlier right row."""
+    left = spark.createDataFrame([("a", _ts(30), 1.0)], ["k", "ts", "lv"])
+    right = spark.createDataFrame(
+        [("a", _ts(10), 100.0, 7.0), ("a", _ts(20), None, 9.0)],
+        ["k", "ts", "rv", "rw"],
+    )
+    row = asof_join(left, right, key_cols=["k"]).collect()[0]
+    # latest right row <= 30 is ts=20 => rv NULL (not 100.0 from ts=10)
+    assert row.ts_right.second == 20
+    assert row.rv_right is None
+    assert row.rw_right == 9.0
+
+
+def test_bucketed_range_join_rejects_outer(spark):
+    import pytest
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.joins import (
+        bucketed_range_join,
+    )
+
+    probe = spark.createDataFrame([(1.0,)], ["x"])
+    build = spark.createDataFrame([(0.0, 2.0)], ["lo", "hi"])
+    with pytest.raises(ValueError, match="inner"):
+        bucketed_range_join(probe, build, "x", "lo", "hi", 1.0, how="left_outer")
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 1.0)], ["k", "lv"])
+    right = spark.createDataFrame([(1, "r")], ["k", "rv"])
+    for bad in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="left-oriented"):
+            salted_join(left, right, ["k"], how=bad)
+
+
+def test_salted_join_left_outer_matches_plain(spark):
+    left = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (99, 3.0)], ["k", "lv"]  # 99 unmatched
+    )
+    right = spark.createDataFrame([(1, "r1"), (2, "r2")], ["k", "rv"])
+    plain = left.join(right, on=["k"], how="left_outer")
+    salted = salted_join(left, right, ["k"], n_salts=4, how="left_outer")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
 def test_salted_join_matches_plain_join(spark):
     # skewed left: one hot key with most of the rows
     left = spark.createDataFrame(
