@@ -154,6 +154,81 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_lsh(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    planes_per_table: int = 8,
+    n_tables: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Bucketed embedding near-dup: LSH candidates + exact cosine verify.
+
+    The scale path for :func:`cosine_pairs`: instead of scoring every block
+    pair (O(N^2) FLOPs), vectors are bucketed by random-hyperplane sign
+    bits in ``n_tables`` independent tables; candidate pairs are the
+    self-equi-join on (table_idx, bucket) — shuffle-hash on the bucket id,
+    never all-pairs. Survivors are re-scored with the exact fold cosine
+    (same expression tree as cosine_pairs / the SQL oracle), so precision
+    is exactly 1; recall < 1 is the only approximation
+    (P(candidate) = 1-(1-(1-theta/pi)^k)^L for angle theta).
+
+    Regime guidance: hyperplane LSH separates well when the threshold is
+    high (near-dup regime, cos >= ~0.8: k=8, L=16 gives ~99.6% recall while
+    scoring ~6% of pairs). At low thresholds the qualifying angle
+    (e.g. cos 0.4 => 66 deg) is too close to the random-pair background
+    (90 deg) for ANY sign-bit family to prune losslessly — which is why
+    cosine_pairs keeps the exact quadratic formulation as the oracle
+    anchor and this operator takes over wherever a recall target, not
+    bit-exactness, is the contract (the standard corpus-dedup trade).
+
+    Output: (a_id, b_id) with a_id < b_id, exact-verified >= threshold.
+    """
+    planes = _hyperplanes(planes_per_table * n_tables, dim, seed)
+    buckets = _bucket_udf(planes, planes_per_table, n_tables)
+    tagged = vectors.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(buckets(F.col(vec_col))).alias("table_idx", "bucket"),
+    )
+    a = tagged.select(F.col("id").alias("a_id"), "table_idx", "bucket")
+    b = tagged.select(F.col("id").alias("b_id"), "table_idx", "bucket")
+    candidates = (
+        a.join(b, ["table_idx", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    withn = vectors.select(
+        F.col(id_col), F.col(vec_col), norm2(F.col(vec_col)).alias("nrm")
+    )
+    return (
+        candidates.join(
+            withn.select(
+                F.col(id_col).alias("a_id"),
+                F.col(vec_col).alias("vec_a"),
+                F.col("nrm").alias("nrm_a"),
+            ),
+            "a_id",
+        )
+        .join(
+            withn.select(
+                F.col(id_col).alias("b_id"),
+                F.col(vec_col).alias("vec_b"),
+                F.col("nrm").alias("nrm_b"),
+            ),
+            "b_id",
+        )
+        .withColumn(
+            "cos",
+            dot_product(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b")),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id")
+    )
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -96,3 +96,28 @@ def test_exact_dedup_representative(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r.doc_id: r.n_copies for r in d.exact_dedup(df, ["text"], "doc_id").collect()}
     assert out == {1: 2, 3: 1}
+
+
+def test_cosine_pairs_lsh_recall_and_precision(spark):
+    """Bucketed near-dup: precision exactly 1 (exact verify), recall pinned
+    vs the exact all-pairs set at the query's threshold/params."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.dedup import (
+        COSINE_LSH_THRESHOLD,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    exact = {
+        (r.a_id, r.b_id)
+        for r in s.cosine_pairs(emb, threshold=COSINE_LSH_THRESHOLD).collect()
+    }
+    lsh = {
+        (r.a_id, r.b_id)
+        for r in s.cosine_pairs_lsh(
+            emb, threshold=COSINE_LSH_THRESHOLD, planes_per_table=3, n_tables=16
+        ).collect()
+    }
+    assert lsh <= exact, "exact-verify must make precision exactly 1"
+    recall = len(lsh & exact) / len(exact)
+    # 3 bits x 16 tables at cos>=0.45: per-pair P(candidate) ~ 99.4% at the
+    # threshold boundary, higher above it.
+    assert recall >= 0.85, f"cosine LSH recall {recall:.2%}"
