@@ -86,20 +86,60 @@ def wire_messages(spark, config: cfg.PipelineConfig):
     return out
 
 
-def run_producer(spark, config: cfg.PipelineConfig, dry_run: bool) -> None:
+def run_producer(spark, config: cfg.PipelineConfig, dry_run: bool) -> dict:
+    """Fan out + deliver, then report run statistics mirroring the
+    reference's producer instrumentation (producer.py:90-104): total
+    records, elapsed, records/sec, per-topic delivered/error counts.
+
+    Delivery accounting: the reference counts per-message async callbacks;
+    the Spark batch sink is transactional per topic-partition write with
+    acks=all, so a completed save() means every message was acked
+    (errors=0) and a raised exception means the job did not commit.
+    """
+    import time
+
     wire = wire_messages(spark, config)
+    start = time.time()
     if dry_run:
         dest = os.path.join(config.paths.output_dir, "wire_messages")
         wire.write.mode("overwrite").parquet(dest)
-        print(f"dry-run: wire messages -> {dest}")
-        return
-    (
-        wire.write.format("kafka")
-        .option("kafka.bootstrap.servers", config.kafka.broker)
-        .option("kafka.compression.type", "snappy")
-        .option("kafka.acks", "all")
-        .save()
-    )
+        delivered = spark.read.parquet(dest)  # count what actually landed
+    else:
+        (
+            wire.write.format("kafka")
+            .option("kafka.bootstrap.servers", config.kafka.broker)
+            .option("kafka.compression.type", "snappy")
+            .option("kafka.acks", "all")
+            .save()
+        )
+        delivered = wire
+    by_topic = {
+        r["topic"]: r["count"] for r in delivered.groupBy("topic").count().collect()
+    }
+    elapsed = time.time() - start
+    total_messages = sum(by_topic.values())
+    # One message per source record per topic (producer.py:68-71 fan-out).
+    total_records = by_topic.get(config.kafka.topic_cpu, 0)
+    stats = {
+        "total_records": total_records,
+        "total_messages": total_messages,
+        "by_topic": by_topic,
+        "elapsed_sec": elapsed,
+        "records_per_sec": total_records / elapsed if elapsed > 0 else 0.0,
+    }
+    mode = "dry-run -> " + os.path.join(config.paths.output_dir, "wire_messages") if dry_run else f"kafka -> {config.kafka.broker}"
+    print("=" * 60)
+    print(f"FINAL PRODUCER STATISTICS ({mode}):")
+    print(f"Total records processed: {total_records}")
+    print(f"Total messages delivered: {total_messages}")
+    print(f"Total time: {elapsed:.2f} seconds")
+    if elapsed > 0:
+        print(f"Average throughput: {total_records / elapsed:.2f} records/sec")
+    print("-" * 20)
+    for topic in config.kafka.all_topics:
+        print(f"{topic}: {by_topic.get(topic, 0)} delivered | 0 errors")
+    print("=" * 60)
+    return stats
 
 
 def run_consumer(spark, config: cfg.PipelineConfig, role: str) -> None:
@@ -135,27 +175,38 @@ def _landed(spark, config: cfg.PipelineConfig, stem: str, metric: str):
     return spark.read.schema(schemas.TOPIC_SCHEMAS[metric]).csv(path, header=True)
 
 
-def run_spark_job(spark, config: cfg.PipelineConfig, role: str, parquet: bool) -> None:
+def run_spark_job(
+    spark,
+    config: cfg.PipelineConfig,
+    role: str,
+    parquet: bool,
+    float32_parity: bool = False,
+) -> None:
     if role == "spark-job1":
         result = ops.cpu_mem_job(
             _landed(spark, config, "cpu_data", "cpu"),
             _landed(spark, config, "mem_data", "mem"),
             config=config,
             time_format="HH:mm:ss",
+            float32_parity=float32_parity,
         )
-        stem = "cpu_mem_alerts"
+        stem, ref_stem = "cpu_mem_alerts", f"team_{config.team_number}_CPU_MEM.csv"
     else:
         result = ops.net_disk_job(
             _landed(spark, config, "net_data", "net"),
             _landed(spark, config, "disk_data", "disk"),
             config=config,
             time_format="HH:mm:ss",
+            float32_parity=float32_parity,
         )
-        stem = "net_disk_alerts"
-    dest = os.path.join(config.paths.output_dir, stem)
+        stem, ref_stem = "net_disk_alerts", f"team_{config.team_number}_NET_DISK.csv"
     if parquet:
+        dest = os.path.join(config.paths.output_dir, stem)
         readers.write_partitioned_parquet(result, dest)
     else:
+        # CSV is the drop-in parity path: reference output naming
+        # (spark_job1.py:56-57, team_number from config.yaml:1).
+        dest = os.path.join(config.paths.output_dir, ref_stem)
         readers.write_single_csv(result, dest)
     print(f"{role}: alerts -> {dest}")
 
@@ -194,6 +245,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument(
         "--dry-run", action="store_true", help="producer: land wire messages locally, no broker"
     )
+    ap.add_argument(
+        "--float32-parity",
+        action="store_true",
+        help="spark-jobs: reproduce the reference's pre-avg float32 downcast "
+        "(spark_job1.py:20-21); default keeps double precision",
+    )
     args = ap.parse_args(argv)
 
     config = cfg.from_yaml(args.config) if args.config else cfg.DEFAULT_CONFIG
@@ -208,7 +265,7 @@ def main(argv: list[str] | None = None) -> None:
     elif args.role in CONSUMER_TOPICS:
         run_consumer(spark, config, args.role)
     elif args.role in ("spark-job1", "spark-job2"):
-        run_spark_job(spark, config, args.role, args.parquet)
+        run_spark_job(spark, config, args.role, args.parquet, args.float32_parity)
     elif args.role == "stream-job1":
         run_stream_job1(spark, config)
     if owns_session:  # don't stop a session we borrowed (tests, notebooks)

@@ -58,6 +58,9 @@ class PipelineConfig:
     thresholds: AlertThresholds = field(default_factory=AlertThresholds)
     kafka: KafkaConfig = field(default_factory=KafkaConfig)
     paths: PathsConfig = field(default_factory=PathsConfig)
+    # Reference config.yaml:1 — drives the team_{n}_CPU_MEM.csv /
+    # team_{n}_NET_DISK.csv output naming (spark_job1.py:56, spark_job2.py:56).
+    team_number: int = 1
 
 
 DEFAULT_CONFIG = PipelineConfig()
@@ -101,4 +104,5 @@ def from_yaml(path: str) -> PipelineConfig:
             data_file=paths.get("data_file", d.paths.data_file),
             output_dir=paths.get("output_dir", d.paths.output_dir),
         ),
+        team_number=int(raw.get("team_number", d.team_number)),
     )

@@ -142,12 +142,22 @@ def cpu_mem_job(
     mem_col: str = "mem_pct",
     time_format: str | None = None,
     round_fn=None,
+    float32_parity: bool = False,
 ) -> DataFrame:
     """Reference spark_job1 end-to-end: join -> window avg -> alert -> format
     (spark_job1.py:6-54), parameterized over column names so the same
     operator runs on the reference metric schema and the testdata analog.
+
+    ``float32_parity=True`` reproduces the reference's pre-avg float
+    downcast (spark_job1.py:20-21): metrics lose precision to float32
+    BEFORE averaging, shifting results in the ~7th significant digit.
+    Default keeps double (deliberate deviation, SURVEY.md SS1.2).
     """
     joined = join_metric_streams(cpu, mem, keys=("ts", entity_col))
+    if float32_parity:
+        joined = joined.withColumn(cpu_col, F.col(cpu_col).cast("float")).withColumn(
+            mem_col, F.col(mem_col).cast("float")
+        )
     agged = sliding_window_agg(
         joined,
         {"avg_cpu": F.avg(cpu_col), "avg_mem": F.avg(mem_col)},
@@ -174,10 +184,17 @@ def net_disk_job(
     disk_col: str = "disk_io",
     time_format: str | None = None,
     round_fn=None,
+    float32_parity: bool = False,
 ) -> DataFrame:
     """Reference spark_job2 end-to-end: join -> window max -> alert -> format
-    (spark_job2.py:6-54)."""
+    (spark_job2.py:6-54). ``float32_parity`` as in :func:`cpu_mem_job`
+    (reference casts net_in and disk_io, spark_job2.py:20-21; net_out is
+    never cast there and never aggregated)."""
     joined = join_metric_streams(net, disk, keys=("ts", entity_col))
+    if float32_parity:
+        joined = joined.withColumn(net_col, F.col(net_col).cast("float")).withColumn(
+            disk_col, F.col(disk_col).cast("float")
+        )
     agged = sliding_window_agg(
         joined,
         {"max_net_in": F.max(net_col), "max_disk_io": F.max(disk_col)},

@@ -64,14 +64,21 @@ def test_producer_dry_run_and_spark_jobs(spark, tmp_path):
     config_path = _write_config(tmp_path, data_file)
     config = cfg.from_yaml(config_path)
 
-    # producer --dry-run: full fan-out transform, landed as parquet
-    cli.main(["producer", "--config", config_path, "--dry-run"])
+    # producer --dry-run: full fan-out transform, landed as parquet, with
+    # run statistics mirroring the reference's instrumentation
+    # (producer.py:90-104): records, per-topic counts, elapsed, records/sec.
+    stats = cli.run_producer(spark, config, dry_run=True)
     wire = spark.read.parquet(os.path.join(config.paths.output_dir, "wire_messages"))
     assert wire.columns == ["topic", "value"]
     n_rows = wide.count()
     assert wire.count() == 4 * n_rows  # 4 messages per row, producer.py:68-77
     by_topic = {r["topic"]: r["count"] for r in wire.groupBy("topic").count().collect()}
     assert by_topic == {t: n_rows for t in config.kafka.all_topics}
+    # BASELINE.md proxy shape: N source rows -> 4N fan-out messages
+    assert stats["total_records"] == n_rows
+    assert stats["total_messages"] == 4 * n_rows
+    assert stats["by_topic"] == by_topic
+    assert stats["elapsed_sec"] > 0 and stats["records_per_sec"] > 0
 
     # consumer landing simulated from the same fixture (no broker): narrow CSVs
     cpu, mem, net, disk = narrow_splits(wide)
@@ -80,9 +87,11 @@ def test_producer_dry_run_and_spark_jobs(spark, tmp_path):
             os.path.join(config.paths.output_dir, stem), header=True, mode="overwrite"
         )
 
+    # CSV is the drop-in path: reference output naming team_{n}_CPU_MEM.csv
+    # (spark_job1.py:56-57, team_number from config.yaml:1)
     cli.main(["spark-job1", "--config", config_path])
     job1 = spark.read.csv(
-        os.path.join(config.paths.output_dir, "cpu_mem_alerts"), header=True
+        os.path.join(config.paths.output_dir, "team_1_CPU_MEM.csv"), header=True
     )
     assert job1.columns == [
         "server_id", "window_start", "window_end", "avg_cpu", "avg_mem", "alert",
@@ -95,3 +104,24 @@ def test_producer_dry_run_and_spark_jobs(spark, tmp_path):
     job2 = spark.read.parquet(os.path.join(config.paths.output_dir, "net_disk_alerts"))
     labels2 = {r.alert for r in job2.select("alert").distinct().collect()}
     assert "Network flood + Disk thrash suspected" in labels2
+
+
+def test_producer_stats_reference_dataset_proxy(spark, tmp_path):
+    """BASELINE.md proxy target: replaying the reference's own dataset.csv
+    (28,800 rows) fans out 115,200 messages; stats must report both."""
+    import os
+
+    import pytest
+
+    import main as cli
+
+    ref_csv = "/root/reference/data/dataset.csv"
+    if not os.path.exists(ref_csv):
+        pytest.skip("reference dataset not present")
+    config_path = _write_config(tmp_path, ref_csv)
+    stats = cli.run_producer(spark, cfg.from_yaml(config_path), dry_run=True)
+    assert stats["total_records"] == 28800
+    assert stats["total_messages"] == 115200
+    assert set(stats["by_topic"]) == {"topic-cpu", "topic-mem", "topic-net", "topic-disk"}
+    assert all(n == 28800 for n in stats["by_topic"].values())
+    assert stats["records_per_sec"] > 0

@@ -109,3 +109,55 @@ def test_window_membership_invariant(spark):
     ).agg(F.count(F.lit(1)).alias("n"))
     total_memberships = windowed.agg(F.sum("n")).collect()[0][0]
     assert total_memberships == 3 * n_events
+
+
+def test_cpu_mem_job_float32_parity_golden(spark):
+    """Strict-parity mode reproduces the reference's pre-avg float32
+    downcast (spark_job1.py:20-21): expected side is an independent model
+    that rounds every metric through IEEE float32 BEFORE averaging, then
+    averages in double like Spark's Average over FloatType."""
+    import numpy as np
+
+    groups: dict[tuple, list[tuple[float, float]]] = defaultdict(list)
+    for ts, server_id, cpu, mem, *_ in metrics_wide_rows():
+        base = int(ts.timestamp()) // 10 * 10
+        for k in range(3):
+            groups[(server_id, base - 10 * k)].append(
+                (float(np.float32(cpu)), float(np.float32(mem)))
+            )
+    expected = {}
+    from datetime import datetime, timezone
+
+    fmt = lambda e: datetime.fromtimestamp(e, tz=timezone.utc).strftime("%H:%M:%S")  # noqa: E731
+    for (server_id, start), vals in groups.items():
+        expected[(server_id, fmt(start), fmt(start + 30))] = (
+            sum(v[0] for v in vals) / len(vals),
+            sum(v[1] for v in vals) / len(vals),
+        )
+
+    wide = metrics_wide_df(spark)
+    cpu, mem, _, _ = narrow_splits(wide)
+    result = ops.cpu_mem_job(
+        cpu, mem, time_format="HH:mm:ss", float32_parity=True, round_fn=lambda c: c
+    )
+    rows = result.collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        exp = expected[(r.server_id, r.window_start, r.window_end)]
+        # float32-rounded inputs averaged in double: exact to 1e-9 relative
+        assert abs(r.avg_cpu - exp[0]) <= 1e-9 * max(1.0, abs(exp[0]))
+        assert abs(r.avg_mem - exp[1]) <= 1e-9 * max(1.0, abs(exp[1]))
+
+    # and the downcast must actually CHANGE something vs the double path
+    plain = {
+        (r.server_id, r.window_start, r.window_end): (r.avg_cpu, r.avg_mem)
+        for r in ops.cpu_mem_job(
+            cpu, mem, time_format="HH:mm:ss", round_fn=lambda c: c
+        ).collect()
+    }
+    diffs = sum(
+        1
+        for r in rows
+        if plain[(r.server_id, r.window_start, r.window_end)] != (r.avg_cpu, r.avg_mem)
+    )
+    assert diffs > 0, "float32 parity mode should differ from double mode"
