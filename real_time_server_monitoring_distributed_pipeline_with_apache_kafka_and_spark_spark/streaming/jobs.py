@@ -88,6 +88,40 @@ def streaming_window_alerts(
     )
 
 
+def with_contiguous_row_ids(data: DataFrame, id_col: str = "row_id") -> DataFrame:
+    """Assign contiguous 0..N-1 row ids without a global single-task sort.
+
+    zipWithIndex-style, expressed as DataFrame ops: per-partition positions
+    (row_number partitioned by spark_partition_id — parallel across
+    partitions), plus each partition's starting offset (running sum over
+    the per-partition counts). The only global window runs over
+    #partitions rows, not data rows, so no task ever sees the whole
+    dataset — unlike ``Window.orderBy(monotonically_increasing_id())``,
+    which funnels every row through one task.
+
+    Ids are ordered by (partition id, position within partition) = the
+    scan order for file sources.
+    """
+    from pyspark.sql import Window
+
+    pos_w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+    tagged = data.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_pos", F.row_number().over(pos_w) - 1
+    )
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        tagged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(off_w), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    return (
+        tagged.join(F.broadcast(offsets), "_pid")
+        .withColumn(id_col, (F.col("_off") + F.col("_pos")).cast("long"))
+        .drop("_pid", "_pos", "_off")
+    )
+
+
 def rate_replay_stream(
     data: DataFrame,
     rows_per_second: int = 100,
@@ -102,15 +136,16 @@ def rate_replay_stream(
     the next slice of the dataset, preserving arrival order. The data side
     is a static (batch) DataFrame: stream-static joins need no watermark
     and the static side is planned like any dim (broadcast when small).
-    """
-    from pyspark.sql import Window
 
+    Row ids come from :func:`with_contiguous_row_ids` (per-partition
+    offsets — no single-partition global window, so the replay side scales
+    with partitions).
+    """
     spark = data.sparkSession
-    w = Window.orderBy(F.monotonically_increasing_id())
     # localCheckpoint: the row-number assignment is nondeterministic, which
     # streaming plans reject — materializing the keyed static side cuts the
     # lineage so the stream sees a plain (deterministic) scan.
-    keyed = data.withColumn(id_col, F.row_number().over(w) - 1).localCheckpoint()
+    keyed = with_contiguous_row_ids(data, id_col).localCheckpoint()
     rate = (
         spark.readStream.format("rate")
         .option("rowsPerSecond", str(rows_per_second))

@@ -277,3 +277,31 @@ def test_rate_replay_stream(spark):
     # every emitted row matches its static-side record, ids are dense
     assert len(rows) == 40
     assert rows[0] == ("server_0", 0.0) and rows[39] == ("server_39", 39.0)
+
+
+def test_contiguous_row_ids_parallel_assignment(spark):
+    """Keying must not funnel data through one task: ids are contiguous
+    0..N-1 across a multi-partition input, positions computed per
+    partition (only the #partitions-row offset table sees a global
+    window)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.jobs import (
+        with_contiguous_row_ids,
+    )
+
+    data = spark.range(0, 5000).repartition(8).select(F.col("id").alias("payload"))
+    keyed = with_contiguous_row_ids(data)
+    ids = sorted(r.row_id for r in keyed.collect())
+    assert ids == list(range(5000))
+    # Plan shape: the row_number window over DATA rows must be partitioned
+    # by _pid (parallel); the only unpartitioned window is the running-sum
+    # over the #partitions-row offset table.
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    row_number_windows = [
+        line for line in plan.splitlines() if "row_number() windowspecdefinition" in line
+    ]
+    assert row_number_windows, "expected a row_number window in the plan"
+    for line in row_number_windows:
+        spec = re.search(r"windowspecdefinition\(([^)]*)\)", line).group(1)
+        assert "_pid" in spec.split(",")[0], f"row_number window not partitioned: {line}"
