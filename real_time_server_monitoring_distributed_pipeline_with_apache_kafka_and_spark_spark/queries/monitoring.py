@@ -207,8 +207,33 @@ def monitor_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def monitor_alert_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 surface, batch-checkable: tumbling 30s HIGH/OK alerts per user ->
+    debounced state transitions via the SAME Arrow state machine the
+    streaming operator runs (streaming/stateful.py `_advance`).
+
+    debounce=1 is the oracle-expressible configuration (state machine
+    degenerates to lag()-change detection, exactly SQL); debounce>=2 is
+    pinned by tests asserting batch == streaming output on one input.
+    """
+    from ..streaming.stateful import track_alert_transitions_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    alerts = (
+        ev.groupBy("user_id", F.window("ts", "30 seconds"))
+        .agg(F.avg("value").alias("avg_value"))
+        .select(
+            "user_id",
+            F.col("window.start").alias("window_start"),
+            F.when(F.col("avg_value") > 113.0, "HIGH").otherwise("OK").alias("alert"),
+        )
+    )
+    return track_alert_transitions_batch(alerts, entity_col="user_id", debounce=1)
+
+
 QUERIES = {
     "monitor_cpu_mem_alerts": monitor_cpu_mem_alerts,
+    "monitor_alert_transitions": monitor_alert_transitions,
     "monitor_net_disk_alerts": monitor_net_disk_alerts,
     "monitor_window_sliding_avg": monitor_window_sliding_avg,
     "monitor_window_tumbling": monitor_window_tumbling,
@@ -220,6 +245,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "monitor_alert_transitions": """
+WITH agg AS (
+  SELECT user_id,
+         make_timestamp(CAST(floor(epoch(ts)/30) AS BIGINT)*30*1000000) AS window_start,
+         avg(value) AS avg_value
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT user_id, window_start,
+         CASE WHEN avg_value > 113.0 THEN 'HIGH' ELSE 'OK' END AS alert,
+         lag(CASE WHEN avg_value > 113.0 THEN 'HIGH' ELSE 'OK' END)
+           OVER (PARTITION BY user_id ORDER BY window_start) AS prev
+  FROM agg
+)
+SELECT user_id, window_start, prev AS from_state, alert AS to_state
+FROM seq WHERE prev IS DISTINCT FROM alert
+""",
     "monitor_rollup_cascade": """
 SELECT user_id,
        date_trunc('hour', ts) AS hour_start,

@@ -448,6 +448,23 @@ def rel_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles: the 100 TB path rel_percentile's docstring
+    points at. ``approx_percentile`` builds a bounded-memory mergeable
+    sketch per partition (map-side partial agg) instead of materializing a
+    per-group sort — state is O(accuracy), not O(rows). Sketch output is
+    engine-specific => rows-only driver check; the error bound vs the
+    exact percentiles is pinned in tests/test_joins.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    acc = F.lit(10000)
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.25), acc).alias("p25"),
+        F.approx_percentile("o_totalprice", F.lit(0.5), acc).alias("p50"),
+        F.approx_percentile("o_totalprice", F.lit(0.75), acc).alias("p75"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 def rel_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction over events.props (multimodal/props surface):
     path extraction as string and number, typed from_json struct access."""
@@ -596,6 +613,7 @@ QUERIES = {
     "rel_agg_stats": rel_agg_stats,
     "rel_approx_distinct": rel_approx_distinct,
     "rel_percentile": rel_percentile,
+    "rel_approx_percentile": rel_approx_percentile,
     "rel_count_distinct": rel_count_distinct,
     # --- tail: trivial/stock-SQL surface, proven green in round 1 ---
     "rel_cross_join": rel_cross_join,

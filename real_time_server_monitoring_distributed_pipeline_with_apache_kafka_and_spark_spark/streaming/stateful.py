@@ -47,30 +47,50 @@ _STATE_SCHEMA = StructType(
 )
 
 
+def _transition_schema(alerts: DataFrame, entity_col: str) -> StructType:
+    """Output schema with the entity/window types taken from the input."""
+    return StructType(
+        [
+            StructField(entity_col, alerts.schema[entity_col].dataType),
+            StructField("window_start", alerts.schema["window_start"].dataType),
+            StructField("from_state", StringType()),
+            StructField("to_state", StringType()),
+        ]
+    )
+
+
+def _advance(pdf: pd.DataFrame, state: tuple, debounce: int, entity) -> tuple[list, tuple]:
+    """The debounce state machine over window-ordered rows: one shared core
+    for the streaming (applyInPandasWithState) and batch (applyInPandas)
+    wrappers, so batch-mode results ARE the streaming semantics."""
+    current, pending, pending_count = state
+    out_rows = []
+    for row in pdf.itertuples(index=False):
+        alert = row.alert
+        if alert == current:
+            pending, pending_count = None, 0
+            continue
+        if alert == pending:
+            pending_count += 1
+        else:
+            pending, pending_count = alert, 1
+        if pending_count >= debounce:
+            out_rows.append((entity, row.window_start, current, alert))
+            current, pending, pending_count = alert, None, 0
+    return out_rows, (current, pending, pending_count)
+
+
 def _transition_fn(debounce: int):
     def fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        current, pending, pending_count = (
-            state.get if state.exists else (None, None, 0)
-        )
+        st = state.get if state.exists else (None, None, 0)
         out_rows = []
         for pdf in pdfs:
             # micro-batch rows arrive unordered; process in window order
-            pdf = pdf.sort_values("window_start")
-            for row in pdf.itertuples(index=False):
-                alert = row.alert
-                if alert == current:
-                    pending, pending_count = None, 0
-                    continue
-                if alert == pending:
-                    pending_count += 1
-                else:
-                    pending, pending_count = alert, 1
-                if pending_count >= debounce:
-                    out_rows.append((key[0], row.window_start, current, alert))
-                    current, pending, pending_count = alert, None, 0
-        state.update((current, pending, pending_count))
+            rows, st = _advance(pdf.sort_values("window_start"), st, debounce, key[0])
+            out_rows.extend(rows)
+        state.update(st)
         if out_rows:
             yield pd.DataFrame(out_rows, columns=[f.name for f in TRANSITION_SCHEMA])
 
@@ -95,3 +115,30 @@ def track_alert_transitions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def track_alert_transitions_batch(
+    alerts: DataFrame, entity_col: str = "server_id", debounce: int = 2
+) -> DataFrame:
+    """Batch counterpart of :func:`track_alert_transitions`: the SAME
+    debounce state machine (shared ``_advance`` core) run per entity over
+    the full window-ordered history via Arrow-batched ``applyInPandas``.
+
+    Batch mode is the verification ground truth for the stateful path
+    (SURVEY.md SS7.1): the streaming operator over the same rows must emit
+    exactly these transitions. Partitioned by entity — one shuffle, state
+    is O(1) per group.
+    """
+    schema = _transition_schema(alerts, entity_col)
+    names = [f.name for f in schema]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(columns=names)
+        rows, _ = _advance(
+            pdf.sort_values("window_start"), (None, None, 0), debounce,
+            pdf[entity_col].iloc[0],
+        )
+        return pd.DataFrame(rows, columns=names)
+
+    return alerts.groupBy(entity_col).applyInPandas(fn, schema=schema)

@@ -131,3 +131,25 @@ def test_approx_distinct_error_bound(spark):
     assert set(approx) == set(exact)
     for k, est in approx.items():
         assert abs(est - exact[k]) / exact[k] < 0.15, (k, est, exact[k])
+
+
+def test_approx_percentile_error_bound(spark):
+    """Sketch percentiles within 1% relative of the exact sort-based ones
+    at accuracy=10000 (bound is 1/accuracy on rank, looser on value)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.relational import (
+        rel_approx_percentile,
+        rel_percentile,
+    )
+
+    approx = {
+        r.o_orderpriority: (r.p25, r.p50, r.p75)
+        for r in rel_approx_percentile(spark, "/root/testdata/sf0.01").collect()
+    }
+    exact = {
+        r.o_orderpriority: (r.p25, r.p50, r.p75)
+        for r in rel_percentile(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) / abs(e) < 0.01, (k, a, e)

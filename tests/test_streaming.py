@@ -305,3 +305,38 @@ def test_contiguous_row_ids_parallel_assignment(spark):
     for line in row_number_windows:
         spec = re.search(r"windowspecdefinition\(([^)]*)\)", line).group(1)
         assert "_pid" in spec.split(",")[0], f"row_number window not partitioned: {line}"
+
+
+def test_batch_transitions_match_streaming_semantics(spark):
+    """The batch wrapper (applyInPandas, used by monitor_alert_transitions)
+    runs the same _advance core as the streaming operator: same fixture as
+    test_stateful_alert_transitions, debounce=2, identical output."""
+    from datetime import datetime
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.stateful import (
+        track_alert_transitions_batch,
+    )
+
+    rows = [
+        ("s1", 0, "OK"), ("s1", 10, "OK"),
+        ("s1", 20, "CPU spike suspected"), ("s1", 30, "OK"),
+        ("s1", 40, "CPU spike suspected"), ("s1", 50, "CPU spike suspected"),
+        ("s2", 0, "OK"), ("s2", 10, "OK"),
+        ("s2", 20, "Memory saturation suspected"),
+        ("s2", 30, "Memory saturation suspected"),
+        ("s2", 40, "OK"), ("s2", 50, "Memory saturation suspected"),
+    ]
+    alerts = spark.createDataFrame(
+        [(s, datetime(2024, 1, 1, 0, 0, sec), a) for s, sec, a in rows],
+        ["server_id", "window_start", "alert"],
+    )
+    got = {
+        (r.server_id, r.window_start.second, r.from_state, r.to_state)
+        for r in track_alert_transitions_batch(alerts, debounce=2).collect()
+    }
+    assert got == {
+        ("s1", 10, None, "OK"),
+        ("s2", 10, None, "OK"),
+        ("s1", 50, "OK", "CPU spike suspected"),
+        ("s2", 30, "OK", "Memory saturation suspected"),
+    }
