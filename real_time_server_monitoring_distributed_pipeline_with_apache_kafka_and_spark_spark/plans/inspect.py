@@ -51,17 +51,35 @@ def read_schema_columns(df: DataFrame) -> list[str]:
     return cols
 
 
+def _exchange_node_ids(plan: str, node_name: str) -> set[str]:
+    """Unique operator ids of ``(N) <node_name>`` nodes in a formatted plan.
+
+    Formatted explain prints each operator twice — once in the plan tree
+    and once as a details-section heading — so counting matches would
+    double-count; the id set dedups. The name is matched exactly
+    (``Exchange`` does NOT match ``BroadcastExchange``: the pattern anchors
+    the name right after the id, with a word-boundary guard after it).
+    """
+    return set(re.findall(rf"\((\d+)\)\s+{re.escape(node_name)}(?![\w])", plan))
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Number of Exchange operators (shuffles + broadcasts) in the plan."""
-    return len(re.findall(r"\bExchange\b|\(\d+\) Exchange", formatted_plan(df)))
+    plan = formatted_plan(df)
+    return len(_exchange_node_ids(plan, "Exchange")) + len(
+        _exchange_node_ids(plan, "BroadcastExchange")
+    )
 
 
 def shuffle_exchange_count(df: DataFrame) -> int:
-    """Shuffle exchanges only (hashpartitioning/rangepartitioning/…),
-    excluding broadcast exchanges which move only the small side."""
-    plan = formatted_plan(df)
-    total = len(re.findall(r"\(\d+\) Exchange\b", plan))
-    return total
+    """Shuffle exchanges only (node name exactly ``Exchange``), explicitly
+    excluding ``BroadcastExchange`` which moves only the small side."""
+    return len(_exchange_node_ids(formatted_plan(df), "Exchange"))
+
+
+def broadcast_exchange_count(df: DataFrame) -> int:
+    """BroadcastExchange operators only."""
+    return len(_exchange_node_ids(formatted_plan(df), "BroadcastExchange"))
 
 
 def broadcast_join_count(df: DataFrame) -> int:
@@ -78,7 +96,8 @@ def plan_report(df: DataFrame) -> dict:
     return {
         "pushed_filters": pushed_filters(df),
         "read_schema_columns": read_schema_columns(df),
-        "exchanges": len(re.findall(r"\(\d+\) Exchange\b", plan)),
+        "exchanges": len(_exchange_node_ids(plan, "Exchange")),
+        "broadcast_exchanges": len(_exchange_node_ids(plan, "BroadcastExchange")),
         "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
         "sort_merge_joins": len(re.findall(r"SortMergeJoin", plan)),
         "nested_loop_joins": len(re.findall(r"BroadcastNestedLoopJoin|CartesianProduct", plan)),

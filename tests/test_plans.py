@@ -94,3 +94,31 @@ def test_ann_bruteforce_broadcasts_queries(reports):
     r = reports("sim_ann_bruteforce")
     assert r["nested_loop_joins"] >= 1, r
     assert r["exchanges"] <= 1, r  # only the ranking window shuffles
+
+
+def test_exchange_counting_on_canned_plan():
+    """Node-name matching must distinguish Exchange from BroadcastExchange
+    and must not double-count the details-section headings."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.inspect import (
+        _exchange_node_ids,
+    )
+
+    canned = """
+== Physical Plan ==
+* HashAggregate (6)
++- Exchange (5)
+   +- * HashAggregate (4)
+      +- * BroadcastHashJoin Inner BuildRight (3)
+         :- * ColumnarToRow (1)
+         +- BroadcastExchange (2)
+
+(2) BroadcastExchange
+Input [2]: [n_nationkey, n_name]
+
+(5) Exchange
+Input [3]: [l_returnflag, sum, count]
+Arguments: hashpartitioning(l_returnflag, 32)
+"""
+    # Tree lines use "Exchange (5)" form; detail headings "(5) Exchange".
+    assert _exchange_node_ids(canned, "Exchange") == {"5"}
+    assert _exchange_node_ids(canned, "BroadcastExchange") == {"2"}
