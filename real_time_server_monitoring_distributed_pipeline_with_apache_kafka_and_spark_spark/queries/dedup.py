@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as ops
 from ..operators.similarity import cosine_pairs, cosine_pairs_lsh
+from ..operators.text import BPE_PATTERN
 from ..sources import load_table
+
+# BPE pattern for SQL oracles: doubled quote for a SQL string literal.
+_BPE_SQL = BPE_PATTERN.replace("'", "''")
 
 JACCARD_THRESHOLD = 0.8
 COSINE_THRESHOLD = 0.4
@@ -95,8 +99,37 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composite these operators exist
+    for: quality filter -> exact dedup (min-id representative) -> 3-gram
+    Jaccard near-dup removal (drop the higher id of each >=0.8 pair) ->
+    curated manifest with token accounting.
+
+    Every stage is exact (int/int ratios, lossless PPJoin prefix filter),
+    so the whole pipeline is oracle-checkable. Scale shape: one scan for
+    quality+tokens (narrow, codegen), one hash-agg for exact dedup, the
+    inverted-index join for near-dups, one anti-join — no all-pairs
+    anywhere, no Python.
+    """
+    from ..operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_ops.quality_score(docs)
+    kept = scored.filter(F.col("quality") >= 0.33)
+    reps = ops.exact_dedup(kept, ["text"], "doc_id").select("doc_id", "n_copies")
+    survivors = kept.join(reps, "doc_id")
+    pairs = ops.jaccard_pairs(
+        ops.word_shingles(survivors), threshold=JACCARD_THRESHOLD
+    )
+    drops = pairs.select(F.col("b_id").alias("doc_id")).distinct()
+    curated = survivors.join(drops, "doc_id", "left_anti")
+    stats = text_ops.token_stats(curated)
+    return stats.select("doc_id", "quality", "n_copies", "n_tokens", "n_bpe_tokens")
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "pipeline_corpus_curation": pipeline_corpus_curation,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -105,6 +138,47 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_corpus_curation": """
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id, text, toks,
+      0.3*(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(toks))
+    + 0.3*(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks))
+    + 0.3*least(CAST(len(toks) AS DOUBLE)/100.0, 1.0)
+    - 0.1*(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)/length(text))
+    AS quality
+  FROM t
+),
+kept AS (SELECT * FROM q WHERE quality >= 0.33),
+rep AS (SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM kept GROUP BY text),
+surv AS (SELECT k.doc_id, k.text, k.toks, k.quality, r.n_copies
+         FROM kept k JOIN rep r USING (doc_id)),
+shingles AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, toks AS w FROM surv) s, UNNEST(range(1, len(w) - 1)) u(i)
+  WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+drops AS (
+  SELECT DISTINCT b_id FROM pairs
+  JOIN sizes sa ON a_id = sa.doc_id
+  JOIN sizes sb ON b_id = sb.doc_id
+  WHERE common * 1.0 / (sa.n_shingles + sb.n_shingles - common) >= 0.8
+)
+SELECT doc_id, quality, n_copies,
+  CAST(len(toks) AS INTEGER) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '{BPE}')) AS INTEGER) AS n_bpe_tokens
+FROM surv
+WHERE doc_id NOT IN (SELECT b_id FROM drops)
+""".replace("{BPE}", _BPE_SQL),
     "dedup_exact": """
 SELECT min(doc_id) AS doc_id, count(*) AS n_copies, length(text) AS text_len
 FROM documents GROUP BY text

@@ -610,12 +610,12 @@ QUERIES = {
     "rel_salted_join": rel_salted_join,
     "rel_range_join": rel_range_join,
     "rel_sql_subqueries": rel_sql_subqueries,
-    "rel_agg_stats": rel_agg_stats,
     "rel_approx_distinct": rel_approx_distinct,
     "rel_percentile": rel_percentile,
     "rel_approx_percentile": rel_approx_percentile,
-    "rel_count_distinct": rel_count_distinct,
     # --- tail: trivial/stock-SQL surface, proven green in round 1 ---
+    "rel_agg_stats": rel_agg_stats,
+    "rel_count_distinct": rel_count_distinct,
     "rel_cross_join": rel_cross_join,
     "rel_set_ops": rel_set_ops,
     "rel_distinct": rel_distinct,
