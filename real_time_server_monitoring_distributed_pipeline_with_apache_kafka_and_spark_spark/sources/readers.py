@@ -64,7 +64,11 @@ def parallelize_if_narrow(df: DataFrame, min_parallelism: int | None = None) -> 
     """
     spark = df.sparkSession
     target = min_parallelism or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # inputFiles() reads the scan's file listing without materializing the
+    # plan (df.rdd would force RDD conversion just to count partitions).
+    # File count lower-bounds scan parallelism for splittable formats.
+    n_files = len(df.inputFiles())
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
@@ -91,6 +95,35 @@ def write_partitioned_parquet(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (optionally sorted) parquet table: co-locate join/agg keys
+    at WRITE time so every later join or aggregation on the bucket key
+    runs with zero exchange — the landed-table answer to the monitoring
+    join's both-sides shuffle (operators/monitoring.py scale notes).
+
+    At 100 TB this converts the per-query shuffle of two metric tables
+    into a one-time cost at landing: both sides bucketed by the same key
+    into the same bucket count join bucket-to-bucket (plan pinned by
+    tests/test_plans.py::test_bucketed_join_no_exchange). ``sort_cols``
+    additionally orders within buckets so sort-merge joins skip the sort
+    when files-per-bucket is 1.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table_name)
 
 
 def write_single_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -122,3 +122,40 @@ Arguments: hashpartitioning(l_returnflag, 32)
     # Tree lines use "Exchange (5)" form; detail headings "(5) Exchange".
     assert _exchange_node_ids(canned, "Exchange") == {"5"}
     assert _exchange_node_ids(canned, "BroadcastExchange") == {"2"}
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Landing the metric tables bucketed by the join key removes the
+    monitoring join's shuffle entirely: the bucket-to-bucket join plans
+    with ZERO exchanges (the 100 TB fix called out in
+    operators/monitoring.py's scale notes)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.inspect import (
+        broadcast_exchange_count,
+        shuffle_exchange_count,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.readers import (
+        write_bucketed_table,
+    )
+
+    from .fixtures import metrics_wide_df, narrow_splits
+
+    wide = metrics_wide_df(spark)
+    cpu, mem, _, _ = narrow_splits(wide)
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        for name, df in [("b_cpu", cpu), ("b_mem", mem)]:
+            write_bucketed_table(
+                df, name, ["ts", "server_id"], n_buckets=8,
+                sort_cols=["ts", "server_id"], path=str(tmp_path / name),
+            )
+        joined = spark.table("b_cpu").join(
+            spark.table("b_mem"), on=["ts", "server_id"], how="inner"
+        )
+        assert shuffle_exchange_count(joined) == 0, "bucketed join must not shuffle"
+        assert broadcast_exchange_count(joined) == 0
+        assert joined.count() == cpu.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql("DROP TABLE IF EXISTS b_cpu")
+        spark.sql("DROP TABLE IF EXISTS b_mem")
