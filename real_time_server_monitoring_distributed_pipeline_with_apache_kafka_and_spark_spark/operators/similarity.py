@@ -203,24 +203,42 @@ def cosine_pairs_lsh(
     withn = vectors.select(
         F.col(id_col), F.col(vec_col), norm2(F.col(vec_col)).alias("nrm")
     )
+    paired = candidates.join(
+        withn.select(
+            F.col(id_col).alias("a_id"),
+            F.col(vec_col).alias("vec_a"),
+            F.col("nrm").alias("nrm_a"),
+        ),
+        "a_id",
+    ).join(
+        withn.select(
+            F.col(id_col).alias("b_id"),
+            F.col(vec_col).alias("vec_b"),
+            F.col("nrm").alias("nrm_b"),
+        ),
+        "b_id",
+    )
+    # Two-stage verify, same design as cosine_pairs: a vectorized numpy
+    # dot prunes the (large) candidate set with a 1e-6 margin — the
+    # interpreted fold over every candidate was the dominant cost (LSH at
+    # a low threshold admits most pairs as candidates) — then the exact
+    # fold arithmetic makes the FINAL filter, so the output stays
+    # bit-identical to the exact path's scores and the subset-of-exact
+    # precision guarantee holds.
+    margin = threshold - 1e-6
+
+    @F.pandas_udf("double")
+    def _np_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    prefiltered = paired.filter(
+        _np_dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+        >= margin
+    )
     return (
-        candidates.join(
-            withn.select(
-                F.col(id_col).alias("a_id"),
-                F.col(vec_col).alias("vec_a"),
-                F.col("nrm").alias("nrm_a"),
-            ),
-            "a_id",
-        )
-        .join(
-            withn.select(
-                F.col(id_col).alias("b_id"),
-                F.col(vec_col).alias("vec_b"),
-                F.col("nrm").alias("nrm_b"),
-            ),
-            "b_id",
-        )
-        .withColumn(
+        prefiltered.withColumn(
             "cos",
             dot_product(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b")),
         )

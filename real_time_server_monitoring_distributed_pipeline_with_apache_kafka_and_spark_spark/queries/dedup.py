@@ -118,8 +118,11 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = scored.filter(F.col("quality") >= 0.33)
     reps = ops.exact_dedup(kept, ["text"], "doc_id").select("doc_id", "n_copies")
     survivors = kept.join(reps, "doc_id")
+    # narrow projection below the shingle explode: the persisted shingle
+    # table then carries no quality columns through its 8 plan branches
     pairs = ops.jaccard_pairs(
-        ops.word_shingles(survivors), threshold=JACCARD_THRESHOLD
+        ops.word_shingles(survivors.select("doc_id", "text")),
+        threshold=JACCARD_THRESHOLD,
     )
     drops = pairs.select(F.col("b_id").alias("doc_id")).distinct()
     curated = survivors.join(drops, "doc_id", "left_anti")
