@@ -340,3 +340,41 @@ def test_batch_transitions_match_streaming_semantics(spark):
         ("s1", 50, "OK", "CPU spike suspected"),
         ("s2", 30, "OK", "Memory saturation suspected"),
     }
+
+
+def test_rate_replay_backpressure_bounds_batches(spark):
+    """T6 surface: the rate source's rowsPerSecond bounds rows per
+    micro-batch (the file/Kafka analogues are maxFilesPerTrigger /
+    maxOffsetsPerTrigger) — no batch may exceed rate x trigger interval,
+    so downstream state growth is bounded regardless of input backlog."""
+    import time
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.jobs import (
+        rate_replay_stream,
+    )
+
+    data = spark.createDataFrame(
+        [(f"server_{i}", float(i)) for i in range(200)],
+        "server_id string, cpu_pct double",
+    )
+    replay = rate_replay_stream(data, rows_per_second=50)
+    q = (
+        replay.writeStream.format("memory")
+        .queryName("bp_sink")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM bp_sink").collect()[0].c
+            if n >= 100:
+                break
+            time.sleep(0.5)
+    finally:
+        per_batch = [p["numInputRows"] for p in q.recentProgress]
+        q.stop()
+    assert sum(per_batch) >= 100, per_batch
+    # 50 rows/sec at 1s triggers: no micro-batch beyond ~2 intervals' worth
+    assert max(per_batch) <= 100, per_batch
