@@ -603,7 +603,6 @@ QUERIES = {
     "rel_window_running": rel_window_running,
     "rel_window_frames": rel_window_frames,
     "rel_rollup": rel_rollup,
-    "rel_cube": rel_cube,
     "rel_grouping_sets": rel_grouping_sets,
     "rel_pivot": rel_pivot,
     "rel_asof_join": rel_asof_join,
@@ -614,6 +613,7 @@ QUERIES = {
     "rel_percentile": rel_percentile,
     "rel_approx_percentile": rel_approx_percentile,
     # --- tail: trivial/stock-SQL surface, proven green in round 1 ---
+    "rel_cube": rel_cube,
     "rel_agg_stats": rel_agg_stats,
     "rel_count_distinct": rel_count_distinct,
     "rel_cross_join": rel_cross_join,

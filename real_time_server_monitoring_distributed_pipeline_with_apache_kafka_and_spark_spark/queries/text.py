@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import text as ops
 from ..sources import load_table
@@ -86,8 +87,40 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test corpus split + per-split token budget.
+
+    split = pmod(md5(doc_id)[0:8] as int, 100) -> <80 train, <90 val,
+    else test. Hash-based assignment is the standard reproducible split
+    for training corpora: stable under reshuffling/re-partitioning,
+    needs no global sort or RNG state, and any engine (here: DuckDB)
+    derives the identical assignment. One narrow scan + one hash-agg.
+    """
+    from ..operators.text import tokens as tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), F.size(tokenize(F.col("text"))).alias("n_tok"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_hash_split": text_hash_split,
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -95,6 +128,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_hash_split": f"""
+WITH b AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+           AS bucket,
+         len({_TOKENS}) AS n_tok
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       sum(n_tok) AS total_tokens
+FROM b GROUP BY 1
+""",
     "text_tfidf": f"""
 WITH terms AS (
   SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
