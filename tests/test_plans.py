@@ -159,3 +159,25 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.sql("DROP TABLE IF EXISTS b_cpu")
         spark.sql("DROP TABLE IF EXISTS b_mem")
+
+
+def test_curation_pipeline_no_nested_loops(reports):
+    """The composite pipeline stays inverted-index + anti-join all the way:
+    no cartesian products or nested-loop joins anywhere in the plan."""
+    r = reports("pipeline_corpus_curation")
+    assert r["nested_loop_joins"] == 0, r
+    assert r["python_stages"] == 0, "curation pipeline must stay JVM-side"
+
+
+def test_embedding_lsh_no_cartesian(reports):
+    """LSH candidates come from a bucket equi-join; only the numpy-dot
+    prefilter runs in Python (one Arrow stage)."""
+    r = reports("dedup_embedding_lsh")
+    assert r["nested_loop_joins"] == 0, r
+
+
+def test_hash_split_single_shuffle_narrow_scan(reports):
+    """Corpus split: one agg shuffle; scan reads only doc_id + text."""
+    r = reports("text_hash_split")
+    assert r["exchanges"] <= 1, r
+    assert set(r["read_schema_columns"]) <= {"doc_id", "text"}, r
