@@ -237,9 +237,69 @@ def monitor_alert_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return track_alert_transitions_batch(alerts, entity_col="user_id", debounce=1)
 
 
+def monitor_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel: view -> click -> purchase per user.
+
+    Stagewise conditional min-aggregation: pass k computes stage k's
+    first-qualifying timestamp (min ts with ts > previous stage) as a
+    hash-agg on user_id, with the small per-user stage table joined back
+    (broadcast-eligible: one row per user). N stages = N grouped passes —
+    linear in stages, never the quadratic per-stage self-join of the
+    naive formulation, and no window-sort over raw events. Each stage
+    must convert within a 1-day deadline of the previous one (standard
+    attribution-window semantics; also what would keep state bounded in
+    a streaming variant).
+    Output: per-stage user counts (ordered-reachability semantics).
+    """
+    deadline = F.expr("INTERVAL 1 DAY")
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+    )
+    # click must FOLLOW the user's first view within the deadline;
+    # purchase must follow that click likewise.
+    stages = (
+        ev.join(per_user, "user_id")
+        .groupBy("user_id", "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view"))
+                    & (F.col("ts") <= F.col("t_view") + deadline),
+                    F.col("ts"),
+                )
+            ).alias("t_click")
+        )
+    )
+    full = (
+        ev.join(stages, "user_id")
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click"))
+                    & (F.col("ts") <= F.col("t_click") + deadline),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    return full.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_view").isNotNull(), F.col("t_click"))).alias("n_click"),
+        F.count(
+            F.when(F.col("t_view").isNotNull() & F.col("t_click").isNotNull(), F.col("t_purchase"))
+        ).alias("n_purchase"),
+    )
+
+
 QUERIES = {
     "monitor_cpu_mem_alerts": monitor_cpu_mem_alerts,
     "monitor_alert_transitions": monitor_alert_transitions,
+    "monitor_funnel": monitor_funnel,
     "monitor_net_disk_alerts": monitor_net_disk_alerts,
     "monitor_window_sliding_avg": monitor_window_sliding_avg,
     "monitor_window_tumbling": monitor_window_tumbling,
@@ -251,6 +311,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    "monitor_funnel": """
+WITH v AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, v.t_view,
+         min(CASE WHEN e.event_type = 'click' AND e.ts > v.t_view
+                   AND e.ts <= v.t_view + INTERVAL 1 DAY THEN e.ts END) AS t_click
+  FROM events e JOIN v USING (user_id)
+  GROUP BY e.user_id, v.t_view
+),
+p AS (
+  SELECT e.user_id, c.t_view, c.t_click,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts > c.t_click
+                   AND e.ts <= c.t_click + INTERVAL 1 DAY THEN e.ts END) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  GROUP BY e.user_id, c.t_view, c.t_click
+)
+SELECT count(*) AS n_users,
+       count(t_view) AS n_view,
+       count(CASE WHEN t_view IS NOT NULL THEN t_click END) AS n_click,
+       count(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL THEN t_purchase END) AS n_purchase
+FROM p
+""",
     "monitor_alert_transitions": """
 WITH agg AS (
   SELECT user_id,

@@ -604,7 +604,6 @@ QUERIES = {
     "rel_window_frames": rel_window_frames,
     "rel_rollup": rel_rollup,
     "rel_grouping_sets": rel_grouping_sets,
-    "rel_pivot": rel_pivot,
     "rel_asof_join": rel_asof_join,
     "rel_salted_join": rel_salted_join,
     "rel_range_join": rel_range_join,
@@ -613,6 +612,7 @@ QUERIES = {
     "rel_percentile": rel_percentile,
     "rel_approx_percentile": rel_approx_percentile,
     # --- tail: trivial/stock-SQL surface, proven green in round 1 ---
+    "rel_pivot": rel_pivot,
     "rel_cube": rel_cube,
     "rel_agg_stats": rel_agg_stats,
     "rel_count_distinct": rel_count_distinct,
