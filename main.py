@@ -18,10 +18,10 @@ Same roles as ``/root/reference/main.py:13-48`` (``producer``,
                    window agg -> CASE alerts -> CSV (spark_job1.py /
                    spark_job2.py semantics, explicit schemas, no
                    inferSchema).
-- ``stream-job1`` — bonus: spark-job1's plan as one continuous pipeline
-                   (Kafka -> parse -> stream-stream join -> windowed agg
-                   -> alerts), which the reference's design doc aspired to
-                   but never wired up.
+- ``stream-job1/2``— bonus: both reference jobs' plans as continuous
+                   pipelines (Kafka -> parse -> stream-stream join ->
+                   windowed agg -> alerts), which the reference's design
+                   doc aspired to but never wired up.
 
 Usage: python main.py <role> [--config config.yaml] [--parquet] [--dry-run]
 """
@@ -57,6 +57,7 @@ ROLES = (
     "spark-job1",
     "spark-job2",
     "stream-job1",
+    "stream-job2",
 )
 
 # (metric, topic-attr, landed file stem) per consumer, consumer1.py:30-36 /
@@ -211,24 +212,30 @@ def run_spark_job(
     print(f"{role}: alerts -> {dest}")
 
 
-def run_stream_job1(spark, config: cfg.PipelineConfig) -> None:
+def run_stream_job(spark, config: cfg.PipelineConfig, role: str) -> None:
     from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming import (
         jobs,
     )
 
-    records = kafka_io.kafka_source(
-        spark, config.kafka, topics=[config.kafka.topic_cpu, config.kafka.topic_mem]
-    ).load()
-    cpu = parse.demux_topic(records, config.kafka.topic_cpu, "cpu")
-    mem = parse.demux_topic(records, config.kafka.topic_mem, "mem")
-    alerts = jobs.streaming_cpu_mem_job(cpu, mem, config=config)
+    if role == "stream-job1":
+        topics = (config.kafka.topic_cpu, config.kafka.topic_mem)
+        metrics = ("cpu", "mem")
+        job, stem = jobs.streaming_cpu_mem_job, "cpu_mem_alerts_stream"
+    else:
+        topics = (config.kafka.topic_net, config.kafka.topic_disk)
+        metrics = ("net", "disk")
+        job, stem = jobs.streaming_net_disk_job, "net_disk_alerts_stream"
+    records = kafka_io.kafka_source(spark, config.kafka, topics=list(topics)).load()
+    left = parse.demux_topic(records, topics[0], metrics[0])
+    right = parse.demux_topic(records, topics[1], metrics[1])
+    alerts = job(left, right, config=config)
     (
         alerts.writeStream.outputMode("append")
         .format("parquet")
-        .option("path", os.path.join(config.paths.output_dir, "cpu_mem_alerts_stream"))
+        .option("path", os.path.join(config.paths.output_dir, stem))
         .option(
             "checkpointLocation",
-            os.path.join(config.paths.output_dir, "_checkpoint_stream_job1"),
+            os.path.join(config.paths.output_dir, f"_checkpoint_{role}"),
         )
         .start()
         .awaitTermination()
@@ -266,8 +273,8 @@ def main(argv: list[str] | None = None) -> None:
         run_consumer(spark, config, args.role)
     elif args.role in ("spark-job1", "spark-job2"):
         run_spark_job(spark, config, args.role, args.parquet, args.float32_parity)
-    elif args.role == "stream-job1":
-        run_stream_job1(spark, config)
+    elif args.role in ("stream-job1", "stream-job2"):
+        run_stream_job(spark, config, args.role)
     if owns_session:  # don't stop a session we borrowed (tests, notebooks)
         spark.stop()
 

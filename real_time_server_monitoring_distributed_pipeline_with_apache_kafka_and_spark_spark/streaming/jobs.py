@@ -65,6 +65,39 @@ def streaming_cpu_mem_job(
     return ops.format_window_output(alerts, entity_col, ["avg_cpu", "avg_mem"])
 
 
+def streaming_net_disk_job(
+    net: DataFrame,
+    disk: DataFrame,
+    config=DEFAULT_CONFIG,
+    entity_col: str = "server_id",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """spark_job2 as a continuous pipeline: stream-stream inner join on
+    (ts, entity) -> sliding window max -> CASE alert. Mirror of
+    :func:`streaming_cpu_mem_job` on the net/disk metric pair
+    (spark_job2.py:18-44 semantics)."""
+    joined = ops.join_metric_streams(
+        watermarked(net, delay=watermark),
+        watermarked(disk, delay=watermark),
+        keys=("ts", entity_col),
+    )
+    agged = ops.sliding_window_agg(
+        joined,
+        {"max_net_in": F.max("net_in"), "max_disk_io": F.max("disk_io")},
+        entity_col=entity_col,
+        window=config.window,
+    )
+    alerts = agged.withColumn(
+        "alert",
+        ops.alert_case(
+            "Network flood + Disk thrash suspected",
+            ("max_net_in", config.thresholds.net_in, "Possible DDoS"),
+            ("max_disk_io", config.thresholds.disk_io, "Disk thrash suspected"),
+        ),
+    )
+    return ops.format_window_output(alerts, entity_col, ["max_net_in", "max_disk_io"])
+
+
 def streaming_window_alerts(
     events: DataFrame,
     value_col: str = "cpu_pct",

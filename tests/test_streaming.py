@@ -378,3 +378,42 @@ def test_rate_replay_backpressure_bounds_batches(spark):
     assert sum(per_batch) >= 100, per_batch
     # 50 rows/sec at 1s triggers: no micro-batch beyond ~2 intervals' worth
     assert max(per_batch) <= 100, per_batch
+
+
+def test_streaming_net_disk_job_matches_batch(spark, tmp_path):
+    """stream-job2's plan (stream-stream join -> window max -> CASE) over
+    file streams equals the batch net_disk_job on the same rows."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.monitoring import (
+        net_disk_job,
+    )
+
+    wide = metrics_wide_df(spark)
+    _, _, net, disk = narrow_splits(wide)
+    net_src, disk_src = str(tmp_path / "net"), str(tmp_path / "disk")
+    _write_csv(net, net_src)
+    _write_csv(disk, disk_src)
+    net_s = spark.readStream.schema(schemas.METRICS_NET).csv(net_src)
+    disk_s = spark.readStream.schema(schemas.METRICS_DISK).csv(disk_src)
+    out = jobs.streaming_net_disk_job(net_s, disk_s)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("nd_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.server_id, r.window_start, r.max_net_in, r.max_disk_io, r.alert)
+            for r in spark.sql("SELECT * FROM nd_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.server_id, r.window_start, r.max_net_in, r.max_disk_io, r.alert)
+        for r in net_disk_job(net, disk).collect()
+    }
+    # append mode emits only watermark-closed windows; every emitted row
+    # must match batch exactly, and most windows should have closed
+    assert got <= batch
+    assert len(got) >= 0.8 * len(batch), (len(got), len(batch))
