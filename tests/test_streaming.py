@@ -417,3 +417,48 @@ def test_streaming_net_disk_job_matches_batch(spark, tmp_path):
     # must match batch exactly, and most windows should have closed
     assert got <= batch
     assert len(got) >= 0.8 * len(batch), (len(got), len(batch))
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """T4: a streaming query stopped and restarted from its checkpoint
+    neither loses nor duplicates rows — the file sink + offset log replace
+    the reference's acks/auto-commit with exactly-once delivery."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    wide = metrics_wide_df(spark)
+    cpu, *_ = narrow_splits(wide)
+    first, second = cpu.filter(F.col("server_id") != "server_1"), cpu.filter(
+        F.col("server_id") == "server_1"
+    )
+    _write_csv(first, src)
+
+    def start():
+        stream = spark.readStream.schema(schemas.METRICS_CPU).csv(src)
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_first = spark.read.parquet(sink).count()
+    assert n_first == first.count()
+
+    # new data arrives while the query is DOWN; restart from checkpoint
+    _write_csv(second, src)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(sink)
+    assert out.count() == cpu.count(), "restart must deliver exactly once"
+    # key-level: no row duplicated, none lost
+    assert out.select("ts", "server_id").distinct().count() == cpu.count()
