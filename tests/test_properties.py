@@ -99,3 +99,49 @@ def test_decimal_sum_partition_invariance(spark, amounts, n_parts):
         for p in (1, n_parts)
     }
     assert len(sums) == 1
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    left=st.lists(
+        st.tuples(st.sampled_from("ab"), st.integers(0, 50)), min_size=1, max_size=12
+    ),
+    right=st.lists(
+        st.tuples(
+            st.sampled_from("ab"),
+            st.integers(0, 50),
+            st.one_of(st.none(), st.floats(0, 100, allow_nan=False)),
+        ),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+def test_asof_join_matches_bruteforce_model(spark, left, right):
+    """asof_join == the brute-force model on random keyed series: for each
+    left row, the right row with max ts <= left.ts for that key, ALL of
+    whose value columns come from that single row (NULLs included)."""
+    from datetime import datetime
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.joins import (
+        asof_join,
+    )
+
+    ts = lambda s: datetime(2024, 1, 1, 0, 0, 0, 0).replace(minute=s // 60, second=s % 60)  # noqa: E731
+    ldf = spark.createDataFrame([(k, ts(t), float(i)) for i, (k, t) in enumerate(left)], ["k", "ts", "lv"])
+    rdf = spark.createDataFrame(
+        [(k, ts(t), v, float(t)) for k, t, v in right], "k string, ts timestamp, rv double, rw double"
+    )
+    got = {
+        (r.k, r.ts, r.lv): (r.rv_right, r.rw_right, r.ts_right)
+        for r in asof_join(ldf, rdf, key_cols=["k"]).collect()
+    }
+    assert len(got) == len(left)
+    for i, (k, t) in enumerate(left):
+        cands = [(rk, rt, v) for rk, rt, v in right if rk == k and rt <= t]
+        if not cands:
+            expected = (None, None, None)
+        else:
+            rk, rt, v = max(cands, key=lambda c: c[1])
+            expected = (v, float(rt), ts(rt))
+        assert got[(k, ts(t), float(i))] == expected, (k, t, got[(k, ts(t), float(i))], expected)
