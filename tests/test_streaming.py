@@ -462,3 +462,38 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     assert out.count() == cpu.count(), "restart must deliver exactly once"
     # key-level: no row duplicated, none lost
     assert out.select("ts", "server_id").distinct().count() == cpu.count()
+
+
+def test_batch_transitions_vectorized_equals_loop(spark):
+    """debounce=1's vectorized fast path must emit exactly what the
+    _advance state machine emits, on random flappy sequences."""
+    import random
+
+    from datetime import datetime
+
+    import pandas as pd
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.stateful import (
+        _advance,
+        track_alert_transitions_batch,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for s in ("s1", "s2", "s3"):
+        for sec in range(0, 300, 10):
+            rows.append((s, datetime(2024, 1, 1, 0, sec // 60, sec % 60),
+                         rng.choice(["OK", "HIGH", "HIGH", "OK", "MED"])))
+    alerts = spark.createDataFrame(rows, ["server_id", "window_start", "alert"])
+    got = {
+        (r.server_id, r.window_start, r.from_state, r.to_state)
+        for r in track_alert_transitions_batch(alerts, debounce=1).collect()
+    }
+    expected = set()
+    for s in ("s1", "s2", "s3"):
+        pdf = pd.DataFrame(
+            [r[1:] for r in rows if r[0] == s], columns=["window_start", "alert"]
+        ).sort_values("window_start")
+        out, _ = _advance(pdf, (None, None, 0), 1, s)
+        expected |= {tuple(t) for t in out}
+    assert got == expected and len(expected) > 10
