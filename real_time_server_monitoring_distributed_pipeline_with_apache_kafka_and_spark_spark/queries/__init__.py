@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup, monitoring, multimodal, relational, similarity, text
+from . import dedup, extras, monitoring, multimodal, relational, similarity, text
 
 # Order is load-bearing: the correctness driver verifies the first ~50
 # entries in registry iteration order (round 1 stopped at exactly 50, the
@@ -20,7 +20,7 @@ from . import dedup, monitoring, multimodal, relational, similarity, text
 # text/multimodal therefore run right after monitoring; relational's tail
 # (trivial stock-SQL scalar functions, all driver-green in round 1) is what
 # now falls outside the cap. Every query keeps local pytest oracle coverage.
-_MODULES = (monitoring, text, multimodal, dedup, similarity, relational)
+_MODULES = (monitoring, text, multimodal, dedup, similarity, relational, extras)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
