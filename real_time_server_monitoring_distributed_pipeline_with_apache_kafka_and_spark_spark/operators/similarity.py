@@ -247,6 +247,80 @@ def cosine_pairs_lsh(
     )
 
 
+def quantize_int8(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: 4x smaller embedding
+    storage/shuffle at corpus scale.
+
+    scale = max|x| / 127 per vector; q_i = round(x_i / scale) in
+    [-127, 127]. Pure built-in higher-order functions (no Python).
+    Dequantization is q_i * scale; the worst-case per-element error is
+    scale/2, so dot-product relative error stays ~1e-2 for unit-norm
+    64-dim vectors — rerank survivors against the float column when
+    exact scores matter (the standard two-tier layout: int8 for the
+    scan/candidate tier, float32 for the rerank tier).
+
+    Output: (id, qvec array<tinyint>, scale double).
+    """
+    v = F.col(vec_col)
+    scale = (
+        F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))) / F.lit(127.0)
+    )
+    # scale materialized as a column first: agg expressions get no common-
+    # subexpression elimination, so inlining it would recompute the
+    # array_max once per element inside the transform lambda.
+    return vectors.withColumn("_scale", scale).select(
+        F.col(id_col),
+        F.transform(
+            v, lambda x: F.round(x.cast("double") / F.col("_scale")).cast("tinyint")
+        ).alias("qvec"),
+        F.col("_scale").alias("scale"),
+    )
+
+
+def ann_quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors: the scan tier of a
+    two-tier ANN layout. Scores are dequantized dot products (integer
+    dot x scale_a x scale_b — one multiply per pair after the int
+    accumulation); ranking quality is pinned vs the float path in
+    tests (recall; rows-only driver check since half-up rounding at
+    quantization boundaries is not portable across engines).
+    """
+    from pyspark.sql import Window
+
+    qc = quantize_int8(corpus, id_col, vec_col)
+    qq = quantize_int8(queries, id_col, vec_col)
+    # int accumulation in long (64*127*127 < 2^20, no overflow), then one
+    # float multiply by the two scales
+    int_dot = F.aggregate(
+        F.zip_with(F.col("qvec_c"), F.col("qvec_q"), lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    c = qc.select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("qvec_c"), F.col("scale").alias("scale_c")
+    )
+    q = qq.select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("qvec_q"), F.col("scale").alias("scale_q")
+    )
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "score", int_dot.cast("double") * F.col("scale_c") * F.col("scale_q")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -62,9 +62,23 @@ def rel_salted_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stage2
 
 
+def sim_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized brute-force top-k (two-tier ANN scan tier, 4x
+    smaller vectors). Quantization rounding is engine-specific =>
+    rows-only driver check; recall vs the float path is pinned in
+    tests/test_dedup_similarity.py."""
+    from ..operators.similarity import ann_quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    return ann_quantized_topk(corpus, queries, k=5)
+
+
 QUERIES = {
     "text_vocab_topk": text_vocab_topk,
     "rel_salted_count_distinct": rel_salted_count_distinct,
+    "sim_ann_quantized": sim_ann_quantized,
 }
 
 ORACLES = {

@@ -121,3 +121,28 @@ def test_cosine_pairs_lsh_recall_and_precision(spark):
     # 3 bits x 16 tables at cos>=0.45: per-pair P(candidate) ~ 99.4% at the
     # threshold boundary, higher above it.
     assert recall >= 0.85, f"cosine LSH recall {recall:.2%}"
+
+
+def test_quantized_ann_recall_vs_float(spark):
+    """Int8 quantization must preserve top-k ranking quality: recall >=
+    90% vs the exact float brute force, and the quantized reconstruction
+    error stays within the scale/2 per-element bound."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in s.ann_topk(corpus, queries, k=5).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in s.ann_quantized_topk(corpus, queries, k=5).collect()
+    }
+    recall = len(quant & exact) / len(exact)
+    assert recall >= 0.9, f"quantized ANN recall {recall:.2%}"
+
+    # reconstruction bound: |x - q*scale| <= scale/2 per element
+    q = s.quantize_int8(emb).join(emb, "vec_id").limit(50).collect()
+    for row in q:
+        for x, qi in zip(row.embedding, row.qvec):
+            assert abs(float(x) - qi * row.scale) <= row.scale / 2 + 1e-12
