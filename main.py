@@ -106,6 +106,7 @@ def run_producer(spark, config: cfg.PipelineConfig, dry_run: bool) -> dict:
         wire.write.mode("overwrite").parquet(dest)
         delivered = spark.read.parquet(dest)  # count what actually landed
     else:
+        kafka_io.require_kafka_connector(spark)
         (
             wire.write.format("kafka")
             .option("kafka.bootstrap.servers", config.kafka.broker)
@@ -145,6 +146,7 @@ def run_producer(spark, config: cfg.PipelineConfig, dry_run: bool) -> dict:
 
 def run_consumer(spark, config: cfg.PipelineConfig, role: str) -> None:
     """Kafka -> demux -> typed CSV landing, one streaming query per topic."""
+    kafka_io.require_kafka_connector(spark)
     topics = CONSUMER_TOPICS[role]
     records = kafka_io.kafka_source(
         spark, config.kafka, topics=[getattr(config.kafka, attr) for _, attr, _ in topics]
@@ -217,6 +219,7 @@ def run_stream_job(spark, config: cfg.PipelineConfig, role: str) -> None:
         jobs,
     )
 
+    kafka_io.require_kafka_connector(spark)
     if role == "stream-job1":
         topics = (config.kafka.topic_cpu, config.kafka.topic_mem)
         metrics = ("cpu", "mem")

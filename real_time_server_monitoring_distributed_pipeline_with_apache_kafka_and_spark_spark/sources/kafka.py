@@ -20,6 +20,28 @@ from pyspark.sql.streaming import DataStreamWriter
 
 from ..config import KafkaConfig
 
+_KAFKA_DEPLOY_HINT = (
+    "The Spark Kafka connector is not on the classpath. Deploy with "
+    "`spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_"
+    "<scala-version>:<spark-version>` (or add the jar to spark.jars). "
+    "Broker-less environments can run every non-Kafka leg: "
+    "`producer --dry-run`, the spark-jobs over landed files, and the "
+    "file/memory-stream tests."
+)
+
+
+def require_kafka_connector(spark: SparkSession) -> None:
+    """Fail fast with an actionable message when format('kafka') is
+    unavailable (Spark's own error just points at the docs). Probes the
+    DataSource registry without touching any broker."""
+    jvm = spark._jvm  # noqa: SLF001 — registry probe has no public API
+    try:
+        jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "kafka", spark._jsparkSession.sessionState().conf()  # noqa: SLF001
+        )
+    except Exception as ex:  # Py4J wraps ClassNotFoundException
+        raise RuntimeError(_KAFKA_DEPLOY_HINT) from ex
+
 
 def kafka_source(
     spark: SparkSession,
@@ -32,6 +54,10 @@ def kafka_source(
     Replaces KafkaConsumer(auto_offset_reset='earliest', auto-commit)
     (``consumer1.py:5-15``); offsets live in the checkpoint, giving
     effectively-once processing instead of auto-commit's at-most-once.
+
+    Builder only — ``.load()`` is the caller's; use
+    :func:`require_kafka_connector` first for a clear error when the
+    connector jar is absent.
     """
     reader = (
         spark.readStream.format("kafka")

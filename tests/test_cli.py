@@ -125,3 +125,29 @@ def test_producer_stats_reference_dataset_proxy(spark, tmp_path):
     assert set(stats["by_topic"]) == {"topic-cpu", "topic-mem", "topic-net", "topic-disk"}
     assert all(n == 28800 for n in stats["by_topic"].values())
     assert stats["records_per_sec"] > 0
+
+
+def test_kafka_roles_fail_fast_without_connector(spark, tmp_path):
+    """Broker-needing roles raise an actionable deployment hint (not
+    Spark's bare 'Failed to find data source') when the Kafka connector
+    jar is absent — which it is in this environment."""
+    import pytest
+
+    import main as cli
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.kafka import (
+        require_kafka_connector,
+    )
+
+    try:
+        require_kafka_connector(spark)
+        pytest.skip("kafka connector present in this environment")
+    except RuntimeError:
+        pass
+    wide = metrics_wide_df(spark)
+    data_file = str(tmp_path / "data_csv")
+    wide.coalesce(1).write.csv(data_file, header=True)
+    config = cfg.from_yaml(_write_config(tmp_path, data_file))
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        cli.run_producer(spark, config, dry_run=False)
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        cli.run_consumer(spark, config, "consumer1")
