@@ -23,8 +23,11 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction (deterministic fake
-    decoder - see operators.multimodal). Rows-only driver check; values are
-    pinned by tests/test_multimodal.py."""
+    decoder - see operators.multimodal). The fake decoder is pure byte
+    arithmetic (length / first byte / sum of first 64 bytes), so it IS
+    oracle-expressible: the SQL below models the bytes via ord(substr)
+    (valid because the corpus is ASCII — byte == codepoint, verified
+    octet_length == length over all docs)."""
     docs = load_table(spark, sf_dir, "documents")
     return ops.decode_features(ops.attach_binary_payload(docs))
 
@@ -57,6 +60,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mm_decode_features": """
+WITH p AS (
+  SELECT doc_id, length(text) AS n,
+    CASE WHEN length(text) = 0 THEN 0 ELSE ord(substr(text, 1, 1)) END AS first_b,
+    coalesce(CAST(list_sum(list_transform(
+      range(1, least(length(text), 64) + 1),
+      i -> ord(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT), 0) AS checks
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n AS INTEGER) AS payload_bytes,
+  CAST(16 + n % 240 AS INTEGER) AS width,
+  CAST(16 + checks % 240 AS INTEGER) AS height,
+  CAST(1 + first_b % 3 AS INTEGER) AS n_channels,
+  CAST(checks % 256 AS DOUBLE) AS mean_pixel
+FROM p
+""",
     "mm_binary_meta": """
 SELECT doc_id,
   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
