@@ -174,11 +174,18 @@ def minhash_signatures(
     no per-permutation shuffle. Output: (id, h0..h{P-1}).
     """
     a_co, b_co = _perm_coeffs(num_perm, seed)
-    # Project the shared xxhash64 base ONCE below the aggregate: declarative
-    # agg expressions get no common-subexpression elimination, so inlining
-    # it would hash every shingle num_perm times.
+    # Base hash: md5-derived 32-bit value (NOT xxhash64) — md5 is
+    # implemented identically in every engine, which is what makes the
+    # whole MinHash-LSH pipeline oracle-checkable in DuckDB (the reason
+    # text.rolling_hash made the same choice). Projected ONCE below the
+    # aggregate: declarative agg expressions get no common-subexpression
+    # elimination, so inlining would hash every shingle num_perm times.
     based = shingled.select(
-        F.col(id_col), F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("_h64")
+        F.col(id_col),
+        F.pmod(
+            F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long"),
+            F.lit(_MERSENNE),
+        ).alias("_h64"),
     )
     base = F.col("_h64")
     mins = [
@@ -211,6 +218,9 @@ def minhash_lsh_pairs(
     # Referenced by the signature pass and both verification sides.
     shingled = shingled.persist()
     sig = minhash_signatures(shingled, id_col, num_perm, seed)
+    # Band hash via md5 of the '_'-joined row values: engine-portable
+    # (see minhash_signatures base-hash note), same collision contract as
+    # hashing the row tuple directly.
     band_rows = sig.select(
         F.col(id_col),
         F.explode(
@@ -218,8 +228,18 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band_idx"),
-                        F.xxhash64(
-                            *[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "_",
+                                    *[
+                                        F.col(f"h{bi * rows_per_band + r}")
+                                        for r in range(rows_per_band)
+                                    ],
+                                )
+                            ),
+                            1,
+                            16,
                         ).alias("band_hash"),
                     )
                     for bi in range(bands)

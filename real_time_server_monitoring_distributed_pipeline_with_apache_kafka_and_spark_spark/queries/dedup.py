@@ -3,10 +3,12 @@
 Oracle notes:
 - n-gram Jaccard is fully SQL-expressible (inverted shingle index join);
   jaccard = common/(|A|+|B|-common) is int/int division => exact doubles.
-- MinHash-LSH / SimHash outputs depend on xxhash64, which DuckDB does not
-  implement => rows-only checks for the LSH candidate paths; their FINAL
-  scores are exact Jaccard / hamming, and tests pin recall against the
-  exact pair set.
+- MinHash-LSH is fully oracle-checked: the base and band hashes are
+  md5-derived (engine-portable), so the 64 permutation mins, the 16x4
+  banding, the candidate join, and the exact-Jaccard verify all replay
+  in DuckDB with the same permutation coefficients inlined as literals.
+- SimHash depends on xxhash64 (per-word 64-bit features), which DuckDB
+  does not implement => rows-only check; recall pinned in tests.
 - Embedding cosine: both engines fold left-to-right in double precision
   (verified bit-exact), so the pair set is oracle-checkable.
 """
@@ -17,12 +19,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as ops
+from ..operators.dedup import _MERSENNE, _perm_coeffs
 from ..operators.similarity import cosine_pairs, cosine_pairs_lsh
 from ..operators.text import BPE_PATTERN
 from ..sources import load_table
 
 # BPE pattern for SQL oracles: doubled quote for a SQL string literal.
 _BPE_SQL = BPE_PATTERN.replace("'", "''")
+
+# MinHash oracle building blocks: the SAME permutation coefficients the
+# Spark operator uses (seed 42), inlined as SQL literals, and the same
+# md5-derived base/band hashes — the oracle replays the pipeline exactly.
+_MH_A, _MH_B = _perm_coeffs(64, seed=42)
+_MH_SIG_EXPRS = ",\n    ".join(
+    f"min((h * {_MH_A[i]} + {_MH_B[i]}) % {_MERSENNE}) AS h{i}" for i in range(64)
+)
+_MH_BAND_SELECTS = "\n  UNION ALL ".join(
+    "SELECT doc_id, {bi} AS band_idx, substr(md5(concat_ws('_', {cols})), 1, 16) AS band_hash FROM sig".format(
+        bi=bi, cols=", ".join(f"h{bi * 4 + r}" for r in range(4))
+    )
+    for bi in range(16)
+)
 
 JACCARD_THRESHOLD = 0.8
 COSINE_THRESHOLD = 0.4
@@ -63,8 +80,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH (64 perms, 16x4 bands) candidates verified by exact
-    Jaccard. Probabilistic recall => rows-only driver check; recall vs the
-    exact pair set is pinned in tests/test_dedup.py."""
+    Jaccard. Fully oracle-checked: md5-based hashing makes every stage
+    (signatures, banding, candidate join, verify) engine-portable, so
+    DuckDB replays the identical pipeline — recall vs the exact pair set
+    is additionally pinned in tests/test_dedup_similarity.py."""
     docs = load_table(spark, sf_dir, "documents")
     shingled = ops.word_shingles(docs)
     return ops.minhash_lsh_pairs(shingled, threshold=JACCARD_THRESHOLD)
@@ -199,6 +218,41 @@ FROM pairs
 JOIN sizes sa ON a_id = sa.doc_id
 JOIN sizes sb ON b_id = sb.doc_id
 WHERE common * 1.0 / (sa.n_shingles + sb.n_shingles - common) >= {JACCARD_THRESHOLD}
+""",
+    "dedup_minhash_lsh": f"""
+WITH {_SHINGLE_CTE},
+based AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) % {_MERSENNE} AS h
+  FROM shingles
+),
+sig AS (
+  SELECT doc_id,
+    {_MH_SIG_EXPRS}
+  FROM based GROUP BY doc_id
+),
+bands AS (
+  {_MH_BAND_SELECTS}
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT sa.doc_id AS a_id, sb.doc_id AS b_id, count(*) AS common
+  FROM shingles sa
+  JOIN shingles sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+  JOIN candidates c ON c.a_id = sa.doc_id AND c.b_id = sb.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       common * 1.0 / (za.n_shingles + zb.n_shingles - common) AS jaccard
+FROM pairs
+JOIN sizes za ON a_id = za.doc_id
+JOIN sizes zb ON b_id = zb.doc_id
+WHERE common * 1.0 / (za.n_shingles + zb.n_shingles - common) >= {JACCARD_THRESHOLD}
 """,
     "dedup_embedding_cosine": f"""
 WITH e AS (
