@@ -17,6 +17,28 @@ from ..sources import load_table
 N_QUERIES = 20
 TOP_K = 5
 
+# LSH oracle building blocks: the same seeded hyperplanes the operator
+# ships as plan literals (seed 7, 12 tables x 6 planes, dim 64), inlined
+# as SQL double literals (repr() round-trips float64 exactly). Sign-bit
+# agreement between numpy and list_dot_product holds unless |dot| is at
+# the ~1e-16 boundary, which the seeded testdata never hits (verified).
+_LSH_TABLES, _LSH_PLANES_PER = 12, 6
+_PLANES = ops._hyperplanes(_LSH_TABLES * _LSH_PLANES_PER, 64, seed=7)
+
+
+def _bucket_sql(t: int) -> str:
+    terms = []
+    for j in range(_LSH_PLANES_PER):
+        lit = "[" + ", ".join(repr(x) for x in _PLANES[t * _LSH_PLANES_PER + j]) + "]"
+        terms.append(f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_LSH_BANDS_SQL = "\n  UNION ALL ".join(
+    f"SELECT vec_id, {t} AS table_idx, ({_bucket_sql(t)}) AS bucket FROM e"
+    for t in range(_LSH_TABLES)
+)
+
 
 def _split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -34,8 +56,12 @@ def sim_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via multi-table random-hyperplane LSH (12 tables
-    x 6 planes). Seeded-constant hyperplanes live in the plan as literals;
-    recall vs brute force is pinned in tests. Rows-only driver check."""
+    x 6 planes). Seeded-constant hyperplanes live in the plan as literals
+    — and the SAME literals are inlined into the DuckDB oracle, which
+    replays bucket assignment (sign bits), the per-table collision join,
+    and the exact-cosine rank, so this approximate operator is still
+    hash-checked end-to-end. Recall vs brute force additionally pinned in
+    tests."""
     corpus, queries = _split(spark, sf_dir)
     return ops.ann_lsh_topk(corpus, queries, k=TOP_K)
 
@@ -66,6 +92,33 @@ scored AS (
          list_dot_product(c.v, q.v)
          / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos
   FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+""",
+    "sim_ann_lsh": f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+bt AS (
+  {_LSH_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bt q JOIN bt c ON q.table_idx = c.table_idx AND q.bucket = c.bucket
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(c.v, q.v)
+         / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos
+  FROM cand
+  JOIN e q ON q.vec_id = cand.query_id
+  JOIN e c ON c.vec_id = cand.neighbor_id
 )
 SELECT query_id, neighbor_id, rank FROM (
   SELECT query_id, neighbor_id,
