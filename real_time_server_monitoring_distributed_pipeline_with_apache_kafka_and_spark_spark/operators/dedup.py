@@ -286,35 +286,47 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash per document from word-unigram xxhash64 features.
+    """64-bit SimHash per document as TWO md5-derived 32-bit halves.
 
-    bit_j(sig) = sign(sum over words of +-1 on hash bit j), computed as
-    ``bits`` wide sum() aggregates folded back into one long - single
-    aggregation pass, no explode-per-bit.
+    Word features are the two 32-bit halves of md5(word) — the
+    engine-portable hash family (see minhash_signatures) that lets the
+    DuckDB oracle replay the pipeline bit-for-bit; keeping the halves as
+    separate positive longs also avoids int64 sign games (bit 63) in
+    BOTH engines. bit_j(sig) = sign(sum over words of +-1 on feature bit
+    j), computed as 64 wide sum() aggregates in one aggregation pass.
+
+    Output: (id, sig_lo, sig_hi) — bits 0..31 and 32..63.
     """
     words = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word"),
     )
-    h = F.xxhash64("word")
-    # shiftleft(1, j) instead of a Python 1<<j literal: bit 63 exceeds the
-    # int64 literal range but shifts wrap fine.
+    digest = F.md5("word")
+    based = words.select(
+        F.col(id_col),
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long").alias("hlo"),
+        F.conv(F.substring(digest, 9, 8), 16, 10).cast("long").alias("hhi"),
+    )
     bit_sums = [
         F.sum(
-            F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), j)) != 0, 1).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(bits)
+            F.when(F.shiftright(F.col(col), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"{pre}{j}")
+        for col, pre in (("hlo", "lo"), ("hhi", "hi"))
+        for j in range(32)
     ]
-    agg = words.groupBy(id_col).agg(*bit_sums)
-    sig = None
-    for j in range(bits):
-        term = F.when(
-            F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
-        ).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig.bitwiseOR(term)
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    agg = based.groupBy(id_col).agg(*bit_sums)
+
+    def fold(prefix: str):
+        sig = F.lit(0).cast("long")
+        for j in range(32):
+            sig = sig + F.when(F.col(f"{prefix}{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return sig
+
+    return agg.select(F.col(id_col), fold("lo").alias("sig_lo"), fold("hi").alias("sig_hi"))
 
 
 def simhash_pairs(
@@ -326,45 +338,58 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= max_hamming.
 
-    Candidate generation: split the 64-bit signature into ``n_chunks`` equal
-    chunks; a pair within hamming distance < n_chunks shares at least one
-    exact chunk (pigeonhole), so candidates = equi-join per chunk - no
-    all-pairs scan. Defaults (8 chunks, hamming<=6) measured 92% recall vs
-    exact jaccard>=0.9 pairs on the testdata corpus.
+    Candidate generation: split the 64-bit signature (two 32-bit halves)
+    into ``n_chunks`` equal chunks; a pair within hamming distance <
+    n_chunks shares at least one exact chunk (pigeonhole), so candidates
+    = equi-join per chunk - no all-pairs scan. Hamming distance is the
+    sum of the two halves' popcounts of XOR — all arithmetic on positive
+    longs, portable to the SQL oracle.
     """
     assert max_hamming < n_chunks, "pigeonhole guarantee needs max_hamming < n_chunks"
-    chunk_bits = 64 // n_chunks
+    assert n_chunks % 2 == 0, "chunks split evenly across the two halves"
+    per_half = n_chunks // 2
+    chunk_bits = 32 // per_half
     mask = (1 << chunk_bits) - 1
     sig = simhash_signatures(df, id_col, text_col)
+
+    def chunk_expr(c: int):
+        src = F.col("sig_lo") if c < per_half else F.col("sig_hi")
+        off = (c if c < per_half else c - per_half) * chunk_bits
+        return F.struct(
+            F.lit(c).alias("chunk_idx"),
+            F.shiftright(src, off).bitwiseAND(F.lit(mask)).alias("chunk"),
+        )
+
     chunks = sig.select(
         F.col(id_col),
-        F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk_idx"),
-                        F.shiftrightunsigned("simhash", c * chunk_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("chunk"),
-                    )
-                    for c in range(n_chunks)
-                ]
-            )
-        ).alias("ch"),
-    ).select(id_col, "simhash", "ch.chunk_idx", "ch.chunk")
+        F.col("sig_lo"),
+        F.col("sig_hi"),
+        F.explode(F.array(*[chunk_expr(c) for c in range(n_chunks)])).alias("ch"),
+    ).select(id_col, "sig_lo", "sig_hi", "ch.chunk_idx", "ch.chunk")
     a = chunks.select(
-        F.col(id_col).alias("a_id"), F.col("simhash").alias("sig_a"), "chunk_idx", "chunk"
+        F.col(id_col).alias("a_id"),
+        F.col("sig_lo").alias("alo"),
+        F.col("sig_hi").alias("ahi"),
+        "chunk_idx",
+        "chunk",
     )
     b = chunks.select(
-        F.col(id_col).alias("b_id"), F.col("simhash").alias("sig_b"), "chunk_idx", "chunk"
+        F.col(id_col).alias("b_id"),
+        F.col("sig_lo").alias("blo"),
+        F.col("sig_hi").alias("bhi"),
+        "chunk_idx",
+        "chunk",
     )
     return (
         a.join(b, ["chunk_idx", "chunk"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "sig_a", "sig_b")
+        .select("a_id", "b_id", "alo", "ahi", "blo", "bhi")
         .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("alo").bitwiseXOR(F.col("blo")))
+            + F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi"))),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )

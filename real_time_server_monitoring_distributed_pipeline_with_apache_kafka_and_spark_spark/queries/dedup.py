@@ -41,6 +41,25 @@ _MH_BAND_SELECTS = "\n  UNION ALL ".join(
     for bi in range(16)
 )
 
+# SimHash oracle building blocks: 64 per-bit +-1 sums over the two md5
+# halves, signature fold, and 8-chunk pigeonhole extraction.
+_SH_BIT_SUMS = ",\n    ".join(
+    f"sum(CASE WHEN ({col} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS {pre}{j}"
+    for col, pre in (("hlo", "lo"), ("hhi", "hi"))
+    for j in range(32)
+)
+_SH_FOLD_LO = " + ".join(f"(CASE WHEN lo{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+_SH_FOLD_HI = " + ".join(f"(CASE WHEN hi{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+_SH_CHUNKS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, sig_lo, sig_hi, {c} AS chunk_idx, "
+    + (
+        f"(sig_lo >> {c * 8}) & 255 AS chunk FROM sig"
+        if c < 4
+        else f"(sig_hi >> {(c - 4) * 8}) & 255 AS chunk FROM sig"
+    )
+    for c in range(8)
+)
+
 JACCARD_THRESHOLD = 0.8
 COSINE_THRESHOLD = 0.4
 # Bucketed variant runs at a higher threshold: the testdata pair-cosine
@@ -91,7 +110,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3 of 64 bits), chunk-join
-    candidates. xxhash64-dependent => rows-only driver check."""
+    candidates. md5-half-hash features => the DuckDB oracle replays the
+    full pipeline (64 bit-sums, signature fold, chunk pigeonhole join,
+    popcount verify) and the driver hash-checks it."""
     docs = load_table(spark, sf_dir, "documents")
     return ops.simhash_pairs(docs, max_hamming=3)
 
@@ -253,6 +274,39 @@ FROM pairs
 JOIN sizes za ON a_id = za.doc_id
 JOIN sizes zb ON b_id = zb.doc_id
 WHERE common * 1.0 / (za.n_shingles + zb.n_shingles - common) >= {JACCARD_THRESHOLD}
+""",
+    "dedup_simhash": f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS hlo,
+         CAST(concat('0x', substr(md5(word), 9, 8)) AS BIGINT) AS hhi
+  FROM words
+),
+sums AS (
+  SELECT doc_id,
+    {_SH_BIT_SUMS}
+  FROM h GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, {_SH_FOLD_LO} AS sig_lo, {_SH_FOLD_HI} AS sig_hi FROM sums
+),
+chunks AS (
+  {_SH_CHUNKS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.sig_lo AS alo, a.sig_hi AS ahi, b.sig_lo AS blo, b.sig_hi AS bhi
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id,
+       CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 3
 """,
     "dedup_embedding_cosine": f"""
 WITH e AS (
