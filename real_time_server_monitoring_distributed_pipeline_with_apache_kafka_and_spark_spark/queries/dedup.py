@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as ops
 from ..operators.dedup import _MERSENNE, _perm_coeffs
-from ..operators.similarity import cosine_pairs, cosine_pairs_lsh
+from ..operators.similarity import _hyperplanes, cosine_pairs, cosine_pairs_lsh
 from ..operators.text import BPE_PATTERN
 from ..sources import load_table
 
@@ -39,6 +39,27 @@ _MH_BAND_SELECTS = "\n  UNION ALL ".join(
         bi=bi, cols=", ".join(f"h{bi * 4 + r}" for r in range(4))
     )
     for bi in range(16)
+)
+
+# Embedding-LSH oracle building blocks: the operator's seeded hyperplanes
+# (seed 7, 16 tables x 3 planes) as SQL double literals; repr() round-trips
+# float64 exactly, so both engines compute identical sign bits away from
+# the ~1e-16 dot boundary (which the seeded testdata never hits).
+_EMB_TABLES, _EMB_PLANES_PER = 16, 3
+_EMB_PLANES = _hyperplanes(_EMB_TABLES * _EMB_PLANES_PER, 64, seed=7)
+
+
+def _emb_bucket_sql(t: int) -> str:
+    terms = []
+    for j in range(_EMB_PLANES_PER):
+        lit = "[" + ", ".join(repr(x) for x in _EMB_PLANES[t * _EMB_PLANES_PER + j]) + "]"
+        terms.append(f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_EMB_BANDS_SQL = "\n  UNION ALL ".join(
+    f"SELECT vec_id, {t} AS table_idx, ({_emb_bucket_sql(t)}) AS bucket FROM e"
+    for t in range(_EMB_TABLES)
 )
 
 # SimHash oracle building blocks: 64 per-bit +-1 sums over the two md5
@@ -131,8 +152,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed embedding near-dup: hyperplane-LSH candidate equi-join +
     exact fold-cosine verify (precision 1, recall pinned in
-    tests/test_dedup_similarity.py). Seeded-hyperplane-dependent candidate
-    set => rows-only driver check, like sim_ann_lsh."""
+    tests/test_dedup_similarity.py). The seeded hyperplanes are inlined
+    into the DuckDB oracle, which replays bucket assignment, the
+    self-collision join, and the exact-cosine verify — hash-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs_lsh(
         emb, threshold=COSINE_LSH_THRESHOLD, planes_per_table=3, n_tables=16
@@ -274,6 +296,27 @@ FROM pairs
 JOIN sizes za ON a_id = za.doc_id
 JOIN sizes zb ON b_id = zb.doc_id
 WHERE common * 1.0 / (za.n_shingles + zb.n_shingles - common) >= {JACCARD_THRESHOLD}
+""",
+    "dedup_embedding_lsh": f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+bt AS (
+  {_EMB_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bt a JOIN bt b
+    ON a.table_idx = b.table_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT a_id, b_id
+FROM cand
+JOIN e ea ON ea.vec_id = a_id
+JOIN e eb ON eb.vec_id = b_id
+WHERE list_dot_product(ea.v, eb.v)
+      / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+      >= {COSINE_LSH_THRESHOLD}
 """,
     "dedup_simhash": f"""
 WITH words AS (
