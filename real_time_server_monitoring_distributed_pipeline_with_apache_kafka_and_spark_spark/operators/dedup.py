@@ -11,7 +11,9 @@ Scale design (100 TB corpus):
   the quadratic blowup inside a bucket, the standard trade at corpus scale.
 - MinHash signatures are computed in ONE hash-aggregate pass (wide min()
   columns, whole-stage codegen) rather than per-permutation passes; LSH
-  banding turns all-pairs into an equi-join on (band, band_hash).
+  banding turns all-pairs into an equi-join on (band, band_hash). Hashes
+  are md5-derived (engine-portable) so the SQL oracles replay every
+  pipeline exactly.
 - Candidate pairs are verified with exact Jaccard, so LSH/SimHash recall
   tuning only affects which pairs are *found*, never their reported scores.
 """

@@ -3,12 +3,11 @@
 Oracle notes:
 - n-gram Jaccard is fully SQL-expressible (inverted shingle index join);
   jaccard = common/(|A|+|B|-common) is int/int division => exact doubles.
-- MinHash-LSH is fully oracle-checked: the base and band hashes are
-  md5-derived (engine-portable), so the 64 permutation mins, the 16x4
-  banding, the candidate join, and the exact-Jaccard verify all replay
-  in DuckDB with the same permutation coefficients inlined as literals.
-- SimHash depends on xxhash64 (per-word 64-bit features), which DuckDB
-  does not implement => rows-only check; recall pinned in tests.
+- MinHash-LSH, SimHash, and the embedding-LSH path are fully
+  oracle-checked: every hash is md5-derived or a seeded literal
+  (engine-portable), so DuckDB replays each pipeline end-to-end —
+  signatures/banding/candidate joins/exact verify — with the same
+  coefficients inlined as literals.
 - Embedding cosine: both engines fold left-to-right in double precision
   (verified bit-exact), so the pair set is oracle-checkable.
 """
