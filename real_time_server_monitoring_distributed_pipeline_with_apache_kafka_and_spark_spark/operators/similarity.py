@@ -398,12 +398,20 @@ def ann_ivf_topk(
     Standard two-level ANN: k-means-ish centroids partition the corpus
     into cells; each query probes only its ``n_probe`` nearest cells and
     reranks those candidates with the exact fold cosine. Centroids are
-    initialized from a deterministic hash-ordered sample and refined with
-    ``kmeans_iters`` Lloyd steps computed as DataFrame aggregations —
-    only the k x dim centroid matrix ever visits the driver (same
-    contract as distributed k-means; O(k*dim), independent of corpus
-    size). Corpus cell assignment is one Arrow-batched matmul pass;
-    candidate generation is an equi-join on cell id. Recall < 1 by
+    initialized from a deterministic hash-ordered sample (md5 — portable
+    to the SQL oracle) and refined with ``kmeans_iters`` Lloyd steps
+    computed as DataFrame aggregations — only the k x dim centroid matrix
+    ever visits the driver (same contract as distributed k-means;
+    O(k*dim), independent of corpus size).
+
+    Determinism: the Lloyd step sums floor(x*1e9 + 0.5)-scaled LONGS per
+    (cell, dim) — integer addition is exact and order-independent, unlike
+    a float avg whose value depends on partition merge order. The sums
+    are used UNNORMALIZED as centroid directions (cosine assignment is
+    scale-invariant, so dividing by the count — or by 1e9 — changes
+    nothing), which makes the whole index build bit-reproducible and
+    DuckDB-replayable. Corpus cell assignment is one Arrow-batched matmul
+    pass; candidate generation is an equi-join on cell id. Recall < 1 by
     design; same output contract as ann_topk.
     """
     from pyspark.sql import Window
@@ -412,7 +420,7 @@ def ann_ivf_topk(
     init = [
         np.asarray(r[0], dtype=np.float64)
         for r in corpus.select(vec_col)
-        .orderBy(F.pmod(F.xxhash64(F.col(id_col) + seed), F.lit(1 << 31)))
+        .orderBy(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"_{seed}"))))
         .limit(n_centroids)
         .collect()
     ]
@@ -421,16 +429,26 @@ def ann_ivf_topk(
     for _ in range(kmeans_iters):
         assign1 = _centroid_udf(centroids, 1)
         dim = centroids.shape[1]
-        # Lloyd step as a DataFrame aggregation: avg per (cell, dim),
-        # dim-wide column fan-out (64 avg aggs), one shuffle on cell id.
-        means = (
+        # Lloyd step as a DataFrame aggregation: exact integer sums per
+        # (cell, dim), dim-wide column fan-out, one shuffle on cell id.
+        sums = (
             corpus.select(assign1(F.col(vec_col)).getItem(0).alias("cell"), vec_col)
             .groupBy("cell")
-            .agg(*[F.avg(F.col(vec_col).getItem(d)).alias(f"d{d}") for d in range(dim)])
+            .agg(
+                *[
+                    F.sum(
+                        F.floor(F.col(vec_col).getItem(d).cast("double") * 1e9 + F.lit(0.5))
+                    ).alias(f"d{d}")
+                    for d in range(dim)
+                ]
+            )
             .collect()
         )
-        for row in means:
-            centroids[row["cell"]] = np.asarray([row[f"d{d}"] for d in range(dim)])
+        for row in sums:
+            # exact: |sum| < ~6e12 << 2^53, representable in float64
+            centroids[row["cell"]] = np.asarray(
+                [row[f"d{d}"] for d in range(dim)], dtype=np.float64
+            )
 
     c_assign = _centroid_udf(centroids, 1)
     q_assign = _centroid_udf(centroids, n_probe)

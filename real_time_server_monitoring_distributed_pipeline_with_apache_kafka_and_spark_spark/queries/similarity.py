@@ -39,6 +39,14 @@ _LSH_BANDS_SQL = "\n  UNION ALL ".join(
     for t in range(_LSH_TABLES)
 )
 
+# IVF oracle building blocks: the deterministic Lloyd-step integer sums
+# (floor(x*1e9 + 0.5) per dim) and the sum-vector reconstruction.
+_IVF_CELLS, _IVF_PROBE, _IVF_SEED = 16, 4, 7
+_IVF_SUMS = ",\n    ".join(
+    f"sum(CAST(floor(c.v[{d + 1}] * 1e9 + 0.5) AS BIGINT)) AS d{d}" for d in range(64)
+)
+_IVF_SUM_VEC = "[" + ", ".join(f"CAST(m.d{d} AS DOUBLE)" for d in range(64)) + "]"
+
 
 def _split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -68,9 +76,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via IVF coarse quantization (16 cells, probe 4,
-    1 Lloyd refinement). Centroids are data-derived but deterministic
-    (seeded hash-ordered init); recall vs brute force is pinned in tests.
-    Rows-only driver check."""
+    1 Lloyd refinement). The index build is bit-deterministic (md5-ordered
+    init, integer-scaled Lloyd sums as unnormalized centroid directions),
+    so the DuckDB oracle replays it: init sample, both assignment rounds,
+    cell probing, and exact-cosine rerank — hash-checked. Recall vs brute
+    force additionally pinned in tests."""
     corpus, queries = _split(spark, sf_dir)
     return ops.ann_ivf_topk(corpus, queries, k=TOP_K)
 
@@ -111,6 +121,73 @@ cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
   FROM bt q JOIN bt c ON q.table_idx = c.table_idx AND q.bucket = c.bucket
   WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(c.v, q.v)
+         / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos
+  FROM cand
+  JOIN e q ON q.vec_id = cand.query_id
+  JOIN e c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+""",
+    "sim_ann_ivf": f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+corpus AS (SELECT * FROM e WHERE vec_id >= {N_QUERIES}),
+qs AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+init AS (
+  SELECT vec_id, v, CAST(rn - 1 AS INTEGER) AS cell FROM (
+    SELECT vec_id, v,
+           row_number() OVER (ORDER BY md5(concat(CAST(vec_id AS VARCHAR), '_{_IVF_SEED}'))) AS rn
+    FROM corpus
+  ) WHERE rn <= {_IVF_CELLS}
+),
+a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, i.cell,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+             list_dot_product(c.v, i.v) / sqrt(list_dot_product(i.v, i.v)) DESC, i.cell) AS rn
+    FROM corpus c CROSS JOIN init i
+  ) WHERE rn = 1
+),
+sums AS (
+  SELECT a1.cell,
+    {_IVF_SUMS}
+  FROM corpus c JOIN a1 USING (vec_id)
+  GROUP BY a1.cell
+),
+cent AS (
+  SELECT i.cell,
+         CASE WHEN m.cell IS NULL THEN i.v ELSE {_IVF_SUM_VEC} END AS cv
+  FROM init i LEFT JOIN sums m ON i.cell = m.cell
+),
+a2 AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, cent.cell,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+             list_dot_product(c.v, cv) / sqrt(list_dot_product(cv, cv)) DESC, cent.cell) AS rn
+    FROM corpus c CROSS JOIN cent
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT q.vec_id, cent.cell,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(q.v, cv) / sqrt(list_dot_product(cv, cv)) DESC, cent.cell) AS rn
+    FROM qs q CROSS JOIN cent
+  ) WHERE rn <= {_IVF_PROBE}
+),
+cand AS (
+  SELECT DISTINCT probe.query_id, a2.vec_id AS neighbor_id
+  FROM probe JOIN a2 USING (cell)
 ),
 scored AS (
   SELECT cand.query_id, cand.neighbor_id,
