@@ -253,8 +253,10 @@ def quantize_int8(
     """Symmetric per-vector int8 quantization: 4x smaller embedding
     storage/shuffle at corpus scale.
 
-    scale = max|x| / 127 per vector; q_i = round(x_i / scale) in
-    [-127, 127]. Pure built-in higher-order functions (no Python).
+    scale = max|x| / 127 per vector; q_i = sign(x) * floor(|x|/scale + 0.5)
+    in [-127, 127] — the floor formulation (not F.round) because it is
+    engine-portable, which lets the SQL oracle replay quantization
+    exactly. Pure built-in higher-order functions (no Python).
     Dequantization is q_i * scale; the worst-case per-element error is
     scale/2, so dot-product relative error stays ~1e-2 for unit-norm
     64-dim vectors — rerank survivors against the float column when
@@ -273,7 +275,11 @@ def quantize_int8(
     return vectors.withColumn("_scale", scale).select(
         F.col(id_col),
         F.transform(
-            v, lambda x: F.round(x.cast("double") / F.col("_scale")).cast("tinyint")
+            v,
+            lambda x: (
+                F.signum(x.cast("double"))
+                * F.floor(F.abs(x.cast("double")) / F.col("_scale") + F.lit(0.5))
+            ).cast("tinyint"),
         ).alias("qvec"),
         F.col("_scale").alias("scale"),
     )

@@ -64,9 +64,10 @@ def rel_salted_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sim_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized brute-force top-k (two-tier ANN scan tier, 4x
-    smaller vectors). Quantization rounding is engine-specific =>
-    rows-only driver check; recall vs the float path is pinned in
-    tests/test_dedup_similarity.py."""
+    smaller vectors). Quantization uses the portable sign*floor(+0.5)
+    formula, so the SQL oracle replays it exactly (quantize, integer dot,
+    scale multiply, rank); recall vs the float path is additionally
+    pinned in tests/test_dedup_similarity.py."""
     from ..operators.similarity import ann_quantized_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -97,5 +98,32 @@ SELECT token, doc_freq, CAST(rank AS INTEGER) AS rank FROM (
     "rel_salted_count_distinct": """
 SELECT l_returnflag, count(DISTINCT l_orderkey) AS distinct_orders
 FROM lineitem GROUP BY l_returnflag
+""",
+    "sim_ann_quantized": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q8 AS (
+  SELECT vec_id,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale,
+         list_transform(v, x ->
+           CAST(CASE WHEN x < 0 THEN -1 ELSE CASE WHEN x > 0 THEN 1 ELSE 0 END END
+                * floor(abs(x) / (list_max(list_transform(v, y -> abs(y))) / 127.0) + 0.5)
+                AS BIGINT)) AS qv
+  FROM e
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(list_transform(c.qv, x -> CAST(x AS DOUBLE)),
+                               list_transform(q.qv, x -> CAST(x AS DOUBLE))) AS DOUBLE)
+         * c.scale * q.scale AS score
+  FROM q8 q JOIN q8 c ON q.vec_id < 20 AND c.vec_id >= 20
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 5
 """,
 }
