@@ -181,3 +181,25 @@ def test_hash_split_single_shuffle_narrow_scan(reports):
     r = reports("text_hash_split")
     assert r["exchanges"] <= 1, r
     assert set(r["read_schema_columns"]) <= {"doc_id", "text"}, r
+
+
+def test_no_accidental_nested_loops_anywhere(spark):
+    """Blanket scale guard: every registered query plans without
+    CartesianProduct/BroadcastNestedLoopJoin, except the operators that
+    are cross-products by definition (exact brute-force scoring)."""
+    INTENTIONAL = {
+        "sim_ann_bruteforce",   # broadcast-query exact baseline
+        "sim_ann_quantized",    # same shape on int8 vectors
+        "dedup_embedding_cosine",  # blocked all-pairs oracle anchor
+        "rel_cross_join",       # the cross-join surface query itself
+        "text_tfidf",           # 1-row n_docs scalar broadcast (standard)
+    }
+    qs = all_queries()
+    offenders = {}
+    for name, fn in qs.items():
+        if name in INTENTIONAL:
+            continue
+        r = plan_report(fn(spark, SF_DIR))
+        if r["nested_loop_joins"]:
+            offenders[name] = r["nested_loop_joins"]
+    assert not offenders, f"unexpected nested-loop joins: {offenders}"
