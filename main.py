@@ -144,8 +144,13 @@ def run_producer(spark, config: cfg.PipelineConfig, dry_run: bool) -> dict:
     return stats
 
 
-def run_consumer(spark, config: cfg.PipelineConfig, role: str) -> None:
-    """Kafka -> demux -> typed CSV landing, one streaming query per topic."""
+def run_consumer(spark, config: cfg.PipelineConfig, role: str, parquet: bool = False) -> None:
+    """Kafka -> demux -> typed landing, one streaming query per topic.
+
+    CSV landing is the reference-parity default (consumer1.py:30-36);
+    ``--parquet`` lands columnar instead — the scale path (splittable,
+    compressed, pruned on read by the downstream jobs).
+    """
     kafka_io.require_kafka_connector(spark)
     topics = CONSUMER_TOPICS[role]
     records = kafka_io.kafka_source(
@@ -154,28 +159,35 @@ def run_consumer(spark, config: cfg.PipelineConfig, role: str) -> None:
     queries = []
     for metric, attr, stem in topics:
         landed = parse.demux_topic(records, getattr(config.kafka, attr), metric)
-        queries.append(
-            landed.writeStream.format("csv")
+        writer = (
+            landed.writeStream.format("parquet" if parquet else "csv")
             .option("path", os.path.join(config.paths.output_dir, stem))
             .option(
                 "checkpointLocation",
                 os.path.join(config.paths.output_dir, f"_checkpoint_{stem}"),
             )
-            .option("header", "true")
-            .start()
         )
+        if not parquet:
+            writer = writer.option("header", "true")
+        queries.append(writer.start())
     for q in queries:
         q.awaitTermination()
 
 
 def _landed(spark, config: cfg.PipelineConfig, stem: str, metric: str):
-    """Read a landed metric table; accepts both our directory landing and
-    the reference's single ``<stem>.csv`` file."""
+    """Read a landed metric table; accepts our directory landing (CSV or
+    parquet, per the consumer's --parquet flag) and the reference's single
+    ``<stem>.csv`` file."""
     base = config.paths.output_dir
     path = os.path.join(base, stem)
     if not os.path.exists(path) and os.path.exists(path + ".csv"):
         path = path + ".csv"
-    return spark.read.schema(schemas.TOPIC_SCHEMAS[metric]).csv(path, header=True)
+    schema = schemas.TOPIC_SCHEMAS[metric]
+    if os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.schema(schema).csv(path, header=True)
 
 
 def run_spark_job(
@@ -273,7 +285,7 @@ def main(argv: list[str] | None = None) -> None:
     if args.role == "producer":
         run_producer(spark, config, args.dry_run)
     elif args.role in CONSUMER_TOPICS:
-        run_consumer(spark, config, args.role)
+        run_consumer(spark, config, args.role, args.parquet)
     elif args.role in ("spark-job1", "spark-job2"):
         run_spark_job(spark, config, args.role, args.parquet, args.float32_parity)
     elif args.role in ("stream-job1", "stream-job2"):
