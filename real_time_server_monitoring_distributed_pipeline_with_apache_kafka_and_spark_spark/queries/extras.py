@@ -76,10 +76,92 @@ def sim_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_quantized_topk(corpus, queries, k=5)
 
 
+# Email-ish then standalone-number patterns; shared verbatim with the SQL
+# oracle (RE2/Java-regex-common subset, no lookarounds).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_NUMBER = r"\b\d{6,}\b"
+
+CHUNK_TOKENS = 40
+CHUNK_STRIDE = 30  # 10-token overlap between consecutive chunks
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact email-like and long-number tokens, report
+    per-doc redaction counts. Pure regexp_replace/regexp scans — full
+    scan speed, no Python; the patterns are the shared RE2/Java subset so
+    the oracle applies them identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    after_email = F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>")
+    redacted = F.regexp_replace(after_email, _PII_NUMBER, "<NUM>")
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted_text"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(after_email, F.lit(_PII_NUMBER), 0)).alias("n_numbers"),
+    )
+
+
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window chunking: split each document into overlapping
+    token windows (40 tokens, stride 30) — the standard long-document
+    prep for fixed-context training. One explode over precomputed chunk
+    starts; the token array is materialized once below the explode (the
+    word_shingles lesson: higher-order fns get no CSE)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("_toks"))
+    tc = F.col("_toks")
+    n = F.size(tc)
+    # chunk starts: 0, stride, 2*stride, ... while start < n (>=1 chunk)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.ceil((n - F.lit(CHUNK_TOKENS)) / F.lit(CHUNK_STRIDE)).cast("int"),
+            F.lit(0),
+        )
+        * F.lit(CHUNK_STRIDE),
+        F.lit(CHUNK_STRIDE),
+    )
+    return (
+        toks.select("doc_id", tc.alias("_toks"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(F.col("_toks"), F.col("start") + 1, CHUNK_TOKENS)).alias(
+                "chunk_text"
+            ),
+            F.least(F.size("_toks") - F.col("start"), F.lit(CHUNK_TOKENS)).alias("n_tokens"),
+        )
+    )
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any 8-gram
+    with the held-out set (docs 0-9 stand in for the benchmark). The
+    standard exact-substring contamination check: shingle both sides,
+    equi-join on the shingle — inverted index, never all-pairs; the
+    benchmark side is tiny and broadcasts. Output: contaminated doc ids
+    with the overlap count."""
+    from ..operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 10)
+    train = docs.filter(F.col("doc_id") >= 10)
+    bench_sh = word_shingles(bench, n=8).select("shingle").distinct()
+    train_sh = word_shingles(train, n=8)
+    return (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlapping_shingles"))
+    )
+
+
 QUERIES = {
     "text_vocab_topk": text_vocab_topk,
     "rel_salted_count_distinct": rel_salted_count_distinct,
     "sim_ann_quantized": sim_ann_quantized,
+    "text_pii_redact": text_pii_redact,
+    "text_chunking": text_chunking,
+    "text_decontaminate": text_decontaminate,
 }
 
 ORACLES = {
@@ -125,5 +207,50 @@ SELECT query_id, neighbor_id, rank FROM (
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
   FROM scored
 ) WHERE rank <= 5
+""",
+    "text_pii_redact": """
+WITH e AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{EMAIL}', '<EMAIL>', 'g') AS after_email
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(after_email, '{NUM}', '<NUM>', 'g') AS redacted_text,
+  CAST(len(regexp_extract_all(text, '{EMAIL}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(after_email, '{NUM}')) AS INTEGER) AS n_numbers
+FROM e
+""".replace("{EMAIL}", _PII_EMAIL).replace("{NUM}", _PII_NUMBER),
+    "text_chunking": f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0,
+           greatest(CAST(ceil((len(toks) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) AS BIGINT), 0)
+             * {CHUNK_STRIDE} + 1,
+           {CHUNK_STRIDE})) AS start
+  FROM t
+)
+SELECT doc_id,
+  CAST(start / {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+  array_to_string(toks[start + 1 : start + {CHUNK_TOKENS}], ' ') AS chunk_text,
+  CAST(least(len(toks) - start, {CHUNK_TOKENS}) AS INTEGER) AS n_tokens
+FROM s
+""",
+    "text_decontaminate": """
+WITH w8 AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i : i + 7], ' ') AS shingle
+  FROM w8, UNNEST(range(1, len(w) - 6)) u(i)
+  WHERE len(w) >= 8
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10)
+SELECT t.doc_id, count(*) AS n_overlapping_shingles
+FROM sh t JOIN bench USING (shingle)
+WHERE t.doc_id >= 10
+GROUP BY t.doc_id
 """,
 }
