@@ -98,6 +98,26 @@ def streaming_net_disk_job(
     return ops.format_window_output(alerts, entity_col, ["max_net_in", "max_disk_io"])
 
 
+def dedup_stream(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key within
+    the watermark horizon.
+
+    The streaming counterpart of operators.dedup.exact_dedup: an
+    at-least-once transport (Kafka producer retries, reference
+    producer.py:15-17) can re-deliver messages; this bounds the dedup
+    state by event time — a duplicate arriving within ``watermark`` of
+    the original is dropped, later than that it would re-emit (state for
+    its key has been evicted). State is hash-partitioned on the key, so
+    it scales horizontally like any keyed state.
+    """
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
 def streaming_window_alerts(
     events: DataFrame,
     value_col: str = "cpu_pct",

@@ -497,3 +497,41 @@ def test_batch_transitions_vectorized_equals_loop(spark):
         out, _ = _advance(pdf, (None, None, 0), 1, s)
         expected |= {tuple(t) for t in out}
     assert got == expected and len(expected) > 10
+
+
+def test_stream_dedup_drops_redeliveries(spark, tmp_path):
+    """Streaming exact dedup: a duplicate (ts, server_id) arriving in a
+    later micro-batch within the watermark horizon is dropped — the
+    engine-side answer to at-least-once producer retries."""
+    from datetime import datetime
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.jobs import (
+        dedup_stream,
+    )
+
+    src = str(tmp_path / "dup_src")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(datetime(2024, 1, 1, 0, 0, s), sid, v) for s, sid, v in rows],
+            schemas.METRICS_CPU,
+        )
+
+    batch1 = mk([(0, "s1", 10.0), (5, "s1", 20.0), (0, "s2", 30.0)])
+    batch2 = mk([(0, "s1", 10.0), (5, "s1", 20.0), (10, "s1", 40.0)])  # 2 dups + 1 new
+    _write_csv(batch1, f"{src}/b0")
+    _write_csv(batch2, f"{src}/b1")
+    stream = (
+        spark.readStream.schema(schemas.METRICS_CPU)
+        .option("maxFilesPerTrigger", "1")
+        .csv(f"{src}/b*")
+    )
+    out = dedup_stream(stream, ["ts", "server_id"], watermark="10 minutes")
+    q = out.writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT ts, server_id FROM dedup_out").collect()
+    finally:
+        q.stop()
+    seen = [(r.ts.second, r.server_id) for r in rows]
+    assert len(seen) == len(set(seen)) == 4, seen  # 3 from b1 + 1 new from b2
