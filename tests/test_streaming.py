@@ -535,3 +535,57 @@ def test_stream_dedup_drops_redeliveries(spark, tmp_path):
         q.stop()
     seen = [(r.ts.second, r.server_id) for r in rows]
     assert len(seen) == len(set(seen)) == 4, seen  # 3 from b1 + 1 new from b2
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """T2-streaming: gap-based session windows under a watermark; closed
+    sessions emitted in append mode equal the batch session aggregation."""
+    from datetime import datetime
+
+    src = str(tmp_path / "sess_src")
+    rows = [
+        # s1: three sessions (gaps > 60s: 30->100 is 70s, 100->300 is 200s)
+        (0, "s1", 1.0), (30, "s1", 2.0), (100, "s1", 3.0),
+        (300, "s1", 4.0), (330, "s1", 5.0),
+        # s2: one session
+        (0, "s2", 9.0), (50, "s2", 9.0),
+        # late anchor so the watermark passes every session's end
+        (3000, "s3", 0.0),
+    ]
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, 0, 0).replace(minute=s // 60, second=s % 60), sid, v) for s, sid, v in rows],
+        schemas.METRICS_CPU,
+    )
+    _write_csv(df, src)
+    stream = spark.readStream.schema(schemas.METRICS_CPU).csv(src)
+    agged = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy("server_id", F.session_window("ts", "1 minute"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cpu_pct").alias("s"))
+        .select("server_id", F.col("session_window.start").alias("start"), "n", "s")
+    )
+    q = agged.writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.server_id, r.start.minute * 60 + r.start.second, r.n, r.s)
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.server_id, r.start.minute * 60 + r.start.second, r.n, r.s)
+        for r in df.groupBy("server_id", F.session_window("ts", "1 minute"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cpu_pct").alias("s"))
+        .select("server_id", F.col("session_window.start").alias("start"), "n", "s")
+        .collect()
+    }
+    # append mode emits only watermark-closed sessions; every emitted row
+    # must equal its batch counterpart and the main sessions must be there
+    assert got <= batch
+    assert {
+        ("s1", 0, 2, 3.0),
+        ("s1", 100, 1, 3.0),
+        ("s1", 300, 2, 9.0),
+        ("s2", 0, 2, 18.0),
+    } <= got
