@@ -141,6 +141,31 @@ def streaming_window_alerts(
     )
 
 
+def foreach_batch_idempotent_parquet(df: DataFrame, path: str, checkpoint_dir: str):
+    """foreachBatch sink with replay-idempotent writes.
+
+    The extension point for destinations without a native streaming sink
+    (JDBC, transactional Kafka, REST): each micro-batch lands in its own
+    ``batch_id=N`` directory with mode=overwrite, so a batch replayed
+    after a failure (checkpoint says N wasn't committed) OVERWRITES its
+    own partial output instead of appending duplicates — per-batch
+    idempotence + the checkpointed offset log = effectively-once, the
+    same contract the built-in file sink gets from its transaction log.
+
+    Returns the DataStreamWriter (caller starts it).
+    """
+    import os
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(path, f"batch_id={batch_id}")
+        )
+
+    return df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
 def with_contiguous_row_ids(data: DataFrame, id_col: str = "row_id") -> DataFrame:
     """Assign contiguous 0..N-1 row ids without a global single-task sort.
 

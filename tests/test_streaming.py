@@ -589,3 +589,37 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
         ("s1", 300, 2, 9.0),
         ("s2", 0, 2, 18.0),
     } <= got
+
+
+def test_foreach_batch_idempotent_sink(spark, tmp_path):
+    """foreachBatch per-batch-directory overwrite + checkpoint restart:
+    rows delivered exactly once across a stop/new-data/restart cycle."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.jobs import (
+        foreach_batch_idempotent_parquet,
+    )
+
+    src, sink, ckpt = (str(tmp_path / n) for n in ("src", "sink", "ckpt"))
+    wide = metrics_wide_df(spark)
+    cpu, *_ = narrow_splits(wide)
+    first = cpu.filter(F.col("server_id") != "server_1")
+    second = cpu.filter(F.col("server_id") == "server_1")
+    _write_csv(first, src)
+
+    def start():
+        stream = spark.readStream.schema(schemas.METRICS_CPU).csv(src)
+        return foreach_batch_idempotent_parquet(stream, sink, ckpt).start()
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    _write_csv(second, src)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.option("basePath", sink).parquet(sink + "/batch_id=*")
+    assert out.count() == cpu.count()
+    assert out.select("ts", "server_id").distinct().count() == cpu.count()
