@@ -145,3 +145,42 @@ def test_asof_join_matches_bruteforce_model(spark, left, right):
             rk, rt, v = max(cands, key=lambda c: c[1])
             expected = (v, float(rt), ts(rt))
         assert got[(k, ts(t), float(i))] == expected, (k, t, got[(k, ts(t), float(i))], expected)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=14,
+    )
+)
+def test_jaccard_prefix_filter_is_lossless(spark, docs):
+    """PPJoin prefix filtering must be LOSSLESS: jaccard_pairs equals the
+    naive all-pairs Jaccard computed in Python, on random small-vocab
+    corpora engineered to stress prefix boundaries (hot shingles, ties)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.dedup import (
+        jaccard_pairs,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {
+        (r.a_id, r.b_id): (r.common, round(r.jaccard, 12))
+        for r in jaccard_pairs(word_shingles(df), threshold=0.6).collect()
+    }
+
+    def shingles(text):
+        toks = text.lower().strip().split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    expected = {}
+    sets = {i: shingles(t) for i, t in enumerate(docs)}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                common = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and common / union >= 0.6:
+                    expected[(a, b)] = (common, round(common / union, 12))
+    assert got == expected, (got, expected)
