@@ -146,3 +146,54 @@ def test_quantized_ann_recall_vs_float(spark):
     for row in q:
         for x, qi in zip(row.embedding, row.qvec):
             assert abs(float(x) - qi * row.scale) <= row.scale / 2 + 1e-12
+
+
+def test_chunking_covers_every_token_with_overlap(spark):
+    """Chunking invariants on real data: chunk starts stride correctly,
+    every token position is covered by >=1 chunk, and consecutive chunks
+    of long docs overlap by exactly CHUNK_TOKENS - CHUNK_STRIDE tokens."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.extras import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        text_chunking,
+    )
+
+    chunks = text_chunking(spark, SF_ORACLE).collect()
+    docs = {
+        r.doc_id: len(r.text.lower().strip().split())
+        for r in load_table(spark, SF_ORACLE, "documents").collect()
+    }
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        n = docs[doc_id]
+        assert rows[0].chunk_idx == 0
+        covered = 0
+        for i, r in enumerate(rows):
+            start = r.chunk_idx * CHUNK_STRIDE
+            assert r.n_tokens == min(n - start, CHUNK_TOKENS)
+            covered = max(covered, start + r.n_tokens)
+            if i > 0:
+                assert r.chunk_idx == rows[i - 1].chunk_idx + 1
+        assert covered == n, (doc_id, covered, n)
+
+
+def test_curation_output_is_near_dup_free(spark):
+    """Dropping the higher id of every qualifying pair leaves NO
+    qualifying pair with both endpoints surviving (any such pair's max id
+    would have been dropped) — pinned on the real corpus."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.dedup import (
+        JACCARD_THRESHOLD,
+        pipeline_corpus_curation,
+    )
+
+    curated = {r.doc_id for r in pipeline_corpus_curation(spark, SF_ORACLE).collect()}
+    assert curated
+    docs = load_table(spark, SF_ORACLE, "documents").filter(
+        F.col("doc_id").isin([int(x) for x in curated])
+    )
+    leftover = d.jaccard_pairs(d.word_shingles(docs), threshold=JACCARD_THRESHOLD).count()
+    assert leftover == 0, f"{leftover} near-dup pairs survive curation"
