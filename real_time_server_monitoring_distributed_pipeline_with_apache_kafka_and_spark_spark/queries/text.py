@@ -139,7 +139,7 @@ SELECT CASE WHEN bucket < 80 THEN 'train'
             WHEN bucket < 90 THEN 'val'
             ELSE 'test' END AS split,
        count(*) AS n_docs,
-       sum(n_tok) AS total_tokens
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
 FROM b GROUP BY 1
 """,
     "text_tfidf": f"""
