@@ -263,7 +263,11 @@ def quantize_int8(
     exact scores matter (the standard two-tier layout: int8 for the
     scan/candidate tier, float32 for the rerank tier).
 
-    Output: (id, qvec array<tinyint>, scale double).
+    Output: (id, qvec array<tinyint>, scale double). An all-zero vector
+    has scale 0; the division is guarded with greatest(scale, 1e-30) so
+    it quantizes to a zero qvec (which dequantizes correctly to zeros)
+    instead of 0/0 -> NULL/NaN (or an ANSI-mode error). The oracle uses
+    the same epsilon, keeping the operator engine-portable and total.
     """
     v = F.col(vec_col)
     scale = (
@@ -278,7 +282,11 @@ def quantize_int8(
             v,
             lambda x: (
                 F.signum(x.cast("double"))
-                * F.floor(F.abs(x.cast("double")) / F.col("_scale") + F.lit(0.5))
+                * F.floor(
+                    F.abs(x.cast("double"))
+                    / F.greatest(F.col("_scale"), F.lit(1e-30))
+                    + F.lit(0.5)
+                )
             ).cast("tinyint"),
         ).alias("qvec"),
         F.col("_scale").alias("scale"),

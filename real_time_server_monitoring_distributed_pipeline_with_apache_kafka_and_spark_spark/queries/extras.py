@@ -191,7 +191,7 @@ q8 AS (
          list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale,
          list_transform(v, x ->
            CAST(CASE WHEN x < 0 THEN -1 ELSE CASE WHEN x > 0 THEN 1 ELSE 0 END END
-                * floor(abs(x) / (list_max(list_transform(v, y -> abs(y))) / 127.0) + 0.5)
+                * floor(abs(x) / greatest(list_max(list_transform(v, y -> abs(y))) / 127.0, 1e-30) + 0.5)
                 AS BIGINT)) AS qv
   FROM e
 ),

@@ -148,6 +148,24 @@ def test_quantized_ann_recall_vs_float(spark):
             assert abs(float(x) - qi * row.scale) <= row.scale / 2 + 1e-12
 
 
+def test_quantize_int8_zero_vector_is_total(spark):
+    """Degenerate all-zero embedding: scale is 0, qvec must be all zeros
+    (not NULL/NaN from 0/0), and dequantization q*scale reproduces the
+    zero vector exactly."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0, 0.0]), (2, [0.5, -1.0, 0.25, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in s.quantize_int8(df).collect()}
+    zero = rows[1]
+    assert zero.scale == 0.0
+    assert list(zero.qvec) == [0, 0, 0, 0]
+    # the non-degenerate vector is unaffected by the epsilon guard
+    normal = rows[2]
+    assert normal.scale == pytest.approx(1.0 / 127.0)
+    assert list(normal.qvec) == [64, -127, 32, 0]
+
+
 def test_chunking_covers_every_token_with_overlap(spark):
     """Chunking invariants on real data: chunk starts stride correctly,
     every token position is covered by >=1 chunk, and consecutive chunks
