@@ -54,28 +54,46 @@ def cosine(a: Column, b: Column) -> Column:
     return dot_product(a, b) / (norm2(a) * norm2(b))
 
 
+def _derive_n_blocks(n_rows: int, target_block_rows: int) -> int:
+    """Blocks needed so the expected block holds <= target_block_rows."""
+    return max(1, -(-n_rows // max(1, target_block_rows)))
+
+
 def cosine_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
+    target_block_rows: int = 2048,
 ) -> DataFrame:
     """All-pairs cosine >= threshold (embedding near-dup detection), exact.
 
-    Blocked all-pairs: vectors are hashed into ``n_blocks`` blocks, each
-    unordered block pair is scored ONCE with a numpy matmul (Arrow-batched
+    Blocked all-pairs: vectors are hashed into blocks, each unordered
+    block pair is scored ONCE with a numpy matmul (Arrow-batched
     mapInPandas — measured ~10x faster than 2M interpreted zip_with folds),
     keeping candidates above ``threshold - 1e-6``. Candidates are then
     re-scored with the exact fold arithmetic (dot/(na*nb), same expression
     tree as the SQL oracle), so the OUTPUT is bit-identical to the naive
     cross join — the margin only guards against numpy-vs-fold summation
-    order, which differs by ~1e-13 relative. At corpus scale, block size
-    bounds task memory and each block travels once per partner block; for
-    billions of vectors prune with ann_lsh_topk's bucketing instead.
+    order, which differs by ~1e-13 relative.
+
+    ``n_blocks`` defaults to ceil(count / target_block_rows) — one cheap
+    narrow count — so a block row (one ``collect_list`` struct list) stays
+    bounded at ~target_block_rows x dim doubles regardless of corpus size,
+    and the 2048^2 per-task score matrix is ~32 MB. Blocking is
+    score-invariant, so any block count yields identical output. The pair
+    grid still grows as O((N/target)^2) — this operator is the EXACT
+    anchor; for billions of vectors prune with cosine_pairs_lsh /
+    ann_lsh_topk bucketing instead.
     Output: (a_id, b_id) with a_id < b_id.
     """
     from collections.abc import Iterator
+
+    if n_blocks is None:
+        n_blocks = _derive_n_blocks(
+            vectors.select(id_col).count(), target_block_rows
+        )
 
     blocked = vectors.select(
         F.col(id_col).alias("id"),

@@ -148,6 +148,33 @@ def test_quantized_ann_recall_vs_float(spark):
             assert abs(float(x) - qi * row.scale) <= row.scale / 2 + 1e-12
 
 
+def test_cosine_pairs_block_count_scales_with_corpus():
+    """Block derivation keeps the expected block row bounded at
+    target_block_rows for any corpus size (the r02 fixed n_blocks=8 grew
+    block rows linearly with N)."""
+    d = s._derive_n_blocks
+    assert d(0, 2048) == 1
+    assert d(1, 2048) == 1
+    assert d(2048, 2048) == 1
+    assert d(2049, 2048) == 2
+    for n in (10**6, 10**9, 10**12):
+        nb = d(n, 2048)
+        assert -(-n // nb) <= 2048  # ceil(N / n_blocks) <= target
+
+
+def test_cosine_pairs_output_invariant_to_blocking(spark):
+    """Blocking is score-invariant: explicit n_blocks and the derived
+    default must produce the identical pair set."""
+    emb = load_table(spark, SF_ORACLE, "embeddings").limit(200)
+    auto = {(r.a_id, r.b_id) for r in s.cosine_pairs(emb, threshold=0.3).collect()}
+    manual = {
+        (r.a_id, r.b_id)
+        for r in s.cosine_pairs(emb, threshold=0.3, n_blocks=7).collect()
+    }
+    assert auto == manual
+    assert auto, "expected at least one pair at threshold 0.3"
+
+
 def test_quantize_int8_zero_vector_is_total(spark):
     """Degenerate all-zero embedding: scale is 0, qvec must be all zeros
     (not NULL/NaN from 0/0), and dequantization q*scale reproduces the
