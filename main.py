@@ -107,6 +107,11 @@ def run_producer(spark, config: cfg.PipelineConfig, dry_run: bool) -> dict:
         delivered = spark.read.parquet(dest)  # count what actually landed
     else:
         kafka_io.require_kafka_connector(spark)
+        # Persist before the save so the stats below count the SAME
+        # materialization that was written — without it the groupBy would
+        # rescan the source, and the printed "delivered" numbers could
+        # diverge from what Kafka actually received.
+        wire = wire.persist()
         (
             wire.write.format("kafka")
             .option("kafka.bootstrap.servers", config.kafka.broker)
@@ -118,6 +123,8 @@ def run_producer(spark, config: cfg.PipelineConfig, dry_run: bool) -> dict:
     by_topic = {
         r["topic"]: r["count"] for r in delivered.groupBy("topic").count().collect()
     }
+    if not dry_run:
+        wire.unpersist()
     elapsed = time.time() - start
     total_messages = sum(by_topic.values())
     # One message per source record per topic (producer.py:68-71 fan-out).

@@ -68,7 +68,14 @@ def parallelize_if_narrow(df: DataFrame, min_parallelism: int | None = None) -> 
     # plan (df.rdd would force RDD conversion just to count partitions).
     # File count lower-bounds scan parallelism for splittable formats.
     n_files = len(df.inputFiles())
-    if 0 < n_files < target:
+    if n_files == 0:
+        # Non-file-backed (createDataFrame, post-shuffle, memory source):
+        # no listing to inspect, so pay the RDD-conversion partition count
+        # to keep the min-parallelism guarantee for these callers.
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+        return df
+    if n_files < target:
         return df.repartition(target)
     return df
 

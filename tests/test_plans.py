@@ -203,3 +203,24 @@ def test_no_accidental_nested_loops_anywhere(spark):
         if r["nested_loop_joins"]:
             offenders[name] = r["nested_loop_joins"]
     assert not offenders, f"unexpected nested-loop joins: {offenders}"
+
+
+def test_parallelize_if_narrow_handles_non_file_sources(spark):
+    """ADVICE r02: inputFiles() is empty for non-file-backed DataFrames;
+    the helper must fall back to the partition-count check instead of
+    silently skipping the min-parallelism repartition."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources import (
+        parallelize_if_narrow,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    skinny = spark.createDataFrame([(i,) for i in range(10)], "id long").coalesce(1)
+    assert skinny.inputFiles() == []
+    widened = parallelize_if_narrow(skinny)
+    assert widened.rdd.getNumPartitions() == target
+
+    # already-parallel memory source: left alone (no extra shuffle)
+    wide = spark.createDataFrame([(i,) for i in range(10)], "id long").repartition(
+        target
+    )
+    assert parallelize_if_narrow(wide).rdd.getNumPartitions() == target
