@@ -118,6 +118,39 @@ def dedup_stream(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
 
 
+def curation_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    min_quality: float = 0.33,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming leg of ``queries.dedup.pipeline_corpus_curation``: the
+    stateless + keyed-state prefix of the curation pipeline, running
+    continuously over a document stream.
+
+    quality filter (stateless, same ``operators.text.quality_score``
+    expressions as the batch path — one logical plan, two runners) ->
+    streaming exact dedup on the text key (:func:`dedup_stream`, state
+    bounded by the watermark). The near-dup stage stays batch-only: a
+    corpus-wide pair join has no bounded-state incremental form, so the
+    deployment story is this stream curating arrivals continuously + a
+    periodic batch sweep (``pipeline_corpus_curation``) for near-dups —
+    the standard lambda split for set-similarity work.
+
+    Output schema matches the batch quality-filter stage plus whatever
+    columns ``docs`` carries; each distinct text's FIRST arrival within
+    the watermark horizon survives (the batch pipeline's min-id
+    representative coincides with first-arrival when ids are assigned in
+    arrival order, as the replay producer does).
+    """
+    from ..operators.text import quality_score
+
+    scored = quality_score(docs, text_col=text_col)
+    kept = scored.filter(F.col("quality") >= min_quality).select(*docs.columns, "quality")
+    return dedup_stream(kept, [text_col], ts_col=ts_col, watermark=watermark)
+
+
 def streaming_window_alerts(
     events: DataFrame,
     value_col: str = "cpu_pct",

@@ -1,0 +1,41 @@
+"""Cache lifecycle helpers (VERDICT r02 #7): operator-internal persist()
+entries must not outlive the computation when callers use the scoped
+helpers."""
+
+from __future__ import annotations
+
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.caching import (
+    cache_is_empty,
+    cache_scope,
+    released,
+)
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators import (
+    dedup as ops,
+)
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources import (
+    load_table,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_released_evicts_operator_internal_persist(spark):
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    shingled = ops.word_shingles(docs)
+    with released(shingled):
+        n_pairs = ops.jaccard_pairs(shingled, threshold=0.8).count()
+        # the operator persisted the shingle table internally
+        assert not cache_is_empty(spark)
+    assert n_pairs >= 0
+    assert cache_is_empty(spark)
+
+
+def test_cache_scope_clears_everything(spark):
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    with cache_scope(spark):
+        shingled = ops.word_shingles(docs)
+        ops.minhash_lsh_pairs(shingled, threshold=0.8).count()
+        assert not cache_is_empty(spark)
+    assert cache_is_empty(spark)

@@ -537,6 +537,85 @@ def test_stream_dedup_drops_redeliveries(spark, tmp_path):
     assert len(seen) == len(set(seen)) == 4, seen  # 3 from b1 + 1 new from b2
 
 
+def test_curation_stream_matches_batch_dedup(spark, tmp_path):
+    """Streaming leg of the corpus-curation pipeline: quality filter +
+    streaming exact dedup over a document stream lands exactly the batch
+    pipeline's quality-filtered min-id representatives (ids are assigned
+    in arrival order, so first-arrival == min id)."""
+    from datetime import datetime
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators import (
+        dedup as dedup_ops,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.text import (
+        quality_score,
+    )
+
+    doc_schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    good_a = "the quick brown fox jumps over a lazy dog near the river bank"
+    good_b = "distributed engines shuffle data between the executors during wide joins"
+    good_c = "watermarks bound the state kept for late arriving events in a stream"
+    junk = "!!! ??? ... ;;;"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(datetime(2024, 1, 1, 0, 0, s), i, t) for s, i, t in rows], doc_schema
+        )
+
+    # Arrival order == doc_id order; duplicates land in later batches.
+    batch1 = mk([(0, 0, good_a), (1, 1, good_b), (2, 2, junk)])
+    batch2 = mk([(10, 3, good_a), (11, 4, good_c), (12, 5, junk)])  # dup of a
+    batch3 = mk([(20, 6, good_b), (21, 7, good_c)])  # dups of b, c
+    src = str(tmp_path / "curation_src")
+    for i, b in enumerate((batch1, batch2, batch3)):
+        _write_csv(b, f"{src}/b{i}")
+
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", "1")
+        .csv(f"{src}/b*")
+    )
+    out = jobs.curation_stream(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("curation_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r.doc_id, r.text)
+            for r in spark.sql("SELECT doc_id, text FROM curation_out").collect()
+        }
+    finally:
+        q.stop()
+
+    docs = batch1.unionByName(batch2).unionByName(batch3)
+    kept = quality_score(docs).filter(F.col("quality") >= 0.33)
+    batch_reps = {
+        (r.doc_id, r.text)
+        for r in dedup_ops.exact_dedup(kept, ["text"], "doc_id")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert streamed == batch_reps == {(0, good_a), (1, good_b), (4, good_c)}
+
+
 def test_streaming_session_window_matches_batch(spark, tmp_path):
     """T2-streaming: gap-based session windows under a watermark; closed
     sessions emitted in append mode equal the batch session aggregation."""
