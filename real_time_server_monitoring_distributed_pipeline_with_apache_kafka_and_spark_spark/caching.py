@@ -22,8 +22,13 @@ def cache_is_empty(spark: SparkSession) -> bool:
 
     Covers ``DataFrame.persist()`` entries (which ``catalog.isCached``
     cannot see — that API is table-name keyed).
+
+    Classic (JVM-local) sessions only: reaches through the py4j gateway
+    into ``sharedState().cacheManager()``, which does not exist under
+    Spark Connect — there is no public cache-introspection API at all
+    there. ``released``/``cache_scope`` themselves work on any session.
     """
-    return bool(spark._jsparkSession.sharedState().cacheManager().isEmpty())
+    return bool(spark._jsparkSession.sharedState().cacheManager().isEmpty())  # noqa: SLF001
 
 
 @contextmanager

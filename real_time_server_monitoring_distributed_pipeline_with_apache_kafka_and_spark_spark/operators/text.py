@@ -88,15 +88,23 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     lexical diversity, length factor -> blended [0,1] score.
 
     Every ratio is an int/int division => bit-identical across engines.
+    Zero denominators (empty text; the tokenizer never yields an empty
+    array, but the guard keeps the expression total) are NULLIF'd so the
+    ratios — and therefore ``quality`` — come back NULL instead of
+    raising DIVIDE_BY_ZERO under ANSI mode. That matters in streaming:
+    an unguarded division would kill ``curation_stream`` and checkpoint
+    restart would replay the same poison record forever. NULL quality
+    fails any ``quality >= t`` filter, so empty docs are simply dropped.
     """
     toks = tokens(F.col(text_col))
     n_tokens = F.size(toks)
-    stop_ratio = _hit_count(toks, STOPWORDS_EN).cast("double") / n_tokens
+    denom_tokens = F.nullif(n_tokens, F.lit(0))
+    stop_ratio = _hit_count(toks, STOPWORDS_EN).cast("double") / denom_tokens
     n_punct = F.length(text_col) - F.length(
         F.regexp_replace(F.col(text_col), r"[.,!?;:]", "")
     )
-    punct_ratio = n_punct.cast("double") / F.length(text_col)
-    diversity = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / F.nullif(F.length(text_col), F.lit(0))
+    diversity = F.size(F.array_distinct(toks)).cast("double") / denom_tokens
     length_factor = F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
     score = (
         F.lit(0.3) * stop_ratio

@@ -212,10 +212,10 @@ WITH t AS (
 ),
 q AS (
   SELECT doc_id, text, toks,
-      0.3*(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(toks))
-    + 0.3*(CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks))
+      0.3*(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/NULLIF(len(toks), 0))
+    + 0.3*(CAST(len(list_distinct(toks)) AS DOUBLE)/NULLIF(len(toks), 0))
     + 0.3*least(CAST(len(toks) AS DOUBLE)/100.0, 1.0)
-    - 0.1*(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)/length(text))
+    - 0.1*(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)/NULLIF(length(text), 0))
     AS quality
   FROM t
 ),

@@ -180,10 +180,10 @@ FROM t
 WITH t AS (SELECT doc_id, text, {_TOKENS} AS toks FROM documents),
 r AS (
   SELECT doc_id,
-    CAST(len(list_filter(toks, x -> x IN {_STOP_EN})) AS DOUBLE) / len(toks) AS stopword_ratio,
+    CAST(len(list_filter(toks, x -> x IN {_STOP_EN})) AS DOUBLE) / NULLIF(len(toks), 0) AS stopword_ratio,
     CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-      / length(text) AS punct_ratio,
-    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS lexical_diversity,
+      / NULLIF(length(text), 0) AS punct_ratio,
+    CAST(len(list_distinct(toks)) AS DOUBLE) / NULLIF(len(toks), 0) AS lexical_diversity,
     least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS length_factor
   FROM t
 )

@@ -147,7 +147,11 @@ def curation_stream(
     from ..operators.text import quality_score
 
     scored = quality_score(docs, text_col=text_col)
-    kept = scored.filter(F.col("quality") >= min_quality).select(*docs.columns, "quality")
+    # Exclude any pre-existing 'quality' from the passthrough columns:
+    # quality_score overwrites it in place, so naming it twice here would
+    # produce a duplicate (ambiguous) output column.
+    passthrough = [c for c in docs.columns if c != "quality"]
+    kept = scored.filter(F.col("quality") >= min_quality).select(*passthrough, "quality")
     return dedup_stream(kept, [text_col], ts_col=ts_col, watermark=watermark)
 
 

@@ -581,8 +581,18 @@ def test_curation_stream_matches_batch_dedup(spark, tmp_path):
     batch2 = mk([(10, 3, good_a), (11, 4, good_c), (12, 5, junk)])  # dup of a
     batch3 = mk([(20, 6, good_b), (21, 7, good_c)])  # dups of b, c
     src = str(tmp_path / "curation_src")
+    # The file source orders files by modification time; fast successive
+    # writes can tie at the filesystem's mtime granularity, making
+    # arrival order (and thus which duplicate survives) flaky. Pin
+    # strictly increasing mtimes so b0 < b1 < b2 deterministically.
+    import glob as _glob
+    import os as _os
+
+    base_mtime = time.time()
     for i, b in enumerate((batch1, batch2, batch3)):
         _write_csv(b, f"{src}/b{i}")
+        for f in _glob.glob(f"{src}/b{i}/*"):
+            _os.utime(f, (base_mtime + 10 * i, base_mtime + 10 * i))
 
     stream = (
         spark.readStream.schema(doc_schema)
@@ -614,6 +624,59 @@ def test_curation_stream_matches_batch_dedup(spark, tmp_path):
         .collect()
     }
     assert streamed == batch_reps == {(0, good_a), (1, good_b), (4, good_c)}
+
+
+def test_curation_stream_survives_empty_document(spark, tmp_path):
+    """ANSI-mode regression: an empty document used to raise
+    DIVIDE_BY_ZERO inside quality_score (punct_ratio divides by
+    length(text)), killing the streaming query — and checkpoint restart
+    would replay the same poison record, wedging the stream forever.
+    The NULLIF guards make its quality NULL, so the filter drops it and
+    the stream keeps making progress."""
+    from datetime import datetime
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    doc_schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    good = "the quick brown fox jumps over a lazy dog near the river bank"
+    df = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1, 0, 0, 0), 0, good),
+            (datetime(2024, 1, 1, 0, 0, 1), 1, ""),  # length 0: the poison row
+            (datetime(2024, 1, 1, 0, 0, 2), 2, "   "),  # whitespace-only
+        ],
+        doc_schema,
+    )
+    src = str(tmp_path / "poison_src")
+    # Parquet, not CSV: the CSV round-trip turns "" into NULL, which would
+    # dodge the zero-length division this test exists to exercise.
+    df.write.parquet(src)
+    stream = spark.readStream.schema(doc_schema).parquet(src)
+    out = jobs.curation_stream(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("poison_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        kept = {r.doc_id for r in spark.sql("SELECT doc_id FROM poison_out").collect()}
+    finally:
+        q.stop()
+    assert kept == {0}
 
 
 def test_streaming_session_window_matches_batch(spark, tmp_path):
