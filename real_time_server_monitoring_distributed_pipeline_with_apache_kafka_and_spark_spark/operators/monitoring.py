@@ -64,6 +64,64 @@ def sliding_window_agg(
     return grouped.agg(*[col.alias(name) for name, col in aggs.items()])
 
 
+_DURATION_UNITS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+                   "hour": 3600, "hours": 3600}
+
+
+def _duration_seconds(spec: str) -> int:
+    qty, unit = spec.strip().split()
+    return int(qty) * _DURATION_UNITS[unit.lower()]
+
+
+def sliding_window_agg_exploded(
+    df: DataFrame,
+    aggs: dict[str, Column],
+    ts_col: str = "ts",
+    entity_col: str = "server_id",
+    window: WindowConfig | None = None,
+) -> DataFrame:
+    """A1/A2 sliding-window agg via explode'd slide offsets, not F.window.
+
+    Produces the IDENTICAL epoch-aligned (entity, window) groups as
+    :func:`sliding_window_agg` — start = floor(epoch/slide)*slide - k*slide
+    for k in 0..duration/slide-1, the same arithmetic ``F.window``
+    compiles to — but through GenerateExec (explode) instead of
+    ExpandExec. The difference is purely physical: ExpandExec discards
+    its child's output partitioning, forcing a shuffle before the final
+    aggregate even when the input is already hash-partitioned on the
+    entity (bucketed landing); GenerateExec preserves it, so over an
+    entity-bucketed table the aggregation runs with zero exchanges
+    (tests/test_plans.py::test_bucketed_flagship_job_no_exchange).
+
+    Requires duration % slide == 0 (true for the reference's 30s/10s,
+    config.yaml:19-20). Timestamp arithmetic routes TIMESTAMP_NTZ through
+    a session-tz cast (sessions pin UTC) because NTZ has no direct
+    numeric cast.
+    """
+    window = window or DEFAULT_CONFIG.window
+    dur_s = _duration_seconds(window.duration)
+    slide_s = _duration_seconds(window.slide)
+    if dur_s % slide_s:
+        raise ValueError(
+            f"duration {window.duration!r} must be a multiple of slide "
+            f"{window.slide!r} for the exploded formulation"
+        )
+    n = dur_s // slide_s
+    ts_type = df.schema[ts_col].dataType.simpleString()
+    secs = F.col(ts_col).cast("timestamp").cast("long")
+    base = secs - F.pmod(secs, F.lit(slide_s))
+    exploded = df.select(
+        "*", F.explode(F.array(*[F.lit(i) for i in range(n)])).alias("__slide_k")
+    )
+    start_s = base - F.col("__slide_k") * slide_s
+    win = F.struct(
+        F.timestamp_seconds(start_s).cast(ts_type).alias("start"),
+        F.timestamp_seconds(start_s + dur_s).cast(ts_type).alias("end"),
+    )
+    grouped = exploded.groupBy(F.col(entity_col), win.alias("window"))
+    return grouped.agg(*[col.alias(name) for name, col in aggs.items()])
+
+
 def tumbling_window_agg(
     df: DataFrame,
     aggs: dict[str, Column],
@@ -143,6 +201,7 @@ def cpu_mem_job(
     time_format: str | None = None,
     round_fn=None,
     float32_parity: bool = False,
+    sliding_agg_fn=None,
 ) -> DataFrame:
     """Reference spark_job1 end-to-end: join -> window avg -> alert -> format
     (spark_job1.py:6-54), parameterized over column names so the same
@@ -152,13 +211,17 @@ def cpu_mem_job(
     downcast (spark_job1.py:20-21): metrics lose precision to float32
     BEFORE averaging, shifting results in the ~7th significant digit.
     Default keeps double (deliberate deviation, SURVEY.md SS1.2).
+    ``sliding_agg_fn`` swaps the window-agg implementation (same
+    signature/semantics as :func:`sliding_window_agg`; pass
+    :func:`sliding_window_agg_exploded` for the bucketed zero-exchange
+    layout).
     """
     joined = join_metric_streams(cpu, mem, keys=("ts", entity_col))
     if float32_parity:
         joined = joined.withColumn(cpu_col, F.col(cpu_col).cast("float")).withColumn(
             mem_col, F.col(mem_col).cast("float")
         )
-    agged = sliding_window_agg(
+    agged = (sliding_agg_fn or sliding_window_agg)(
         joined,
         {"avg_cpu": F.avg(cpu_col), "avg_mem": F.avg(mem_col)},
         entity_col=entity_col,

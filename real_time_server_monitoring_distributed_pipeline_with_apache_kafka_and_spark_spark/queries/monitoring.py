@@ -73,6 +73,55 @@ def monitor_cpu_mem_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def monitor_cpu_mem_alerts_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship scale variant: spark_job1 over a PREPARED bucketed landing.
+
+    The plain flagship shuffles BOTH metric sides per query (reference
+    anti-pattern, SURVEY SS4.3; ``spark_job1.py:18``). Here the narrow
+    cpu/mem streams are landed once as parquet tables bucketed by the
+    entity key — the one-time ingest cost — and the query reads the
+    bucketed tables. hash(user_id) partitioning satisfies BOTH the join's
+    (ts, user_id) clustering AND the window agg's (user_id, window)
+    clustering, so the entire query side — join -> sliding-window avg ->
+    CASE -> projection — plans with ZERO exchanges (pinned by
+    tests/test_plans.py::test_bucketed_flagship_job_no_exchange; only
+    cheap in-partition sorts remain). At 100 TB that converts the two
+    biggest per-query shuffles into a landing cost amortized over every
+    query on the table. Results are identical to monitor_cpu_mem_alerts
+    and checked against the same oracle.
+    """
+    import os as _os
+    import re as _re
+
+    from ..sources.readers import write_bucketed_table
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = _re.sub(r"[^0-9A-Za-z]+", "_", _os.path.basename(sf_dir.rstrip("/")))
+    n_buckets = 32
+    landed = {}
+    for name, narrow in (("cpu", _narrow_cpu(ev)), ("mem", _narrow_mem(ev))):
+        tbl = f"rtsm_{name}_bucketed_{tag}"
+        # Repartition to one write task per bucket => one file per bucket,
+        # so bucket layout stays tidy (and in-bucket sortBy order is
+        # trusted on read when a later query's sort order matches it).
+        write_bucketed_table(
+            narrow.repartition(n_buckets, "user_id"),
+            tbl,
+            ["user_id"],
+            n_buckets=n_buckets,
+            sort_cols=["user_id", "ts"],
+            path=f"/tmp/rtsm_bucketed/{tag}/{name}",
+        )
+        landed[name] = spark.table(tbl)
+    return ops.cpu_mem_job(
+        landed["cpu"], landed["mem"], config=ANALOG_CONFIG, entity_col="user_id",
+        round_fn=display_round,
+        # Exploded formulation: F.window's ExpandExec would discard the
+        # bucketed partitioning right before the final aggregate.
+        sliding_agg_fn=ops.sliding_window_agg_exploded,
+    )
+
+
 def monitor_net_disk_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference spark_job2 end-to-end (J2+A2+P7+P1/F1/F2)."""
     ev = load_table(spark, sf_dir, "events")
@@ -298,6 +347,7 @@ def monitor_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "monitor_cpu_mem_alerts": monitor_cpu_mem_alerts,
+    "monitor_cpu_mem_alerts_bucketed": monitor_cpu_mem_alerts_bucketed,
     "monitor_alert_transitions": monitor_alert_transitions,
     "monitor_funnel": monitor_funnel,
     "monitor_net_disk_alerts": monitor_net_disk_alerts,
@@ -459,3 +509,7 @@ WHERE event_type IN ('error', 'purchase') AND value > 50.0
   AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-25 00:00:00'
 """,
 }
+
+# The bucketed flagship computes the identical result through a different
+# physical layout — same oracle by construction.
+ORACLES["monitor_cpu_mem_alerts_bucketed"] = ORACLES["monitor_cpu_mem_alerts"]

@@ -28,6 +28,15 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Allow co-partitioned joins when both sides are hash-partitioned on a
+    # SUBSET of the join keys (same subset, same partition count). This is
+    # what lets an entity-bucketed landing (bucketBy(user_id)) feed a
+    # (ts, user_id) join with zero exchanges — hash(user_id) already
+    # co-locates equal join keys; requiring ALL keys (the default) exists
+    # to guard against low-cardinality subsets, not correctness. Only
+    # changes plans when a side is already subset-partitioned (bucketed
+    # tables); ordinary shuffle joins still partition on all keys.
+    "spark.sql.requireAllClusterKeysForCoPartition": "false",
 }
 
 

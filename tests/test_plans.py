@@ -161,6 +161,34 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_mem")
 
 
+def test_bucketed_flagship_job_no_exchange(spark):
+    """The FULL flagship job (join + sliding-window agg + CASE +
+    projection) over the bucketed landing plans with zero exchanges of
+    any kind: hash(user_id) bucketing satisfies both the join's
+    (ts, user_id) and the agg's (user_id, window) clustering, so the
+    per-query shuffles become a one-time landing cost."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.inspect import (
+        broadcast_exchange_count,
+        shuffle_exchange_count,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.monitoring import (
+        monitor_cpu_mem_alerts,
+        monitor_cpu_mem_alerts_bucketed,
+    )
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        df = monitor_cpu_mem_alerts_bucketed(spark, SF_DIR)
+        assert shuffle_exchange_count(df) == 0, "bucketed flagship must not shuffle"
+        assert broadcast_exchange_count(df) == 0
+        got = sorted(tuple(r) for r in df.collect())
+        want = sorted(tuple(r) for r in monitor_cpu_mem_alerts(spark, SF_DIR).collect())
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
 def test_curation_pipeline_no_nested_loops(reports):
     """The composite pipeline stays inverted-index + anti-join all the way:
     no cartesian products or nested-loop joins anywhere in the plan."""
