@@ -62,6 +62,11 @@ def parallelize_if_narrow(df: DataFrame, min_parallelism: int | None = None) -> 
     tiny-partition shuffle made every branch slower (ngram 12s -> 31s at
     sf0.1) — the persist already amortizes the serial scan there.
     """
+    # Streaming DataFrames have no inputFiles()/rdd to inspect (both
+    # raise); micro-batch parallelism is the source's concern
+    # (maxFilesPerTrigger / Kafka partitions), so pass through untouched.
+    if df.isStreaming:
+        return df
     spark = df.sparkSession
     target = min_parallelism or spark.sparkContext.defaultParallelism
     # inputFiles() reads the scan's file listing without materializing the

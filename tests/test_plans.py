@@ -252,3 +252,18 @@ def test_parallelize_if_narrow_handles_non_file_sources(spark):
         target
     )
     assert parallelize_if_narrow(wide).rdd.getNumPartitions() == target
+
+
+def test_parallelize_if_narrow_streaming_passthrough(spark):
+    """VERDICT r03 #4: a streaming DataFrame has no .rdd/.inputFiles();
+    the helper must pass it through instead of raising."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources import (
+        parallelize_if_narrow,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    )
+    assert stream.isStreaming
+    out = parallelize_if_narrow(stream)
+    assert out is stream
