@@ -572,6 +572,81 @@ def _bucket_udf(planes: list[list[float]], k: int, tables: int):
     return buckets
 
 
+def lsh_tag_corpus(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes_per_table: int = 6,
+    n_tables: int = 12,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Index side of the LSH ANN: explode a corpus into one row per
+    (vector, hash table) with its bucket id and precomputed norm.
+
+    Shared by :func:`ann_lsh_topk` (inline) and the streaming ingest leg
+    (``streaming.jobs.vector_ingest_stream`` tags each micro-batch and
+    appends to a persistent candidate store). The hyperplanes are derived
+    from ``seed`` alone, so any two invocations — batch or per
+    micro-batch — assign identical buckets, which is what makes an
+    incrementally-built store interchangeable with a one-shot build.
+
+    Output: (neighbor_id, corpus_vec, c_nrm, table_idx, bucket).
+    """
+    planes = _hyperplanes(planes_per_table * n_tables, dim, seed)
+    buckets = _bucket_udf(planes, planes_per_table, n_tables)
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("corpus_vec"),
+        norm2(F.col(vec_col)).alias("c_nrm"),
+        F.posexplode(buckets(F.col(vec_col))).alias("table_idx", "bucket"),
+    )
+
+
+def ann_lsh_topk_tagged(
+    tagged_corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes_per_table: int = 6,
+    n_tables: int = 12,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Probe side of the LSH ANN over an already-tagged corpus (the
+    :func:`lsh_tag_corpus` layout — inline or read back from the
+    streaming ingest store). LSH params must match the tagging call so
+    the query side hashes into the same buckets.
+    """
+    from pyspark.sql import Window
+
+    planes = _hyperplanes(planes_per_table * n_tables, dim, seed)
+    buckets = _bucket_udf(planes, planes_per_table, n_tables)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        norm2(F.col(vec_col)).alias("q_nrm"),
+        F.posexplode(buckets(F.col(vec_col))).alias("table_idx", "bucket"),
+    )
+    candidates = (
+        tagged_corpus.join(F.broadcast(q), ["table_idx", "bucket"])
+        .select("query_id", "query_vec", "q_nrm", "neighbor_id", "corpus_vec", "c_nrm")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.withColumn(
+        "cos",
+        dot_product(F.col("corpus_vec"), F.col("query_vec"))
+        / (F.col("c_nrm") * F.col("q_nrm")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -592,37 +667,16 @@ def ann_lsh_topk(
     multi-table trade recovers recall while still pruning the pair space
     ~5x on uniform data (far more on clustered real-world embeddings).
 
+    Composition of :func:`lsh_tag_corpus` (index side) and
+    :func:`ann_lsh_topk_tagged` (probe side); the streaming ingest leg
+    reuses the same halves over a persistent store.
+
     Same output contract as ann_topk; recall < 1 by design.
     """
-    from pyspark.sql import Window
-
-    planes = _hyperplanes(planes_per_table * n_tables, dim, seed)
-    buckets = _bucket_udf(planes, planes_per_table, n_tables)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("query_vec"),
-        norm2(F.col(vec_col)).alias("q_nrm"),
-        F.posexplode(buckets(F.col(vec_col))).alias("table_idx", "bucket"),
+    lsh_params = dict(
+        planes_per_table=planes_per_table, n_tables=n_tables, dim=dim, seed=seed
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("corpus_vec"),
-        norm2(F.col(vec_col)).alias("c_nrm"),
-        F.posexplode(buckets(F.col(vec_col))).alias("table_idx", "bucket"),
-    )
-    candidates = (
-        c.join(F.broadcast(q), ["table_idx", "bucket"])
-        .select("query_id", "query_vec", "q_nrm", "neighbor_id", "corpus_vec", "c_nrm")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = candidates.withColumn(
-        "cos",
-        dot_product(F.col("corpus_vec"), F.col("query_vec"))
-        / (F.col("c_nrm") * F.col("q_nrm")),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
+    tagged = lsh_tag_corpus(corpus, id_col=id_col, vec_col=vec_col, **lsh_params)
+    return ann_lsh_topk_tagged(
+        tagged, queries, k=k, id_col=id_col, vec_col=vec_col, **lsh_params
     )

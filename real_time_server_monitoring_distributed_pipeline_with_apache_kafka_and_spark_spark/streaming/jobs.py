@@ -203,6 +203,71 @@ def foreach_batch_idempotent_parquet(df: DataFrame, path: str, checkpoint_dir: s
     )
 
 
+def vector_ingest_stream(
+    vectors: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes_per_table: int = 6,
+    n_tables: int = 12,
+    dim: int = 64,
+    seed: int = 7,
+):
+    """Streaming ingest leg for the ANN tier: embeddings arrive on a
+    stream, each micro-batch is LSH-tagged and appended to the bucketed
+    candidate store that batch probes read.
+
+    The reference's landing-leg shape (``consumers/consumer1.py:40-49``:
+    Kafka in, demuxed file store out) applied to vectors. The tagging is
+    ``operators.similarity.lsh_tag_corpus`` with the same seeded
+    hyperplanes as the batch operator, so a store built incrementally is
+    row-identical to one built in a single batch pass — probing it with
+    ``ann_lsh_topk_tagged`` returns exactly what ``ann_lsh_topk`` would
+    on the union corpus (pinned by
+    tests/test_streaming.py::test_vector_ingest_stream_matches_batch).
+
+    Delivery: each micro-batch lands in its own ``batch_id=N`` directory
+    with mode=overwrite (the :func:`foreach_batch_idempotent_parquet`
+    contract) — a replayed batch overwrites its own partial output, so
+    checkpoint + idempotent writes give exactly-once into the store.
+
+    At scale the store is append-heavy and probe-read; periodic
+    compaction can re-cluster it by (table_idx, bucket) for probe
+    locality, but the probe broadcasts the (small) query side, so the
+    store layout only affects scan parallelism, not shuffle volume.
+
+    Returns the DataStreamWriter (caller starts it).
+    """
+    import os
+
+    from ..operators.similarity import lsh_tag_corpus
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tagged = lsh_tag_corpus(
+            batch_df,
+            id_col=id_col,
+            vec_col=vec_col,
+            planes_per_table=planes_per_table,
+            n_tables=n_tables,
+            dim=dim,
+            seed=seed,
+        )
+        tagged.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch_id={batch_id}")
+        )
+
+    return vectors.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def read_vector_store(spark, store_path: str) -> DataFrame:
+    """Read the LSH candidate store built by :func:`vector_ingest_stream`
+    (the ``lsh_tag_corpus`` layout, ready for ``ann_lsh_topk_tagged``)."""
+    return spark.read.parquet(store_path).drop("batch_id")
+
+
 def with_contiguous_row_ids(data: DataFrame, id_col: str = "row_id") -> DataFrame:
     """Assign contiguous 0..N-1 row ids without a global single-task sort.
 

@@ -679,6 +679,51 @@ def test_curation_stream_survives_empty_document(spark, tmp_path):
     assert kept == {0}
 
 
+def test_vector_ingest_stream_matches_batch(spark, tmp_path):
+    """Streaming ANN ingest leg: embeddings stream in across micro-batches,
+    each LSH-tagged and appended to the candidate store; probing the
+    incrementally-built store returns exactly what the one-shot batch
+    operator returns on the union corpus (same seeded hyperplanes)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.similarity import (
+        ann_lsh_topk,
+        ann_lsh_topk_tagged,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 310))
+
+    # Split the corpus into 3 arrival batches and land them as parquet
+    # directories the file stream replays one per micro-batch.
+    src = str(tmp_path / "vec_src")
+    for i, (lo, hi) in enumerate(((10, 110), (110, 210), (210, 310))):
+        emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).coalesce(
+            1
+        ).write.parquet(f"{src}/b{i}")
+
+    store = str(tmp_path / "vec_store")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    q = jobs.vector_ingest_stream(
+        stream, store, checkpoint_dir=str(tmp_path / "vec_ckpt")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    tagged = jobs.read_vector_store(spark, store)
+    streamed = sorted(
+        tuple(r) for r in ann_lsh_topk_tagged(tagged, queries_df, k=5).collect()
+    )
+    batch = sorted(tuple(r) for r in ann_lsh_topk(corpus, queries_df, k=5).collect())
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
 def test_streaming_session_window_matches_batch(spark, tmp_path):
     """T2-streaming: gap-based session windows under a watermark; closed
     sessions emitted in append mode equal the batch session aggregation."""
