@@ -464,6 +464,77 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     assert out.select("ts", "server_id").distinct().count() == cpu.count()
 
 
+def test_curation_stream_checkpoint_recovery(spark, tmp_path):
+    """Chaos: kill the curation stream mid-corpus and restart it from its
+    checkpoint. The dedup state must survive the restart — a duplicate of
+    a pre-kill document arriving after recovery is still dropped — and
+    the final curated set equals what an uninterrupted run produces."""
+    from datetime import datetime
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    doc_schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    good_a = "the quick brown fox jumps over a lazy dog near the river bank"
+    good_b = "distributed engines shuffle data between the executors during wide joins"
+    good_c = "watermarks bound the state kept for late arriving events in a stream"
+    junk = "!!! ??? ... ;;;"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(datetime(2024, 1, 1, 0, 0, s), i, t) for s, i, t in rows], doc_schema
+        )
+
+    src = str(tmp_path / "cur_src")
+    sink = str(tmp_path / "cur_sink")
+    ckpt = str(tmp_path / "cur_ckpt")
+
+    def start():
+        stream = spark.readStream.schema(doc_schema).csv(f"{src}/b*")
+        return (
+            jobs.curation_stream(stream, watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    # phase 1: first slice of the corpus, then the query dies
+    _write_csv(mk([(0, 0, good_a), (1, 1, good_b), (2, 2, junk)]), f"{src}/b0")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # phase 2 arrives while the query is DOWN: a duplicate of good_a
+    # (exercises the RESTORED dedup state), one new doc, more junk
+    _write_csv(mk([(10, 3, good_a), (11, 4, good_c), (12, 5, junk)]), f"{src}/b1")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.doc_id, r.text) for r in spark.read.parquet(sink).select("doc_id", "text").collect()
+    }
+    # == the uninterrupted run's output: quality-filtered first arrivals
+    assert got == {(0, good_a), (1, good_b), (4, good_c)}
+
+
 def test_batch_transitions_vectorized_equals_loop(spark):
     """debounce=1's vectorized fast path must emit exactly what the
     _advance state machine emits, on random flappy sequences."""
@@ -497,6 +568,107 @@ def test_batch_transitions_vectorized_equals_loop(spark):
         out, _ = _advance(pdf, (None, None, 0), 1, s)
         expected |= {tuple(t) for t in out}
     assert got == expected and len(expected) > 10
+
+
+def test_alert_transitions_skewed_state(spark, tmp_path):
+    """Stateful operator under skew: entity count well above the shuffle
+    partition count (200 vs 8) plus one hot entity carrying ~2/3 of all
+    windows, with the hot history split across micro-batches. The
+    streaming operator's state (3 scalars per entity, hash-partitioned)
+    must come through: streaming output == batch operator == an
+    independent replay of the state machine, every entity accounted for."""
+    import random
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.stateful import (
+        _advance,
+        track_alert_transitions,
+        track_alert_transitions_batch,
+    )
+
+    n_cold = 199
+    hot_windows = 2000
+    rng = random.Random(11)
+    base = datetime(2024, 1, 1)
+
+    rows: list[tuple[str, datetime, str]] = []
+    for t in range(hot_windows):
+        # alternating 3-window plateaus (real transitions) with
+        # single-window spikes layered on top (suppressed at debounce=2)
+        alert = "HIGH" if (t // 3) % 2 == 0 else "OK"
+        if t % 11 == 5:
+            alert = "SPIKE"
+        rows.append(("hot", base + timedelta(seconds=10 * t), alert))
+    for i in range(n_cold):
+        for t in range(5):
+            rows.append(
+                (f"s{i}", base + timedelta(seconds=10 * t), rng.choice(["OK", "HIGH"]))
+            )
+
+    alerts = spark.createDataFrame(rows, ["server_id", "window_start", "alert"])
+    batch_got = {
+        (r.server_id, r.window_start, r.from_state, r.to_state)
+        for r in track_alert_transitions_batch(alerts, debounce=2).collect()
+    }
+
+    # independent ground truth: replay the state machine per entity
+    expected = set()
+    by_entity: dict[str, list] = {}
+    for s, w, a in rows:
+        by_entity.setdefault(s, []).append((w, a))
+    for s, ent_rows in by_entity.items():
+        pdf = pd.DataFrame(sorted(ent_rows), columns=["window_start", "alert"])
+        out, _ = _advance(pdf, (None, None, 0), 2, s)
+        expected |= {tuple(t) for t in out}
+    assert batch_got == expected
+    # skew sanity: the hot entity dominates, and the cold tail is present
+    hot_transitions = [t for t in expected if t[0] == "hot"]
+    assert len(hot_transitions) > 500
+    assert len({t[0] for t in expected}) > 150  # >> 8 shuffle partitions
+
+    # streaming: hot history split across 3 micro-batches (state carries
+    # over batch boundaries), cold entities all in the first batch
+    src = str(tmp_path / "skew_alert_src")
+    cut0 = base + timedelta(seconds=10 * (hot_windows // 3))
+    cut1 = base + timedelta(seconds=10 * (2 * hot_windows // 3))
+    batches = [
+        [r for r in rows if r[1] < cut0],
+        [r for r in rows if cut0 <= r[1] < cut1],
+        [r for r in rows if r[1] >= cut1],
+    ]
+    import glob as _glob
+    import os as _os
+
+    base_mtime = time.time()
+    for i, batch_rows in enumerate(batches):
+        spark.createDataFrame(
+            batch_rows, ["server_id", "window_start", "alert"]
+        ).coalesce(1).write.mode("append").csv(f"{src}/b{i}", header=False)
+        for f in _glob.glob(f"{src}/b{i}/*"):
+            _os.utime(f, (base_mtime + 10 * i, base_mtime + 10 * i))
+    stream = (
+        spark.readStream.schema("server_id string, window_start timestamp, alert string")
+        .option("maxFilesPerTrigger", "1")
+        .csv(f"{src}/b*")
+    )
+    q = (
+        track_alert_transitions(stream, debounce=2)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("skew_transitions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stream_got = {
+            (r.server_id, r.window_start, r.from_state, r.to_state)
+            for r in spark.sql("SELECT * FROM skew_transitions").collect()
+        }
+    finally:
+        q.stop()
+    assert stream_got == expected
 
 
 def test_stream_dedup_drops_redeliveries(spark, tmp_path):
