@@ -123,6 +123,128 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def hash_bucket_100(id_col: Column) -> Column:
+    """Deterministic 0-99 bucket from an id: md5 first-8-hex-digits mod
+    100. Engine-portable (DuckDB derives the identical assignment) and
+    stable under re-partitioning — the primitive behind hash splits and
+    stratified sampling."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(100),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_pct: dict[str, int],
+    default_pct: int = 100,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its hash
+    bucket < the stratum's percentage.
+
+    The training-data mixing primitive: rebalance an over-represented
+    stratum (e.g. English web text) against the rest without an RNG —
+    hash-based keeps are reproducible across runs, engines, and
+    partitionings, and compose with hash splits (independent md5 inputs
+    would be needed for independence; here the split and sample share the
+    id hash, documented choice). Stateless filter at scan speed: no
+    shuffle, no state, trivially parallel at 100 TB.
+    """
+    bucket = hash_bucket_100(F.col(id_col))
+    rate = F.lit(default_pct)
+    for stratum, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(rate)
+    return df.filter(bucket < rate)
+
+
+def pack_token_shards(
+    df: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    tok_col: str = "n_tok",
+    coarse: int = 1024,
+) -> DataFrame:
+    """Contiguous token-offset shard planning in id order: each document
+    gets its global token offset (sum of all earlier docs' tokens) and a
+    shard id ``floor(offset / budget)`` — the layout step for packing a
+    corpus into ~budget-token training shards.
+
+    A naive ``SUM() OVER (ORDER BY id)`` funnels the whole corpus through
+    ONE task (global sort window). This is the hierarchical two-pass
+    instead (same trick as streaming.jobs.with_contiguous_row_ids): docs
+    are coarse-bucketed by ``id div coarse``; pass 1 computes per-bucket
+    token sums and a running offset across the (corpus/coarse, tiny)
+    bucket table; pass 2 computes the within-bucket cumulative sum with a
+    window PARTITIONED by bucket. Every window runs over a bounded
+    partition; the only broadcast is the bucket-offset table.
+
+    Output adds ``token_offset`` (tokens before this doc) and
+    ``shard_id``. Deterministic given the id order — bit-identical to the
+    single-window SQL formulation, which is exactly what the oracle runs.
+    """
+    from pyspark.sql import Window
+
+    b = F.floor(F.col(id_col) / F.lit(coarse)).alias("_b")
+    tagged = df.withColumn("_b", b)
+    in_bucket_w = (
+        Window.partitionBy("_b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        tagged.groupBy("_b")
+        .agg(F.sum(tok_col).alias("_bucket_tok"))
+        .withColumn("_bucket_off", F.coalesce(F.sum("_bucket_tok").over(bucket_w), F.lit(0)))
+        .select("_b", "_bucket_off")
+    )
+    return (
+        tagged.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            "token_offset",
+            (
+                F.col("_bucket_off")
+                + F.coalesce(F.sum(tok_col).over(in_bucket_w), F.lit(0))
+            ).cast("long"),
+        )
+        .withColumn("shard_id", F.floor(F.col("token_offset") / F.lit(budget)))
+        .drop("_b", "_bucket_off")
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition: fraction of duplicated word 3-grams —
+    the classic C4/Gopher-style quality signal for boilerplate and
+    looping generations. Pure higher-order functions (sequence +
+    transform + array_distinct): scan-speed, no Python, no shuffle.
+
+    ``repetition_ratio`` = 1 - distinct/total 3-grams (0.0 for docs with
+    fewer than 3 tokens — nothing to repeat).
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    trigrams = F.when(n >= 3, F.transform(
+        F.sequence(F.lit(0), n - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    n_tri = F.size(trigrams)
+    n_distinct = F.size(F.array_distinct(trigrams))
+    ratio = F.when(
+        n_tri > 0, F.lit(1.0) - n_distinct.cast("double") / n_tri
+    ).otherwise(F.lit(0.0))
+    return df.withColumns(
+        {
+            "n_trigrams": n_tri,
+            "n_distinct_trigrams": n_distinct,
+            "repetition_ratio": ratio,
+        }
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """N-gram/marker-word language ID heuristic.
 

@@ -33,6 +33,9 @@ from . import dedup, extras, monitoring, multimodal, relational, similarity, tex
 _PRIORITY: tuple[str, ...] = (
     # -- new in r04 --
     "monitor_cpu_mem_alerts_bucketed",
+    "text_stratified_sample",
+    "text_sequence_packing",
+    "text_repetition",
     # -- code changed in r04 (NULLIF guards; cpu_mem_job param plumb): re-prove --
     "text_quality_score",
     "pipeline_corpus_curation",
@@ -82,11 +85,11 @@ _PRIORITY: tuple[str, ...] = (
     "rel_salted_join",
     "rel_range_join",
     "rel_window_running",
+    # -- tail (past the ~50 cap): newest green row is r03 (1 round old at
+    #    r04; cycle back in r05) plus the two rows-only sketch aggregates --
     "rel_window_frames",
     "rel_rollup",
     "rel_grouping_sets",
-    # -- tail (past the ~50 cap): newest green row is r03 (1 round old at
-    #    r04; cycle back in r05) plus the two rows-only sketch aggregates --
     "rel_sql_subqueries",
     "rel_percentile",
     "rel_join_left_outer",

@@ -118,8 +118,61 @@ def text_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_RATES_PCT = {"en": 40, "de": 80, "es": 80, "fr": 80, "zh": 100}
+
+
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixing: deterministic hash-based per-language
+    downsampling (keep 40% of the over-represented English, 80% of
+    de/es/fr, all of zh), then per-language corpus accounting. The keep
+    decision is a stateless md5-bucket filter at scan speed; only the
+    final tiny per-lang aggregate shuffles."""
+    from ..operators.text import stratified_sample, tokens as tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, SAMPLE_RATES_PCT, default_pct=100)
+    return (
+        kept.select("lang", F.size(tokenize(F.col("text"))).alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )
+
+
+def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard planning for training: every document's global token offset
+    (in doc_id order) and its ~2048-token shard assignment, computed with
+    the hierarchical two-pass cumulative sum (no single-task global
+    window — see operators.text.pack_token_shards)."""
+    from ..operators.text import pack_token_shards, tokens as tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(tokenize(F.col("text"))).alias("n_tok")
+    )
+    return pack_token_shards(sized, budget=2048).select(
+        "doc_id", "n_tok", "token_offset", "shard_id"
+    )
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style repetition signal: duplicated word-3-gram fraction
+    per document."""
+    from ..operators.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs).select(
+        "doc_id", "n_trigrams", "n_distinct_trigrams", "repetition_ratio"
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_stratified_sample": text_stratified_sample,
+    "text_sequence_packing": text_sequence_packing,
+    "text_repetition": text_repetition,
     "text_hash_split": text_hash_split,
     "text_quality_score": text_quality_score,
     "text_langid": text_langid,
@@ -128,6 +181,53 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_stratified_sample": f"""
+WITH b AS (
+  SELECT lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+           AS bucket,
+         len({_TOKENS}) AS n_tok
+  FROM documents
+),
+kept AS (
+  SELECT * FROM b
+  WHERE bucket < CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 80
+                           WHEN 'es' THEN 80 WHEN 'fr' THEN 80
+                           WHEN 'zh' THEN 100 ELSE 100 END
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM kept GROUP BY lang
+""",
+    "text_sequence_packing": f"""
+WITH t AS (SELECT doc_id, len({_TOKENS}) AS n_tok FROM documents),
+o AS (
+  SELECT doc_id, n_tok,
+    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+  FROM t
+)
+SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok, token_offset,
+       CAST(floor(token_offset / 2048) AS BIGINT) AS shard_id
+FROM o
+""",
+    "text_repetition": f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [] END AS trigrams
+  FROM t
+)
+SELECT doc_id,
+  CAST(len(trigrams) AS INTEGER) AS n_trigrams,
+  CAST(len(list_distinct(trigrams)) AS INTEGER) AS n_distinct_trigrams,
+  CASE WHEN len(trigrams) > 0
+       THEN 1.0 - CAST(len(list_distinct(trigrams)) AS DOUBLE) / len(trigrams)
+       ELSE 0.0 END AS repetition_ratio
+FROM g
+""",
     "text_hash_split": f"""
 WITH b AS (
   SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100

@@ -1,0 +1,63 @@
+"""Unit tests for the round-4 text/curation operators (stratified
+sampling, shard packing, repetition scoring). Oracle parity at sf0.01 is
+covered by test_oracle_parity; these pin operator-level invariants on
+controlled inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.text import (
+    pack_token_shards,
+    repetition_stats,
+    stratified_sample,
+)
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    kept1 = stratified_sample(docs, {"en": 25, "de": 100})
+    kept2 = stratified_sample(docs, {"en": 25, "de": 100})
+    rows1 = sorted(tuple(r) for r in kept1.collect())
+    assert rows1 == sorted(tuple(r) for r in kept2.collect())  # reproducible
+    counts = {r.lang: r.n for r in kept1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["de"] == 1000  # 100% stratum untouched
+    assert 150 < counts["en"] < 350  # ~25% of 1000, hash-uniform
+
+
+def test_pack_token_shards_matches_naive_window(spark):
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 200 + 1) for i in range(5000)], "doc_id long, n_tok int"
+    )
+    got = {
+        r.doc_id: (r.token_offset, r.shard_id)
+        for r in pack_token_shards(docs, budget=1000, coarse=256).collect()
+    }
+    # naive single-window ground truth, driver-side
+    rows = sorted((i, (i * 37) % 200 + 1) for i in range(5000))
+    offset = 0
+    for doc_id, n_tok in rows:
+        assert got[doc_id] == (offset, offset // 1000), doc_id
+        offset += n_tok
+    # shards fill contiguously: every shard id up to the last is present
+    shard_ids = {s for _, s in got.values()}
+    assert shard_ids == set(range(max(shard_ids) + 1))
+
+
+def test_repetition_stats_flags_looping_text(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),          # all trigrams distinct
+            (1, "spam spam spam spam spam spam"),   # one trigram repeated
+            (2, "ab cd"),                           # < 3 tokens: no trigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert out[0].n_trigrams == 4 and out[0].repetition_ratio == 0.0
+    assert out[1].n_trigrams == 4 and out[1].n_distinct_trigrams == 1
+    assert out[1].repetition_ratio == 0.75
+    assert out[2].n_trigrams == 0 and out[2].repetition_ratio == 0.0
