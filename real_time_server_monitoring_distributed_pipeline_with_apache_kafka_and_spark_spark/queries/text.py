@@ -96,15 +96,10 @@ def text_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs no global sort or RNG state, and any engine (here: DuckDB)
     derives the identical assignment. One narrow scan + one hash-agg.
     """
-    from ..operators.text import tokens as tokenize
+    from ..operators.text import hash_bucket_100, tokens as tokenize
 
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-            "long"
-        ),
-        F.lit(100),
-    )
+    bucket = hash_bucket_100(F.col("doc_id"))
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
