@@ -248,17 +248,19 @@ def net_disk_job(
     time_format: str | None = None,
     round_fn=None,
     float32_parity: bool = False,
+    sliding_agg_fn=None,
 ) -> DataFrame:
     """Reference spark_job2 end-to-end: join -> window max -> alert -> format
     (spark_job2.py:6-54). ``float32_parity`` as in :func:`cpu_mem_job`
     (reference casts net_in and disk_io, spark_job2.py:20-21; net_out is
-    never cast there and never aggregated)."""
+    never cast there and never aggregated). ``sliding_agg_fn`` as in
+    :func:`cpu_mem_job` (bucketed zero-exchange layout)."""
     joined = join_metric_streams(net, disk, keys=("ts", entity_col))
     if float32_parity:
         joined = joined.withColumn(net_col, F.col(net_col).cast("float")).withColumn(
             disk_col, F.col(disk_col).cast("float")
         )
-    agged = sliding_window_agg(
+    agged = (sliding_agg_fn or sliding_window_agg)(
         joined,
         {"max_net_in": F.max(net_col), "max_disk_io": F.max(disk_col)},
         entity_col=entity_col,

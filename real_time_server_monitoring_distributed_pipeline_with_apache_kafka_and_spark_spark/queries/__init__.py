@@ -33,6 +33,7 @@ from . import dedup, extras, monitoring, multimodal, relational, similarity, tex
 _PRIORITY: tuple[str, ...] = (
     # -- new in r04 --
     "monitor_cpu_mem_alerts_bucketed",
+    "monitor_net_disk_alerts_bucketed",
     "text_stratified_sample",
     "text_sequence_packing",
     "text_repetition",
@@ -84,9 +85,9 @@ _PRIORITY: tuple[str, ...] = (
     "rel_asof_join",
     "rel_salted_join",
     "rel_range_join",
-    "rel_window_running",
     # -- tail (past the ~50 cap): newest green row is r03 (1 round old at
     #    r04; cycle back in r05) plus the two rows-only sketch aggregates --
+    "rel_window_running",
     "rel_window_frames",
     "rel_rollup",
     "rel_grouping_sets",

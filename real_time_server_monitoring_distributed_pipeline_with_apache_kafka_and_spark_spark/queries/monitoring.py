@@ -90,6 +90,26 @@ def monitor_cpu_mem_alerts_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
     query on the table. Results are identical to monitor_cpu_mem_alerts
     and checked against the same oracle.
     """
+    landed = _bucketed_landing(
+        spark, sf_dir, {"cpu": _narrow_cpu, "mem": _narrow_mem}
+    )
+    return ops.cpu_mem_job(
+        landed["cpu"], landed["mem"], config=ANALOG_CONFIG, entity_col="user_id",
+        round_fn=display_round,
+        # Exploded formulation: F.window's ExpandExec would discard the
+        # bucketed partitioning right before the final aggregate.
+        sliding_agg_fn=ops.sliding_window_agg_exploded,
+    )
+
+
+def _bucketed_landing(spark, sf_dir: str, narrows: dict) -> dict[str, DataFrame]:
+    """Land narrow metric streams as entity-bucketed tables (the one-time
+    ingest cost of the zero-exchange layout) and return readers on them.
+
+    ``narrows`` maps a short name to a ``events-DataFrame -> narrow frame``
+    function. Table names carry an sf tag so different scale factors never
+    collide in one session's catalog.
+    """
     import os as _os
     import re as _re
 
@@ -99,13 +119,13 @@ def monitor_cpu_mem_alerts_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
     tag = _re.sub(r"[^0-9A-Za-z]+", "_", _os.path.basename(sf_dir.rstrip("/")))
     n_buckets = 32
     landed = {}
-    for name, narrow in (("cpu", _narrow_cpu(ev)), ("mem", _narrow_mem(ev))):
+    for name, narrow_fn in narrows.items():
         tbl = f"rtsm_{name}_bucketed_{tag}"
         # Repartition to one write task per bucket => one file per bucket,
         # so bucket layout stays tidy (and in-bucket sortBy order is
         # trusted on read when a later query's sort order matches it).
         write_bucketed_table(
-            narrow.repartition(n_buckets, "user_id"),
+            narrow_fn(ev).repartition(n_buckets, "user_id"),
             tbl,
             ["user_id"],
             n_buckets=n_buckets,
@@ -113,11 +133,20 @@ def monitor_cpu_mem_alerts_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
             path=f"/tmp/rtsm_bucketed/{tag}/{name}",
         )
         landed[name] = spark.table(tbl)
-    return ops.cpu_mem_job(
-        landed["cpu"], landed["mem"], config=ANALOG_CONFIG, entity_col="user_id",
+    return landed
+
+
+def monitor_net_disk_alerts_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark_job2's zero-exchange scale variant — same prepared-layout
+    mechanism as :func:`monitor_cpu_mem_alerts_bucketed` (entity-bucketed
+    landing + explode-based sliding window), applied to the net/disk
+    metric pair. Same results/oracle as monitor_net_disk_alerts."""
+    landed = _bucketed_landing(
+        spark, sf_dir, {"net": _narrow_net, "disk": _narrow_disk}
+    )
+    return ops.net_disk_job(
+        landed["net"], landed["disk"], config=ANALOG_CONFIG, entity_col="user_id",
         round_fn=display_round,
-        # Exploded formulation: F.window's ExpandExec would discard the
-        # bucketed partitioning right before the final aggregate.
         sliding_agg_fn=ops.sliding_window_agg_exploded,
     )
 
@@ -351,6 +380,7 @@ QUERIES = {
     "monitor_alert_transitions": monitor_alert_transitions,
     "monitor_funnel": monitor_funnel,
     "monitor_net_disk_alerts": monitor_net_disk_alerts,
+    "monitor_net_disk_alerts_bucketed": monitor_net_disk_alerts_bucketed,
     "monitor_window_sliding_avg": monitor_window_sliding_avg,
     "monitor_window_tumbling": monitor_window_tumbling,
     "monitor_session_window": monitor_session_window,
@@ -510,6 +540,7 @@ WHERE event_type IN ('error', 'purchase') AND value > 50.0
 """,
 }
 
-# The bucketed flagship computes the identical result through a different
-# physical layout — same oracle by construction.
+# The bucketed flagships compute identical results through a different
+# physical layout — same oracles by construction.
 ORACLES["monitor_cpu_mem_alerts_bucketed"] = ORACLES["monitor_cpu_mem_alerts"]
+ORACLES["monitor_net_disk_alerts_bucketed"] = ORACLES["monitor_net_disk_alerts"]

@@ -161,9 +161,10 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_mem")
 
 
-def test_bucketed_flagship_job_no_exchange(spark):
-    """The FULL flagship job (join + sliding-window agg + CASE +
-    projection) over the bucketed landing plans with zero exchanges of
+@pytest.mark.parametrize("job", ["cpu_mem", "net_disk"])
+def test_bucketed_flagship_job_no_exchange(spark, job):
+    """The FULL flagship jobs (join + sliding-window agg + CASE +
+    projection) over the bucketed landing plan with zero exchanges of
     any kind: hash(user_id) bucketing satisfies both the join's
     (ts, user_id) and the agg's (user_id, window) clustering, so the
     per-query shuffles become a one-time landing cost."""
@@ -171,19 +172,22 @@ def test_bucketed_flagship_job_no_exchange(spark):
         broadcast_exchange_count,
         shuffle_exchange_count,
     )
-    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.monitoring import (
-        monitor_cpu_mem_alerts,
-        monitor_cpu_mem_alerts_bucketed,
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries import (
+        monitoring as monq,
     )
 
+    plain, bucketed = {
+        "cpu_mem": (monq.monitor_cpu_mem_alerts, monq.monitor_cpu_mem_alerts_bucketed),
+        "net_disk": (monq.monitor_net_disk_alerts, monq.monitor_net_disk_alerts_bucketed),
+    }[job]
     prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
     try:
-        df = monitor_cpu_mem_alerts_bucketed(spark, SF_DIR)
+        df = bucketed(spark, SF_DIR)
         assert shuffle_exchange_count(df) == 0, "bucketed flagship must not shuffle"
         assert broadcast_exchange_count(df) == 0
         got = sorted(tuple(r) for r in df.collect())
-        want = sorted(tuple(r) for r in monitor_cpu_mem_alerts(spark, SF_DIR).collect())
+        want = sorted(tuple(r) for r in plain(spark, SF_DIR).collect())
         assert got == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
