@@ -268,6 +268,48 @@ def read_vector_store(spark, store_path: str) -> DataFrame:
     return spark.read.parquet(store_path).drop("batch_id")
 
 
+def compact_vector_store(
+    spark, store_path: str, compacted_path: str, target_file_bytes: int = 128 << 20
+) -> DataFrame:
+    """Compact the streaming ingest store: many small per-micro-batch
+    files -> few ~``target_file_bytes`` files clustered by
+    (table_idx, bucket).
+
+    A long-running ingest stream accretes one directory per micro-batch;
+    at scale that is the classic small-files problem (driver-side listing
+    cost + tiny scan tasks). Periodic compaction rewrites the store with
+    the output partition count sized from the store's actual bytes (the
+    ~128 MB-file rule) and hash-clustered on the probe join key, so
+    candidate rows for one bucket are contiguous in few files. Rows are
+    unchanged — probing the compacted store returns exactly the probe
+    results of the raw store (pinned by
+    tests/test_streaming.py::test_vector_store_compaction).
+
+    Writes to a NEW path (swap-on-success: the caller atomically points
+    readers at the compacted path and deletes the raw one after; an
+    in-place overwrite would race the running ingest stream).
+
+    Returns a reader on the compacted store.
+    """
+    import math
+    import os
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(store_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    tagged = read_vector_store(spark, store_path)
+    (
+        tagged.repartition(n_out, "table_idx", "bucket")
+        .write.mode("overwrite")
+        .parquet(compacted_path)
+    )
+    return spark.read.parquet(compacted_path)
+
+
 def with_contiguous_row_ids(data: DataFrame, id_col: str = "row_id") -> DataFrame:
     """Assign contiguous 0..N-1 row ids without a global single-task sort.
 

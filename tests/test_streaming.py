@@ -896,6 +896,53 @@ def test_vector_ingest_stream_matches_batch(spark, tmp_path):
     assert len(streamed) > 0
 
 
+def test_vector_store_compaction(spark, tmp_path):
+    """Compacting the ingest store (many per-micro-batch files -> few
+    bucket-clustered files) must not change probe results, and must
+    actually reduce the file count."""
+    import glob as _glob
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.similarity import (
+        ann_lsh_topk_tagged,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    src = str(tmp_path / "cvec_src")
+    for i, (lo, hi) in enumerate(((10, 60), (60, 110), (110, 160), (160, 210))):
+        emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).repartition(
+            4
+        ).write.parquet(f"{src}/b{i}")
+
+    store = str(tmp_path / "cvec_store")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    q = jobs.vector_ingest_stream(
+        stream, store, checkpoint_dir=str(tmp_path / "cvec_ckpt")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    raw = jobs.read_vector_store(spark, store)
+    compacted_path = str(tmp_path / "cvec_store_compacted")
+    compacted = jobs.compact_vector_store(spark, store, compacted_path)
+
+    raw_files = _glob.glob(f"{store}/*/*.parquet")
+    compacted_files = _glob.glob(f"{compacted_path}/*.parquet")
+    assert len(compacted_files) < len(raw_files), (len(raw_files), len(compacted_files))
+
+    before = sorted(tuple(r) for r in ann_lsh_topk_tagged(raw, queries_df, k=5).collect())
+    after = sorted(
+        tuple(r) for r in ann_lsh_topk_tagged(compacted, queries_df, k=5).collect()
+    )
+    assert before == after and len(before) > 0
+
+
 def test_streaming_session_window_matches_batch(spark, tmp_path):
     """T2-streaming: gap-based session windows under a watermark; closed
     sessions emitted in append mode equal the batch session aggregation."""
