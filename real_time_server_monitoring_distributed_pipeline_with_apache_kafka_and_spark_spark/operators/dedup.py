@@ -156,6 +156,76 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair graph via iterative
+    min-label propagation: every vertex's cluster id converges to the
+    minimum id reachable from it.
+
+    This is the transitive piece a dedup pipeline needs on top of a
+    pair join: near-dup similarity is not transitive, but the KEEP/DROP
+    decision must be (if A~B and B~C, dropping B and C against separate
+    representatives double-counts) — so production dedup clusters the
+    pair graph and keeps one representative (the min id) per component.
+
+    Execution: O(diameter) Spark jobs, each a shuffle join of the label
+    table with the edge list — data never reaches the driver (the only
+    driver-side value is the per-iteration convergence flag).
+    ``localCheckpoint`` cuts lineage each round so plans stay flat.
+    Near-dup components are short chains (diameter rarely > a few hops);
+    for adversarial graphs the literature's answer is the large-star /
+    small-star alternation [Kiveris et al., "Connected Components in
+    MapReduce and Beyond"], which this min-propagation loop degrades to
+    gracefully — same fixpoint, more iterations.
+
+    ``edges``: (a_id, b_id) pairs. ``vertices``: all ids (isolated
+    vertices become singleton clusters). Output: (id_col, cluster_id).
+    """
+    sym = edges.select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    ).unionByName(edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+    labels = vertices.select(
+        F.col(id_col).alias("u"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("u").alias("v"), F.col("cluster_id").alias("nbr_label")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("u", F.col("cluster_id").alias("old")), "u"
+            )
+            .filter(F.col("cluster_id") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias(id_col), "cluster_id")
+
+
 def _perm_coeffs(num_perm: int, seed: int = 42) -> tuple[list[int], list[int]]:
     rng = random.Random(seed)
     return (

@@ -37,6 +37,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_stratified_sample",
     "text_sequence_packing",
     "text_repetition",
+    "text_unigram_logprob",
+    "dedup_clusters",
     # -- code changed in r04 (NULLIF guards; cpu_mem_job param plumb): re-prove --
     "text_quality_score",
     "pipeline_corpus_curation",
@@ -83,10 +85,10 @@ _PRIORITY: tuple[str, ...] = (
     "rel_join_customer_orders",
     "rel_topk_per_group",
     "rel_asof_join",
-    "rel_salted_join",
-    "rel_range_join",
     # -- tail (past the ~50 cap): newest green row is r03 (1 round old at
     #    r04; cycle back in r05) plus the two rows-only sketch aggregates --
+    "rel_salted_join",
+    "rel_range_join",
     "rel_window_running",
     "rel_window_frames",
     "rel_rollup",

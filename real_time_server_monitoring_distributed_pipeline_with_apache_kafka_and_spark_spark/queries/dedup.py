@@ -120,6 +120,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.jaccard_pairs(shingled, threshold=JACCARD_THRESHOLD)
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: the 3-gram Jaccard pair graph closed under
+    transitivity (connected components, min-id representative). Every
+    document gets a cluster_id — its own id if it has no near-dups. The
+    oracle replays the same shingle/pair pipeline and closes it with a
+    recursive CTE, so the iterative Spark loop is hash-checked
+    end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ops.jaccard_pairs(ops.word_shingles(docs), threshold=JACCARD_THRESHOLD)
+    return ops.connected_components(
+        pairs.select("a_id", "b_id"), docs.select("doc_id")
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH (48 perms, 12x4 bands) candidates verified by exact
     Jaccard. Fully oracle-checked: md5-based hashing makes every stage
@@ -198,6 +212,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "pipeline_corpus_curation": pipeline_corpus_curation,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -249,6 +264,31 @@ WHERE doc_id NOT IN (SELECT b_id FROM drops)
     "dedup_exact": """
 SELECT min(doc_id) AS doc_id, count(*) AS n_copies, length(text) AS text_len
 FROM documents GROUP BY text
+""",
+    "dedup_clusters": f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT a_id, b_id FROM pairs
+  JOIN sizes sa ON a_id = sa.doc_id
+  JOIN sizes sb ON b_id = sb.doc_id
+  WHERE common * 1.0 / (sa.n_shingles + sb.n_shingles - common) >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT a_id AS u, b_id AS v FROM sim
+          UNION ALL SELECT b_id AS u, a_id AS v FROM sim),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT d.doc_id,
+       CAST(COALESCE(least(m.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d
+LEFT JOIN (SELECT u, min(v) AS mn FROM reach GROUP BY u) m ON d.doc_id = m.u
 """,
     "dedup_ngram_jaccard": f"""
 WITH {_SHINGLE_CTE},

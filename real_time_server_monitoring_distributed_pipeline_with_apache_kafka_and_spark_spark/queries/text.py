@@ -163,8 +163,42 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filter with a self-trained unigram LM:
+    each document scored by the mean log-probability of its tokens under
+    the corpus's own unigram distribution — low scorers are rare-token
+    soup (OCR garbage, wrong-language shards), a standard curation signal
+    when no external LM is available.
+
+    One explode + one term-count hash agg (the "training" pass) + a
+    shuffle join back on term + one per-doc agg — every step a plain
+    hash-partitioned operator, so it scales like word count. The score is
+    floor-rounded to 9 decimals on both engines (JVM log vs libm last-ulp
+    policy, same as text_tfidf)."""
+    from ..functions.numeric import display_round
+    from ..operators.text import tokens as tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    n_total = terms.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        terms.join(tf, "term")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log(F.col("cnt") / F.col("n_total"))).alias("_lp"),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_tokens", display_round(F.col("_lp"), 9).alias("avg_logprob")
+    )
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "text_unigram_logprob": text_unigram_logprob,
     "text_stratified_sample": text_stratified_sample,
     "text_sequence_packing": text_sequence_packing,
     "text_repetition": text_repetition,
@@ -176,6 +210,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_unigram_logprob": f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+),
+tf AS (SELECT term, count(*) AS cnt FROM terms GROUP BY term),
+nt AS (SELECT count(*) AS n_total FROM terms),
+scored AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         avg(ln(CAST(cnt AS DOUBLE) / n_total)) AS lp
+  FROM terms t JOIN tf USING (term) CROSS JOIN nt
+  GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       floor(lp * 1e9 + 0.5) / 1e9 AS avg_logprob
+FROM scored
+""",
     "text_stratified_sample": f"""
 WITH b AS (
   SELECT lang,

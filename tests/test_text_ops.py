@@ -47,6 +47,34 @@ def test_pack_token_shards_matches_naive_window(spark):
     assert shard_ids == set(range(max(shard_ids) + 1))
 
 
+def test_connected_components_chains_and_singletons(spark):
+    """Min-label propagation: a 5-hop chain (forces multiple iterations),
+    a separate triangle, and isolated vertices as singleton clusters."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 10-11-12-13-14-15, triangle 20-21-22, singletons 30, 31
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15),
+         (20, 21), (21, 22), (20, 22)],
+        "a_id long, b_id long",
+    )
+    vertices = spark.createDataFrame(
+        [(v,) for v in (10, 11, 12, 13, 14, 15, 20, 21, 22, 30, 31)],
+        "doc_id long",
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(edges, vertices).collect()
+    }
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 31,
+    }
+
+
 def test_repetition_stats_flags_looping_text(spark):
     docs = spark.createDataFrame(
         [
