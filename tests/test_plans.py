@@ -225,6 +225,7 @@ def test_no_accidental_nested_loops_anywhere(spark):
         "dedup_embedding_cosine",  # blocked all-pairs oracle anchor
         "rel_cross_join",       # the cross-join surface query itself
         "text_tfidf",           # 1-row n_docs scalar broadcast (standard)
+        "text_unigram_logprob",  # 1-row n_total scalar broadcast (same)
     }
     qs = all_queries()
     offenders = {}
