@@ -244,6 +244,62 @@ def test_stateful_alert_transitions(spark, tmp_path):
     }
 
 
+def _broker_reachable(broker: str, timeout: float = 1.0) -> bool:
+    import socket
+
+    host, _, port = broker.partition(":")
+    try:
+        with socket.create_connection((host, int(port or "9092")), timeout=timeout):
+            return True
+    except OSError:
+        return False
+
+
+def test_kafka_roundtrip_e2e_when_broker_available(spark, tmp_path):
+    """S4/S5 end-to-end, auto-activating: skipped while the environment
+    has no Kafka connector jar or reachable broker (the current sandbox),
+    but the moment either driver environment grows them this runs the
+    real leg — 4-topic wire fan-out -> broker -> subscribe -> demux ->
+    typed parse -> row-identical to the source."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.kafka import (
+        require_kafka_connector,
+    )
+
+    try:
+        require_kafka_connector(spark)
+    except RuntimeError as ex:
+        pytest.skip(str(ex))
+    broker = DEFAULT_CONFIG.kafka.broker
+    if not _broker_reachable(broker):
+        pytest.skip(f"no Kafka broker reachable at {broker}")
+
+    wide = metrics_wide_df(spark)
+    cpu, mem, _, _ = narrow_splits(wide)
+    wire = parse.to_wire(cpu, "cpu", DEFAULT_CONFIG.kafka.topic_cpu).unionByName(
+        parse.to_wire(mem, "mem", DEFAULT_CONFIG.kafka.topic_mem)
+    )
+    (
+        wire.write.format("kafka")
+        .option("kafka.bootstrap.servers", broker)
+        .save()
+    )
+    records = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", broker)
+        .option(
+            "subscribe",
+            f"{DEFAULT_CONFIG.kafka.topic_cpu},{DEFAULT_CONFIG.kafka.topic_mem}",
+        )
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    landed_cpu = parse.demux_topic(records, DEFAULT_CONFIG.kafka.topic_cpu, "cpu")
+    got = sorted(tuple(r) for r in landed_cpu.collect())
+    want = sorted(tuple(r) for r in cpu.collect())
+    # superset-tolerant: earlier runs may have left rows on the topic
+    assert set(want) <= set(got)
+
+
 def test_rate_replay_stream(spark):
     """S3 streaming replay: the rate source emits the dataset in row order
     at the configured rate, joined 1:1 to the static side."""
