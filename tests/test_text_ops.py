@@ -75,6 +75,44 @@ def test_connected_components_chains_and_singletons(spark):
     }
 
 
+def test_connected_components_long_chain_converges(spark):
+    """Pointer doubling: a 200-hop path graph (diameter far beyond the
+    default 20 rounds of plain min-propagation) converges within the
+    default max_iter because each round halves the remaining distance."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "a_id long, b_id long"
+    )
+    vertices = spark.createDataFrame([(v,) for v in range(n + 1)], "doc_id long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(edges, vertices).collect()
+    }
+    assert got == {v: 0 for v in range(n + 1)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting max_iter without reaching the fixpoint must be LOUD —
+    partially propagated labels are silently wrong cluster ids."""
+    import pytest
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 30
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "a_id long, b_id long"
+    )
+    vertices = spark.createDataFrame([(v,) for v in range(n + 1)], "doc_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, vertices, max_iter=2)
+
+
 def test_repetition_stats_flags_looping_text(spark):
     docs = spark.createDataFrame(
         [
