@@ -107,31 +107,48 @@ def _bucketed_landing(spark, sf_dir: str, narrows: dict) -> dict[str, DataFrame]
     ingest cost of the zero-exchange layout) and return readers on them.
 
     ``narrows`` maps a short name to a ``events-DataFrame -> narrow frame``
-    function. Table names carry an sf tag so different scale factors never
-    collide in one session's catalog.
+    function. Landing is AMORTIZED: a table already in the session catalog
+    is reused as-is, so only the first invocation per (process, sf, name)
+    pays the bucketed write — every later query on the layout is read-only
+    (the "landing cost amortized over every query" contract, pinned by
+    tests/test_plans.py::test_bucketed_landing_amortized). Existence
+    implies a matching bucket spec: the pid-suffixed table name is written
+    only by this helper, with this fixed spec.
+
+    Table names and paths carry an sf tag (different scale factors never
+    collide in one catalog) AND the process id — two concurrent drivers
+    (e.g. a bench run and a correctness run) land to disjoint /tmp paths
+    instead of racing overwrites on a shared one. Leftover per-pid dirs
+    are ordinary /tmp garbage; a production deployment would land into a
+    governed warehouse path instead.
     """
     import os as _os
     import re as _re
 
     from ..sources.readers import write_bucketed_table
 
-    ev = load_table(spark, sf_dir, "events")
     tag = _re.sub(r"[^0-9A-Za-z]+", "_", _os.path.basename(sf_dir.rstrip("/")))
+    pid = _os.getpid()
     n_buckets = 32
     landed = {}
+    ev = None
     for name, narrow_fn in narrows.items():
-        tbl = f"rtsm_{name}_bucketed_{tag}"
-        # Repartition to one write task per bucket => one file per bucket,
-        # so bucket layout stays tidy (and in-bucket sortBy order is
-        # trusted on read when a later query's sort order matches it).
-        write_bucketed_table(
-            narrow_fn(ev).repartition(n_buckets, "user_id"),
-            tbl,
-            ["user_id"],
-            n_buckets=n_buckets,
-            sort_cols=["user_id", "ts"],
-            path=f"/tmp/rtsm_bucketed/{tag}/{name}",
-        )
+        tbl = f"rtsm_{name}_bucketed_{tag}_{pid}"
+        if not spark.catalog.tableExists(tbl):
+            if ev is None:
+                ev = load_table(spark, sf_dir, "events")
+            # Repartition to one write task per bucket => one file per
+            # bucket, so bucket layout stays tidy (and in-bucket sortBy
+            # order is trusted on read when a later query's sort order
+            # matches it).
+            write_bucketed_table(
+                narrow_fn(ev).repartition(n_buckets, "user_id"),
+                tbl,
+                ["user_id"],
+                n_buckets=n_buckets,
+                sort_cols=["user_id", "ts"],
+                path=f"/tmp/rtsm_bucketed_{pid}/{tag}/{name}",
+            )
         landed[name] = spark.table(tbl)
     return landed
 

@@ -193,6 +193,39 @@ def test_bucketed_flagship_job_no_exchange(spark, job):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
 
 
+def test_bucketed_landing_amortized(spark, monkeypatch):
+    """Re-invoking a bucketed flagship must NOT re-land the bucketed
+    tables: the first call per (process, sf, table) pays the write, every
+    later call is read-only against the session catalog."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources import (
+        readers,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries import (
+        monitoring as monq,
+    )
+
+    calls = []
+    real = readers.write_bucketed_table
+
+    def counting(df, table_name, *args, **kwargs):
+        calls.append(table_name)
+        return real(df, table_name, *args, **kwargs)
+
+    monkeypatch.setattr(readers, "write_bucketed_table", counting)
+    # First call: lands at most once per table (zero if an earlier test in
+    # this session already landed them — amortization working as designed).
+    monq.monitor_cpu_mem_alerts_bucketed(spark, SF_DIR).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    after_first = len(calls)
+    assert after_first <= 2
+    # Second call: strictly no new landing writes.
+    monq.monitor_cpu_mem_alerts_bucketed(spark, SF_DIR).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    assert len(calls) == after_first, calls
+
+
 def test_curation_pipeline_no_nested_loops(reports):
     """The composite pipeline stays inverted-index + anti-join all the way:
     no cartesian products or nested-loop joins anywhere in the plan."""
