@@ -325,15 +325,34 @@ def minhash_lsh_pairs(
     Split, the signature pass stays a codegen'd HashAggregate and only the
     set-building pays the object-aggregate path.
     """
-    rows_per_band = num_perm // bands
     # Referenced by the signature pass and the verification branch.
     shingled = shingled.persist()
     sig = minhash_signatures(shingled, id_col, num_perm, seed)
-    # Band key = the raw row values (band_idx, k0..k{r-1}); joining on the
-    # tuple is candidate-identical to the r02 md5(concat_ws(...)) band
-    # hash (equality of the tuple <=> equality of the hash) and skips the
-    # hashing entirely. Integer keys also hash/compare faster than the
-    # 16-char hex strings did.
+    candidates = _minhash_band_candidates(sig, id_col, num_perm, bands)
+    # word_shingles emits distinct shingles per doc, so count == |set| and
+    # collect_set is lossless.
+    doc_sets = shingled.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("sh"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return _jaccard_verify_candidates(candidates, doc_sets, id_col, threshold)
+
+
+def _minhash_band_candidates(
+    sig: DataFrame, id_col: str, num_perm: int, bands: int
+) -> DataFrame:
+    """Banded LSH candidate generation over a signature table: explode
+    each signature into (band_idx, k0..k{r-1}) rows and self-equi-join on
+    the band tuple. Shared by the inline batch pipeline and the
+    streaming-store probe — identical candidates by construction.
+
+    Band key = the raw row values (band_idx, k0..k{r-1}); joining on the
+    tuple is candidate-identical to an md5(concat_ws(...)) band hash
+    (equality of the tuple <=> equality of the hash) and skips the
+    hashing entirely. Integer keys also hash/compare faster than 16-char
+    hex strings did.
+    """
+    rows_per_band = num_perm // bands
     band_rows = sig.select(
         F.col(id_col),
         F.explode(
@@ -354,20 +373,22 @@ def minhash_lsh_pairs(
     key = ["band_idx"] + [f"k{r}" for r in range(rows_per_band)]
     a = band_rows.select(F.col(id_col).alias("a_id"), *key)
     b = band_rows.select(F.col(id_col).alias("b_id"), *key)
-    candidates = (
+    return (
         a.join(b, key)
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
     )
-    # Verify ONLY the candidate pairs (cost O(|candidates| * set size)) -
-    # never the inverted-index all-pairs join, which is exactly the
-    # quadratic blowup LSH exists to avoid. word_shingles emits distinct
-    # shingles per doc, so count == |set| and collect_set is lossless.
-    doc_sets = shingled.groupBy(id_col).agg(
-        F.collect_set("shingle").alias("sh"),
-        F.count(F.lit(1)).alias("n"),
-    )
+
+
+def _jaccard_verify_candidates(
+    candidates: DataFrame, doc_sets: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against per-doc
+    shingle sets (columns ``id_col, sh, n``). Verifies ONLY the candidate
+    pairs (cost O(|candidates| * set size)) — never the inverted-index
+    all-pairs join, which is exactly the quadratic blowup LSH exists to
+    avoid. Output: (a_id, b_id, jaccard >= threshold)."""
     return (
         candidates.join(
             doc_sets.select(
@@ -388,6 +409,60 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
+
+
+def minhash_profiles(
+    shingled: DataFrame, id_col: str = "doc_id", num_perm: int = 48, seed: int = 42
+) -> DataFrame:
+    """Per-document MinHash PROFILE: signature columns h0..h{P-1} plus the
+    exact shingle set (``sh``) and its size (``n``) in one row — everything
+    a later near-dup probe needs, with no re-scan of the raw text.
+
+    This is the persistable unit of incremental MinHash dedup: the
+    streaming ingest leg (``streaming.jobs.minhash_ingest_stream``) writes
+    one profile row per document per micro-batch, and
+    :func:`minhash_lsh_pairs_from_profiles` probes the accumulated store.
+    Because signatures are seed-derived and the shingle set is exact, a
+    store built incrementally is row-identical to one built in a single
+    batch pass over the union corpus.
+
+    The signature aggregate and the shingle-set aggregate stay SEPARATE
+    (joined on ``id_col`` afterwards) for the codegen reason documented in
+    :func:`minhash_lsh_pairs` — fusing them forces the whole aggregate
+    onto ObjectHashAggregateExec.
+    """
+    shingled = shingled.persist()
+    sig = minhash_signatures(shingled, id_col, num_perm, seed)
+    doc_sets = shingled.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("sh"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return sig.join(doc_sets, id_col)
+
+
+def minhash_lsh_pairs_from_profiles(
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 48,
+    bands: int = 12,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs over an already-profiled corpus (the
+    :func:`minhash_profiles` layout — inline or read back from the
+    streaming ingest store): banded candidate join on the stored
+    signatures + exact-Jaccard verify on the stored shingle sets.
+
+    Pair-identical to :func:`minhash_lsh_pairs` on the same corpus
+    (pinned by tests/test_streaming.py::test_minhash_ingest_stream_
+    matches_batch): both run the same candidate generation and the same
+    verification, just from persisted columns instead of a live shingle
+    scan. ``num_perm``/``bands`` must match the profiling call.
+    """
+    profiles = profiles.persist()
+    sig = profiles.select(id_col, *[f"h{i}" for i in range(num_perm)])
+    candidates = _minhash_band_candidates(sig, id_col, num_perm, bands)
+    doc_sets = profiles.select(id_col, "sh", "n")
+    return _jaccard_verify_candidates(candidates, doc_sets, id_col, threshold)
 
 
 def simhash_signatures(

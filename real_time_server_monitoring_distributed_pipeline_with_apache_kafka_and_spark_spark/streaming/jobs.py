@@ -132,11 +132,12 @@ def curation_stream(
     quality filter (stateless, same ``operators.text.quality_score``
     expressions as the batch path — one logical plan, two runners) ->
     streaming exact dedup on the text key (:func:`dedup_stream`, state
-    bounded by the watermark). The near-dup stage stays batch-only: a
-    corpus-wide pair join has no bounded-state incremental form, so the
-    deployment story is this stream curating arrivals continuously + a
-    periodic batch sweep (``pipeline_corpus_curation``) for near-dups —
-    the standard lambda split for set-similarity work.
+    bounded by the watermark). The near-dup stage splits: the per-document
+    work (shingle + MinHash signature) runs incrementally — feed this
+    stream's output into :func:`minhash_ingest_stream` to accrete the
+    profile store — and only the corpus-wide candidate join + verify
+    (``minhash_lsh_pairs_from_profiles`` over the store) runs as a
+    periodic probe, over profile rows instead of re-scanning the corpus.
 
     Output schema matches the batch quality-filter stage plus whatever
     columns ``docs`` carries; each distinct text's FIRST arrival within
@@ -260,6 +261,75 @@ def vector_ingest_stream(
     return vectors.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir
     )
+
+
+def minhash_ingest_stream(
+    docs: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 48,
+    seed: int = 42,
+    shingle_n: int = 3,
+):
+    """Streaming ingest leg for MinHash near-dup: documents arrive on a
+    stream, each micro-batch is profiled (signature + exact shingle set,
+    ``operators.dedup.minhash_profiles``) and appended to a persistent
+    store that near-dup probes read.
+
+    This closes the curation pipeline's documented lambda split (the
+    near-dup stage was batch-only): signatures ARE incrementally
+    computable — each document's profile depends only on its own text and
+    the seeded coefficients — so the expensive shingle+hash work happens
+    once, at arrival. Only the banded candidate join + verify
+    (:func:`...dedup.minhash_lsh_pairs_from_profiles`) runs at probe
+    time, over profile rows (~num_perm ints + the shingle set per doc)
+    instead of the raw corpus. Same landing-leg shape as
+    :func:`vector_ingest_stream` (reference ``consumers/consumer1.py:40-49``
+    applied to signatures); probe parity with the one-shot batch
+    ``minhash_lsh_pairs`` on the union corpus is pinned by
+    tests/test_streaming.py::test_minhash_ingest_stream_matches_batch.
+
+    Delivery: per-micro-batch ``batch_id=N`` directories with
+    mode=overwrite (the :func:`foreach_batch_idempotent_parquet`
+    contract) — replayed batches overwrite their own partial output, so
+    checkpoint + idempotent writes give exactly-once into the store.
+    Assumes document ids are unique across the stream (re-deliveries of
+    the same id within a batch replay land identically; cross-batch id
+    reuse would duplicate profile rows — upstream's key contract, same
+    as the reference's unique (ts, server_id)).
+
+    Documents with fewer than ``shingle_n`` tokens produce no profile row
+    (they have no shingles and can never pair) — consistent with the
+    batch pipeline.
+
+    Returns the DataStreamWriter (caller starts it).
+    """
+    import os
+
+    from ..operators.dedup import minhash_profiles, word_shingles
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        shingled = word_shingles(batch_df, id_col, text_col, n=shingle_n)
+        profiles = minhash_profiles(
+            shingled, id_col=id_col, num_perm=num_perm, seed=seed
+        )
+        profiles.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch_id={batch_id}")
+        )
+        shingled.unpersist()
+
+    return docs.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def read_minhash_store(spark, store_path: str) -> DataFrame:
+    """Read the profile store built by :func:`minhash_ingest_stream`
+    (the ``minhash_profiles`` layout, ready for
+    ``minhash_lsh_pairs_from_profiles``)."""
+    return spark.read.parquet(store_path).drop("batch_id")
 
 
 def read_vector_store(spark, store_path: str) -> DataFrame:

@@ -952,6 +952,55 @@ def test_vector_ingest_stream_matches_batch(spark, tmp_path):
     assert len(streamed) > 0
 
 
+def test_minhash_ingest_stream_matches_batch(spark, tmp_path):
+    """Incremental near-dup leg: documents stream in across micro-batches,
+    each profiled (MinHash signature + exact shingle set) and appended to
+    the store; probing the incrementally-built store returns exactly the
+    pairs the one-shot batch operator finds on the union corpus."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_from_profiles,
+        word_shingles,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    # Split the corpus into 3 arrival batches and land them as parquet
+    # directories the file stream replays one per micro-batch.
+    src = str(tmp_path / "mh_src")
+    for i, (lo, hi) in enumerate(((0, 170), (170, 340), (340, 500))):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.parquet(f"{src}/b{i}")
+
+    store = str(tmp_path / "mh_store")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    q = jobs.minhash_ingest_stream(
+        stream, store, checkpoint_dir=str(tmp_path / "mh_ckpt")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    profiles = jobs.read_minhash_store(spark, store)
+    streamed = sorted(
+        (r.a_id, r.b_id, round(r.jaccard, 12))
+        for r in minhash_lsh_pairs_from_profiles(profiles, threshold=0.8).collect()
+    )
+    batch = sorted(
+        (r.a_id, r.b_id, round(r.jaccard, 12))
+        for r in minhash_lsh_pairs(word_shingles(docs), threshold=0.8).collect()
+    )
+    spark.catalog.clearCache()
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
 def test_vector_store_compaction(spark, tmp_path):
     """Compacting the ingest store (many per-micro-batch files -> few
     bucket-clustered files) must not change probe results, and must
