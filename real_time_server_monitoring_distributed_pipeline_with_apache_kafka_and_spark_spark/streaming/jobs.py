@@ -338,6 +338,25 @@ def read_vector_store(spark, store_path: str) -> DataFrame:
     return spark.read.parquet(store_path).drop("batch_id")
 
 
+def _fs_total_bytes(spark, path: str, suffix: str = ".parquet") -> int:
+    """Recursive byte total of ``suffix`` files under ``path`` via the
+    Hadoop FileSystem API — works against any store Spark itself can
+    read (local, HDFS, object stores), unlike ``os.walk``, which only
+    sees the driver's local filesystem. Uses the JVM gateway, so classic
+    sessions only (same constraint as caching.py; Spark Connect exposes
+    no ``_jvm``)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    files = fs.listFiles(jpath, True)
+    total = 0
+    while files.hasNext():
+        status = files.next()
+        if status.getPath().getName().endswith(suffix):
+            total += status.getLen()
+    return total
+
+
 def compact_vector_store(
     spark, store_path: str, compacted_path: str, target_file_bytes: int = 128 << 20
 ) -> DataFrame:
@@ -362,14 +381,11 @@ def compact_vector_store(
     Returns a reader on the compacted store.
     """
     import math
-    import os
 
-    total_bytes = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(store_path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    # Hadoop-FS listing (not os.walk): the store lives wherever the
+    # checkpointed stream wrote it — at scale an object store the
+    # driver's local filesystem can't see.
+    total_bytes = _fs_total_bytes(spark, store_path)
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
     tagged = read_vector_store(spark, store_path)
     (
