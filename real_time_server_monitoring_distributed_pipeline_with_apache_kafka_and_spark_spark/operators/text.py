@@ -140,6 +140,7 @@ def stratified_sample(
     default_pct: int = 100,
     id_col: str = "doc_id",
     strata_col: str = "lang",
+    salt: str = "",
 ) -> DataFrame:
     """Deterministic per-stratum downsampling: keep a row iff its hash
     bucket < the stratum's percentage.
@@ -147,12 +148,24 @@ def stratified_sample(
     The training-data mixing primitive: rebalance an over-represented
     stratum (e.g. English web text) against the rest without an RNG —
     hash-based keeps are reproducible across runs, engines, and
-    partitionings, and compose with hash splits (independent md5 inputs
-    would be needed for independence; here the split and sample share the
-    id hash, documented choice). Stateless filter at scan speed: no
-    shuffle, no state, trivially parallel at 100 TB.
+    partitionings. Stateless filter at scan speed: no shuffle, no state,
+    trivially parallel at 100 TB.
+
+    ``salt`` decorrelates this keep decision from every OTHER hash-bucket
+    decision on the same ids: with the default empty salt, the sample
+    shares ``hash_bucket_100(id)`` with the train/val/test split, so a
+    50% sample of the 10% val split is a nested (fully correlated)
+    subset; with a distinct salt (md5 input becomes ``id || salt``) the
+    two bucket assignments are independent and a p% sample keeps ~p% of
+    EVERY split (pinned by
+    tests/test_text_ops.py::test_salted_sample_independent_of_split).
     """
-    bucket = hash_bucket_100(F.col(id_col))
+    salted = (
+        F.concat(F.col(id_col).cast("string"), F.lit(salt))
+        if salt
+        else F.col(id_col)
+    )
+    bucket = hash_bucket_100(salted)
     rate = F.lit(default_pct)
     for stratum, pct in sorted(rates_pct.items()):
         rate = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(rate)

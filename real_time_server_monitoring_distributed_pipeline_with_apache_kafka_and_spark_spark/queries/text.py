@@ -136,6 +136,40 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_SALT = "#sample"
+
+
+def text_stratified_sample_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted variant of text_stratified_sample: the keep decision hashes
+    ``doc_id || '#sample'`` instead of the bare id, making the sample
+    independent of the train/val/test split (which hashes the bare id) —
+    a p% sample then covers ~p% of every split rather than a nested
+    subset of it. Reports per-(split, lang) doc counts so the oracle
+    checks the sample x split joint distribution directly."""
+    from ..operators.text import hash_bucket_100, stratified_sample, tokens as tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, SAMPLE_RATES_PCT, default_pct=100, salt=SAMPLE_SALT
+    )
+    split_bucket = hash_bucket_100(F.col("doc_id"))
+    split = (
+        F.when(split_bucket < 80, "train").when(split_bucket < 90, "val").otherwise("test")
+    )
+    return (
+        kept.select(
+            split.alias("split"),
+            "lang",
+            F.size(tokenize(F.col("text"))).alias("n_tok"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )
+
+
 def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard planning for training: every document's global token offset
     (in doc_id order) and its ~2048-token shard assignment, computed with
@@ -200,6 +234,7 @@ QUERIES = {
     "text_token_stats": text_token_stats,
     "text_unigram_logprob": text_unigram_logprob,
     "text_stratified_sample": text_stratified_sample,
+    "text_stratified_sample_salted": text_stratified_sample_salted,
     "text_sequence_packing": text_sequence_packing,
     "text_repetition": text_repetition,
     "text_hash_split": text_hash_split,
@@ -242,6 +277,28 @@ kept AS (
 )
 SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
 FROM kept GROUP BY lang
+""",
+    "text_stratified_sample_salted": f"""
+WITH b AS (
+  SELECT lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#sample'), 1, 8)) AS BIGINT) % 100
+           AS sample_bucket,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+           AS split_bucket,
+         len({_TOKENS}) AS n_tok
+  FROM documents
+),
+kept AS (
+  SELECT * FROM b
+  WHERE sample_bucket < CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 80
+                                  WHEN 'es' THEN 80 WHEN 'fr' THEN 80
+                                  WHEN 'zh' THEN 100 ELSE 100 END
+)
+SELECT CASE WHEN split_bucket < 80 THEN 'train'
+            WHEN split_bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM kept GROUP BY 1, 2
 """,
     "text_sequence_packing": f"""
 WITH t AS (SELECT doc_id, len({_TOKENS}) AS n_tok FROM documents),

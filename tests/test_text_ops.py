@@ -75,6 +75,41 @@ def test_connected_components_chains_and_singletons(spark):
     }
 
 
+def test_salted_sample_independent_of_split(spark):
+    """An unsalted p% sample is a nested subset of the hash split (keep
+    bucket < p implies train bucket < 80 whenever p <= 80); the salted
+    sample must instead cover every split at roughly its rate."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.text import (
+        hash_bucket_100,
+        stratified_sample,
+    )
+
+    docs = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    split_bucket = hash_bucket_100(F.col("doc_id"))
+    rates = {"en": 50}
+
+    unsalted = stratified_sample(docs, rates).withColumn("sb", split_bucket)
+    # Unsalted: the 50% keep set is exactly buckets 0-49 — fully inside
+    # the 80% train region; val (80-89) and test (90-99) get NOTHING.
+    assert unsalted.filter(F.col("sb") >= 80).count() == 0
+
+    salted = stratified_sample(docs, rates, salt="#sample").withColumn(
+        "sb", split_bucket
+    )
+    val_test_total = docs.withColumn("sb", split_bucket).filter(F.col("sb") >= 80).count()
+    val_test_kept = salted.filter(F.col("sb") >= 80).count()
+    assert val_test_total > 0
+    frac = val_test_kept / val_test_total
+    # Independent hashing keeps ~50% of the val/test region too.
+    assert 0.40 < frac < 0.60, frac
+    # Default salt="" stays bit-identical to the historical behavior.
+    assert sorted(r.doc_id for r in stratified_sample(docs, rates).collect()) == sorted(
+        r.doc_id for r in stratified_sample(docs, rates, salt="").collect()
+    )
+
+
 def test_connected_components_long_chain_converges(spark):
     """Pointer doubling: a 200-hop path graph (diameter far beyond the
     default 20 rounds of plain min-propagation) converges within the
