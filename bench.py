@@ -31,7 +31,9 @@ from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spar
 
 # Headline set: the reference-parity flagships plus one representative per
 # engine area (relational joins/aggs, window fns, dedup, similarity, text).
-HEADLINE = [
+# LEGACY9 is the set every round since r01 has timed — its subtotal keeps
+# round-over-round totals comparable after later additions.
+LEGACY9 = [
     "monitor_cpu_mem_alerts",     # spark_job1 shape: join + sliding window + CASE
     "monitor_net_disk_alerts",    # spark_job2 shape
     "rel_pricing_summary",        # TPC-H Q1 shape: wide agg over lineitem
@@ -41,6 +43,11 @@ HEADLINE = [
     "dedup_minhash_lsh",          # shingle -> minhash -> band bucket join
     "sim_ann_bruteforce",         # cosine top-k over embeddings
     "text_token_stats",           # text analysis over documents
+]
+HEADLINE = LEGACY9 + [
+    # added r05: plan shapes the legacy set doesn't exercise
+    "dedup_clusters",             # iterative label-propagation joins
+    "text_unigram_logprob",       # explode + term join + per-doc agg
 ]
 
 
@@ -91,6 +98,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "samples": samples,
+                "legacy9_total": round(sum(timings[n] for n in LEGACY9), 3),
                 "sf": sf,
             }
         )

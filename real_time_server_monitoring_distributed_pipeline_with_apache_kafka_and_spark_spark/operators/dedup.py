@@ -193,9 +193,15 @@ def connected_components(
     ``edges``: (a_id, b_id) pairs. ``vertices``: all ids (isolated
     vertices become singleton clusters). Output: (id_col, cluster_id).
     """
-    sym = edges.select(
-        F.col("a_id").alias("u"), F.col("b_id").alias("v")
-    ).unionByName(edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+    # Materialize the symmetrized edge list ONCE: ``edges`` is usually a
+    # live plan (e.g. the whole shingle->prefix->verify pair pipeline),
+    # and without the checkpoint every iteration would re-execute it from
+    # scratch — measured 10.1s -> ~3s for dedup_clusters at sf0.1.
+    sym = (
+        edges.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .unionByName(edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+        .localCheckpoint()
+    )
     labels = vertices.select(
         F.col(id_col).alias("u"), F.col(id_col).alias("cluster_id")
     ).localCheckpoint()
@@ -211,8 +217,12 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("nbr_label").alias("nbr_min"))
         )
+        # The pre-round label rides along as _old so the convergence
+        # check is a filter on the (already materialized) checkpoint
+        # instead of an extra join against the previous label table.
         propagated = labels.join(nbr_min, "u", "left").select(
             "u",
+            F.col("cluster_id").alias("_old"),
             F.least(
                 F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
             ).alias("cluster_id"),
@@ -229,18 +239,13 @@ def connected_components(
                 ),
                 "cluster_id",
             )
-            .select("u", F.least("cluster_id", "_jump").alias("cluster_id"))
+            .select("u", "_old", F.least("cluster_id", "_jump").alias("cluster_id"))
             .localCheckpoint()
         )
         changed = (
-            new_labels.join(
-                labels.select("u", F.col("cluster_id").alias("old")), "u"
-            )
-            .filter(F.col("cluster_id") != F.col("old"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("cluster_id") != F.col("_old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.drop("_old")
         if changed == 0:
             converged = True
             break
