@@ -258,6 +258,81 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def duplicated_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Cross-document exact-substring duplication signal [Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"]: for each
+    document, the fraction of its k-token spans that also occur verbatim
+    in at least one OTHER document. High scorers are boilerplate carriers
+    (licenses, navigation chrome, templated text) that survive
+    document-level dedup because the surrounding text differs —
+    complementary to both exact dedup (whole-doc) and MinHash (whole-doc
+    near-dup); intra-document repetition is :func:`repetition_stats`.
+
+    Pipeline: explode per-position span fingerprints (md5 of the
+    space-joined k-token window — engine-portable, the same hash family
+    as every other oracle-checked op) -> per-fingerprint distinct-doc
+    count (hash agg) -> join back -> per-doc agg. Word-count-shaped like
+    the shingle pipelines: no all-pairs join anywhere, cost ~ corpus
+    token count; suffix arrays (the paper's tool) don't distribute,
+    fingerprint buckets do.
+
+    The token array and the span array are materialized as projections
+    BEFORE the explode (higher-order fns get no common-subexpression
+    elimination — same measured trap as :func:`word_shingles`).
+
+    Output: one row per input doc — n_spans (0 for docs shorter than
+    ``k`` tokens), n_dup_spans, dup_span_fraction (0.0 when no spans).
+    """
+    toks_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    tc = F.col("_toks")
+    spans = F.when(
+        F.size(tc) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tc) - k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(tc, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    span_rows = toks_df.select(F.col(id_col), F.explode(spans).alias("fp"))
+    # Distinct (doc, fp) BEFORE the frequency count: a span repeated
+    # inside one doc must not inflate its cross-document count.
+    fp_docs = (
+        span_rows.distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_n_docs"))
+    )
+    per_doc = (
+        span_rows.join(fp_docs, "fp")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("_n_docs") >= 2, 1).otherwise(0)).alias(
+                "n_dup_spans"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_spans", F.lit(0)).cast("int").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("int").alias("n_dup_spans"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                F.coalesce("n_dup_spans", F.lit(0)).cast("double")
+                / F.col("n_spans"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_span_fraction"),
+        )
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """N-gram/marker-word language ID heuristic.
 

@@ -25,68 +25,27 @@ from . import dedup, extras, monitoring, multimodal, relational, similarity, tex
 #   r03 green: all 50 — extras' first rows, text_hash_split re-proof,
 #       changed dedup rows, keep-green surface. With that, every
 #       registered query has had >=1 green driver row.
-#   r04 window (this list): new + code-changed rows first, then the 18
-#       tail rows whose newest green is r01/r02 (re-proof, per VERDICT r03
-#       #3), then keep-green r03 representatives filling to 50. Tail =
-#       r03-proven rows that can afford one round past the cap, plus the
-#       two no-oracle sketch queries (rows-only by design).
+#   r04 green: all 50 — the 7 new rows (bucketed flagships, 4 text ops,
+#       dedup_clusters), 3 code-changed re-proofs, the 18-row r01/r02
+#       tail, and keep-green fill.
+#   r05 window (this list): new + code-changed rows first (salted sample;
+#       connected-components rework; minhash band/verify refactor;
+#       amortized bucketed landing; salt plumb through stratified_sample),
+#       then the 28 tail rows whose newest green is r03 (2 rounds old —
+#       cycle back per the <=2-rounds-stale policy), then r04-green
+#       representatives filling to 50. Past the cap: 29 rows freshly
+#       proven in r04 (1 round old) that can afford to sit out.
 _PRIORITY: tuple[str, ...] = (
-    # -- new in r04 --
+    # -- new in r05 --
+    "text_stratified_sample_salted",
+    "text_dup_spans",
+    # -- code changed in r05: re-prove --
+    "dedup_clusters",
+    "dedup_minhash_lsh",
     "monitor_cpu_mem_alerts_bucketed",
     "monitor_net_disk_alerts_bucketed",
     "text_stratified_sample",
-    "text_sequence_packing",
-    "text_repetition",
-    "text_unigram_logprob",
-    "dedup_clusters",
-    # -- code changed in r04 (NULLIF guards; cpu_mem_job param plumb): re-prove --
-    "text_quality_score",
-    "pipeline_corpus_curation",
-    "monitor_cpu_mem_alerts",
-    # -- newest green row is r01/r02: re-prove before it goes 3 rounds stale --
-    "monitor_case_classify",
-    "monitor_project_cast",
-    "monitor_filter_range",
-    "rel_pivot",
-    "rel_cube",
-    "rel_agg_stats",
-    "rel_count_distinct",
-    "rel_cross_join",
-    "rel_set_ops",
-    "rel_distinct",
-    "rel_orderby_limit",
-    "rel_having",
-    "rel_string_funcs",
-    "rel_date_funcs",
-    "rel_math_funcs",
-    "rel_conditional_funcs",
-    "rel_json_funcs",
-    "rel_array_funcs",
-    # -- keep-green representative surface (green r03) --
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "sim_ann_bruteforce",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "sim_ann_quantized",
-    "monitor_alert_transitions",
-    "monitor_funnel",
-    "monitor_net_disk_alerts",
-    "monitor_window_sliding_avg",
-    "monitor_window_tumbling",
-    "monitor_session_window",
-    "monitor_rollup_cascade",
-    "rel_pricing_summary",
-    "rel_multiway_revenue",
-    "rel_join_customer_orders",
-    "rel_topk_per_group",
-    "rel_asof_join",
-    # -- tail (past the ~50 cap): newest green row is r03 (1 round old at
-    #    r04; cycle back in r05) plus the two rows-only sketch aggregates --
+    # -- newest green row is r03 (2 rounds old): cycle back in --
     "rel_salted_join",
     "rel_range_join",
     "rel_window_running",
@@ -115,6 +74,54 @@ _PRIORITY: tuple[str, ...] = (
     "mm_frame_sample",
     "rel_approx_distinct",
     "rel_approx_percentile",
+    # -- keep-green representative surface (green r04) --
+    "monitor_cpu_mem_alerts",
+    "monitor_net_disk_alerts",
+    "monitor_window_sliding_avg",
+    "pipeline_corpus_curation",
+    "text_quality_score",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "sim_ann_bruteforce",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_ann_quantized",
+    "rel_pricing_summary",
+    "rel_multiway_revenue",
+    # -- tail (past the ~50 cap): all freshly green in r04, 1 round old
+    #    at r05; cycle back by r06 --
+    "text_sequence_packing",
+    "text_repetition",
+    "text_unigram_logprob",
+    "monitor_alert_transitions",
+    "monitor_funnel",
+    "monitor_window_tumbling",
+    "monitor_session_window",
+    "monitor_case_classify",
+    "monitor_project_cast",
+    "monitor_filter_range",
+    "monitor_rollup_cascade",
+    "rel_pivot",
+    "rel_cube",
+    "rel_agg_stats",
+    "rel_count_distinct",
+    "rel_cross_join",
+    "rel_set_ops",
+    "rel_distinct",
+    "rel_orderby_limit",
+    "rel_having",
+    "rel_string_funcs",
+    "rel_date_funcs",
+    "rel_math_funcs",
+    "rel_conditional_funcs",
+    "rel_json_funcs",
+    "rel_array_funcs",
+    "rel_join_customer_orders",
+    "rel_topk_per_group",
+    "rel_asof_join",
 )
 
 _MODULES = (monitoring, text, multimodal, dedup, similarity, relational, extras)

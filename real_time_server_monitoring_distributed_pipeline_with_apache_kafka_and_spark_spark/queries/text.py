@@ -197,6 +197,17 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication: fraction of each document's 10-token
+    spans that occur verbatim in another document (boilerplate /
+    template-text signal, complementary to whole-doc dedup). Fingerprint
+    explode + hash aggs only — see operators.text.duplicated_span_stats."""
+    from ..operators.text import duplicated_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_span_stats(docs, k=10)
+
+
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-style quality filter with a self-trained unigram LM:
     each document scored by the mean log-probability of its tokens under
@@ -235,6 +246,7 @@ QUERIES = {
     "text_unigram_logprob": text_unigram_logprob,
     "text_stratified_sample": text_stratified_sample,
     "text_stratified_sample_salted": text_stratified_sample_salted,
+    "text_dup_spans": text_dup_spans,
     "text_sequence_packing": text_sequence_packing,
     "text_repetition": text_repetition,
     "text_hash_split": text_hash_split,
@@ -277,6 +289,35 @@ kept AS (
 )
 SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
 FROM kept GROUP BY lang
+""",
+    "text_dup_spans": f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 10
+         THEN list_transform(range(1, len(w) - 8),
+                             i -> md5(array_to_string(w[i:i+9], ' ')))
+         ELSE [] END AS fps
+  FROM t
+),
+spans AS (SELECT doc_id, unnest(fps) AS fp FROM s),
+fp_docs AS (
+  SELECT fp, count(*) AS n_docs
+  FROM (SELECT DISTINCT doc_id, fp FROM spans) GROUP BY fp
+),
+per_doc AS (
+  SELECT s.doc_id, count(*) AS n_spans,
+         sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM spans s JOIN fp_docs f USING (fp)
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(p.n_spans, 0) AS INTEGER) AS n_spans,
+  CAST(COALESCE(p.n_dup, 0) AS INTEGER) AS n_dup_spans,
+  CASE WHEN COALESCE(p.n_spans, 0) > 0
+       THEN CAST(COALESCE(p.n_dup, 0) AS DOUBLE) / p.n_spans
+       ELSE 0.0 END AS dup_span_fraction
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """,
     "text_stratified_sample_salted": f"""
 WITH b AS (

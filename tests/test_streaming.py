@@ -854,6 +854,103 @@ def test_curation_stream_matches_batch_dedup(spark, tmp_path):
     assert streamed == batch_reps == {(0, good_a), (1, good_b), (4, good_c)}
 
 
+def test_curation_stream_feeds_minhash_store(spark, tmp_path):
+    """End-to-end incremental curation: the curation stream's output
+    (quality filter + exact dedup) feeds minhash_ingest_stream, and
+    probing the accumulated profile store finds exactly the near-dup
+    pairs the batch pipeline finds on the same curated corpus — the
+    former lambda split now runs per-document work fully in-stream."""
+    from datetime import datetime
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators import (
+        dedup as dedup_ops,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.text import (
+        quality_score,
+    )
+
+    doc_schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    base = (
+        "the cat sat on a mat and the dog ran in the park while a bird "
+        "flew over the tall trees near a quiet lake in the warm morning sun"
+    )
+    near = base.replace("sun", "air")          # ~0.9 Jaccard near-dup of base
+    other = (
+        "distributed engines shuffle data between the executors during "
+        "wide joins and the optimizer prunes columns to keep scans narrow"
+    )
+    junk = "!!! ??? ... ;;;"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(datetime(2024, 1, 1, 0, 0, s), i, t) for s, i, t in rows], doc_schema
+        )
+
+    batch1 = mk([(0, 0, base), (1, 1, other), (2, 2, junk)])
+    batch2 = mk([(10, 3, near), (11, 4, base)])  # near-dup + exact dup of 0
+    src = str(tmp_path / "cmh_src")
+    import glob as _glob
+    import os as _os
+
+    base_mtime = time.time()
+    for i, b in enumerate((batch1, batch2)):
+        _write_csv(b, f"{src}/b{i}")
+        for f in _glob.glob(f"{src}/b{i}/*"):
+            _os.utime(f, (base_mtime + 10 * i, base_mtime + 10 * i))
+
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", "1")
+        .csv(f"{src}/b*")
+    )
+    curated = jobs.curation_stream(stream, watermark="10 minutes")
+    store = str(tmp_path / "cmh_store")
+    q = jobs.minhash_ingest_stream(
+        curated, store, checkpoint_dir=str(tmp_path / "cmh_ckpt")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    profiles = jobs.read_minhash_store(spark, store)
+    streamed = sorted(
+        (r.a_id, r.b_id, round(r.jaccard, 12))
+        for r in dedup_ops.minhash_lsh_pairs_from_profiles(
+            profiles, threshold=0.8
+        ).collect()
+    )
+
+    docs = batch1.unionByName(batch2)
+    kept = quality_score(docs).filter(F.col("quality") >= 0.33)
+    survivors = dedup_ops.exact_dedup(kept, ["text"], "doc_id").select("doc_id")
+    curated_batch = kept.join(survivors, "doc_id").select("doc_id", "text")
+    batch_pairs = sorted(
+        (r.a_id, r.b_id, round(r.jaccard, 12))
+        for r in dedup_ops.minhash_lsh_pairs(
+            dedup_ops.word_shingles(curated_batch), threshold=0.8
+        ).collect()
+    )
+    spark.catalog.clearCache()
+    assert streamed == batch_pairs
+    assert streamed == [(0, 3, streamed[0][2])]  # the seeded near-dup pair
+    assert streamed[0][2] >= 0.8
+
+
 def test_curation_stream_survives_empty_document(spark, tmp_path):
     """ANSI-mode regression: an empty document used to raise
     DIVIDE_BY_ZERO inside quality_score (punct_ratio divides by

@@ -75,6 +75,41 @@ def test_connected_components_chains_and_singletons(spark):
     }
 
 
+def test_duplicated_span_stats(spark):
+    """Cross-doc span duplication: shared 10-token runs are flagged in
+    BOTH carriers; intra-doc repeats alone don't count; short docs get
+    zero spans."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.text import (
+        duplicated_span_stats,
+    )
+
+    shared = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " alpha beta"),            # shares the 10-run with doc 1
+            (1, "intro words " + shared),           # shares the 10-run with doc 0
+            (2, "totally different content " + "x y z " * 4),  # unique spans
+            (3, "short doc"),                       # < 10 tokens: no spans
+            (4, (shared + " ") * 2),                # intra-doc repeat of the run
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_span_fraction)
+        for r in duplicated_span_stats(docs, k=10).collect()
+    }
+    # doc 0: 3 spans (12 tokens), the first (the shared run) is duplicated.
+    assert got[0][0] == 3 and got[0][1] >= 1
+    # doc 1: the shared run sits at the end — its span is duplicated.
+    assert got[1][1] >= 1
+    # doc 2: nothing shared.
+    assert got[2][1] == 0 and got[2][0] > 0
+    # doc 3: too short.
+    assert got[3] == (0, 0, 0.0)
+    # doc 4 contains the shared run too (cross-doc with 0 and 1).
+    assert got[4][1] >= 1
+
+
 def test_salted_sample_independent_of_split(spark):
     """An unsalted p% sample is a nested subset of the hash split (keep
     bucket < p implies train bucket < 80 whenever p <= 80); the salted
