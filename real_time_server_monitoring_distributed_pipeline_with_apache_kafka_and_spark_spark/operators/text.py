@@ -172,6 +172,51 @@ def stratified_sample(
     return df.filter(bucket < rate)
 
 
+def shuffle_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "#shuffle",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    pseudo-random position 0..N-1 derived from ``md5(id || salt)`` — the
+    standard RNG-free corpus shuffle (reproducible across runs, engines,
+    partitionings; a different salt gives an independent epoch order).
+
+    A naive ``row_number() OVER (ORDER BY key)`` funnels the corpus
+    through ONE task. Instead: the first two hex digits of the key form
+    256 coarse buckets whose numeric order equals the key's lexicographic
+    order (lowercase hex), so the global rank decomposes into a running
+    offset over the tiny 256-row bucket-count table plus a row_number
+    windowed PARTITIONED by bucket — the same hierarchical two-pass as
+    :func:`pack_token_shards`; no task ever sees the whole corpus.
+    Bit-identical to the single-window SQL, which is what the oracle runs.
+
+    Output adds ``shuffle_key`` and ``shuffle_pos`` (0-based).
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    tagged = df.withColumn("shuffle_key", key).withColumn(
+        "_b", F.conv(F.substring("shuffle_key", 1, 2), 16, 10).cast("int")
+    )
+    in_bucket_w = Window.partitionBy("_b").orderBy("shuffle_key", id_col)
+    bucket_w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        tagged.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(bucket_w), F.lit(0)))
+        .select("_b", "_off")
+    )
+    return (
+        tagged.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            "shuffle_pos",
+            (F.col("_off") + F.row_number().over(in_bucket_w) - 1).cast("long"),
+        )
+        .drop("_b", "_off")
+    )
+
+
 def pack_token_shards(
     df: DataFrame,
     budget: int = 2048,

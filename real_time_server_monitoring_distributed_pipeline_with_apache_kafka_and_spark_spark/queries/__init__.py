@@ -39,6 +39,8 @@ _PRIORITY: tuple[str, ...] = (
     # -- new in r05 --
     "text_stratified_sample_salted",
     "text_dup_spans",
+    "text_shuffle_order",
+    "dedup_embedding_clusters",
     # -- code changed in r05: re-prove --
     "dedup_clusters",
     "dedup_minhash_lsh",

@@ -177,6 +177,24 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup keep-list [Abbas et al. 2023]: close
+    the embedding near-dup pair graph (hyperplane-LSH candidates + exact
+    cosine verify, same pipeline as dedup_embedding_lsh) under
+    transitivity with distributed connected components — every vector gets
+    a cluster_id (the min reachable vec_id); keeping one representative
+    per cluster is the semantic-dedup decision. Composition of two
+    hash-checked operators; the oracle replays the LSH pair SQL and closes
+    it with a recursive CTE."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_lsh(
+        emb, threshold=COSINE_LSH_THRESHOLD, planes_per_table=3, n_tables=16
+    )
+    return ops.connected_components(
+        pairs.select("a_id", "b_id"), emb.select("vec_id"), id_col="vec_id"
+    )
+
+
 def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation — the composite these operators exist
     for: quality filter -> exact dedup (min-id representative) -> 3-gram
@@ -217,6 +235,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dedup_embedding_clusters": dedup_embedding_clusters,
 }
 
 ORACLES = {
@@ -359,6 +378,40 @@ JOIN e eb ON eb.vec_id = b_id
 WHERE list_dot_product(ea.v, eb.v)
       / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
       >= {COSINE_LSH_THRESHOLD}
+""",
+    "dedup_embedding_clusters": f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+bt AS (
+  {_EMB_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bt a JOIN bt b
+    ON a.table_idx = b.table_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+sim AS (
+  SELECT a_id, b_id
+  FROM cand
+  JOIN e ea ON ea.vec_id = a_id
+  JOIN e eb ON eb.vec_id = b_id
+  WHERE list_dot_product(ea.v, eb.v)
+        / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+        >= {COSINE_LSH_THRESHOLD}
+),
+edges AS (SELECT a_id AS u, b_id AS v FROM sim
+          UNION ALL SELECT b_id AS u, a_id AS v FROM sim),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+)
+SELECT emb.vec_id,
+       CAST(COALESCE(least(m.mn, emb.vec_id), emb.vec_id) AS BIGINT) AS cluster_id
+FROM embeddings emb
+LEFT JOIN (SELECT u, min(v) AS mn FROM reach GROUP BY u) m ON emb.vec_id = m.u
 """,
     "dedup_simhash": f"""
 WITH words AS (

@@ -170,6 +170,17 @@ def text_stratified_sample_salted(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def text_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle for training order: position 0..N-1
+    from md5(doc_id || '#shuffle'), computed with the hierarchical
+    two-pass rank (256 hex-prefix buckets; no single-task global window
+    — see operators.text.shuffle_order)."""
+    from ..operators.text import shuffle_order
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_order(docs).select("doc_id", "shuffle_key", "shuffle_pos")
+
+
 def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard planning for training: every document's global token offset
     (in doc_id order) and its ~2048-token shard assignment, computed with
@@ -247,6 +258,7 @@ QUERIES = {
     "text_stratified_sample": text_stratified_sample,
     "text_stratified_sample_salted": text_stratified_sample_salted,
     "text_dup_spans": text_dup_spans,
+    "text_shuffle_order": text_shuffle_order,
     "text_sequence_packing": text_sequence_packing,
     "text_repetition": text_repetition,
     "text_hash_split": text_hash_split,
@@ -289,6 +301,14 @@ kept AS (
 )
 SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
 FROM kept GROUP BY lang
+""",
+    "text_shuffle_order": """
+SELECT doc_id,
+       md5(CAST(doc_id AS VARCHAR) || '#shuffle') AS shuffle_key,
+       CAST(row_number() OVER (
+         ORDER BY md5(CAST(doc_id AS VARCHAR) || '#shuffle'), doc_id
+       ) - 1 AS BIGINT) AS shuffle_pos
+FROM documents
 """,
     "text_dup_spans": f"""
 WITH t AS (SELECT doc_id, {_TOKENS} AS w FROM documents),

@@ -75,6 +75,34 @@ def test_connected_components_chains_and_singletons(spark):
     }
 
 
+def test_shuffle_order_is_permutation_and_partition_invariant(spark):
+    """shuffle_order assigns each row a unique 0..N-1 position, the
+    assignment is independent of input partitioning, and a different salt
+    yields a different (independent) order."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.text import (
+        shuffle_order,
+    )
+
+    docs = spark.range(0, 3000).select(F.col("id").alias("doc_id"))
+    out = {r.doc_id: r.shuffle_pos for r in shuffle_order(docs).collect()}
+    assert sorted(out.values()) == list(range(3000))
+    # not the identity order (it's a shuffle)
+    assert [out[i] for i in range(3000)] != list(range(3000))
+
+    repartitioned = {
+        r.doc_id: r.shuffle_pos
+        for r in shuffle_order(docs.repartition(17)).collect()
+    }
+    assert repartitioned == out
+
+    epoch2 = {
+        r.doc_id: r.shuffle_pos
+        for r in shuffle_order(docs, salt="#epoch2").collect()
+    }
+    assert sorted(epoch2.values()) == list(range(3000))
+    assert epoch2 != out
+
+
 def test_duplicated_span_stats(spark):
     """Cross-doc span duplication: shared 10-token runs are flagged in
     BOTH carriers; intra-doc repeats alone don't count; short docs get
