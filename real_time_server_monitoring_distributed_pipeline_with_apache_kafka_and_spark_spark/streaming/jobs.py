@@ -380,19 +380,40 @@ def compact_vector_store(
 
     Returns a reader on the compacted store.
     """
+    return compact_ingest_store(
+        spark,
+        store_path,
+        compacted_path,
+        cluster_cols=["table_idx", "bucket"],
+        target_file_bytes=target_file_bytes,
+    )
+
+
+def compact_ingest_store(
+    spark,
+    store_path: str,
+    compacted_path: str,
+    cluster_cols: list[str] | None = None,
+    target_file_bytes: int = 128 << 20,
+) -> DataFrame:
+    """Generic compaction for any per-micro-batch ``batch_id=N`` ingest
+    store (vector tags, MinHash profiles, landed documents): rewrite the
+    accreted small files into ~``target_file_bytes`` files, optionally
+    hash-clustered on ``cluster_cols`` for probe locality. Row-preserving;
+    output count sized from the store's ACTUAL bytes via the Hadoop FS
+    API (works against object stores, not just the driver's local disk).
+    Writes to a NEW path — swap-on-success, see
+    :func:`compact_vector_store`."""
     import math
 
-    # Hadoop-FS listing (not os.walk): the store lives wherever the
-    # checkpointed stream wrote it — at scale an object store the
-    # driver's local filesystem can't see.
     total_bytes = _fs_total_bytes(spark, store_path)
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
-    tagged = read_vector_store(spark, store_path)
-    (
-        tagged.repartition(n_out, "table_idx", "bucket")
-        .write.mode("overwrite")
-        .parquet(compacted_path)
-    )
+    df = spark.read.parquet(store_path).drop("batch_id")
+    if cluster_cols:
+        df = df.repartition(n_out, *cluster_cols)
+    else:
+        df = df.repartition(n_out)
+    df.write.mode("overwrite").parquet(compacted_path)
     return spark.read.parquet(compacted_path)
 
 

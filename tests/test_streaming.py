@@ -1098,6 +1098,110 @@ def test_minhash_ingest_stream_matches_batch(spark, tmp_path):
     assert len(streamed) > 0
 
 
+def test_minhash_ingest_checkpoint_restart(spark, tmp_path):
+    """Kill the MinHash ingest stream between micro-batches and restart it
+    from its checkpoint: the store must come out identical to an
+    uninterrupted run (no lost and no duplicated profiles), and the probe
+    must still equal the batch operator on the union corpus."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_from_profiles,
+        word_shingles,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "mhr_src")
+    store = str(tmp_path / "mhr_store")
+    ckpt = str(tmp_path / "mhr_ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/b*")
+        )
+        return jobs.minhash_ingest_stream(stream, store, checkpoint_dir=ckpt).start()
+
+    # phase 1: half the corpus, then the query dies
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(f"{src}/b0")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # phase 2 arrives while the query is DOWN; restart from checkpoint
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.parquet(f"{src}/b1")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    profiles = jobs.read_minhash_store(spark, store)
+    # exactly one profile row per shingled doc — nothing lost, nothing doubled
+    assert profiles.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+    streamed = sorted(
+        (r.a_id, r.b_id, round(r.jaccard, 12))
+        for r in minhash_lsh_pairs_from_profiles(profiles, threshold=0.8).collect()
+    )
+    batch = sorted(
+        (r.a_id, r.b_id, round(r.jaccard, 12))
+        for r in minhash_lsh_pairs(word_shingles(docs), threshold=0.8).collect()
+    )
+    spark.catalog.clearCache()
+    assert streamed == batch and len(streamed) > 0
+
+
+def test_minhash_store_compaction(spark, tmp_path):
+    """The generic ingest-store compaction applies to the MinHash profile
+    store: fewer files, probe-identical pairs."""
+    import glob as _glob
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.dedup import (
+        minhash_lsh_pairs_from_profiles,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "mhc_src")
+    for i, (lo, hi) in enumerate(((0, 125), (125, 250), (250, 375), (375, 500))):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).repartition(
+            4
+        ).write.parquet(f"{src}/b{i}")
+
+    store = str(tmp_path / "mhc_store")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    q = jobs.minhash_ingest_stream(
+        stream, store, checkpoint_dir=str(tmp_path / "mhc_ckpt")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    raw = jobs.read_minhash_store(spark, store)
+    compacted_path = str(tmp_path / "mhc_store_compacted")
+    compacted = jobs.compact_ingest_store(spark, store, compacted_path)
+
+    raw_files = _glob.glob(f"{store}/*/*.parquet")
+    compacted_files = _glob.glob(f"{compacted_path}/*.parquet")
+    assert len(compacted_files) < len(raw_files), (len(raw_files), len(compacted_files))
+
+    before = sorted(
+        tuple(r) for r in minhash_lsh_pairs_from_profiles(raw, threshold=0.8).collect()
+    )
+    after = sorted(
+        tuple(r)
+        for r in minhash_lsh_pairs_from_profiles(compacted, threshold=0.8).collect()
+    )
+    spark.catalog.clearCache()
+    assert before == after and len(before) > 0
+
+
 def test_vector_store_compaction(spark, tmp_path):
     """Compacting the ingest store (many per-micro-batch files -> few
     bucket-clustered files) must not change probe results, and must
