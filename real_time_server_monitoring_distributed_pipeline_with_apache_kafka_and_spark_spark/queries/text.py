@@ -316,7 +316,7 @@ s AS (
   SELECT doc_id,
     CASE WHEN len(w) >= 10
          THEN list_transform(range(1, len(w) - 8),
-                             i -> md5(array_to_string(w[i:i+9], ' ')))
+                             i -> substr(md5(array_to_string(w[i:i+9], ' ')), 1, 16))
          ELSE [] END AS fps
   FROM t
 ),
