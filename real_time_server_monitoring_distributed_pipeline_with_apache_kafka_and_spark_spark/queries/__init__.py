@@ -90,11 +90,11 @@ _PRIORITY: tuple[str, ...] = (
     "sim_ann_bruteforce",
     "sim_ann_lsh",
     "sim_ann_ivf",
+    # -- tail (past the ~50 cap): all freshly green in r04, 1 round old
+    #    at r05; cycle back by r06 --
     "sim_ann_quantized",
     "rel_pricing_summary",
     "rel_multiway_revenue",
-    # -- tail (past the ~50 cap): all freshly green in r04, 1 round old
-    #    at r05; cycle back by r06 --
     "text_sequence_packing",
     "text_repetition",
     "text_unigram_logprob",
