@@ -184,3 +184,51 @@ def test_jaccard_prefix_filter_is_lossless(spark, docs):
                 if union and common / union >= 0.6:
                     expected[(a, b)] = (common, round(common / union, 12))
     assert got == expected, (got, expected)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcde"), min_size=0, max_size=8
+        ).map(lambda ws: " ".join(ws)),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_duplicated_span_stats_matches_python_reference(spark, texts):
+    """duplicated_span_stats (k=3) equals a brute-force Python model on
+    arbitrary tiny corpora: per-position k-gram spans, a span is
+    duplicated iff its text occurs in >= 2 distinct docs; docs shorter
+    than k have zero spans."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.text import (
+        duplicated_span_stats,
+    )
+
+    k = 3
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, round(r.dup_span_fraction, 12))
+        for r in duplicated_span_stats(df, k=k).collect()
+    }
+    spark.catalog.clearCache()
+
+    def toks(t):
+        t = t.strip().lower()
+        return t.split() if t else [""]
+
+    spans = {
+        i: [" ".join(toks(t)[p : p + k]) for p in range(len(toks(t)) - k + 1)]
+        for i, t in docs
+    }
+    carriers = {}
+    for i, ss in spans.items():
+        for s in set(ss):
+            carriers.setdefault(s, set()).add(i)
+    expected = {}
+    for i, ss in spans.items():
+        n_dup = sum(1 for s in ss if len(carriers[s]) >= 2)
+        frac = round(n_dup / len(ss), 12) if ss else 0.0
+        expected[i] = (len(ss), n_dup, frac)
+    assert got == expected, (got, expected)
