@@ -462,6 +462,11 @@ def minhash_lsh_pairs_from_profiles(
     matches_batch): both run the same candidate generation and the same
     verification, just from persisted columns instead of a live shingle
     scan. ``num_perm``/``bands`` must match the profiling call.
+
+    Caching contract: same as :func:`minhash_lsh_pairs` — the profile
+    table stays ``persist()``-ed after materialization (it feeds the
+    banding and verification branches); long-lived sessions release it
+    via ``spark.catalog.clearCache()`` or ``unpersist()``.
     """
     profiles = profiles.persist()
     sig = profiles.select(id_col, *[f"h{i}" for i in range(num_perm)])
