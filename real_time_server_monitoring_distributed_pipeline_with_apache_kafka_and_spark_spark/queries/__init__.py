@@ -33,8 +33,9 @@ from . import dedup, extras, monitoring, multimodal, relational, similarity, tex
 #       amortized bucketed landing; salt plumb through stratified_sample),
 #       then the 28 tail rows whose newest green is r03 (2 rounds old —
 #       cycle back per the <=2-rounds-stale policy), then r04-green
-#       representatives filling to 50. Past the cap: 29 rows freshly
-#       proven in r04 (1 round old) that can afford to sit out.
+#       representatives filling to 50. Past the cap: 32 rows (82 total -
+#       50 window), all freshly proven in r04 (1 round old), that can
+#       afford to sit out until r06.
 _PRIORITY: tuple[str, ...] = (
     # -- new in r05 --
     "text_stratified_sample_salted",

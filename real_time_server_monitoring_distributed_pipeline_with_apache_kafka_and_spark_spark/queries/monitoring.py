@@ -122,12 +122,24 @@ def _bucketed_landing(spark, sf_dir: str, narrows: dict) -> dict[str, DataFrame]
     are ordinary /tmp garbage; a production deployment would land into a
     governed warehouse path instead.
     """
+    import hashlib as _hashlib
     import os as _os
     import re as _re
 
     from ..sources.readers import write_bucketed_table
 
-    tag = _re.sub(r"[^0-9A-Za-z]+", "_", _os.path.basename(sf_dir.rstrip("/")))
+    # Tag = readable basename + a hash of the FULL absolute path: two
+    # different directories that share a basename (e.g. runA/sf0.1 and
+    # runB/sf0.1) must land as distinct tables, not silently reuse each
+    # other's data. (Re-generating the files IN PLACE mid-session still
+    # reuses the landing — inherent to amortization, as with any
+    # materialized view over mutated source files.)
+    abs_dir = _os.path.abspath(sf_dir.rstrip("/"))
+    tag = (
+        _re.sub(r"[^0-9A-Za-z]+", "_", _os.path.basename(abs_dir))
+        + "_"
+        + _hashlib.md5(abs_dir.encode()).hexdigest()[:8]
+    )
     pid = _os.getpid()
     n_buckets = 32
     landed = {}

@@ -325,17 +325,25 @@ def minhash_ingest_stream(
     )
 
 
+def read_ingest_store(spark, store_path: str) -> DataFrame:
+    """Read any per-micro-batch ``batch_id=N`` ingest store, dropping the
+    delivery bookkeeping column. The single definition of the store's
+    read shape — the named readers and :func:`compact_ingest_store` all
+    go through it so layout changes land everywhere at once."""
+    return spark.read.parquet(store_path).drop("batch_id")
+
+
 def read_minhash_store(spark, store_path: str) -> DataFrame:
     """Read the profile store built by :func:`minhash_ingest_stream`
     (the ``minhash_profiles`` layout, ready for
     ``minhash_lsh_pairs_from_profiles``)."""
-    return spark.read.parquet(store_path).drop("batch_id")
+    return read_ingest_store(spark, store_path)
 
 
 def read_vector_store(spark, store_path: str) -> DataFrame:
     """Read the LSH candidate store built by :func:`vector_ingest_stream`
     (the ``lsh_tag_corpus`` layout, ready for ``ann_lsh_topk_tagged``)."""
-    return spark.read.parquet(store_path).drop("batch_id")
+    return read_ingest_store(spark, store_path)
 
 
 def _fs_total_bytes(spark, path: str, suffix: str = ".parquet") -> int:
@@ -408,7 +416,7 @@ def compact_ingest_store(
 
     total_bytes = _fs_total_bytes(spark, store_path)
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
-    df = spark.read.parquet(store_path).drop("batch_id")
+    df = read_ingest_store(spark, store_path)
     if cluster_cols:
         df = df.repartition(n_out, *cluster_cols)
     else:

@@ -226,6 +226,38 @@ def test_bucketed_landing_amortized(spark, monkeypatch):
     assert len(calls) == after_first, calls
 
 
+def test_bucketed_landing_distinct_dirs_same_basename(spark, monkeypatch, tmp_path):
+    """Two sf_dirs that share a basename must land as DISTINCT tables —
+    the amortization cache keys on the full path, not the basename."""
+    import shutil
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources import (
+        readers,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries import (
+        monitoring as monq,
+    )
+
+    for parent in ("runA", "runB"):
+        (tmp_path / parent / "sfX").mkdir(parents=True)
+        shutil.copy(
+            f"{SF_DIR}/events.parquet", tmp_path / parent / "sfX" / "events.parquet"
+        )
+
+    tables = []
+    real = readers.write_bucketed_table
+
+    def counting(df, table_name, *args, **kwargs):
+        tables.append(table_name)
+        return real(df, table_name, *args, **kwargs)
+
+    monkeypatch.setattr(readers, "write_bucketed_table", counting)
+    monq.monitor_cpu_mem_alerts_bucketed(spark, str(tmp_path / "runA" / "sfX"))
+    monq.monitor_cpu_mem_alerts_bucketed(spark, str(tmp_path / "runB" / "sfX"))
+    # each dir lands its own cpu+mem pair under a path-specific tag
+    assert len(tables) == 4 and len(set(tables)) == 4, tables
+
+
 def test_curation_pipeline_no_nested_loops(reports):
     """The composite pipeline stays inverted-index + anti-join all the way:
     no cartesian products or nested-loop joins anywhere in the plan."""
