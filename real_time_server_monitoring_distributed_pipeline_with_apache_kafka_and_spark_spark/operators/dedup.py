@@ -202,9 +202,24 @@ def connected_components(
         .unionByName(edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
         .localCheckpoint()
     )
-    labels = vertices.select(
-        F.col(id_col).alias("u"), F.col(id_col).alias("cluster_id")
-    ).localCheckpoint()
+    # The loop runs on the edge-TOUCHED subgraph only: a vertex with no
+    # edges is its own singleton cluster and can never change, so carrying
+    # the full corpus through every per-round join is pure waste — in a
+    # real dedup corpus near-dup endpoints are a small fraction of all
+    # documents, so this bounds every iterative shuffle by the pair count
+    # instead of the corpus size. Isolated vertices rejoin at the end via
+    # one left join + coalesce(label, own id).
+    #
+    # Init folds the FIRST propagation round in: label(u) = min(u, N(u))
+    # is exactly what round 0 computes from identity labels, and the
+    # groupBy doubles as the distinct() over touched vertices — one round
+    # (two joins + a convergence check) saved for the same shuffle count.
+    labels = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_nbr_min"))
+        .select("u", F.least(F.col("u"), F.col("_nbr_min")).alias("cluster_id"))
+        .localCheckpoint()
+    )
     converged = False
     for _ in range(max_iter):
         nbr_min = (
@@ -255,7 +270,14 @@ def connected_components(
             "rounds; the graph has an extreme-diameter component — raise "
             "max_iter (rounds needed ~ log2(diameter) + a few)"
         )
-    return labels.select(F.col("u").alias(id_col), "cluster_id")
+    # Re-attach isolated vertices as singletons. The converged label table
+    # is pair-graph-sized (small), so AQE broadcasts it against the full
+    # vertex set — the corpus-sized side never shuffles.
+    return vertices.select(F.col(id_col)).join(
+        labels.select(F.col("u").alias(id_col), "cluster_id"), id_col, "left"
+    ).select(
+        id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
+    )
 
 
 def _perm_coeffs(num_perm: int, seed: int = 42) -> tuple[list[int], list[int]]:

@@ -193,3 +193,62 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(n_salts)]))
     )
     return l_salted.join(r_salted, on=[*key_cols, "_salt"], how=how).drop("_salt")
+
+
+def fuzzy_self_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """All pairs of rows whose ``text_col`` values are within edit
+    distance 1, without a cross join (SymSpell / symmetric-delete
+    blocking).
+
+    Every string generates a candidate-key set: itself plus each
+    single-character deletion. Two strings with Levenshtein distance
+    <= 1 ALWAYS share at least one candidate key (equal -> the string
+    itself; substitution at i -> both delete position i; insert/delete
+    of one char -> the longer one's deletion equals the shorter string),
+    so the blocking is lossless. Candidates meet in a plain equi-join on
+    the key and are then verified with the exact ``levenshtein`` — the
+    same generate/equi-join/verify shape as the MinHash and SimHash
+    near-dup operators.
+
+    Scale: candidate keys per row = O(len); the join is hash-partitioned
+    on the key, never all-pairs. Shared-prefix corpora keep buckets
+    small; a pathological bucket (thousands of strings one edit apart)
+    is real duplication the verify step must score anyway. Output:
+    ``(id_a, id_b, text_a, text_b, distance)`` with ``id_a < id_b``,
+    deduplicated across shared keys.
+    """
+    n = F.length(F.col(text_col))
+    deletions = F.when(n >= 1, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(
+                F.substring(F.col(text_col), F.lit(1), i - 1),
+                F.col(text_col).substr(i + 1, n),
+            ),
+        )
+    )).otherwise(F.array().cast("array<string>"))
+    variants = F.array_union(F.array(F.col(text_col)), deletions)
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        F.explode(variants).alias("_key"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (
+        a.join(b, on="_key")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._text").alias("text_a"),
+            F.col("b._text").alias("text_b"),
+        )
+        .distinct()
+    )
+    return pairs.withColumn(
+        "distance", F.levenshtein("text_a", "text_b")
+    ).filter(F.col("distance") <= 1)

@@ -420,3 +420,32 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             "rolling_fp": rolling_hash(F.col(text_col)),
         }
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_permille: Column,
+    id_col: str = "doc_id",
+    salt: str = "#wsample",
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep each row with
+    probability ``weight_permille / 1000``, where the weight is any
+    integer column expression in [0, 1000] (0 = never, 1000 = always).
+
+    The training-data weighting primitive — e.g. sample web text with
+    probability proportional to a quality score, so high-quality docs
+    survive curation at a higher rate — implemented with NO RNG: the keep
+    decision compares a per-row md5-derived uniform in [0, 1000) against
+    the row's own threshold. Same integer-hash machinery as
+    :func:`hash_bucket_100` (1000 buckets for per-mille resolution,
+    salted so the decision is independent of the split/sample buckets on
+    the same ids). Deterministic across runs, engines, partitionings;
+    E[kept] = sum(weight)/1000 (binomially concentrated). Stateless
+    scan-speed filter: no shuffle, no state, trivially parallel.
+    """
+    salted = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    u = F.pmod(
+        F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long"),
+        F.lit(1000),
+    )
+    return df.withColumn("_w", weight_permille).filter(u < F.col("_w")).drop("_w")

@@ -28,15 +28,23 @@ from . import dedup, extras, monitoring, multimodal, relational, similarity, tex
 #   r04 green: all 50 — the 7 new rows (bucketed flagships, 4 text ops,
 #       dedup_clusters), 3 code-changed re-proofs, the 18-row r01/r02
 #       tail, and keep-green fill.
-#   r05 window (this list): new + code-changed rows first (salted sample;
-#       connected-components rework; minhash band/verify refactor;
-#       amortized bucketed landing; salt plumb through stratified_sample),
-#       then the 28 tail rows whose newest green is r03 (2 rounds old —
-#       cycle back per the <=2-rounds-stale policy), then r04-green
-#       representatives filling to 50. Past the cap: 32 rows (82 total -
-#       50 window), all freshly proven in r04 (1 round old), that can
-#       afford to sit out until r06.
+#   r05: the driver recorded no CORRECTNESS_r05.json (no verify pass ran
+#       that round), so every newest-green age below is measured from r04
+#       and the r05 window plan carries over wholesale.
+#   r06 window (this list): the 5 queries NEW this round first (CDC merge,
+#       SCD2 intervals, fuzzy join, drift PSI, weighted sample — never
+#       driver-proven), then the r05 plan unchanged: r05's new/changed
+#       rows (still unproven for the same reason), the 28 rows whose
+#       newest green is r03, then r04-green fill to 50. Displaced past
+#       the cap vs r05: the 5 trailing similarity representatives
+#       (dedup_embedding_cosine/lsh, sim_ann_*) — r04-green, unchanged.
 _PRIORITY: tuple[str, ...] = (
+    # -- new in r06 --
+    "rel_cdc_merge",
+    "rel_scd2_intervals",
+    "rel_fuzzy_join",
+    "monitor_drift_psi",
+    "text_weighted_sample",
     # -- new in r05 --
     "text_stratified_sample_salted",
     "text_dup_spans",
@@ -86,13 +94,13 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    # -- tail (past the ~50 cap): all r04-green, unchanged since; cycle
+    #    back by r07 --
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "sim_ann_bruteforce",
     "sim_ann_lsh",
     "sim_ann_ivf",
-    # -- tail (past the ~50 cap): all freshly green in r04, 1 round old
-    #    at r05; cycle back by r06 --
     "sim_ann_quantized",
     "rel_pricing_summary",
     "rel_multiway_revenue",

@@ -403,7 +403,65 @@ def monitor_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def monitor_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-distribution drift between two halves of the month:
+    Population Stability Index over a fixed 10-bucket histogram of
+    ``value`` (the standard drift alarm a monitoring pipeline raises when
+    a server's metric distribution shifts).
+
+    Bucketing is integer math (floor(value/50), clamped) so assignments
+    are engine-exact; the two period histograms come from ONE map-side
+    partial-aggregating pass (conditional sums — no second scan, no
+    join); proportions are Laplace-smoothed (+0.5 per bucket) so empty
+    buckets stay finite. Only the final 10-row table crosses a single
+    `OVER ()` window for totals — trivially small. At 100 TB this is a
+    pure scan + one 10-row exchange. Probability/PSI doubles are
+    floor-rounded to 9 decimals on both engines (JVM log vs libm
+    last-ulp policy, same as text_tfidf); every PSI term is >= 0 so
+    display_round's positive-value contract holds.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    bucket = F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9))
+    counts = (
+        events.select(
+            bucket.alias("bucket"),
+            (F.col("ts") < cutoff).cast("int").alias("is_a"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_a").alias("n_a"),
+            F.sum(1 - F.col("is_a")).alias("n_b"),
+        )
+    )
+    w = Window.partitionBy()
+    p_a = (F.col("n_a") + 0.5) / (F.sum("n_a").over(w) + 5.0)
+    p_b = (F.col("n_b") + 0.5) / (F.sum("n_b").over(w) + 5.0)
+    contrib = (p_a - p_b) * F.log(p_a / p_b)
+    enriched = counts.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        display_round(p_a, 9).alias("p_a"),
+        display_round(p_b, 9).alias("p_b"),
+        display_round(contrib, 9).alias("psi_contrib"),
+    )
+    # Total = ordered sum of the ROUNDED per-bucket terms: each addend is
+    # bit-exact post-rounding and the explicit ORDER BY fixes the float
+    # accumulation order, so the total is engine-reproducible (an
+    # unordered OVER () sum would be hostage to row order).
+    w_total = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return enriched.withColumn(
+        "psi_total", display_round(F.sum("psi_contrib").over(w_total), 9)
+    )
+
+
 QUERIES = {
+    "monitor_drift_psi": monitor_drift_psi,
     "monitor_cpu_mem_alerts": monitor_cpu_mem_alerts,
     "monitor_cpu_mem_alerts_bucketed": monitor_cpu_mem_alerts_bucketed,
     "monitor_alert_transitions": monitor_alert_transitions,
@@ -420,6 +478,35 @@ QUERIES = {
 }
 
 ORACLES = {
+    "monitor_drift_psi": """
+WITH c AS (
+  SELECT least(CAST(floor(value / 50) AS INTEGER), 9) AS bucket,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS is_a
+  FROM events
+),
+g AS (
+  SELECT bucket, CAST(sum(is_a) AS BIGINT) AS n_a, CAST(sum(1 - is_a) AS BIGINT) AS n_b
+  FROM c GROUP BY bucket
+),
+p AS (
+  SELECT bucket, n_a, n_b,
+         (n_a + 0.5) / (sum(n_a) OVER () + 5.0) AS pa,
+         (n_b + 0.5) / (sum(n_b) OVER () + 5.0) AS pb
+  FROM g
+),
+x AS (
+  SELECT bucket, n_a, n_b,
+         floor(pa * 1e9 + 0.5) / 1e9 AS p_a,
+         floor(pb * 1e9 + 0.5) / 1e9 AS p_b,
+         floor((pa - pb) * ln(pa / pb) * 1e9 + 0.5) / 1e9 AS psi_contrib
+  FROM p
+)
+SELECT bucket, n_a, n_b, p_a, p_b, psi_contrib,
+       floor(sum(psi_contrib) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             * 1e9 + 0.5) / 1e9 AS psi_total
+FROM x
+""",
     "monitor_funnel": """
 WITH v AS (
   SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view

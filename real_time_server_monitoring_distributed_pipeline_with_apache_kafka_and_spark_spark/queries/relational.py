@@ -583,6 +583,57 @@ def rel_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-state merge (operators.changelog.apply_changelog): the
+    events log read as a changelog on user_id — every event upserts the
+    user's current (event_type, value) state, 'error' events are
+    tombstones. One max_by hash aggregation (map-side partial, no window
+    sort); the oracle is the classic row_number()=1 formulation."""
+    from ..operators.changelog import apply_changelog
+
+    events = load_table(spark, sf_dir, "events")
+    changes = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    merged = apply_changelog(
+        changes, key_cols=["user_id"], seq_cols=["ts", "event_id"], op_col="op"
+    )
+    return merged.select("user_id", "ts", "event_id", "event_type", "value")
+
+
+def rel_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build (operators.changelog.scd2_intervals): per-user
+    contiguous runs of event_type become [valid_from, valid_to) validity
+    intervals. One exchange on user_id; all three windows + the run
+    aggregate reuse that co-location."""
+    from ..operators.changelog import scd2_intervals
+
+    events = load_table(spark, sf_dir, "events")
+    return scd2_intervals(
+        events.select("user_id", "ts", "event_id", "event_type"),
+        key_cols=["user_id"],
+        attr_col="event_type",
+        ts_col="ts",
+        seq_cols=["ts", "event_id"],
+    )
+
+
+def rel_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 self-join on customer names via symmetric-delete
+    blocking (operators.joins.fuzzy_self_join): generate/equi-join/verify,
+    never all-pairs. The oracle IS the all-pairs formulation (fine at
+    sf0.01), which doubles as the blocking-losslessness check."""
+    from ..operators.joins import fuzzy_self_join
+
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fuzzy_self_join(customer, text_col="c_name", id_col="c_custkey")
+
+
 # Insertion order is load-bearing: the correctness driver checks the first
 # ~50 registry entries in iteration order (CORRECTNESS_r01.json stopped at
 # exactly 50 = the module boundary before text/multimodal). Structurally
@@ -592,6 +643,9 @@ def rel_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # now that text_*/mm_* run earlier. Local pytest oracle-parity still covers
 # every query each round regardless of driver order.
 QUERIES = {
+    "rel_cdc_merge": rel_cdc_merge,
+    "rel_scd2_intervals": rel_scd2_intervals,
+    "rel_fuzzy_join": rel_fuzzy_join,
     "rel_pricing_summary": rel_pricing_summary,
     "rel_join_customer_orders": rel_join_customer_orders,
     "rel_multiway_revenue": rel_multiway_revenue,
@@ -630,6 +684,47 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_cdc_merge": """
+WITH ranked AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts, event_id, event_type, value
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+""",
+    "rel_scd2_intervals": """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, ts, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run
+  FROM flagged
+),
+agg AS (
+  SELECT user_id, run, min(event_type) AS event_type,
+         min(ts) AS valid_from, count(*) AS run_events
+  FROM runs GROUP BY user_id, run
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+       CAST(run_events AS BIGINT) AS run_events
+FROM agg
+""",
+    "rel_fuzzy_join": """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_name AS text_a, b.c_name AS text_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS distance
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+""",
     "rel_asof_join": """
 WITH clicks AS (
   SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'

@@ -252,7 +252,24 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted Bernoulli sampling (operators.text.weighted_sample):
+    each doc kept with probability ~ its length signal (per-mille weight
+    ``least(999, n_chars)``), decided by a salted integer hash — no RNG,
+    no shuffle, reproducible across engines/partitionings."""
+    from ..operators.text import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.least(F.lit(999), F.col("n_chars")).cast("long")
+    kept = weighted_sample(docs, w, id_col="doc_id", salt="#wsample")
+    return kept.select(
+        "doc_id", "lang", "n_chars",
+        F.least(F.lit(999), F.col("n_chars")).cast("long").alias("w_permille"),
+    )
+
+
 QUERIES = {
+    "text_weighted_sample": text_weighted_sample,
     "text_token_stats": text_token_stats,
     "text_unigram_logprob": text_unigram_logprob,
     "text_stratified_sample": text_stratified_sample,
@@ -269,6 +286,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_weighted_sample": """
+SELECT doc_id, lang, n_chars,
+       CAST(least(999, n_chars) AS BIGINT) AS w_permille
+FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#wsample'), 1, 8)) AS BIGINT) % 1000
+      < least(999, n_chars)
+""",
     "text_unigram_logprob": f"""
 WITH terms AS (
   SELECT doc_id, unnest({_TOKENS}) AS term FROM documents

@@ -1,0 +1,182 @@
+"""Operator tests: CDC changelog merge, SCD2 intervals, fuzzy self-join,
+weighted sampling."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.changelog import (
+    apply_changelog,
+    scd2_intervals,
+)
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.joins import (
+    fuzzy_self_join,
+)
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.text import (
+    weighted_sample,
+)
+
+from .conftest import SF_SMOKE
+
+_LOG_SCHEMA = "k string, seq int, tie int, payload string, op string"
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(rows, _LOG_SCHEMA)
+
+
+class TestApplyChangelog:
+    def test_latest_wins_and_tombstones(self, spark):
+        rows = [
+            ("a", 1, 0, "a1", "U"),
+            ("a", 2, 0, "a2", "U"),   # winner for a
+            ("b", 1, 0, "b1", "U"),
+            ("b", 2, 0, "b2", "D"),   # b deleted last -> omitted
+            ("c", 5, 0, "c5", "D"),
+            ("c", 6, 0, "c6", "U"),   # re-insert after tombstone survives
+        ]
+        out = apply_changelog(
+            _log(spark, rows), key_cols=["k"], seq_cols=["seq", "tie"], op_col="op"
+        )
+        got = {r["k"]: r["payload"] for r in out.collect()}
+        assert got == {"a": "a2", "c": "c6"}
+
+    def test_tie_broken_by_full_sequence_tuple(self, spark):
+        rows = [
+            ("a", 1, 1, "lo", "U"),
+            ("a", 1, 2, "hi", "U"),
+        ]
+        out = apply_changelog(
+            _log(spark, rows), key_cols=["k"], seq_cols=["seq", "tie"], op_col="op"
+        )
+        assert [r["payload"] for r in out.collect()] == ["hi"]
+
+    def test_matches_window_model_on_events(self, spark):
+        """On real data: max_by aggregation == row_number()=1 window model."""
+        ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        changes = ev.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        )
+        got = apply_changelog(
+            changes, key_cols=["user_id"], seq_cols=["ts", "event_id"], op_col="op"
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        want = (
+            changes.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+            .drop("rn")
+        )
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+
+class TestScd2Intervals:
+    def test_small_fixture(self, spark):
+        rows = [
+            ("u", 1, 0, "x", "U"),
+            ("u", 2, 0, "x", "U"),
+            ("u", 3, 0, "y", "U"),
+            ("u", 4, 0, "x", "U"),  # x recurs -> NEW run, not merged
+        ]
+        out = scd2_intervals(
+            _log(spark, rows).drop("op"),
+            key_cols=["k"], attr_col="payload", ts_col="seq", seq_cols=["seq", "tie"],
+        ).orderBy("valid_from").collect()
+        assert [(r["payload"], r["valid_from"], r["valid_to"], r["run_events"]) for r in out] == [
+            ("x", 1, 3, 2),
+            ("y", 3, 4, 1),
+            ("x", 4, None, 1),
+        ]
+
+    def test_invariants_on_events(self, spark):
+        ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        out = scd2_intervals(
+            ev.select("user_id", "ts", "event_id", "event_type"),
+            key_cols=["user_id"], attr_col="event_type",
+            ts_col="ts", seq_cols=["ts", "event_id"],
+        )
+        rows = out.collect()
+        n_events = ev.count()
+        assert sum(r["run_events"] for r in rows) == n_events
+        by_user: dict = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(r)
+        n_open = 0
+        for user_rows in by_user.values():
+            user_rows.sort(key=lambda r: r["valid_from"])
+            for a, b in itertools.pairwise(user_rows):
+                # half-open intervals tile the key's history with no gaps
+                assert a["valid_to"] == b["valid_from"]
+                # consecutive runs carry DIFFERENT attribute values
+                assert a["event_type"] != b["event_type"]
+            assert user_rows[-1]["valid_to"] is None
+            n_open += 1
+        # exactly one open (current) interval per key
+        assert n_open == len(by_user)
+
+
+class TestFuzzySelfJoin:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        words = [
+            "cat", "cut", "cast", "ct", "cats", "dog", "dig", "dug",
+            "spark", "spork", "sparks", "park", "shark", "", "a", "b", "ab",
+        ]
+        return spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], "id bigint, w string"
+        )
+
+    def test_matches_bruteforce(self, corpus, spark):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in fuzzy_self_join(corpus, "w", "id").collect()
+        }
+        rows = corpus.collect()
+
+        def lev(s, t):
+            if len(s) < len(t):
+                s, t = t, s
+            prev = list(range(len(t) + 1))
+            for i, cs in enumerate(s, 1):
+                cur = [i]
+                for j, ctch in enumerate(t, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ctch)))
+                prev = cur
+            return prev[-1]
+
+        want = {
+            (a["id"], b["id"])
+            for a, b in itertools.combinations(sorted(rows, key=lambda r: r["id"]), 2)
+            if lev(a["w"], b["w"]) <= 1
+        }
+        assert got == want
+
+    def test_distance_column_is_exact(self, corpus):
+        for r in fuzzy_self_join(corpus, "w", "id").collect():
+            assert r["distance"] <= 1
+
+
+class TestWeightedSample:
+    def test_extremes_and_nesting(self, spark):
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        n = docs.count()
+        assert weighted_sample(docs, F.lit(0)).count() == 0
+        assert weighted_sample(docs, F.lit(1000)).count() == n
+        k300 = {r["doc_id"] for r in weighted_sample(docs, F.lit(300)).collect()}
+        k700 = {r["doc_id"] for r in weighted_sample(docs, F.lit(700)).collect()}
+        # same salted uniform per row => lower-weight keeps nest in higher
+        assert k300 <= k700
+        assert len(k300) < len(k700) < n
+
+    def test_partitioning_invariant(self, spark):
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        w = F.least(F.lit(999), F.col("n_chars"))
+        a = {r["doc_id"] for r in weighted_sample(docs, w).collect()}
+        b = {r["doc_id"] for r in weighted_sample(docs.repartition(13), w).collect()}
+        assert a == b

@@ -337,3 +337,99 @@ def test_parallelize_if_narrow_streaming_passthrough(spark):
     assert stream.isStreaming
     out = parallelize_if_narrow(stream)
     assert out is stream
+
+
+def test_cdc_merge_single_exchange(reports):
+    """rel_cdc_merge is ONE hash aggregation: partial max_by map-side,
+    one exchange on user_id, final agg — no window sort anywhere."""
+    r = reports("rel_cdc_merge")
+    assert r["exchanges"] == 1, r
+    assert r["sort_merge_joins"] == 0 and r["nested_loop_joins"] == 0
+
+
+def test_scd2_reuses_one_partitioning(reports):
+    """rel_scd2_intervals: lag/run-sum windows, the run aggregate, and the
+    lead window all cluster on user_id; HashPartitioning(user_id)
+    satisfies every downstream ClusteredDistribution, so the whole build
+    is ONE exchange."""
+    r = reports("rel_scd2_intervals")
+    assert r["exchanges"] == 1, r
+
+
+def test_fuzzy_join_is_equi_join(reports):
+    """fuzzy_self_join must plan the candidate match as a hash/sort-merge
+    equi-join on the deletion key — never a cartesian verify."""
+    r = reports("rel_fuzzy_join")
+    assert r["nested_loop_joins"] == 0, r
+    assert r["sort_merge_joins"] + r["broadcast_joins"] >= 1, r
+
+
+def test_drift_psi_scan_counts_once(reports):
+    """monitor_drift_psi histograms both periods in one conditional-agg
+    pass: one exchange for the 10-bucket agg + the two trivial 10-row
+    window exchanges; crucially no self-join of events (which would scan
+    twice and shuffle the fact)."""
+    r = reports("monitor_drift_psi")
+    assert r["sort_merge_joins"] == 0 and r["nested_loop_joins"] == 0, r
+    assert r["exchanges"] <= 3, r
+
+
+def test_runtime_bloom_filter_join(spark, tmp_path):
+    """Runtime-filter posture: with a selective dim filter, the engine
+    injects a bloom `might_contain` predicate into the fact scan so the
+    shuffle only carries surviving rows. Default size thresholds target
+    10 GB+ scans (a 100 TB cluster trips them naturally); the test lowers
+    them to demonstrate the mechanism on sandbox data."""
+    fact_path = str(tmp_path / "fact")
+    spark.range(0, 50_000).selectExpr(
+        "id % 1000 AS k", "id AS v"
+    ).write.parquet(fact_path)
+    dim_path = str(tmp_path / "dim")
+    spark.range(0, 1000).selectExpr(
+        "id AS k", "id % 7 AS tag"
+    ).write.parquet(dim_path)
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join so the filter matters
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(fact_path)
+        dim = spark.read.parquet(dim_path).filter("tag = 3")
+        joined = fact.join(dim, "k")
+        from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.inspect import (
+            formatted_plan,
+        )
+        plan = formatted_plan(joined)
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Partition-pruning posture: a fact table partitioned on the join key
+    + a selective broadcastable dim => the fact scan carries a
+    dynamicpruning subquery, so only matching partitions are read. This
+    is THE mechanism that turns a 100 TB date-partitioned scan into a
+    few-partition read when joined to a filtered dim."""
+    fact_path = str(tmp_path / "fact_part")
+    spark.range(0, 20_000).selectExpr(
+        "id % 20 AS part_k", "id AS v"
+    ).write.partitionBy("part_k").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.range(0, 20).selectExpr("id AS part_k", "id % 5 AS tag").filter(
+        "tag = 2"
+    )
+    joined = fact.join(dim, "part_k")
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.inspect import (
+        formatted_plan,
+    )
+    plan = formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
