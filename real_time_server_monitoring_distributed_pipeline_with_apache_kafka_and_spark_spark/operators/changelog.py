@@ -39,6 +39,7 @@ def apply_changelog(
     seq_cols: list[str],
     op_col: str = "op",
     delete_op: str = "D",
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """Latest-wins CDC compaction: one surviving row per key, dropped if
     that row is a tombstone.
@@ -55,6 +56,13 @@ def apply_changelog(
     Output columns: ``key_cols`` + all non-key columns of ``changes``
     (including ``op_col`` and ``seq_cols``), for the winning row only;
     keys whose winner has ``op_col == delete_op`` are omitted.
+
+    ``keep_tombstones=True`` keeps the winning tombstone ROWS instead —
+    the state-store compaction mode: latest-wins is associative, so
+    ``apply_changelog(compacted ∪ later) == apply_changelog(full log)``,
+    but ONLY if a compacted tombstone stays materialized (dropping it
+    would let a late-arriving pre-delete row of the same key win a
+    later merge and silently resurrect the key).
     """
     payload_cols = [c for c in changes.columns if c not in key_cols]
     seq = F.struct(*[F.col(c) for c in seq_cols])
@@ -64,6 +72,8 @@ def apply_changelog(
     out = winner.select(
         *key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload_cols]
     )
+    if keep_tombstones:
+        return out
     return out.filter(F.col(op_col) != delete_op)
 
 

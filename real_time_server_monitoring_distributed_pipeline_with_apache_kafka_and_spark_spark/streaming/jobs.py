@@ -325,6 +325,108 @@ def minhash_ingest_stream(
     )
 
 
+def changelog_ingest_stream(
+    changes: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming ingest leg for CDC state: changelog rows arrive on a
+    stream and land verbatim in a per-micro-batch ``batch_id=N`` store;
+    the CURRENT state is materialized lazily by
+    :func:`probe_changelog_store` (one ``apply_changelog`` max_by pass
+    over the store) and kept small by
+    :func:`compact_changelog_store` (winner-per-key rewrite).
+
+    This is the incremental MERGE-INTO pattern on the same idempotent
+    store contract as :func:`vector_ingest_stream` /
+    :func:`minhash_ingest_stream`: replayed batches overwrite their own
+    ``batch_id`` directory, so checkpoint + idempotent writes give
+    exactly-once into the store, and latest-wins (a max over the
+    seq tuple) is insensitive to both replay duplication within a batch
+    replay and ARRIVAL order across batches — a late-arriving row with
+    an older sequence loses the max_by merge no matter when it lands,
+    which is what makes probe == one-shot batch ``apply_changelog`` on
+    the union log (pinned by
+    tests/test_streaming.py::test_changelog_ingest_stream_matches_batch).
+
+    Returns the DataStreamWriter (caller starts it).
+    """
+    import os
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch_id={batch_id}")
+        )
+
+    return changes.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def probe_changelog_store(
+    spark,
+    store_path: str,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+    base: DataFrame | None = None,
+) -> DataFrame:
+    """Current state of a :func:`changelog_ingest_stream` store: one
+    latest-wins pass (``operators.changelog.apply_changelog``), tombstoned
+    keys omitted.
+
+    After a compaction swap, pass the compacted winners as ``base``:
+    the store path then only holds batches landed SINCE the swap, and
+    associativity makes ``probe(base ∪ store) == probe(full raw log)``
+    (a compacted path and a live ``batch_id=N`` tree can't share one
+    directory — parquet partition discovery rejects the mixed layout,
+    hence the explicit union here rather than a co-located write)."""
+    from ..operators.changelog import apply_changelog
+
+    log = read_ingest_store(spark, store_path)
+    if base is not None:
+        log = base.select(log.columns).unionByName(log)
+    return apply_changelog(
+        log,
+        key_cols=key_cols,
+        seq_cols=seq_cols,
+        op_col=op_col,
+        delete_op=delete_op,
+    )
+
+
+def compact_changelog_store(
+    spark,
+    store_path: str,
+    compacted_path: str,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Semantic compaction for the CDC store: rewrite the accreted log as
+    ONE winner row per key — INCLUDING tombstone winners
+    (``keep_tombstones=True``): latest-wins is associative, so probing
+    ``compacted ∪ later batches`` equals probing the full raw log, but a
+    dropped tombstone would let a late pre-delete row resurrect its key.
+    Unlike :func:`compact_ingest_store` (row-preserving layout rewrite)
+    this is row-REDUCING: store size becomes O(live keys + tombstones),
+    not O(history). Writes to a NEW path — swap-on-success, same
+    contract as :func:`compact_vector_store`. Returns a reader on the
+    compacted store."""
+    from ..operators.changelog import apply_changelog
+
+    winners = apply_changelog(
+        read_ingest_store(spark, store_path),
+        key_cols=key_cols,
+        seq_cols=seq_cols,
+        op_col=op_col,
+        keep_tombstones=True,
+    )
+    winners.write.mode("overwrite").parquet(compacted_path)
+    return spark.read.parquet(compacted_path)
+
+
 def read_ingest_store(spark, store_path: str) -> DataFrame:
     """Read any per-micro-batch ``batch_id=N`` ingest store, dropping the
     delivery bookkeeping column. The single definition of the store's

@@ -1335,3 +1335,98 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
     out = spark.read.option("basePath", sink).parquet(sink + "/batch_id=*")
     assert out.count() == cpu.count()
     assert out.select("ts", "server_id").distinct().count() == cpu.count()
+
+
+def test_changelog_ingest_stream_matches_batch(spark, tmp_path):
+    """Incremental CDC leg: changelog rows stream in across micro-batches
+    and land verbatim in the store; probing the store (one latest-wins
+    pass) equals the one-shot batch apply_changelog on the union log."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.changelog import (
+        apply_changelog,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    changes = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    src = str(tmp_path / "cdc_src")
+    # shuffle arrival order vs event order: batch 1 gets the LATER events
+    for i, cond in enumerate(
+        (F.col("event_id") % 3 == 2, F.col("event_id") % 3 == 0, F.col("event_id") % 3 == 1)
+    ):
+        changes.filter(cond).coalesce(1).write.parquet(f"{src}/b{i}")
+
+    store = str(tmp_path / "cdc_store")
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    q = jobs.changelog_ingest_stream(
+        stream, store, checkpoint_dir=str(tmp_path / "cdc_ckpt")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    probed = jobs.probe_changelog_store(
+        spark, store, key_cols=["user_id"], seq_cols=["ts", "event_id"]
+    )
+    want = apply_changelog(
+        changes, key_cols=["user_id"], seq_cols=["ts", "event_id"]
+    )
+    got_rows = sorted(map(tuple, probed.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert got_rows == want_rows
+    assert len(got_rows) > 0
+
+
+def test_changelog_compaction_keeps_tombstones(spark, tmp_path):
+    """Semantic compaction: winner-per-key INCLUDING tombstones. A
+    late-arriving pre-delete row landing AFTER the compaction swap must
+    not resurrect its key, and live keys must survive with their winning
+    payload."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.changelog import (
+        apply_changelog,
+    )
+
+    schema = "k string, seq int, payload string, op string"
+    early = spark.createDataFrame(
+        [("a", 1, "a1", "U"), ("a", 3, "a3", "U"),
+         ("b", 1, "b1", "U"), ("b", 5, "b-del", "D")],
+        schema,
+    )
+    store = str(tmp_path / "raw_store")
+    early.write.parquet(f"{store}/batch_id=0")
+
+    compacted_path = str(tmp_path / "compacted")
+    compacted = jobs.compact_changelog_store(
+        spark, store, compacted_path, key_cols=["k"], seq_cols=["seq"]
+    )
+    # row-REDUCING: one winner per key, tombstone for b still materialized
+    rows = {r["k"]: (r["seq"], r["op"]) for r in compacted.collect()}
+    assert rows == {"a": (3, "U"), "b": (5, "D")}
+
+    # post-swap store: a LATE pre-delete row for b and a newer row for a
+    late_store = str(tmp_path / "late_store")
+    late = spark.createDataFrame(
+        [("b", 4, "b4-late", "U"), ("a", 7, "a7", "U")], schema
+    )
+    late.write.parquet(f"{late_store}/batch_id=0")
+
+    state = jobs.probe_changelog_store(
+        spark, late_store, key_cols=["k"], seq_cols=["seq"], base=compacted
+    )
+    got = {r["k"]: r["payload"] for r in state.collect()}
+    # b stays deleted (late seq=4 loses to compacted tombstone seq=5)
+    assert got == {"a": "a7"}
+
+    # and the union probe equals one-shot batch on the full raw log
+    full = early.unionByName(late)
+    want = {
+        r["k"]: r["payload"]
+        for r in apply_changelog(full, key_cols=["k"], seq_cols=["seq"]).collect()
+    }
+    assert got == want
