@@ -48,6 +48,9 @@ HEADLINE = LEGACY9 + [
     # added r05: plan shapes the legacy set doesn't exercise
     "dedup_clusters",             # iterative label-propagation joins
     "text_unigram_logprob",       # explode + term join + per-doc agg
+    # added r06
+    "rel_fuzzy_join",             # deletion-variant explode + self equi-join
+    "rel_scd2_intervals",         # key-clustered window stack (lag/sum/lead)
 ]
 
 

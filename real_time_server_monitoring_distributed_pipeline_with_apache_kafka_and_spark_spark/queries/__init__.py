@@ -43,6 +43,7 @@ _PRIORITY: tuple[str, ...] = (
     "rel_cdc_merge",
     "rel_scd2_intervals",
     "rel_fuzzy_join",
+    "rel_winsorize",
     "monitor_drift_psi",
     "text_weighted_sample",
     # -- new in r05 --
@@ -93,9 +94,9 @@ _PRIORITY: tuple[str, ...] = (
     "text_quality_score",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     # -- tail (past the ~50 cap): all r04-green, unchanged since; cycle
     #    back by r07 --
+    "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "sim_ann_bruteforce",

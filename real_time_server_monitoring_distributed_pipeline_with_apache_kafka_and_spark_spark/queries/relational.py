@@ -634,6 +634,46 @@ def rel_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_self_join(customer, text_col="c_name", id_col="c_custkey")
 
 
+def rel_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise winsorization: clamp each event's value to its
+    event_type's exact [p05, p95], then robust per-group stats over the
+    clamped values — the standard outlier-tolerant aggregation a metrics
+    pipeline runs before alert thresholds.
+
+    Two grouped passes over the fact: the tiny per-group percentile table
+    (one row per event_type) broadcasts back onto the fact — the fact
+    never shuffles for the join, and both aggregations partial map-side.
+
+    Float policy: p05/p95 via ``F.percentile`` (exact interpolation, same
+    arithmetic as DuckDB quantile_cont, proven by rel_percentile) are
+    display-rounded to 6 decimals BEFORE clamping, so every clamped value
+    is either a 2-decimal input or a 6-decimal bound — exactly
+    representable in DECIMAL(18,6), making the sum order-independent and
+    engine-exact (a raw interpolated double cast to decimal would be
+    hostage to the two engines' double->decimal rounding).
+    """
+    from ..functions.numeric import display_round
+
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.groupBy("event_type").agg(
+        display_round(F.percentile("value", 0.05), 6).alias("p05"),
+        display_round(F.percentile("value", 0.95), 6).alias("p95"),
+    )
+    clamped = events.join(F.broadcast(bounds), "event_type").withColumn(
+        "_w", F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    )
+    x = F.col("_w").cast("decimal(18,6)")
+    return clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("p05").alias("p05"),
+        F.min("p95").alias("p95"),
+        F.sum(x).cast("double").alias("sum_wins"),
+        (F.sum(x).cast("double") / F.count(F.lit(1))).alias("mean_wins"),
+        F.sum((F.col("value") < F.col("p05")).cast("int")).alias("n_clamped_low"),
+        F.sum((F.col("value") > F.col("p95")).cast("int")).alias("n_clamped_high"),
+    )
+
+
 # Insertion order is load-bearing: the correctness driver checks the first
 # ~50 registry entries in iteration order (CORRECTNESS_r01.json stopped at
 # exactly 50 = the module boundary before text/multimodal). Structurally
@@ -646,6 +686,7 @@ QUERIES = {
     "rel_cdc_merge": rel_cdc_merge,
     "rel_scd2_intervals": rel_scd2_intervals,
     "rel_fuzzy_join": rel_fuzzy_join,
+    "rel_winsorize": rel_winsorize,
     "rel_pricing_summary": rel_pricing_summary,
     "rel_join_customer_orders": rel_join_customer_orders,
     "rel_multiway_revenue": rel_multiway_revenue,
@@ -920,6 +961,26 @@ SELECT c_custkey,
   c_acctbal < 0 AS is_negative,
   nullif(c_nationkey, 3) IS NULL AS is_nation3
 FROM customer
+""",
+    "rel_winsorize": """
+WITH b AS (
+  SELECT event_type,
+         floor(quantile_cont(value, 0.05) * 1e6 + 0.5) / 1e6 AS p05,
+         floor(quantile_cont(value, 0.95) * 1e6 + 0.5) / 1e6 AS p95
+  FROM events GROUP BY event_type
+),
+c AS (
+  SELECT e.event_type, e.value, b.p05, b.p95,
+         least(greatest(e.value, b.p05), b.p95) AS w
+  FROM events e JOIN b USING (event_type)
+)
+SELECT event_type, count(*) AS n,
+  min(p05) AS p05, min(p95) AS p95,
+  CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS sum_wins,
+  CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_wins,
+  CAST(sum(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+  CAST(sum(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high
+FROM c GROUP BY event_type
 """,
     "rel_percentile": """
 SELECT o_orderpriority,
