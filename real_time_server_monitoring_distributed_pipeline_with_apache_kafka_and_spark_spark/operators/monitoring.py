@@ -136,6 +136,18 @@ def tumbling_window_agg(
     return df.groupBy(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
 
 
+def metric_bucket(
+    value_col: Column, width: float = 50.0, n_buckets: int = 10
+) -> Column:
+    """Fixed-width histogram bucket for a metric value: integer math
+    (floor + clamp), so assignments are engine-exact and identical
+    between the batch drift query (queries/monitoring.py::
+    monitor_drift_psi) and the streaming histogram leg
+    (streaming/jobs.py::bucket_count_stream) — sharing this expression
+    IS the stream==batch guarantee for drift detection."""
+    return F.least(F.floor(value_col / width).cast("int"), F.lit(n_buckets - 1))
+
+
 def alert_case(
     combined_label: str,
     first: tuple[str, float, str],

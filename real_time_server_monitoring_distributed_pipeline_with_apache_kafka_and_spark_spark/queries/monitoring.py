@@ -424,7 +424,7 @@ def monitor_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
-    bucket = F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9))
+    bucket = ops.metric_bucket(F.col("value"))
     counts = (
         events.select(
             bucket.alias("bucket"),

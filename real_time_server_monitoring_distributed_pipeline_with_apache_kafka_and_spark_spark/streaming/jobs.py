@@ -325,6 +325,82 @@ def minhash_ingest_stream(
     )
 
 
+def bucket_count_stream(
+    stream: DataFrame,
+    value_col: str = "value",
+    width: float = 50.0,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Streaming metric histogram: running per-bucket counts of a metric
+    stream, using the SAME integer-math bucket expression as the batch
+    drift query (``operators.monitoring.metric_bucket``), so the final
+    streamed histogram is row-identical to the batch histogram over the
+    same rows (pinned by
+    tests/test_streaming.py::test_drift_stream_matches_batch).
+
+    State is n_buckets rows of counts — O(1), no watermark needed; the
+    classic complete/update-mode aggregation. Feed the result to
+    :func:`psi_vs_reference` per micro-batch (foreachBatch) to raise
+    drift alarms against a landed reference histogram.
+    """
+    from ..operators.monitoring import metric_bucket
+
+    return (
+        stream.select(
+            metric_bucket(F.col(value_col), width, n_buckets).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def psi_vs_reference(
+    counts: DataFrame,
+    reference: DataFrame,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index of a live histogram against a reference
+    histogram (both ``(bucket, n)`` tables, e.g. the landed first-half
+    histogram vs :func:`bucket_count_stream`'s running counts).
+
+    Same smoothing/rounding policy as the batch drift query
+    (Laplace +0.5 per present bucket, 9-decimal floor rounding, ordered
+    total), so a streamed histogram produces the batch query's exact PSI
+    (pinned by the stream==batch drift test). Input tables are
+    bucket-count-sized — every step here is trivially small; the heavy
+    lifting (the scan) already happened upstream.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.numeric import display_round
+
+    ref = reference.select(F.col("bucket"), F.col("n").alias("n_ref"))
+    live = counts.select(F.col("bucket"), F.col("n").alias("n_live"))
+    merged = ref.join(live, "bucket", "full").select(
+        "bucket",
+        F.coalesce("n_ref", F.lit(0)).alias("n_a"),
+        F.coalesce("n_live", F.lit(0)).alias("n_b"),
+    )
+    w = Window.partitionBy()
+    p_a = (F.col("n_a") + 0.5) / (F.sum("n_a").over(w) + 0.5 * n_buckets)
+    p_b = (F.col("n_b") + 0.5) / (F.sum("n_b").over(w) + 0.5 * n_buckets)
+    contrib = (p_a - p_b) * F.log(p_a / p_b)
+    enriched = merged.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        display_round(p_a, 9).alias("p_a"),
+        display_round(p_b, 9).alias("p_b"),
+        display_round(contrib, 9).alias("psi_contrib"),
+    )
+    w_total = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return enriched.withColumn(
+        "psi_total", display_round(F.sum("psi_contrib").over(w_total), 9)
+    )
+
+
 def changelog_ingest_stream(
     changes: DataFrame,
     store_path: str,

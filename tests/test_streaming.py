@@ -1430,3 +1430,66 @@ def test_changelog_compaction_keeps_tombstones(spark, tmp_path):
         for r in apply_changelog(full, key_cols=["k"], seq_cols=["seq"]).collect()
     }
     assert got == want
+
+
+def test_drift_stream_matches_batch(spark, tmp_path):
+    """Drift leg stream==batch: the streamed running histogram of the
+    second half equals the batch histogram over the same rows, and
+    psi_vs_reference(first-half histogram, streamed counts) reproduces
+    the batch drift query's exact rows (same bucketing, smoothing, and
+    rounding policy)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.monitoring import (
+        metric_bucket,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.monitoring import (
+        monitor_drift_psi,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    first = ev.filter(F.col("ts") < cutoff)
+    second = ev.filter(F.col("ts") >= cutoff)
+
+    src = str(tmp_path / "drift_src")
+    for i, cond in enumerate((F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1)):
+        second.filter(cond).coalesce(1).write.parquet(f"{src}/b{i}")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    counts = jobs.bucket_count_stream(stream, value_col="value")
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("drift_counts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = spark.sql("SELECT bucket, n FROM drift_counts")
+    batch_second = (
+        second.select(metric_bucket(F.col("value")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch_second.collect())
+    )
+
+    reference = (
+        first.select(metric_bucket(F.col("value")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    psi = jobs.psi_vs_reference(streamed, reference.select("bucket", "n"))
+    want = monitor_drift_psi(spark, sf)
+    got_rows = sorted(map(tuple, psi.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert got_rows == want_rows
+    spark.catalog.dropTempView("drift_counts")
