@@ -401,6 +401,68 @@ def psi_vs_reference(
     )
 
 
+def rollup_ingest_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    value_col: str = "value",
+):
+    """Streaming ingest leg for incremental aggregates: each micro-batch
+    lands its PARTIAL per-key aggregate (count + exact-decimal sum) in
+    the idempotent ``batch_id=N`` store; the merged rollup is one
+    re-aggregation over the store (:func:`probe_rollup_store`) and equals
+    the one-shot batch aggregate on the union input — sum/count form a
+    commutative monoid, which is the same algebra Spark's own map-side
+    partial aggregation exploits, applied ACROSS micro-batches.
+
+    Store rows are O(keys) per batch (not O(events)), so a month of
+    micro-batches stays tiny next to the raw stream; compaction =
+    materializing the probe (itself a valid single-batch partial).
+    Exact DECIMAL sums make the merge order-independent, so the probe is
+    bit-identical to batch regardless of batch boundaries (pinned by
+    tests/test_streaming.py::test_rollup_ingest_stream_matches_batch).
+
+    Same idempotent-store delivery contract as the other ingest legs:
+    replayed batches overwrite their own directory; checkpoint +
+    idempotent writes give exactly-once into the store.
+    """
+    import os
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("sum_val"),
+        )
+        partial.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch_id={batch_id}")
+        )
+
+    return stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def probe_rollup_store(spark, store_path: str, key_cols: list[str]) -> DataFrame:
+    """Merged rollup of a :func:`rollup_ingest_stream` store: sum the
+    partials per key (monoid merge), derive the mean from the exact
+    pieces. Output: key cols + n, sum_val (double), mean_val."""
+    merged = (
+        read_ingest_store(spark, store_path)
+        .groupBy(*key_cols)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_val").alias("_sum"),
+        )
+    )
+    return merged.select(
+        *key_cols,
+        "n",
+        F.col("_sum").cast("double").alias("sum_val"),
+        (F.col("_sum").cast("double") / F.col("n")).alias("mean_val"),
+    )
+
+
 def changelog_ingest_stream(
     changes: DataFrame,
     store_path: str,

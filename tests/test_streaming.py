@@ -1493,3 +1493,50 @@ def test_drift_stream_matches_batch(spark, tmp_path):
     want_rows = sorted(map(tuple, want.collect()))
     assert got_rows == want_rows
     spark.catalog.dropTempView("drift_counts")
+
+
+def test_rollup_ingest_stream_matches_batch(spark, tmp_path):
+    """Incremental aggregate leg: per-micro-batch partial aggregates
+    merge to EXACTLY the one-shot batch aggregate (decimal sums make the
+    merge order-independent), regardless of how rows split into
+    batches."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ru_src")
+    for i, cond in enumerate(
+        (F.col("event_id") % 3 == 2, F.col("event_id") % 3 == 0, F.col("event_id") % 3 == 1)
+    ):
+        ev.filter(cond).coalesce(1).write.parquet(f"{src}/b{i}")
+
+    store = str(tmp_path / "ru_store")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    q = jobs.rollup_ingest_stream(
+        stream, store, checkpoint_dir=str(tmp_path / "ru_ckpt"),
+        key_cols=["event_type"], value_col="value",
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # store is partial-aggregate-sized: rows = keys x batches, not events
+    raw = spark.read.parquet(store)
+    assert raw.count() <= 5 * 3
+
+    probed = jobs.probe_rollup_store(spark, store, key_cols=["event_type"])
+    want = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_sum"),
+        )
+        .select(
+            "event_type", "n",
+            F.col("_sum").cast("double").alias("sum_val"),
+            (F.col("_sum").cast("double") / F.col("n")).alias("mean_val"),
+        )
+    )
+    assert sorted(map(tuple, probed.collect())) == sorted(map(tuple, want.collect()))
