@@ -347,6 +347,19 @@ def test_cdc_merge_single_exchange(reports):
     assert r["sort_merge_joins"] == 0 and r["nested_loop_joins"] == 0
 
 
+def test_cdc_merge_partial_aggregation(spark):
+    """The map-side combine claim, pinned on the plan text: a key with a
+    million updates must reduce to one candidate per task BEFORE the
+    exchange (`partial_max_by` below the shuffle), or skew on a hot key
+    becomes a straggler at scale."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(all_queries()["rel_cdc_merge"](spark, SF_DIR))
+    assert "partial_max_by" in plan
+
+
 def test_scd2_reuses_one_partitioning(reports):
     """rel_scd2_intervals: lag/run-sum windows, the run aggregate, and the
     lead window all cluster on user_id; HashPartitioning(user_id)
@@ -433,3 +446,12 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     )
     plan = formatted_plan(joined)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_winsorize_broadcasts_bounds(reports):
+    """rel_winsorize: the per-group percentile table must broadcast back
+    onto the fact (one row per event_type — the fact never shuffles for
+    the join); the only exchanges are the two aggregations'."""
+    r = reports("rel_winsorize")
+    assert r["broadcast_joins"] >= 1, r
+    assert r["sort_merge_joins"] == 0 and r["nested_loop_joins"] == 0, r
