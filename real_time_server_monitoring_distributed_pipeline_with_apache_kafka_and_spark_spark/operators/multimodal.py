@@ -151,3 +151,48 @@ def sample_frames(
             )
 
     return with_payload.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+AUDIO_RMS_SCHEMA = "doc_id long, window_idx int, n_samples int, rms double"
+
+
+def audio_rms_windows(
+    with_payload: DataFrame, window_samples: int = 32
+) -> DataFrame:
+    """Windowed RMS energy over an int16 little-endian PCM payload — the
+    standard first feature of any audio pipeline (VAD, loudness
+    normalization, silence trimming), and unlike the image decoders this
+    is REAL math, not a stub: PCM is just integers, so numpy alone
+    decodes it (``frombuffer``), no codec library needed.
+
+    1:N row explosion in Arrow-batched ``mapInPandas`` (one row per
+    ``window_samples`` window; the final partial window keeps its true
+    ``n_samples``). A trailing odd byte is ignored (not a full sample).
+    rms = sqrt(sum(sample^2)/n) with an exact int64 square-sum, so the
+    only float ops are one divide + one sqrt — both IEEE-correctly
+    rounded, which is what makes the output oracle-exact in DuckDB.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "window_idx": [], "n_samples": [], "rms": []
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                usable = len(payload) - (len(payload) % 2)
+                samples = np.frombuffer(payload[:usable], dtype="<i2").astype(
+                    np.int64
+                )
+                for w_idx in range(0, (len(samples) + window_samples - 1) // window_samples):
+                    chunk = samples[w_idx * window_samples : (w_idx + 1) * window_samples]
+                    ss = int((chunk * chunk).sum())
+                    out["doc_id"].append(doc_id)
+                    out["window_idx"].append(w_idx)
+                    out["n_samples"].append(len(chunk))
+                    out["rms"].append(float(np.sqrt(ss / len(chunk))))
+            yield pd.DataFrame(out)
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        run, schema=AUDIO_RMS_SCHEMA
+    )

@@ -46,6 +46,7 @@ _PRIORITY: tuple[str, ...] = (
     "rel_winsorize",
     "monitor_drift_psi",
     "text_weighted_sample",
+    "mm_audio_rms",
     # -- new in r05 --
     "text_stratified_sample_salted",
     "text_dup_spans",
@@ -93,9 +94,9 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_corpus_curation",
     "text_quality_score",
     "dedup_exact",
-    "dedup_ngram_jaccard",
     # -- tail (past the ~50 cap): all r04-green, unchanged since; cycle
     #    back by r07 --
+    "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",

@@ -52,7 +52,18 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS over the payload read as int16 PCM — real DSP math
+    (numpy frombuffer, no codec), 1:N mapInPandas explosion. The int64
+    square-sum is exact and sqrt/divide are IEEE-correctly rounded, so
+    DuckDB replays the value bit-for-bit from the same bytes (ASCII
+    corpus: byte == codepoint, same guarantee mm_decode_features uses)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.audio_rms_windows(ops.attach_binary_payload(docs))
+
+
 QUERIES = {
+    "mm_audio_rms": mm_audio_rms,
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_features": mm_decode_features,
     "mm_resize": mm_resize,
@@ -60,6 +71,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mm_audio_rms": """
+WITH s AS (
+  SELECT doc_id, i,
+         ord(substr(text, CAST(2*i + 1 AS INTEGER), 1))
+           + 256 * ord(substr(text, CAST(2*i + 2 AS INTEGER), 1)) AS sample
+  FROM documents,
+       LATERAL unnest(range(0, CAST(floor(length(text) / 2) AS BIGINT))) AS t(i)
+),
+w AS (
+  SELECT doc_id, CAST(floor(i / 32) AS INTEGER) AS window_idx,
+         count(*) AS n_samples, sum(sample * sample) AS ss
+  FROM s GROUP BY 1, 2
+)
+SELECT doc_id, window_idx, CAST(n_samples AS INTEGER) AS n_samples,
+       sqrt(CAST(ss AS DOUBLE) / n_samples) AS rms
+FROM w
+""",
     "mm_decode_features": """
 WITH p AS (
   SELECT doc_id, length(text) AS n,

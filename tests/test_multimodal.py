@@ -50,3 +50,32 @@ def test_decode_features_deterministic(spark):
 
     with pytest.raises(NotImplementedError):
         mm.decode_image_real(b"\x89PNG")
+
+
+def test_audio_rms_windows_semantics(spark):
+    """Odd trailing byte ignored (not a full int16 sample); final partial
+    window keeps its true n_samples; RMS equals the numpy model."""
+    import numpy as np
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.multimodal import (
+        audio_rms_windows,
+    )
+
+    # 2 docs: 70 samples (2 full windows + 6-sample partial, 1 odd byte
+    # dangling) and 3 bytes (1 sample, 1 dangling)
+    b1 = bytes(range(1, 142))  # 141 bytes -> 70 samples
+    b2 = bytes([5, 1, 9])      # 3 bytes -> 1 sample
+    df = spark.createDataFrame(
+        [(1, bytearray(b1)), (2, bytearray(b2))], "doc_id long, payload binary"
+    )
+    got = {
+        (r["doc_id"], r["window_idx"]): (r["n_samples"], r["rms"])
+        for r in audio_rms_windows(df).collect()
+    }
+    s1 = np.frombuffer(b1[:140], dtype="<i2").astype(np.int64)
+    assert len(got) == 4  # 3 windows for doc 1, 1 for doc 2
+    assert got[(1, 0)][0] == 32 and got[(1, 2)][0] == 6
+    for w in range(3):
+        chunk = s1[w * 32 : (w + 1) * 32]
+        assert got[(1, w)][1] == float(np.sqrt(int((chunk * chunk).sum()) / len(chunk)))
+    s2 = np.frombuffer(b2[:2], dtype="<i2").astype(np.int64)
+    assert got[(2, 0)] == (1, float(np.sqrt(int((s2 * s2).sum()) / 1)))
