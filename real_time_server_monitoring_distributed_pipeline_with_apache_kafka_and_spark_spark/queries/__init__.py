@@ -31,13 +31,14 @@ from . import dedup, extras, monitoring, multimodal, relational, similarity, tex
 #   r05: the driver recorded no CORRECTNESS_r05.json (no verify pass ran
 #       that round), so every newest-green age below is measured from r04
 #       and the r05 window plan carries over wholesale.
-#   r06 window (this list): the 5 queries NEW this round first (CDC merge,
-#       SCD2 intervals, fuzzy join, drift PSI, weighted sample — never
-#       driver-proven), then the r05 plan unchanged: r05's new/changed
-#       rows (still unproven for the same reason), the 28 rows whose
-#       newest green is r03, then r04-green fill to 50. Displaced past
-#       the cap vs r05: the 5 trailing similarity representatives
-#       (dedup_embedding_cosine/lsh, sim_ann_*) — r04-green, unchanged.
+#   r06 window (this list): the 7 queries NEW this round first (CDC merge,
+#       SCD2 intervals, fuzzy join, winsorize, drift PSI, weighted
+#       sample, audio RMS — never driver-proven), then the r05 plan
+#       unchanged: r05's new/changed rows (still unproven for the same
+#       reason), the 28 rows whose newest green is r03, then r04-green
+#       fill to 50. Displaced past the cap vs r05: the 7 trailing
+#       dedup/similarity representatives (ngram_jaccard, simhash,
+#       embedding_cosine/lsh, sim_ann_*) — r04-green, unchanged.
 _PRIORITY: tuple[str, ...] = (
     # -- new in r06 --
     "rel_cdc_merge",
