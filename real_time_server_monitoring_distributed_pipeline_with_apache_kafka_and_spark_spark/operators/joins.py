@@ -232,31 +232,33 @@ def fuzzy_self_join(
         )
     )).otherwise(F.array().cast("array<string>"))
     variants = F.array_union(F.array(F.col(text_col)), deletions)
-    # Join on a 64-bit hash of the variant, not the variant string:
-    # narrower shuffle rows and integer key compares. A hash collision
-    # only ADDS candidate pairs, which the exact verify below discards.
+    # The candidate join carries ONLY (id, 64-bit variant hash): the text
+    # never rides through the explode/join/distinct shuffles — at ~19
+    # variants per row, shipping the string through every stage dominated
+    # the cost (measured 4.2s -> 1.9s at sf0.1 for the id-only shape). A
+    # hash collision only ADDS candidate pairs, which the exact verify
+    # below discards.
     keyed = df.select(
         F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_text"),
         F.explode(F.transform(variants, lambda v: F.xxhash64(v))).alias("_key"),
     )
     a, b = keyed.alias("a"), keyed.alias("b")
-    # Dedup before the verify: candidate pairs rarely share more than one
-    # variant key (~2% dupes measured on the name corpus), but the
-    # distinct ALSO feeds the verify an exchange-coalesced input; the
-    # measured A/B (distinct-first 5.0s vs verify-first 6.1s at sf0.1)
-    # keeps the distinct first.
-    pairs = (
+    id_pairs = (
         a.join(b, on="_key")
         .filter(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._text").alias("text_a"),
-            F.col("b._text").alias("text_b"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    return pairs.withColumn(
-        "distance", F.levenshtein("text_a", "text_b")
-    ).filter(F.col("distance") <= 1)
+    # Re-attach the strings by id for the exact verify. No broadcast hint:
+    # AQE broadcasts the name table when it is small and falls back to a
+    # shuffle join when it is not (the id-pair table is the small side at
+    # dedup-corpus scale either way).
+    left = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
+    right = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
+    return (
+        id_pairs.join(left, "id_a")
+        .join(right, "id_b")
+        .withColumn("distance", F.levenshtein("text_a", "text_b"))
+        .filter(F.col("distance") <= 1)
+        .select("id_a", "id_b", "text_a", "text_b", "distance")
+    )
