@@ -1,0 +1,197 @@
+"""Data-profiling / audit operators: per-column statistics and join-key
+skew diagnostics.
+
+These are the queries a pipeline operator runs BEFORE committing a 100 TB
+job: ``profile_table`` answers "what is actually in this table" (null
+fractions, cardinalities, ranges — the schema-drift / data-quality audit),
+and ``key_skew_stats`` answers "is this join/groupBy key safe to shuffle
+on, and if not, what salt factor do I need" (the reference pipeline's
+fixed entity keys make this decision implicitly; a general engine has to
+measure it — compare operators.joins.salted_join, the remedy this
+diagnostic sizes).
+
+Scale notes are inline; the common theme is that both operators reduce the
+input to a tiny summary on the executors — no driver-side collection, no
+global sort of anything table-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Exact lattice for profile means: 6 fractional digits covers the
+# testdata's 2-decimal money doubles and integer keys exactly; 32 integer
+# digits make a planet-scale sum unoverflowable (ANSI-safe).
+_MEAN_DEC = "decimal(38,6)"
+
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def profile_table(
+    df: DataFrame,
+    numeric_cols: list[str],
+    string_cols: list[str] = (),
+    ts_cols: list[str] = (),
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """One-pass column profile: one output row per profiled column with
+    ``(col_name, n_rows, n_nulls, n_distinct, min_value, max_value,
+    mean_value, min_text, max_text)``.
+
+    Plan shape — UNPIVOT, not a wide 1-row aggregate: each input row
+    explodes into one skinny ``(col_name, kind, value_num, value_dec,
+    value_str, is_null)`` row per profiled column, and one narrow
+    7-aggregate ``groupBy(col_name)`` computes every statistic. Still a
+    single scan and a single shuffle (of N-columns × rows SKINNY rows,
+    partial-aggregated map-side to ~N rows per task first).
+
+    Why not one wide ``agg`` with 7 expressions per column? Measured 19 s
+    vs 1.3 s at sf0.1×9 columns: ~65 aggregate buffers in one operator
+    blows past the whole-stage-codegen field budget
+    (spark.sql.codegen.maxFields=100 counts buffers AND input), so the
+    whole aggregate runs interpreted — and a bare driver session can't
+    raise the conf. The unpivot keeps the aggregate at 7 buffers no
+    matter how many columns are profiled; profiling a 500-column table
+    costs more exploded rows (linear), never a codegen cliff.
+
+    Numeric means are exact decimal(38,6) sums divided by non-null counts
+    (order-independent => engine-portable, per the module float policy —
+    exact for integers and the testdata's 2-decimal money doubles);
+    timestamps are formatted to microsecond strings (timezone-free — the
+    testdata is TIMESTAMP_NTZ, so epoch conversion would smuggle a
+    session timezone in; the fixed-width format keeps string min/max ==
+    chronological min/max). Min/max of string/timestamp columns land in
+    ``min_text``/``max_text``; numeric in ``min_value``/``max_value``;
+    the other pair is NULL — one stable schema for all column types.
+
+    ``n_distinct`` counts distinct canonical strings (numeric→string is
+    Spark's shortest-round-trip rendering, injective, so the count equals
+    ``count(DISTINCT c)``). There is exactly ONE distinct aggregate, so
+    Catalyst plans no Expand even on the exact path.
+    ``exact_distinct=False`` swaps it for an HLL sketch
+    (``approx_count_distinct``): bounded state per group at extreme
+    cardinalities — the same accuracy/cost policy split as
+    rel_percentile vs rel_approx_percentile.
+    """
+    null_d = F.lit(None).cast("double")
+    null_dec = F.lit(None).cast(_MEAN_DEC)
+    null_s = F.lit(None).cast("string")
+
+    def entry(col: str, kind: str) -> Column:
+        c = F.col(col)
+        if kind == "num":
+            num, dec, s = c.cast("double"), c.cast(_MEAN_DEC), c.cast("string")
+        elif kind == "ts":
+            num, dec, s = null_d, null_dec, F.date_format(c, _TS_FMT)
+        else:
+            num, dec, s = null_d, null_dec, c
+        return F.struct(
+            F.lit(col).alias("col_name"),
+            F.lit(kind).alias("kind"),
+            num.alias("value_num"),
+            dec.alias("value_dec"),
+            s.alias("value_str"),
+            c.isNull().alias("is_null"),
+        )
+
+    entries = (
+        [entry(c, "num") for c in numeric_cols]
+        + [entry(c, "ts") for c in ts_cols]
+        + [entry(c, "str") for c in string_cols]
+    )
+    cells = df.select(F.explode(F.array(*entries)).alias("cell")).select("cell.*")
+    nd = F.count_distinct if exact_distinct else F.approx_count_distinct
+    prof = cells.groupBy("col_name", "kind").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("is_null").cast("long")).alias("n_nulls"),
+        nd(F.col("value_str")).alias("n_distinct"),
+        F.min("value_num").alias("min_value"),
+        F.max("value_num").alias("max_value"),
+        (F.sum("value_dec").cast("double") / F.count("value_dec")).alias("mean_value"),
+        F.min("value_str").alias("_min_str"),
+        F.max("value_str").alias("_max_str"),
+    )
+    is_num = F.col("kind") == "num"
+    return prof.select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_value",
+        "max_value",
+        "mean_value",
+        F.when(is_num, null_s).otherwise(F.col("_min_str")).alias("min_text"),
+        F.when(is_num, null_s).otherwise(F.col("_max_str")).alias("max_text"),
+    )
+
+
+def _hist_percentile(q: float) -> Column:
+    """Exact interpolated percentile derived from a (value, cnt, cum_start,
+    cum_end, n) histogram: the aggregate-expression form of the standard
+    continuous-quantile definition rn = q*(n-1) (0-indexed),
+    value = (crn-rn)*x[frn] + (rn-frn)*x[crn].
+
+    Works as plain conditional aggregates over the histogram rows — this is
+    what makes the percentile SCALABLE: the sort-based ``F.percentile``
+    aggregate buffers every value; here the only ordered structure is the
+    histogram of distinct sizes (tiny by construction)."""
+    rn = F.lit(q) * (F.col("n") - 1).cast("double")
+    frn, crn = F.floor(rn), F.ceil(rn)
+    at_f = F.min(F.when((F.col("cum_start") <= frn) & (frn < F.col("cum_end")), F.col("value")))
+    at_c = F.min(F.when((F.col("cum_start") <= crn) & (crn < F.col("cum_end")), F.col("value")))
+    return F.when(frn == crn, at_f.cast("double")).otherwise(
+        (crn - rn) * at_f + (rn - frn) * at_c
+    )
+
+
+def key_skew_stats(df: DataFrame, key_col: str) -> DataFrame:
+    """Join-key skew diagnostic: one row summarizing the distribution of
+    rows-per-key — ``(n_keys, n_rows, max_rows_per_key, mean_rows_per_key,
+    p50/p90/p99 rows-per-key, skew_ratio = max/mean)``.
+
+    ``skew_ratio >> 1`` means a plain shuffle join/groupBy on this key
+    will straggle on the hot key's task; the remedy is salting
+    (operators.joins.salted_join, salt factor ~ skew_ratio / target
+    imbalance) or AQE skew-join splitting. This diagnostic is how you
+    pick that number from data instead of folklore.
+
+    Plan shape (all distributed, nothing table-sized leaves executors):
+      1. per-key counts: hash aggregate (map-side partial);
+      2. histogram of rows-per-key: second hash aggregate — at most as
+         many rows as the LARGEST key's count (hundreds, even at 100 TB);
+      3. exact interpolated percentiles + max/mean from the histogram via
+         window cumsum + conditional aggregates.
+    Step 3's single-partition window is over the tiny histogram only —
+    the scalable exact alternative to a sort-based percentile over all
+    |keys| per-key counts.
+    """
+    per_key = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("value"))
+    hist = per_key.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist = (
+        hist.withColumn("cum_end", F.sum("cnt").over(w))
+        .withColumn("cum_start", F.col("cum_end") - F.col("cnt"))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy()))
+    )
+    # Group by the (constant) total n so the percentile expressions can
+    # reference it as a grouping column — one output row either way.
+    return hist.groupBy("n").agg(
+        F.sum(F.col("value") * F.col("cnt")).alias("n_rows"),
+        F.max("value").alias("max_rows_per_key"),
+        _hist_percentile(0.5).alias("p50_rows_per_key"),
+        _hist_percentile(0.9).alias("p90_rows_per_key"),
+        _hist_percentile(0.99).alias("p99_rows_per_key"),
+    ).select(
+        F.col("n").alias("n_keys"),
+        "n_rows",
+        "max_rows_per_key",
+        (F.col("n_rows").cast("double") / F.col("n")).alias("mean_rows_per_key"),
+        "p50_rows_per_key",
+        "p90_rows_per_key",
+        "p99_rows_per_key",
+        (
+            F.col("max_rows_per_key") / (F.col("n_rows").cast("double") / F.col("n"))
+        ).alias("skew_ratio"),
+    )

@@ -1,0 +1,121 @@
+"""Data-profiling / audit queries: column profiles and join-key skew
+diagnostics over the TPC-H-ish testdata.
+
+Oracle notes: every statistic is either integral (counts, cardinalities,
+epoch microseconds), an exact decimal-sum mean cast to double at the end,
+or a percentile whose interpolation formula is replicated op-for-op —
+no order-dependent float accumulation anywhere, so both engines hash
+identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import profiling as ops
+from ..sources import load_table
+
+_NUM = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_STR = ["l_returnflag", "l_linestatus"]
+_TS = ["l_shipdate"]
+
+
+def rel_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass audit profile of 9 lineitem columns (see
+    operators.profiling.profile_table for the plan-shape/scale story)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return ops.profile_table(li, numeric_cols=_NUM, string_cols=_STR, ts_cols=_TS)
+
+
+def rel_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-per-key distribution for lineitem's join key ``l_orderkey`` —
+    the measurement that sizes a salt factor (see operators.profiling)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return ops.key_skew_stats(li, "l_orderkey")
+
+
+def _profile_col_sql(col: str, kind: str) -> str:
+    nn = f"count(*) - count({col})"
+    nd = f"count(DISTINCT {col})"
+    if kind == "num":
+        mean = f"CAST(sum(CAST({col} AS DECIMAL(38,6))) AS DOUBLE) / count({col})"
+        mn, mx = f"CAST(min({col}) AS DOUBLE)", f"CAST(max({col}) AS DOUBLE)"
+        mnt = mxt = "CAST(NULL AS VARCHAR)"
+    elif kind == "ts":
+        mn = mx = mean = "CAST(NULL AS DOUBLE)"
+        mnt = f"strftime(min({col}), '%Y-%m-%d %H:%M:%S.%f')"
+        mxt = f"strftime(max({col}), '%Y-%m-%d %H:%M:%S.%f')"
+    else:
+        mn = mx = mean = "CAST(NULL AS DOUBLE)"
+        mnt, mxt = f"min({col})", f"max({col})"
+    return (
+        f"SELECT '{col}' AS col_name, count(*) AS n_rows, {nn} AS n_nulls,"
+        f" {nd} AS n_distinct, {mn} AS min_value, {mx} AS max_value,"
+        f" {mean} AS mean_value, {mnt} AS min_text, {mxt} AS max_text FROM lineitem"
+    )
+
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    [_profile_col_sql(c, "num") for c in _NUM]
+    + [_profile_col_sql(c, "ts") for c in _TS]
+    + [_profile_col_sql(c, "str") for c in _STR]
+)
+
+# The histogram-derived interpolated percentile matches quantile_cont's
+# definition; the oracle replays the IDENTICAL op sequence
+# (rn = q*(n-1); (crn-rn)*x[frn] + (rn-frn)*x[crn]) over the same
+# histogram rather than calling quantile_cont, so the doubles agree
+# bit-for-bit by construction, not by coincidence of two implementations.
+_SKEW_SQL = """
+WITH per_key AS (
+  SELECT l_orderkey, count(*) AS value FROM lineitem GROUP BY l_orderkey
+),
+hist AS (
+  SELECT value, count(*) AS cnt FROM per_key GROUP BY value
+),
+cum AS (
+  SELECT value, cnt,
+         sum(cnt) OVER (ORDER BY value) AS cum_end,
+         sum(cnt) OVER (ORDER BY value) - cnt AS cum_start,
+         sum(cnt) OVER () AS n
+  FROM hist
+),
+q AS (
+  SELECT n AS n_keys,
+         sum(value * cnt) AS n_rows,
+         max(value) AS max_rows_per_key,
+         {p50} AS p50_rows_per_key,
+         {p90} AS p90_rows_per_key,
+         {p99} AS p99_rows_per_key
+  FROM cum GROUP BY n
+)
+SELECT CAST(n_keys AS BIGINT) AS n_keys, CAST(n_rows AS BIGINT) AS n_rows,
+       max_rows_per_key,
+       CAST(n_rows AS DOUBLE) / n_keys AS mean_rows_per_key,
+       p50_rows_per_key, p90_rows_per_key, p99_rows_per_key,
+       max_rows_per_key / (CAST(n_rows AS DOUBLE) / n_keys) AS skew_ratio
+FROM q
+"""
+
+
+def _skew_pct_sql(q: float) -> str:
+    rn = f"({q} * CAST(n - 1 AS DOUBLE))"
+    at = "min(CASE WHEN cum_start <= {i} AND {i} < cum_end THEN value END)"
+    at_f, at_c = at.format(i=f"floor({rn})"), at.format(i=f"ceil({rn})")
+    return (
+        f"CASE WHEN floor({rn}) = ceil({rn}) THEN CAST({at_f} AS DOUBLE)"
+        f" ELSE (ceil({rn}) - {rn}) * {at_f} + ({rn} - floor({rn})) * {at_c} END"
+    )
+
+
+QUERIES = {
+    "rel_profile_columns": rel_profile_columns,
+    "rel_key_skew_stats": rel_key_skew_stats,
+}
+
+ORACLES = {
+    "rel_profile_columns": _PROFILE_SQL,
+    "rel_key_skew_stats": _SKEW_SQL.format(
+        p50=_skew_pct_sql(0.5), p90=_skew_pct_sql(0.9), p99=_skew_pct_sql(0.99)
+    ),
+}

@@ -1,0 +1,103 @@
+"""Unit tests for the audit/profiling operators (column profiles,
+join-key skew diagnostics). Oracle parity at sf0.01 is covered by
+test_oracle_parity; these pin operator-level invariants on controlled
+inputs — null accounting, the HLL scale path, and the histogram-derived
+percentile math against Spark's own sort-based aggregate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.profiling import (
+    key_skew_stats,
+    profile_table,
+)
+
+
+def _profile_rows(df, **kw):
+    return {r.col_name: r for r in profile_table(df, **kw).collect()}
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, None, "b"), (3, 4.0, None), (4, 4.0, "b")],
+        "k long, x double, s string",
+    )
+    rows = _profile_rows(df, numeric_cols=["k", "x"], string_cols=["s"])
+    k, x, s = rows["k"], rows["x"], rows["s"]
+    assert (k.n_rows, k.n_nulls, k.n_distinct) == (4, 0, 4)
+    assert (k.min_value, k.max_value, k.mean_value) == (1.0, 4.0, 2.5)
+    assert k.min_text is None and k.max_text is None
+    # Nulls excluded from distinct/mean; counted in n_nulls.
+    assert (x.n_nulls, x.n_distinct) == (1, 2)
+    assert x.mean_value == (2.0 + 4.0 + 4.0) / 3
+    assert (s.n_nulls, s.n_distinct, s.min_text, s.max_text) == (1, 2, "a", "b")
+    assert s.min_value is None and s.mean_value is None
+
+
+def test_profile_approx_distinct_scale_path(spark):
+    """exact_distinct=False swaps count(DISTINCT) for HLL sketches: same
+    schema, no Expand in the plan, cardinalities within HLL tolerance."""
+    df = spark.range(5000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).cast("double").alias("x")
+    )
+    prof = profile_table(df, numeric_cols=["k", "x"], exact_distinct=False)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    rows = {r.col_name: r for r in prof.collect()}
+    assert abs(rows["k"].n_distinct - 5000) / 5000 < 0.1
+    assert abs(rows["x"].n_distinct - 100) / 100 < 0.1
+    # Exact statistics are unaffected by the sketch swap.
+    assert rows["k"].n_nulls == 0 and rows["k"].mean_value == 2499.5
+
+
+def test_profile_exact_plan_has_single_scan(spark, tmp_path):
+    """All statistics come from ONE pass: exactly one file scan in the
+    physical plan regardless of how many columns are profiled."""
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b"), F.lit("x").alias("s")
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = (
+        profile_table(df, numeric_cols=["a", "b"], string_cols=["s"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
+
+
+def test_key_skew_percentiles_match_sort_based_aggregate(spark):
+    """The histogram-derived interpolated percentile must equal Spark's
+    own sort-based F.percentile over the per-key counts — same continuous
+    quantile definition, different (scalable) evaluation strategy."""
+    # Skewed key space: key 0 hot, long tail.
+    df = spark.range(20000).select(
+        F.when(F.col("id") < 5000, 0).otherwise((F.col("id") % 997)).alias("k")
+    )
+    got = key_skew_stats(df, "k").collect()[0]
+    per_key = df.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    want = per_key.agg(
+        F.percentile("c", 0.5).alias("p50"),
+        F.percentile("c", 0.9).alias("p90"),
+        F.percentile("c", 0.99).alias("p99"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("mx"),
+    ).collect()[0]
+    assert got.n_keys == want.n_keys
+    assert got.max_rows_per_key == want.mx
+    assert got.p50_rows_per_key == want.p50
+    assert got.p90_rows_per_key == want.p90
+    assert got.p99_rows_per_key == want.p99
+    assert got.n_rows == 20000
+    # The hot key dominates: diagnostic flags heavy skew.
+    assert got.skew_ratio > 100
+
+
+def test_key_skew_uniform_ratio_near_one(spark):
+    df = spark.range(10000).select((F.col("id") % 100).alias("k"))
+    got = key_skew_stats(df, "k").collect()[0]
+    assert got.n_keys == 100 and got.max_rows_per_key == 100
+    assert got.skew_ratio == 1.0
+    assert got.p50_rows_per_key == 100.0
