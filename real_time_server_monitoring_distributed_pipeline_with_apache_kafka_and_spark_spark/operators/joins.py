@@ -262,3 +262,55 @@ def fuzzy_self_join(
         .filter(F.col("distance") <= 1)
         .select("id_a", "id_b", "text_a", "text_b", "distance")
     )
+
+
+def interval_event_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Event-interval inner join: pairs where ``right_ts`` falls in
+    ``(left_ts, left_ts + window_seconds]`` for the same key — "which
+    error followed this click within the hour", the batch analogue of a
+    Structured Streaming stream-stream time-interval join
+    (streaming.jobs.interval_join_stream shares the exact predicate, so
+    stream and batch results are comparable row-for-row).
+
+    A plain ``join(key) .filter(range)`` is correct but shuffles every
+    row of a hot key to one task and compares all left x right rows
+    inside it. Here both sides additionally carry a coarse TIME BUCKET of
+    width ``window_seconds`` in the equi-key (left: its own bucket; right:
+    exploded to {bucket, bucket-1}, the only two buckets a qualifying
+    left row can live in): the shuffle key becomes (key, bucket), so
+    state per task is bounded by two windows' worth of one key's events
+    — the batch mirror of exactly the state bound the streaming join
+    gets from its watermark. 2x replication of the right side buys
+    per-task work O(events-per-key-per-window), not O(events-per-key)².
+    Pairs are never duplicated: buckets partition left rows, and each
+    right row meets a given left bucket once.
+
+    ``left_ts``/``right_ts`` must be distinct names; all other column
+    names must be pre-disambiguated by the caller.
+
+    The bucket is ``F.window(ts, w).start`` (a tumbling-window start
+    timestamp), NOT an epoch division: the testdata's TIMESTAMP(NANOS)
+    column surfaces as TIMESTAMP or TIMESTAMP_NTZ depending on session
+    confs, and epoch extraction (``unix_micros``) rejects NTZ / would
+    smuggle in the session timezone. Window-start arithmetic is
+    type-preserving on both.
+    """
+    w = int(window_seconds)
+    lb = left.withColumn("_bkt", F.window(F.col(left_ts), f"{w} seconds").start)
+    r0 = F.window(F.col(right_ts), f"{w} seconds").start
+    rb = right.withColumn(
+        "_bkt", F.explode(F.array(r0, r0 - F.expr(f"INTERVAL {w} SECOND")))
+    )
+    upper = F.col(left_ts) + F.expr(f"INTERVAL {w} SECOND")
+    return (
+        lb.join(rb, [*key_cols, "_bkt"])
+        .filter((F.col(right_ts) > F.col(left_ts)) & (F.col(right_ts) <= upper))
+        .drop("_bkt")
+    )

@@ -40,9 +40,10 @@ from . import dedup, extras, monitoring, multimodal, profiling, relational, simi
 #       dedup/similarity representatives (ngram_jaccard, simhash,
 #       embedding_cosine/lsh, sim_ann_*) — r04-green, unchanged.
 _PRIORITY: tuple[str, ...] = (
-    # -- newest (audit/profiling pack), never driver-proven --
+    # -- newest (audit/profiling + interval join), never driver-proven --
     "rel_profile_columns",
     "rel_key_skew_stats",
+    "monitor_error_after_click",
     # -- new in r06 --
     "rel_cdc_merge",
     "rel_scd2_intervals",

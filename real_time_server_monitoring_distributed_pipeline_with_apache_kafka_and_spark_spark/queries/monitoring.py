@@ -403,6 +403,47 @@ def monitor_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def monitor_error_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-interval join: every (click, error) pair for the same user
+    where the error lands in the hour AFTER the click — the ad-hoc
+    incident-correlation query ("which user actions preceded this
+    error"), and the batch twin of streaming.jobs.interval_join_stream
+    (identical predicate; test_streaming pins stream==batch on this
+    query's shape).
+
+    Via operators.joins.interval_event_join: both sides shuffle on
+    (user_id, hour-bucket) so a hot user's events never concentrate in
+    one task beyond two windows' worth — see the operator docstring for
+    the state-bound argument.
+    """
+    from ..operators.joins import interval_event_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    joined = interval_event_join(
+        clicks, errors, ["user_id"], "click_ts", "error_ts", window_seconds=3600
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "click_ts",
+        "error_id",
+        "error_ts",
+        # timestampdiff, not unix_micros: type-agnostic across the
+        # TIMESTAMP/TIMESTAMP_NTZ session split (see interval_event_join).
+        F.expr("timestampdiff(MICROSECOND, click_ts, error_ts)").alias("delta_us"),
+    )
+
+
 def monitor_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metric-distribution drift between two halves of the month:
     Population Stability Index over a fixed 10-bucket histogram of
@@ -461,6 +502,7 @@ def monitor_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "monitor_error_after_click": monitor_error_after_click,
     "monitor_drift_psi": monitor_drift_psi,
     "monitor_cpu_mem_alerts": monitor_cpu_mem_alerts,
     "monitor_cpu_mem_alerts_bucketed": monitor_cpu_mem_alerts_bucketed,
@@ -478,6 +520,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "monitor_error_after_click": """
+SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+       e.event_id AS error_id, e.ts AS error_ts,
+       epoch_us(e.ts) - epoch_us(c.ts) AS delta_us
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id
+ AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 1 HOUR
+""",
     "monitor_drift_psi": """
 WITH c AS (
   SELECT least(CAST(floor(value / 50) AS INTEGER), 9) AS bucket,

@@ -98,6 +98,44 @@ def streaming_net_disk_job(
     return ops.format_window_output(alerts, entity_col, ["max_net_in", "max_disk_io"])
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Stream-stream TIME-INTERVAL inner join: right events landing in
+    ``(left_ts, left_ts + window_seconds]`` for the same key — the
+    streaming leg of operators.joins.interval_event_join (identical
+    predicate, so an incremental run over a replayed stream produces
+    exactly the batch pair set; pinned by
+    tests/test_streaming.py::test_interval_join_stream_matches_batch).
+
+    Both sides carry a watermark and the join condition bounds right_ts
+    relative to left_ts in BOTH directions — that pair is what lets
+    Spark evict join state: a buffered left row can stop waiting once
+    the right watermark passes ``left_ts + window``, and vice versa.
+    Without the time bound the state store grows without limit; this is
+    the streaming mirror of the batch operator's bucket-bounded shuffle
+    state.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        F.col(right_ts) > F.col(left_ts)
+    ) & (
+        F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {int(window_seconds)} SECOND")
+    )
+    for k in key_cols:
+        cond = cond & (lw[k] == rw[k])
+    joined = lw.join(rw, cond)
+    # Both sides carry the key columns; keep the left copy.
+    return joined.drop(*[rw[k] for k in key_cols])
+
+
 def dedup_stream(
     df: DataFrame,
     key_cols: list[str],

@@ -153,3 +153,74 @@ def test_approx_percentile_error_bound(spark):
     for k in exact:
         for a, e in zip(approx[k], exact[k]):
             assert abs(a - e) / abs(e) < 0.01, (k, a, e)
+
+
+def test_interval_event_join_boundaries_and_bucket_crossing(spark):
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.joins import (
+        interval_event_join,
+    )
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(sec):
+        return datetime.fromtimestamp(base.timestamp() + sec)
+
+    left = spark.createDataFrame(
+        [(1, 100, ts(0)), (1, 101, ts(3599)), (2, 102, ts(0))],
+        "user_id long, click_id long, click_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 200, ts(0)),      # == click_ts: excluded (strict lower bound)
+            (1, 201, ts(1)),      # in window of 100
+            (1, 202, ts(3600)),   # == 100 + 1h exactly: included (closed upper);
+                                  # also in 101's window, CROSSES 101's hour bucket
+            (1, 203, ts(7199)),   # == 101(3599) + 1h exactly: included, and
+                                  # TWO buckets away from 101's (hour 0 vs hour 1)
+                                  # is impossible — it sits in hour bucket 1,
+                                  # adjacent to 101's bucket 0
+            (2, 204, ts(10)),     # other key
+            (3, 205, ts(10)),     # unmatched key
+        ],
+        "user_id long, error_id long, error_ts timestamp",
+    )
+    got = sorted(
+        (r.click_id, r.error_id)
+        for r in interval_event_join(
+            left, right, ["user_id"], "click_ts", "error_ts", 3600
+        ).collect()
+    )
+    assert got == [(100, 201), (100, 202), (101, 202), (101, 203), (102, 204)]
+
+
+def test_interval_event_join_matches_naive_theta(spark):
+    """Bucketing must be a pure optimization: pair set identical to the
+    naive key-join + range-filter on dense random-ish data."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.joins import (
+        interval_event_join,
+    )
+
+    left = spark.range(300).select(
+        (F.col("id") % 7).alias("k"),
+        F.col("id").alias("lid"),
+        F.timestamp_seconds(F.lit(1704067200) + (F.col("id") * 37) % 5000).alias("lts"),
+    )
+    right = spark.range(400).select(
+        (F.col("id") % 7).alias("k"),
+        F.col("id").alias("rid"),
+        F.timestamp_seconds(F.lit(1704067200) + (F.col("id") * 53) % 5000).alias("rts"),
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_event_join(left, right, ["k"], "lts", "rts", 600).collect()
+    )
+    naive = sorted(
+        (r.lid, r.rid)
+        for r in left.join(right, "k")
+        .filter(
+            (F.col("rts") > F.col("lts"))
+            & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 600 SECOND"))
+        )
+        .collect()
+    )
+    assert got == naive and len(got) > 1000

@@ -1590,3 +1590,61 @@ def test_changelog_ingest_checkpoint_restart(spark, tmp_path):
     )
     want = apply_changelog(changes, key_cols=["user_id"], seq_cols=["ts", "event_id"])
     assert sorted(map(tuple, probed.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """T4/J-interval: the watermarked stream-stream TIME-INTERVAL join
+    (jobs.interval_join_stream) produces exactly the batch pair set of
+    operators.joins.interval_event_join — same predicate, incremental
+    evaluation, out-of-order arrival across micro-batches."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.joins import (
+        interval_event_join,
+    )
+
+    # Deterministic interleaved clicks/errors over ~2 hours, several keys;
+    # includes exact upper-boundary pairs (error at click + window).
+    clicks = spark.range(60).select(
+        (F.col("id") % 5).alias("user_id"),
+        F.col("id").alias("click_id"),
+        F.timestamp_seconds(F.lit(1704067200) + (F.col("id") * 131) % 7000).alias("click_ts"),
+    )
+    errors = spark.range(80).select(
+        (F.col("id") % 5).alias("user_id"),
+        F.col("id").alias("error_id"),
+        F.timestamp_seconds(F.lit(1704067200) + (F.col("id") * 97) % 7000).alias("error_ts"),
+    )
+    c_src, e_src = str(tmp_path / "clicks"), str(tmp_path / "errors")
+    # Two files per side, split on a condition UNALIGNED with event time, so
+    # later micro-batches deliver earlier timestamps (watermark buffering).
+    for cond in (F.col("click_id") % 2 == 0, F.col("click_id") % 2 == 1):
+        clicks.filter(cond).coalesce(1).write.mode("append").parquet(c_src)
+    for cond in (F.col("error_id") % 2 == 0, F.col("error_id") % 2 == 1):
+        errors.filter(cond).coalesce(1).write.mode("append").parquet(e_src)
+
+    c_s = spark.readStream.schema(clicks.schema).option("maxFilesPerTrigger", 1).parquet(c_src)
+    e_s = spark.readStream.schema(errors.schema).option("maxFilesPerTrigger", 1).parquet(e_src)
+    joined = jobs.interval_join_stream(
+        c_s, e_s, ["user_id"], "click_ts", "error_ts", window_seconds=600,
+        watermark="3 hours",  # nothing evictable within the fixture's span
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.click_id, r.error_id)
+            for r in spark.sql("SELECT click_id, error_id FROM ij_out").collect()
+        )
+    finally:
+        q.stop()
+    want = sorted(
+        (r.click_id, r.error_id)
+        for r in interval_event_join(
+            clicks, errors, ["user_id"], "click_ts", "error_ts", 600
+        ).collect()
+    )
+    assert got == want and len(want) > 50
