@@ -449,3 +449,69 @@ def weighted_sample(
         F.lit(1000),
     )
     return df.withColumn("_w", weight_permille).filter(u < F.col("_w")).drop("_w")
+
+
+def char_entropy(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Shannon character entropy per document — the classic cheap quality
+    signal (gibberish and boilerplate sit at the distribution's tails;
+    compression-ratio filters approximate exactly this quantity).
+
+    Word-count plan shape: explode to (id, char) rows, hash-aggregate
+    counts (map-side partial combine collapses each task's rows to its
+    distinct (id, char) pairs), then one per-doc aggregate computes
+    H = log2(n) - sum(c_i * log2(c_i)) / n
+    — algebraically -sum(p_i log2 p_i) but with one log per DISTINCT
+    char instead of one per char occurrence. Scales like total corpus
+    characters; no window, no driver state.
+
+    Output: (id, n_chars_counted, n_distinct_chars, char_entropy).
+    Callers wanting hash-stable display values round the entropy (the
+    only order-dependent float sum here) to 9 decimals via
+    functions.numeric.display_round, the text_tfidf policy.
+    """
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).filter(F.length("ch") > 0)
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    n = F.sum("cnt")
+    return counts.groupBy(id_col).agg(
+        n.alias("n_chars_counted"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        (F.log2(n) - F.sum(F.col("cnt") * F.log2("cnt")) / n).alias("char_entropy"),
+    )
+
+
+def source_quality_filter(
+    df: DataFrame,
+    threshold: float = 0.33,
+    source_col: str = "source",
+) -> DataFrame:
+    """Domain/source-level curation verdicts: aggregate per-document
+    quality to its source and keep/drop WHOLE sources (the
+    RefinedWeb/C4-style domain filter — per-document scores are noisy,
+    but a source whose MEAN quality is low is boilerplate/spam and every
+    document from it goes).
+
+    The mean is exact and order-independent: each doc's quality (itself
+    bit-exact int/int arithmetic from :func:`quality_score`) is
+    floor-rounded to a 1e-9 integer lattice and summed as LONGS, so the
+    per-source mean is identical in any engine at any parallelism — no
+    float-accumulation-order hazard even across 10^9-doc sources.
+
+    Output: (source, n_docs, mean_quality, kept). Join ``kept`` back to
+    the corpus (broadcast: |sources| << |docs|) to apply the filter.
+    """
+    qdf = quality_score(df)
+    q9 = F.floor(F.col("quality") * 1e9 + F.lit(0.5)).cast("long")
+    per_source = (
+        qdf.select(F.col(source_col).alias("source"), q9.alias("q9"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("q9").alias("sum_q9"))
+    )
+    mean_q = F.col("sum_q9").cast("double") / F.col("n_docs") / 1e9
+    return per_source.select(
+        "source",
+        "n_docs",
+        mean_q.alias("mean_quality"),
+        (mean_q >= F.lit(threshold)).alias("kept"),
+    )

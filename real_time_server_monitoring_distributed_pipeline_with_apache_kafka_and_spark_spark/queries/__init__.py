@@ -44,6 +44,8 @@ _PRIORITY: tuple[str, ...] = (
     "rel_profile_columns",
     "rel_key_skew_stats",
     "monitor_error_after_click",
+    "text_char_entropy",
+    "text_source_quality_filter",
     # -- new in r06 --
     "rel_cdc_merge",
     "rel_scd2_intervals",

@@ -268,7 +268,34 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy (see operators.text
+    .char_entropy for the word-count plan shape). Entropy — the one
+    order-dependent float sum — is floor-rounded to 9 decimals on both
+    engines (text_tfidf policy)."""
+    from ..functions.numeric import display_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    ent = ops.char_entropy(docs)
+    return ent.select(
+        "doc_id",
+        "n_chars_counted",
+        "n_distinct_chars",
+        display_round("char_entropy", 9).alias("char_entropy"),
+    )
+
+
+def text_source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level curation verdicts (operators.text
+    .source_quality_filter): exact lattice-summed per-source mean quality
+    plus the keep/drop decision at 0.33."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.source_quality_filter(docs, threshold=0.33)
+
+
 QUERIES = {
+    "text_char_entropy": text_char_entropy,
+    "text_source_quality_filter": text_source_quality_filter,
     "text_weighted_sample": text_weighted_sample,
     "text_token_stats": text_token_stats,
     "text_unigram_logprob": text_unigram_logprob,
@@ -286,6 +313,45 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_char_entropy": """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+counts AS (
+  SELECT doc_id, ch, count(*) AS cnt FROM chars WHERE length(ch) > 0
+  GROUP BY doc_id, ch
+),
+ent AS (
+  SELECT doc_id, sum(cnt) AS n, count(*) AS nd,
+         log2(CAST(sum(cnt) AS DOUBLE)) - sum(cnt * log2(CAST(cnt AS DOUBLE))) / sum(cnt) AS h
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars_counted,
+       CAST(nd AS BIGINT) AS n_distinct_chars,
+       floor(h * 1e9 + 0.5) / 1e9 AS char_entropy
+FROM ent
+""",
+    "text_source_quality_filter": f"""
+WITH t AS (SELECT doc_id, source, text, {_TOKENS} AS toks FROM documents),
+r AS (
+  SELECT source,
+    0.3 * (CAST(len(list_filter(toks, x -> x IN {_STOP_EN})) AS DOUBLE) / NULLIF(len(toks), 0))
+    + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / NULLIF(len(toks), 0))
+    + 0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+    - 0.1 * (CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+             / NULLIF(length(text), 0)) AS quality
+  FROM t
+),
+g AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(CAST(floor(quality * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q9
+  FROM r GROUP BY source
+)
+SELECT source, n_docs,
+       CAST(sum_q9 AS DOUBLE) / n_docs / 1e9 AS mean_quality,
+       CAST(sum_q9 AS DOUBLE) / n_docs / 1e9 >= 0.33 AS kept
+FROM g
+""",
     "text_weighted_sample": """
 SELECT doc_id, lang, n_chars,
        CAST(least(999, n_chars) AS BIGINT) AS w_permille

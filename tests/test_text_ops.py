@@ -225,3 +225,48 @@ def test_repetition_stats_flags_looping_text(spark):
     assert out[1].n_trigrams == 4 and out[1].n_distinct_trigrams == 1
     assert out[1].repetition_ratio == 0.75
     assert out[2].n_trigrams == 0 and out[2].repetition_ratio == 0.0
+
+
+def test_char_entropy_known_values(spark):
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.text import (
+        char_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "aab")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in char_entropy(docs).collect()}
+    assert rows[1].char_entropy == 0.0 and rows[1].n_distinct_chars == 1
+    assert rows[2].char_entropy == 1.0  # two equiprobable symbols
+    assert rows[3].char_entropy == 2.0  # four equiprobable symbols
+    # H(2/3, 1/3) = log2(3) - 2/3
+    import math
+
+    assert abs(rows[4].char_entropy - (math.log2(3) - 2 / 3)) < 1e-12
+    assert rows[4].n_chars_counted == 3
+
+
+def test_source_quality_filter_mean_is_partitioning_invariant(spark):
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.text import (
+        source_quality_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, "s" + str(i % 3), ("the and of quality text " * (1 + i % 5)).strip())
+            for i in range(60)
+        ],
+        "doc_id long, source string, text string",
+    )
+    a = {r.source: r for r in source_quality_filter(docs, threshold=0.4).collect()}
+    b = {
+        r.source: r
+        for r in source_quality_filter(docs.repartition(13), threshold=0.4).collect()
+    }
+    assert set(a) == {"s0", "s1", "s2"}
+    for s in a:
+        # Lattice-summed mean: bit-identical under any partitioning.
+        assert a[s].mean_quality == b[s].mean_quality
+        assert a[s].n_docs == 20
+        assert a[s].kept == (a[s].mean_quality >= 0.4)
