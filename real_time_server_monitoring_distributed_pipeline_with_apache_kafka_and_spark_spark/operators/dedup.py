@@ -548,7 +548,24 @@ def simhash_pairs(
     max_hamming: int = 6,
     n_chunks: int = 8,
 ) -> DataFrame:
-    """Near-dup pairs with SimHash hamming distance <= max_hamming.
+    """Near-dup pairs with SimHash hamming distance <= max_hamming, via
+    :func:`hamming64_pairs` over :func:`simhash_signatures`."""
+    return hamming64_pairs(
+        simhash_signatures(df, id_col, text_col), id_col, max_hamming, n_chunks
+    )
+
+
+def hamming64_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    n_chunks: int = 8,
+) -> DataFrame:
+    """Pairs within hamming distance <= max_hamming over ANY 64-bit
+    signature table ``(id_col, sig_lo, sig_hi)`` — shared by SimHash text
+    near-dup and the multimodal image aHash (operators.multimodal
+    .image_ahash): the signature family differs, the banding math
+    doesn't.
 
     Candidate generation: split the 64-bit signature (two 32-bit halves)
     into ``n_chunks`` equal chunks; a pair within hamming distance <
@@ -562,7 +579,6 @@ def simhash_pairs(
     per_half = n_chunks // 2
     chunk_bits = 32 // per_half
     mask = (1 << chunk_bits) - 1
-    sig = simhash_signatures(df, id_col, text_col)
 
     def chunk_expr(c: int):
         src = F.col("sig_lo") if c < per_half else F.col("sig_hi")

@@ -196,3 +196,58 @@ def audio_rms_windows(
     return with_payload.select("doc_id", "payload").mapInPandas(
         run, schema=AUDIO_RMS_SCHEMA
     )
+
+
+AHASH_SCHEMA = "doc_id long, sig_lo long, sig_hi long"
+
+
+def image_ahash(with_payload: DataFrame, grid: int = 64) -> DataFrame:
+    """Perceptual average-hash (aHash) per image: resize to an 8x8
+    grayscale grid, threshold each pixel against the grid mean, pack the
+    64 bits — the standard cheap image near-dup signature (robust to
+    re-encoding/scaling, unlike byte checksums).
+
+    Decode/resample is the deterministic environment stub (same policy as
+    :func:`decode_features`): the payload tiles to ``grid`` bytes and
+    each byte IS its pixel — pure byte arithmetic, which is what makes
+    the full pipeline oracle-replayable in SQL. A real decoder swaps only
+    the pixel extraction inside the Arrow batch loop (PIL open + resize
+    + grayscale); the signature packing, schema, and downstream banded
+    pair join are production-real.
+
+    Bits land as two positive 32-bit halves (``sig_lo`` bits 0..31,
+    ``sig_hi`` bits 32..63 — the simhash_signatures layout), so
+    dedup.hamming64_pairs consumes the output directly and no int64
+    sign games arise in either engine. Threshold is STRICT (pixel >
+    mean): an exactly-uniform tile hashes to all-zeros in both engines.
+
+    Narrow 1:1 mapInPandas: no shuffle, scales with executors; only
+    (doc_id, payload) transfers (column pruning).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lo, hi = [], []
+            for payload in pdf["payload"]:
+                n = max(len(payload), 1)
+                pixels = [payload[j % n] if len(payload) else 0 for j in range(grid)]
+                mean = sum(pixels) / float(grid)
+                lo_bits = 0
+                hi_bits = 0
+                for j, p in enumerate(pixels):
+                    if p > mean:
+                        if j < 32:
+                            lo_bits |= 1 << j
+                        else:
+                            hi_bits |= 1 << (j - 32)
+                lo.append(lo_bits)
+                hi.append(hi_bits)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sig_lo": pd.Series(lo, dtype="int64"),
+                    "sig_hi": pd.Series(hi, dtype="int64"),
+                }
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(run, AHASH_SCHEMA)

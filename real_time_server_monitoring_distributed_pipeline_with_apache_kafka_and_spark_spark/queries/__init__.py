@@ -46,6 +46,7 @@ _PRIORITY: tuple[str, ...] = (
     "monitor_error_after_click",
     "text_char_entropy",
     "text_source_quality_filter",
+    "mm_image_ahash",
     # -- new in r06 --
     "rel_cdc_merge",
     "rel_scd2_intervals",

@@ -62,7 +62,66 @@ def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.audio_rms_windows(ops.attach_binary_payload(docs))
 
 
+def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs: perceptual average-hash signatures
+    (operators.multimodal.image_ahash — Arrow-batched mapInPandas over
+    the binary payload, deterministic stub pixels) fed into the SAME
+    chunk-pigeonhole hamming join SimHash uses
+    (operators.dedup.hamming64_pairs). Exact-duplicate payloads hash
+    identically (hamming 0); near-identical grids surface up to
+    hamming 6 with zero all-pairs work."""
+    from ..operators.dedup import hamming64_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = ops.image_ahash(ops.attach_binary_payload(docs))
+    return hamming64_pairs(sig, "doc_id", max_hamming=6, n_chunks=8)
+
+
+# aHash oracle building blocks: the stub pixel model in SQL (byte j of the
+# payload tiled to 64 == codepoint of text char (j % len) + 1; ASCII corpus
+# so byte == codepoint, the mm_decode_features guarantee), then the same
+# 8-chunk pigeonhole join as the SimHash oracle.
+_AH_CHUNKS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, sig_lo, sig_hi, {c} AS chunk_idx, "
+    + (
+        f"(sig_lo >> {c * 8}) & 255 AS chunk FROM sig"
+        if c < 4
+        else f"(sig_hi >> {(c - 4) * 8}) & 255 AS chunk FROM sig"
+    )
+    for c in range(8)
+)
+
+_AHASH_SQL = f"""
+WITH px AS (
+  SELECT doc_id, j,
+         ord(substr(text, CAST((j % length(text)) + 1 AS INTEGER), 1)) AS p
+  FROM documents, LATERAL unnest(range(0, 64)) t(j)
+),
+m AS (SELECT doc_id, sum(p) / 64.0 AS mean FROM px GROUP BY doc_id),
+sig AS (
+  SELECT px.doc_id,
+    CAST(sum(CASE WHEN j < 32 AND p > mean THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER) ELSE 0 END) AS BIGINT) AS sig_lo,
+    CAST(sum(CASE WHEN j >= 32 AND p > mean THEN CAST(1 AS BIGINT) << CAST(j - 32 AS INTEGER) ELSE 0 END) AS BIGINT) AS sig_hi
+  FROM px JOIN m USING (doc_id) GROUP BY px.doc_id
+),
+chunks AS (
+  {_AH_CHUNKS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.sig_lo AS alo, a.sig_hi AS ahi, b.sig_lo AS blo, b.sig_hi AS bhi
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id,
+       CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 6
+"""
+
+
 QUERIES = {
+    "mm_image_ahash": mm_image_ahash,
     "mm_audio_rms": mm_audio_rms,
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_features": mm_decode_features,
@@ -71,6 +130,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mm_image_ahash": _AHASH_SQL,
     "mm_audio_rms": """
 WITH s AS (
   SELECT doc_id, i,

@@ -79,3 +79,33 @@ def test_audio_rms_windows_semantics(spark):
         assert got[(1, w)][1] == float(np.sqrt(int((chunk * chunk).sum()) / len(chunk)))
     s2 = np.frombuffer(b2[:2], dtype="<i2").astype(np.int64)
     assert got[(2, 0)] == (1, float(np.sqrt(int((s2 * s2).sum()) / 1)))
+
+
+def test_image_ahash_known_bits_and_exact_dup(spark):
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.dedup import (
+        hamming64_pairs,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.multimodal import (
+        attach_binary_payload,
+        image_ahash,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ab" * 40),   # alternating bytes: pixels b>mean on odd grid slots
+            (2, "ab" * 50),   # same tiled 64-byte grid => identical hash
+            (3, "zzzz"),      # uniform grid: strict threshold => all-zero sig
+        ],
+        "doc_id long, text string",
+    )
+    sig = {r.doc_id: r for r in image_ahash(attach_binary_payload(docs)).collect()}
+    assert sig[3].sig_lo == 0 and sig[3].sig_hi == 0
+    # 'ab'*N tiles to the same alternating 64-grid regardless of N.
+    assert (sig[1].sig_lo, sig[1].sig_hi) == (sig[2].sig_lo, sig[2].sig_hi)
+    # b (0x62) > mean(a,b) on odd positions: 0b1010.. pattern in both halves.
+    assert sig[1].sig_lo == sum(1 << j for j in range(1, 32, 2))
+    assert sig[1].sig_hi == sum(1 << j for j in range(1, 32, 2))
+    pairs = hamming64_pairs(
+        image_ahash(attach_binary_payload(docs)), max_hamming=6
+    ).collect()
+    assert [(p.a_id, p.b_id, p.hamming) for p in pairs] == [(1, 2, 0)]
