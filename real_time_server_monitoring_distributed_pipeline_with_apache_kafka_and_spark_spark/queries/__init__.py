@@ -28,17 +28,19 @@ from . import dedup, extras, monitoring, multimodal, profiling, relational, simi
 #   r04 green: all 50 — the 7 new rows (bucketed flagships, 4 text ops,
 #       dedup_clusters), 3 code-changed re-proofs, the 18-row r01/r02
 #       tail, and keep-green fill.
-#   r05: the driver recorded no CORRECTNESS_r05.json (no verify pass ran
-#       that round), so every newest-green age below is measured from r04
-#       and the r05 window plan carries over wholesale.
-#   r06 window (this list): the 7 queries NEW this round first (CDC merge,
-#       SCD2 intervals, fuzzy join, winsorize, drift PSI, weighted
-#       sample, audio RMS — never driver-proven), then the r05 plan
-#       unchanged: r05's new/changed rows (still unproven for the same
-#       reason), the 28 rows whose newest green is r03, then r04-green
-#       fill to 50. Displaced past the cap vs r05: the 7 trailing
-#       dedup/similarity representatives (ngram_jaccard, simhash,
-#       embedding_cosine/lsh, sim_ann_*) — r04-green, unchanged.
+#   r05 window (this list): everything built since the r04 verify is in
+#       ONE driver round (r04 was the last recorded verify), so the head
+#       is all never-driver-proven work, newest first: the audit pack
+#       (profile/skew/interval-join/entropy/source-filter/ahash), the
+#       warehouse-ingest pack (CDC merge, SCD2, fuzzy join, winsorize,
+#       drift PSI, weighted sample, audio RMS), the earlier r05 additions
+#       (salted stratified sample, dup spans, shuffle order, embedding
+#       clusters) and the 4 queries whose code changed since r04. Then
+#       the 28 rows whose newest green is r03 (2 rounds stale), plus
+#       dedup_simhash (code refactored through hamming64_pairs this
+#       round) swapped in for rel_approx_distinct (rows-only by design —
+#       the weakest check loses the least by sitting out). Past the cap:
+#       the r04-green keep-green representatives and the unchanged tail.
 _PRIORITY: tuple[str, ...] = (
     # -- newest (audit/profiling + interval join), never driver-proven --
     "rel_profile_columns",
@@ -47,7 +49,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_char_entropy",
     "text_source_quality_filter",
     "mm_image_ahash",
-    # -- new in r06 --
+    # -- warehouse-ingest pack, never driver-proven --
     "rel_cdc_merge",
     "rel_scd2_intervals",
     "rel_fuzzy_join",
@@ -55,12 +57,12 @@ _PRIORITY: tuple[str, ...] = (
     "monitor_drift_psi",
     "text_weighted_sample",
     "mm_audio_rms",
-    # -- new in r05 --
+    # -- earlier additions this round, never driver-proven --
     "text_stratified_sample_salted",
     "text_dup_spans",
     "text_shuffle_order",
     "dedup_embedding_clusters",
-    # -- code changed in r05: re-prove --
+    # -- code changed since the r04 verify: re-prove --
     "dedup_clusters",
     "dedup_minhash_lsh",
     "monitor_cpu_mem_alerts_bucketed",
@@ -93,9 +95,10 @@ _PRIORITY: tuple[str, ...] = (
     "mm_decode_features",
     "mm_resize",
     "mm_frame_sample",
-    "rel_approx_distinct",
     "rel_approx_percentile",
-    # -- keep-green representative surface (green r04) --
+    "dedup_simhash",
+    # -- past the ~50 cap: r04-green keep-green representative surface --
+    "rel_approx_distinct",
     "monitor_cpu_mem_alerts",
     "monitor_net_disk_alerts",
     "monitor_window_sliding_avg",
@@ -105,7 +108,6 @@ _PRIORITY: tuple[str, ...] = (
     # -- tail (past the ~50 cap): all r04-green, unchanged since; cycle
     #    back by r07 --
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "sim_ann_bruteforce",
