@@ -195,3 +195,31 @@ def key_skew_stats(df: DataFrame, key_col: str) -> DataFrame:
             F.col("max_rows_per_key") / (F.col("n_rows").cast("double") / F.col("n"))
         ).alias("skew_ratio"),
     )
+
+
+def constraint_report(checks: dict[str, DataFrame]) -> DataFrame:
+    """Data-expectations runner: union per-constraint violation counts
+    into one ``(constraint_name, n_violations, passed)`` report — the CI gate
+    a pipeline runs before promoting a landed partition (uniqueness,
+    referential integrity, ranges, enum membership...).
+
+    Each value in ``checks`` is a DataFrame of VIOLATING rows (any
+    schema); the report counts them. Violation sets are usually built as
+    filters or anti-joins, so each check is a scan+agg or a broadcast
+    anti-join — embarrassingly scalable, and a check that passes
+    aggregates to a single zero without moving data. Checks execute as
+    one unioned plan: Spark runs the branches in one job, sharing
+    whatever scans Catalyst can dedupe.
+    """
+    reports = [
+        df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("constraint_name"),
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+        for name, df in checks.items()
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

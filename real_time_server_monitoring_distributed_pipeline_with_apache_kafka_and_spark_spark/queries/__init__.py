@@ -36,11 +36,12 @@ from . import dedup, extras, monitoring, multimodal, profiling, relational, simi
 #       drift PSI, weighted sample, audio RMS), the earlier r05 additions
 #       (salted stratified sample, dup spans, shuffle order, embedding
 #       clusters) and the 4 queries whose code changed since r04. Then
-#       the 28 rows whose newest green is r03 (2 rounds stale), plus
-#       dedup_simhash (code refactored through hamming64_pairs this
-#       round) swapped in for rel_approx_distinct (rows-only by design —
-#       the weakest check loses the least by sitting out). Past the cap:
-#       the r04-green keep-green representatives and the unchanged tail.
+#       the 5 queries whose code changed since r04 (incl. dedup_simhash,
+#       refactored through hamming64_pairs), then the 28 rows whose
+#       newest green is r03 (2 rounds stale) — the last few of which
+#       fall just past the cap this round, outranked by changed-code
+#       re-proofs. Past the cap: rows-only sketches and the r04-green
+#       keep-green representatives / unchanged tail.
 _PRIORITY: tuple[str, ...] = (
     # -- newest (audit/profiling + interval join), never driver-proven --
     "rel_profile_columns",
@@ -49,6 +50,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_char_entropy",
     "text_source_quality_filter",
     "mm_image_ahash",
+    "rel_validate_constraints",
+    "monitor_sessionize",
     # -- warehouse-ingest pack, never driver-proven --
     "rel_cdc_merge",
     "rel_scd2_intervals",
@@ -63,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_shuffle_order",
     "dedup_embedding_clusters",
     # -- code changed since the r04 verify: re-prove --
+    "dedup_simhash",
     "dedup_clusters",
     "dedup_minhash_lsh",
     "monitor_cpu_mem_alerts_bucketed",
@@ -96,7 +100,6 @@ _PRIORITY: tuple[str, ...] = (
     "mm_resize",
     "mm_frame_sample",
     "rel_approx_percentile",
-    "dedup_simhash",
     # -- past the ~50 cap: r04-green keep-green representative surface --
     "rel_approx_distinct",
     "monitor_cpu_mem_alerts",

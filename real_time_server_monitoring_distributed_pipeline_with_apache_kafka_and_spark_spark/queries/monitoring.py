@@ -245,6 +245,41 @@ def monitor_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def monitor_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization with per-user SESSION ORDINALS — the
+    window-function formulation ``F.session_window`` can't express
+    (which session number is this, how long did it run): lag() flags a
+    new session when the gap since the previous event is >= 5 minutes
+    (same boundary rule as F.session_window's strict merge-if-closer),
+    a running sum turns flags into session ids, one hash aggregate per
+    (user, session) finishes.
+
+    Scale: the window sorts WITHIN each user's partition only (state =
+    one user's events, the same bound the streaming variant gets from
+    its watermark); no global sort anywhere. Duration is timestampdiff
+    microseconds — exact integers, immune to the TIMESTAMP/NTZ session
+    split and to float policy.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_new = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") >= F.lag("ts").over(w) + F.expr("INTERVAL 5 MINUTE")),
+        1,
+    ).otherwise(0)
+    runs = ev.select(
+        "user_id", "ts", "event_id", "value", gap_new.alias("new_sess")
+    ).withColumn("session_seq", F.sum("new_sess").over(w))
+    return runs.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))").alias("duration_us"),
+    )
+
+
 def monitor_case_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5/P6/P7: threshold predicates + 3-branch CASE on raw events."""
     ev = load_table(spark, sf_dir, "events")
@@ -503,6 +538,7 @@ def monitor_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "monitor_error_after_click": monitor_error_after_click,
+    "monitor_sessionize": monitor_sessionize,
     "monitor_drift_psi": monitor_drift_psi,
     "monitor_cpu_mem_alerts": monitor_cpu_mem_alerts,
     "monitor_cpu_mem_alerts_bucketed": monitor_cpu_mem_alerts_bucketed,
@@ -520,6 +556,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "monitor_sessionize": """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       datediff('microsecond', min(ts), max(ts)) AS duration_us
+FROM runs GROUP BY user_id, session_seq
+""",
     "monitor_error_after_click": """
 SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
        e.event_id AS error_id, e.ts AS error_ts,

@@ -34,6 +34,80 @@ def rel_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.key_skew_stats(li, "l_orderkey")
 
 
+def rel_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-expectations gate over the star schema: uniqueness, forward
+    and reverse referential integrity, a derived-column invariant, a
+    value range, and enum membership — one (constraint_name, n_violations,
+    passed) row each, via operators.profiling.constraint_report.
+
+    The reverse-coverage check ("every order has lineitems") FAILS on the
+    testdata (257 childless orders at sf0.01) by design: a validator
+    whose every row passes has not demonstrated it can detect anything.
+    """
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
+    # Uniqueness as violating ROWS: keys seen more than once (each extra
+    # occurrence is one violation), expressed as a groupBy — no self-join.
+    dup_orders = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    checks = {
+        "orders.o_orderkey unique": dup_orders,
+        "orders.o_custkey in customer": orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+            "left_anti",
+        ),
+        "lineitem.l_orderkey in orders": li.join(
+            orders, li.l_orderkey == orders.o_orderkey, "left_anti"
+        ),
+        "every order has lineitems": orders.join(
+            li, orders.o_orderkey == li.l_orderkey, "left_anti"
+        ),
+        "documents.n_chars == length(text)": docs.filter(
+            F.col("n_chars") != F.length("text")
+        ),
+        "lineitem.l_quantity in [1, 50]": li.filter(
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+        ),
+        "lineitem.l_returnflag in (A, N, R)": li.filter(
+            ~F.col("l_returnflag").isin("A", "N", "R")
+        ),
+    }
+    return ops.constraint_report(checks)
+
+
+_VALIDATE_SQL = """
+SELECT 'orders.o_orderkey unique' AS constraint_name,
+       CAST(count(*) AS BIGINT) AS n_violations, count(*) = 0 AS passed
+FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+UNION ALL
+SELECT 'orders.o_custkey in customer', CAST(count(*) AS BIGINT), count(*) = 0
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem.l_orderkey in orders', CAST(count(*) AS BIGINT), count(*) = 0
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'every order has lineitems', CAST(count(*) AS BIGINT), count(*) = 0
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+UNION ALL
+SELECT 'documents.n_chars == length(text)', CAST(count(*) AS BIGINT), count(*) = 0
+FROM documents WHERE n_chars <> length(text)
+UNION ALL
+SELECT 'lineitem.l_quantity in [1, 50]', CAST(count(*) AS BIGINT), count(*) = 0
+FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+UNION ALL
+SELECT 'lineitem.l_returnflag in (A, N, R)', CAST(count(*) AS BIGINT), count(*) = 0
+FROM lineitem WHERE l_returnflag NOT IN ('A', 'N', 'R')
+"""
+
+
 def _profile_col_sql(col: str, kind: str) -> str:
     nn = f"count(*) - count({col})"
     nd = f"count(DISTINCT {col})"
@@ -111,10 +185,12 @@ def _skew_pct_sql(q: float) -> str:
 QUERIES = {
     "rel_profile_columns": rel_profile_columns,
     "rel_key_skew_stats": rel_key_skew_stats,
+    "rel_validate_constraints": rel_validate_constraints,
 }
 
 ORACLES = {
     "rel_profile_columns": _PROFILE_SQL,
+    "rel_validate_constraints": _VALIDATE_SQL,
     "rel_key_skew_stats": _SKEW_SQL.format(
         p50=_skew_pct_sql(0.5), p90=_skew_pct_sql(0.9), p99=_skew_pct_sql(0.99)
     ),

@@ -101,3 +101,24 @@ def test_key_skew_uniform_ratio_near_one(spark):
     assert got.n_keys == 100 and got.max_rows_per_key == 100
     assert got.skew_ratio == 1.0
     assert got.p50_rows_per_key == 100.0
+
+
+def test_constraint_report_counts_and_verdicts(spark):
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.profiling import (
+        constraint_report,
+    )
+
+    df = spark.createDataFrame([(1, 10), (2, 10), (3, -1)], "k long, v long")
+    rep = {
+        r.constraint_name: r
+        for r in constraint_report(
+            {
+                "v non-negative": df.filter(F.col("v") < 0),
+                "k unique": df.groupBy("k").count().filter(F.col("count") > 1),
+            }
+        ).collect()
+    }
+    assert rep["v non-negative"].n_violations == 1
+    assert rep["v non-negative"].passed is False
+    assert rep["k unique"].n_violations == 0
+    assert rep["k unique"].passed is True
