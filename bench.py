@@ -51,6 +51,9 @@ HEADLINE = LEGACY9 + [
     # added r06
     "rel_fuzzy_join",             # deletion-variant explode + self equi-join
     "rel_scd2_intervals",         # key-clustered window stack (lag/sum/lead)
+    # added with the audit pack
+    "rel_profile_columns",        # unpivot cells + narrow distinct agg
+    "monitor_error_after_click",  # bucketed event-interval join
 ]
 
 

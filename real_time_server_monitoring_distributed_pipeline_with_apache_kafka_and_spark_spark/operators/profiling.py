@@ -36,85 +36,90 @@ def profile_table(
     ts_cols: list[str] = (),
     exact_distinct: bool = True,
 ) -> DataFrame:
-    """One-pass column profile: one output row per profiled column with
+    """Column profile: one output row per profiled column with
     ``(col_name, n_rows, n_nulls, n_distinct, min_value, max_value,
     mean_value, min_text, max_text)``.
 
-    Plan shape — UNPIVOT, not a wide 1-row aggregate: each input row
-    explodes into one skinny ``(col_name, kind, value_num, value_dec,
-    value_str, is_null)`` row per profiled column, and one narrow
-    7-aggregate ``groupBy(col_name)`` computes every statistic. Still a
-    single scan and a single shuffle (of N-columns × rows SKINNY rows,
-    partial-aggregated map-side to ~N rows per task first).
+    Plan shape — TWO wide 1-row aggregates over the same scan, stacked to
+    per-column rows and joined on col_name (a 9x9 broadcast join):
 
-    Why not one wide ``agg`` with 7 expressions per column? Measured 19 s
-    vs 1.3 s at sf0.1×9 columns: ~65 aggregate buffers in one operator
-    blows past the whole-stage-codegen field budget
-    (spark.sql.codegen.maxFields=100 counts buffers AND input), so the
-    whole aggregate runs interpreted — and a bare driver session can't
-    raise the conf. The unpivot keeps the aggregate at 7 buffers no
-    matter how many columns are profiled; profiling a 500-column table
-    costs more exploded rows (linear), never a codegen cliff.
+    1. all NON-distinct statistics (count/min/max/decimal sum) in one
+       agg: every one is a DeclarativeAggregate, so the whole pass is a
+       codegen'd HashAggregate with map-side partials — ~4 buffers per
+       column;
+    2. all ``count(DISTINCT c)`` in a second agg: Catalyst's multi-
+       distinct Expand duplicates the scan once per column, but each
+       expanded row carries ONLY its own column + gid, and the partial
+       aggregate dedupes (gid, value) map-side.
+
+    Keeping the two SEPARATE is load-bearing: fused, every non-distinct
+    buffer rides through the xN Expand (or, in the unpivot formulation,
+    through N-columns fat struct rows) — measured 13-19 s vs ~4 s at
+    sf0.1 x 9 columns for the split plan. Two parquet scans cost far
+    less than one such fused aggregate; at 100 TB both passes remain
+    single map-side-partial aggregations with 9-row outputs.
 
     Numeric means are exact decimal(38,6) sums divided by non-null counts
     (order-independent => engine-portable, per the module float policy —
     exact for integers and the testdata's 2-decimal money doubles);
     timestamps are formatted to microsecond strings (timezone-free — the
     testdata is TIMESTAMP_NTZ, so epoch conversion would smuggle a
-    session timezone in; the fixed-width format keeps string min/max ==
-    chronological min/max). Min/max of string/timestamp columns land in
+    session timezone in). Min/max of string/timestamp columns land in
     ``min_text``/``max_text``; numeric in ``min_value``/``max_value``;
     the other pair is NULL — one stable schema for all column types.
 
-    ``n_distinct`` counts distinct canonical strings (numeric→string is
-    Spark's shortest-round-trip rendering, injective, so the count equals
-    ``count(DISTINCT c)``). There is exactly ONE distinct aggregate, so
-    Catalyst plans no Expand even on the exact path.
-    ``exact_distinct=False`` swaps it for an HLL sketch
-    (``approx_count_distinct``): bounded state per group at extreme
-    cardinalities — the same accuracy/cost policy split as
+    ``exact_distinct=False`` swaps pass 2's exact counts for HLL sketches
+    (``approx_count_distinct``): no Expand at all, bounded state at
+    extreme cardinalities — the same accuracy/cost policy split as
     rel_percentile vs rel_approx_percentile.
     """
-    null_d = F.lit(None).cast("double")
-    null_dec = F.lit(None).cast(_MEAN_DEC)
-    null_s = F.lit(None).cast("string")
-
-    def entry(col: str, kind: str) -> Column:
+    cols = (
+        [(c, "num") for c in numeric_cols]
+        + [(c, "ts") for c in ts_cols]
+        + [(c, "str") for c in string_cols]
+    )
+    # Pass 1: non-distinct statistics, one codegen'd wide aggregate.
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    groups: list[str] = []
+    for col, kind in cols:
         c = F.col(col)
+        aggs.append(F.count(c).alias(f"{col}__c"))
         if kind == "num":
-            num, dec, s = c.cast("double"), c.cast(_MEAN_DEC), c.cast("string")
-        elif kind == "ts":
-            num, dec, s = null_d, null_dec, F.date_format(c, _TS_FMT)
+            aggs += [
+                F.min(c).cast("double").alias(f"{col}__mn"),
+                F.max(c).cast("double").alias(f"{col}__mx"),
+                F.sum(c.cast(_MEAN_DEC)).alias(f"{col}__s"),
+            ]
+            mn, mx = f"`{col}__mn`", f"`{col}__mx`"
+            mean = f"CAST(`{col}__s` AS DOUBLE) / `{col}__c`"
+            mnt = mxt = "CAST(NULL AS STRING)"
         else:
-            num, dec, s = null_d, null_dec, c
-        return F.struct(
-            F.lit(col).alias("col_name"),
-            F.lit(kind).alias("kind"),
-            num.alias("value_num"),
-            dec.alias("value_dec"),
-            s.alias("value_str"),
-            c.isNull().alias("is_null"),
+            if kind == "ts":
+                lo = F.date_format(F.min(c), _TS_FMT)
+                hi = F.date_format(F.max(c), _TS_FMT)
+            else:
+                lo, hi = F.min(c), F.max(c)
+            aggs += [lo.alias(f"{col}__mnt"), hi.alias(f"{col}__mxt")]
+            mn = mx = mean = "CAST(NULL AS DOUBLE)"
+            mnt, mxt = f"`{col}__mnt`", f"`{col}__mxt`"
+        groups.append(
+            f"'{col}', n_rows, n_rows - `{col}__c`, {mn}, {mx}, {mean}, {mnt}, {mxt}"
         )
+    stack = (
+        "stack({n}, {groups}) AS (col_name, n_rows, n_nulls, min_value,"
+        " max_value, mean_value, min_text, max_text)"
+    ).format(n=len(groups), groups=", ".join(groups))
+    stats = df.agg(*aggs).selectExpr(stack)
 
-    entries = (
-        [entry(c, "num") for c in numeric_cols]
-        + [entry(c, "ts") for c in ts_cols]
-        + [entry(c, "str") for c in string_cols]
-    )
-    cells = df.select(F.explode(F.array(*entries)).alias("cell")).select("cell.*")
+    # Pass 2: distinct cardinalities, one multi-distinct (or HLL) aggregate.
     nd = F.count_distinct if exact_distinct else F.approx_count_distinct
-    prof = cells.groupBy("col_name", "kind").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("is_null").cast("long")).alias("n_nulls"),
-        nd(F.col("value_str")).alias("n_distinct"),
-        F.min("value_num").alias("min_value"),
-        F.max("value_num").alias("max_value"),
-        (F.sum("value_dec").cast("double") / F.count("value_dec")).alias("mean_value"),
-        F.min("value_str").alias("_min_str"),
-        F.max("value_str").alias("_max_str"),
+    nd_wide = df.agg(*[nd(F.col(col)).alias(f"{col}__nd") for col, _ in cols])
+    nd_stack = "stack({n}, {groups}) AS (col_name, n_distinct)".format(
+        n=len(cols), groups=", ".join(f"'{col}', `{col}__nd`" for col, _ in cols)
     )
-    is_num = F.col("kind") == "num"
-    return prof.select(
+    distincts = nd_wide.selectExpr(nd_stack)
+
+    return stats.join(distincts, "col_name").select(
         "col_name",
         "n_rows",
         "n_nulls",
@@ -122,8 +127,8 @@ def profile_table(
         "min_value",
         "max_value",
         "mean_value",
-        F.when(is_num, null_s).otherwise(F.col("_min_str")).alias("min_text"),
-        F.when(is_num, null_s).otherwise(F.col("_max_str")).alias("max_text"),
+        "min_text",
+        "max_text",
     )
 
 

@@ -51,9 +51,10 @@ def test_profile_approx_distinct_scale_path(spark):
     assert rows["k"].n_nulls == 0 and rows["k"].mean_value == 2499.5
 
 
-def test_profile_exact_plan_has_single_scan(spark, tmp_path):
-    """All statistics come from ONE pass: exactly one file scan in the
-    physical plan regardless of how many columns are profiled."""
+def test_profile_exact_plan_has_two_scans(spark, tmp_path):
+    """Two aggregation passes (non-distinct stats; distinct counts) =
+    exactly two file scans, regardless of how many columns are
+    profiled — never a per-column pass."""
     p = str(tmp_path / "t.parquet")
     spark.range(100).select(
         F.col("id").alias("a"), (F.col("id") * 2).alias("b"), F.lit("x").alias("s")
@@ -65,7 +66,7 @@ def test_profile_exact_plan_has_single_scan(spark, tmp_path):
         .executedPlan()
         .toString()
     )
-    assert plan.count("Scan parquet") == 1
+    assert plan.count("Scan parquet") == 2
 
 
 def test_key_skew_percentiles_match_sort_based_aggregate(spark):
