@@ -52,6 +52,8 @@ _PRIORITY: tuple[str, ...] = (
     "mm_image_ahash",
     "rel_validate_constraints",
     "monitor_sessionize",
+    "text_bigram_logprob",
+    "sim_knn_join",
     # -- warehouse-ingest pack, never driver-proven --
     "rel_cdc_merge",
     "rel_scd2_intervals",

@@ -85,13 +85,53 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.ann_ivf_topk(corpus, queries, k=TOP_K)
 
 
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self kNN join over the whole embeddings table (top-5 neighbors per
+    vector via LSH bucket candidates + exact fold-cosine ranking — see
+    operators.similarity.knn_join). Rank-only output; the oracle replays
+    the same seeded buckets, so the approximate neighbor set is still
+    hash-checked exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ops.knn_join(emb, k=TOP_K)
+
+
 QUERIES = {
+    "sim_knn_join": sim_knn_join,
     "sim_ann_bruteforce": sim_ann_bruteforce,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
 }
 
 ORACLES = {
+    "sim_knn_join": f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+bt AS (
+  {{bands}}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bt a JOIN bt b
+    ON a.table_idx = b.table_idx AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT a_id, b_id,
+         list_dot_product(ea.v, eb.v)
+           / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+  FROM cand
+  JOIN e ea ON ea.vec_id = a_id
+  JOIN e eb ON eb.vec_id = b_id
+)
+SELECT a_id AS vec_id, b_id AS neighbor_id, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT a_id, b_id,
+         row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {TOP_K}
+""",
     "sim_ann_bruteforce": f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -204,3 +244,25 @@ SELECT query_id, neighbor_id, rank FROM (
 ) WHERE rank <= {TOP_K}
 """,
 }
+
+# The kNN-join oracle replays the knn_join operator's own bucket layout
+# (20 tables x 5 planes, seed 7 — coarser/wider than the ANN queries'
+# 12x6; see the operator's knob guidance). Same RNG stream, so the first
+# planes coincide with _PLANES where the counts overlap.
+_KNN_TABLES, _KNN_PLANES_PER = 20, 5
+_KNN_PLANES = ops._hyperplanes(_KNN_TABLES * _KNN_PLANES_PER, 64, seed=7)
+
+
+def _knn_bucket_sql(t: int) -> str:
+    terms = []
+    for j in range(_KNN_PLANES_PER):
+        lit = "[" + ", ".join(repr(x) for x in _KNN_PLANES[t * _KNN_PLANES_PER + j]) + "]"
+        terms.append(f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_KNN_BANDS_SQL = "\n  UNION ALL ".join(
+    f"SELECT vec_id, {t} AS table_idx, ({_knn_bucket_sql(t)}) AS bucket FROM e"
+    for t in range(_KNN_TABLES)
+)
+ORACLES["sim_knn_join"] = ORACLES["sim_knn_join"].format(bands=_KNN_BANDS_SQL)

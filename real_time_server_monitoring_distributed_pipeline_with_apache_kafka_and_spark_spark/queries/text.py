@@ -252,6 +252,52 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring: mean log P(w2|w1) per document under
+    the corpus's own bigram model — the next step up from
+    text_unigram_logprob (word-order-aware: shuffled or templated text
+    scores low even when its unigram mix looks normal).
+
+    Bigrams come from a higher-order ``transform`` over the token array
+    (scan-speed, no window/lag shuffle); P(w2|w1) =
+    count(w1,w2) / count(w1 as context), both plain hash aggregates
+    joined back on the bigram — word-count-shaped throughout, no
+    smoothing needed because scoring and training share the corpus
+    (every scored bigram was observed). Docs with < 2 tokens have no
+    bigrams and drop out, same as the oracle. Scores floor-round to 9
+    decimals (text_tfidf policy)."""
+    from ..functions.numeric import display_round
+    from ..operators.text import tokens as tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = with_toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    cnt2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
+    cnt1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cnt1"))
+    scored = (
+        bg.join(cnt2, ["w1", "w2"])
+        .join(cnt1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(F.log(F.col("cnt2") / F.col("cnt1"))).alias("_lp"),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_bigrams", display_round(F.col("_lp"), 9).alias("avg_bigram_logprob")
+    )
+
+
 def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted Bernoulli sampling (operators.text.weighted_sample):
     each doc kept with probability ~ its length signal (per-mille weight
@@ -294,6 +340,7 @@ def text_source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "text_bigram_logprob": text_bigram_logprob,
     "text_char_entropy": text_char_entropy,
     "text_source_quality_filter": text_source_quality_filter,
     "text_weighted_sample": text_weighted_sample,
@@ -313,6 +360,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bigram_logprob": f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM t, UNNEST(range(1, len(w))) x(i)
+  WHERE len(w) >= 2
+),
+c2 AS (SELECT w1, w2, count(*) AS cnt2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS cnt1 FROM bg GROUP BY w1),
+scored AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         avg(ln(CAST(cnt2 AS DOUBLE) / cnt1)) AS lp
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       floor(lp * 1e9 + 0.5) / 1e9 AS avg_bigram_logprob
+FROM scored
+""",
     "text_char_entropy": """
 WITH chars AS (
   SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents

@@ -242,3 +242,41 @@ def test_curation_output_is_near_dup_free(spark):
     )
     leftover = d.jaccard_pairs(d.word_shingles(docs), threshold=JACCARD_THRESHOLD).count()
     assert leftover == 0, f"{leftover} near-dup pairs survive curation"
+
+
+def test_knn_join_recall_and_shape(spark):
+    """Self kNN join: per-vector top-5 via LSH buckets. Recall vs the
+    exact brute-force kNN graph must clear the multi-table LSH bound;
+    every vector gets <= 5 ranked neighbors with dense ranks 1..n."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.similarity import (
+        knn_join,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    got = knn_join(emb, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.vec_id, []).append((r.rnk, r.neighbor_id))
+    for q, ns in by_q.items():
+        ranks = sorted(rk for rk, _ in ns)
+        assert ranks == list(range(1, len(ns) + 1))
+        assert len(ns) <= 5
+    # Exact top-5 graph (numpy brute force over the small test corpus).
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.stack([np.array(r.embedding, dtype=np.float64) for r in rows])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    hits = total = 0
+    for i, q in enumerate(ids):
+        true_top = set(ids[np.argsort(-sims[i])[:5]])
+        approx = {n for _, n in by_q.get(int(q), [])}
+        hits += len(true_top & approx)
+        total += 5
+    assert hits / total > 0.5, f"recall {hits/total:.2f}"

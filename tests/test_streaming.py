@@ -1648,3 +1648,57 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(want) > 50
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """T2/T3: gap-based session windows under watermark in APPEND mode
+    produce exactly the batch session set once the stream drains (late
+    files arrive out of event-time order across micro-batches)."""
+    events = spark.range(200).select(
+        (F.col("id") % 4).alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200) + (F.col("id") * 937) % 50000).alias("ts"),
+        (F.col("id") % 7).cast("double").alias("value"),
+    )
+    src = str(tmp_path / "sess_events")
+    for cond in (F.col("user_id") < 2, F.col("user_id") >= 2):
+        events.filter(cond).coalesce(1).write.mode("append").parquet(src)
+
+    def sessions(df):
+        agged = df.groupBy("user_id", F.session_window("ts", "5 minutes")).agg(
+            F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
+        )
+        return agged.select(
+            "user_id",
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n_events",
+            "sum_value",
+        )
+
+    stream = spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        sessions(stream.withWatermark("ts", "10 minutes"))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(map(tuple, spark.sql("SELECT * FROM sess_out").collect()))
+    finally:
+        q.stop()
+    want = sorted(map(tuple, sessions(events).collect()))
+    # Append mode only emits sessions the watermark has CLOSED; the tail
+    # beyond the final watermark stays in state. Every emitted session
+    # must be a batch session, and every session that provably closed
+    # (end < final watermark = max event ts - delay, with margin) must
+    # have been emitted.
+    assert set(got) <= set(want)
+    import datetime
+
+    max_end = max(w[2] for w in want)          # = max event ts + 5 min gap
+    watermark = max_end - datetime.timedelta(minutes=15)  # - gap - delay
+    must_emit = {w for w in want if w[2] < watermark - datetime.timedelta(seconds=1)}
+    assert must_emit and must_emit <= set(got)
+    assert len(want) > 20
