@@ -455,3 +455,50 @@ def test_winsorize_broadcasts_bounds(reports):
     r = reports("rel_winsorize")
     assert r["broadcast_joins"] >= 1, r
     assert r["sort_merge_joins"] == 0 and r["nested_loop_joins"] == 0, r
+
+
+def test_interval_join_is_bucketed_equi_join(reports):
+    """monitor_error_after_click joins on (user_id, window-bucket) — a
+    hash/sort-merge EQUI join, never a per-key nested loop; the exact
+    range predicate is a post-join filter."""
+    r = reports("monitor_error_after_click")
+    assert r["nested_loop_joins"] == 0, r
+
+
+def test_profile_split_passes_shapes(spark):
+    """rel_profile_columns = two wide aggregates: the stats pass must
+    stay OFF the Expand (codegen'd DeclarativeAggregates only); exactly
+    one Expand total (the multi-distinct pass). Fusing them is the
+    13s-vs-2s regression this pins against."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(all_queries()["rel_profile_columns"](spark, SF_DIR))
+    assert plan.count("Expand (") == 1, plan.count("Expand (")
+    # Both passes scan the file directly; no ObjectHashAggregate fallback.
+    assert "ObjectHashAggregate" not in plan
+
+
+def test_knn_join_no_cartesian(reports):
+    """sim_knn_join candidates come from the LSH bucket equi-join; a
+    cartesian/broadcast-nested-loop formulation would be the O(N^2)
+    explosion the operator exists to avoid."""
+    r = reports("sim_knn_join")
+    assert r["nested_loop_joins"] == 0, r
+
+
+def test_sessionize_sorts_within_user_partitions_only(spark):
+    """monitor_sessionize's window sorts must be partitioned by user_id —
+    a global (empty-partition-spec) window sort would serialize the whole
+    table through one task."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(all_queries()["monitor_sessionize"](spark, SF_DIR))
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        window_line = plan[m.start() : plan.index("\n", m.start())]
+        assert "partitionby user_id" in window_line.lower().replace("'", ""), window_line
