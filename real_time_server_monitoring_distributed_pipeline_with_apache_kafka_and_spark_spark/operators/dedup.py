@@ -621,3 +621,77 @@ def hamming64_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+
+
+def containment_pairs(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Directed near-CONTAINMENT pairs: |A ∩ B| / |A| >= threshold — "A's
+    shingles are (almost) all inside B". The asymmetric complement of
+    :func:`jaccard_pairs`: a snippet quoted inside a long page has low
+    Jaccard (union is page-sized) but containment ~1, which is why corpus
+    dedup checks both [Broder's resemblance vs containment distinction].
+
+    Prefix filtering carries over with one asymmetry: A's prefix is its
+    ``n_a - ceil(t*n_a) + 1`` globally-rarest shingles (any pair with
+    common >= t*n_a must share one of them), but the B side indexes ALL
+    its shingles — the shared prefix shingle can sit anywhere in B, and
+    the Jaccard size-ratio prune is invalid here (a tiny doc CAN be
+    contained in a huge one; only ``n_b >= t*n_a`` survives). Exact
+    verification on candidates keeps the output identical to the naive
+    all-pairs join.
+
+    Output: (a_id, b_id, common, containment), DIRECTED (a contained in
+    b; exact duplicates appear in both directions).
+
+    Caching contract: same as :func:`jaccard_pairs` — the shingle table
+    stays persist()-ed; long-lived sessions clearCache()/unpersist().
+    """
+    from pyspark.sql import Window
+
+    shingled = shingled.persist()
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    freq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        shingled.join(freq, "shingle")
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy(id_col).orderBy("df", "shingle")),
+        )
+        .join(sizes, id_col)
+    )
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
+    ).select(id_col, "shingle", "n_shingles")
+
+    a = prefix.select(
+        F.col(id_col).alias("a_id"), "shingle", F.col("n_shingles").alias("n_a")
+    )
+    b = shingled.join(sizes, id_col).select(
+        F.col(id_col).alias("b_id"), "shingle", F.col("n_shingles").alias("n_b")
+    )
+    candidates = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .filter(F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    doc_sets = shingled.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
+    return (
+        candidates.join(
+            doc_sets.select(F.col(id_col).alias("a_id"), F.col("sh_set").alias("sh_a")),
+            "a_id",
+        )
+        .join(
+            doc_sets.select(F.col(id_col).alias("b_id"), F.col("sh_set").alias("sh_b")),
+            "b_id",
+        )
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("containment", F.col("common") / F.size("sh_a"))
+        .filter(F.col("containment") >= threshold)
+        .select("a_id", "b_id", "common", "containment")
+    )

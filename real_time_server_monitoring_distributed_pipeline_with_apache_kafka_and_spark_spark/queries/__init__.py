@@ -54,6 +54,8 @@ _PRIORITY: tuple[str, ...] = (
     "monitor_sessionize",
     "text_bigram_logprob",
     "sim_knn_join",
+    "dedup_containment",
+    "rel_cascade_delete",
     # -- warehouse-ingest pack, never driver-proven --
     "rel_cdc_merge",
     "rel_scd2_intervals",

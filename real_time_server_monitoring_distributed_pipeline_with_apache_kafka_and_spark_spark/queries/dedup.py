@@ -84,6 +84,7 @@ _SH_CHUNKS = "\n  UNION ALL ".join(
 )
 
 JACCARD_THRESHOLD = 0.8
+CONTAINMENT_THRESHOLD = 0.9
 COSINE_THRESHOLD = 0.4
 # Bucketed variant runs at a higher threshold: the testdata pair-cosine
 # distribution is continuous through 0.4 (no similarity gap), and sign-bit
@@ -118,6 +119,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     shingled = ops.word_shingles(docs)
     return ops.jaccard_pairs(shingled, threshold=JACCARD_THRESHOLD)
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-containment pairs (|A∩B|/|A| >= 0.9): snippets
+    swallowed by longer documents — low-Jaccard duplication that
+    dedup_ngram_jaccard structurally cannot see (see
+    operators.dedup.containment_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = ops.word_shingles(docs)
+    return ops.containment_pairs(shingled, threshold=CONTAINMENT_THRESHOLD)
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,6 +241,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "pipeline_corpus_curation": pipeline_corpus_curation,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment": dedup_containment,
     "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -308,6 +320,20 @@ SELECT d.doc_id,
        CAST(COALESCE(least(m.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
 FROM documents d
 LEFT JOIN (SELECT u, min(v) AS mn FROM reach GROUP BY u) m ON d.doc_id = m.u
+""",
+    "dedup_containment": f"""
+WITH {_SHINGLE_CTE},
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id, CAST(common AS INTEGER) AS common,
+       CAST(common AS DOUBLE) / sa.n_shingles AS containment
+FROM pairs
+JOIN sizes sa ON a_id = sa.doc_id
+WHERE CAST(common AS DOUBLE) / sa.n_shingles >= {CONTAINMENT_THRESHOLD}
 """,
     "dedup_ngram_jaccard": f"""
 WITH {_SHINGLE_CTE},

@@ -83,6 +83,69 @@ def rel_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.constraint_report(checks)
 
 
+def rel_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR-style) cascade audit: given a deletion set
+    of customers (here: the BUILDING market segment), count what a
+    cascading purge removes from each dependent table — the dry-run
+    report a warehouse emits before destructive compliance jobs.
+
+    Plan: each cascade level is a LEFT SEMI join against the previous
+    level's keys (semi joins never materialize the pair blowup;
+    customer keys broadcast, the orders->lineitem level shuffles on the
+    orderkey) plus one count per table. Nothing is rewritten here —
+    pair with CDC tombstones (rel_cdc_merge) for the actual delete at
+    scale.
+    """
+    from pyspark.sql import functions as F
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    del_cust = customer.filter(F.col("c_mktsegment") == "BUILDING")
+    del_orders = orders.join(
+        F.broadcast(del_cust.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_semi",
+    )
+    del_li = li.join(
+        del_orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+
+    def level(name: str, full: DataFrame, purged: DataFrame) -> DataFrame:
+        return purged.agg(F.count(F.lit(1)).alias("n_purged")).crossJoin(
+            full.agg(F.count(F.lit(1)).alias("n_rows"))
+        ).select(
+            F.lit(name).alias("table_name"),
+            "n_rows",
+            "n_purged",
+            (F.col("n_rows") - F.col("n_purged")).alias("n_remaining"),
+        )
+
+    return (
+        level("customer", customer, del_cust)
+        .unionByName(level("orders", orders, del_orders))
+        .unionByName(level("lineitem", li, del_li))
+    )
+
+
+_CASCADE_SQL = """
+WITH dc AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+do_ AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM dc)),
+dl AS (SELECT 1 AS x FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM do_))
+SELECT 'customer' AS table_name, (SELECT count(*) FROM customer) AS n_rows,
+       (SELECT count(*) FROM dc) AS n_purged,
+       (SELECT count(*) FROM customer) - (SELECT count(*) FROM dc) AS n_remaining
+UNION ALL
+SELECT 'orders', (SELECT count(*) FROM orders), (SELECT count(*) FROM do_),
+       (SELECT count(*) FROM orders) - (SELECT count(*) FROM do_)
+UNION ALL
+SELECT 'lineitem', (SELECT count(*) FROM lineitem), (SELECT count(*) FROM dl),
+       (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM dl)
+"""
+
+
 _VALIDATE_SQL = """
 SELECT 'orders.o_orderkey unique' AS constraint_name,
        CAST(count(*) AS BIGINT) AS n_violations, count(*) = 0 AS passed
@@ -186,11 +249,13 @@ QUERIES = {
     "rel_profile_columns": rel_profile_columns,
     "rel_key_skew_stats": rel_key_skew_stats,
     "rel_validate_constraints": rel_validate_constraints,
+    "rel_cascade_delete": rel_cascade_delete,
 }
 
 ORACLES = {
     "rel_profile_columns": _PROFILE_SQL,
     "rel_validate_constraints": _VALIDATE_SQL,
+    "rel_cascade_delete": _CASCADE_SQL,
     "rel_key_skew_stats": _SKEW_SQL.format(
         p50=_skew_pct_sql(0.5), p90=_skew_pct_sql(0.9), p99=_skew_pct_sql(0.99)
     ),

@@ -280,3 +280,40 @@ def test_knn_join_recall_and_shape(spark):
         hits += len(true_top & approx)
         total += 5
     assert hits / total > 0.5, f"recall {hits/total:.2f}"
+
+
+def test_containment_catches_snippet_jaccard_misses(spark):
+    """A short snippet quoted inside a long page: containment ~1 but
+    Jaccard tiny — containment_pairs must find the directed pair, and
+    must match the naive all-pairs formulation exactly."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        word_shingles,
+    )
+
+    snippet = "alpha beta gamma delta epsilon zeta"
+    page = snippet + " " + " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, snippet), (2, page), (3, "totally unrelated words here now")],
+        "doc_id long, text string",
+    )
+    sh = word_shingles(docs)
+    cont = [(r.a_id, r.b_id) for r in containment_pairs(sh, threshold=0.9).collect()]
+    assert cont == [(1, 2)]  # directed: snippet inside page, never reverse
+    assert jaccard_pairs(sh, threshold=0.8).count() == 0
+    # Lossless vs naive all-pairs verify.
+    naive = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .count()
+    )
+    sizes = sh.groupBy("doc_id").count().withColumnRenamed("count", "n")
+    naive_pairs = [
+        (r.a_id, r.b_id)
+        for r in naive.join(sizes.withColumnRenamed("doc_id", "a_id"), "a_id")
+        .filter(F.col("count") / F.col("n") >= 0.9)
+        .collect()
+    ]
+    assert sorted(naive_pairs) == cont

@@ -1702,3 +1702,70 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     must_emit = {w for w in want if w[2] < watermark - datetime.timedelta(seconds=1)}
     assert must_emit and must_emit <= set(got)
     assert len(want) > 20
+
+
+def test_interval_join_stream_checkpoint_restart(spark, tmp_path):
+    """T4 for the stream-stream interval join: stopping mid-stream and
+    restarting from the checkpoint (with the join STATE STORE holding
+    buffered unmatched rows) neither loses nor duplicates pairs — the
+    restarted query still converges to the batch pair set."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.joins import (
+        interval_event_join,
+    )
+
+    clicks = spark.range(40).select(
+        (F.col("id") % 3).alias("user_id"),
+        F.col("id").alias("click_id"),
+        F.timestamp_seconds(F.lit(1704067200) + (F.col("id") * 131) % 5000).alias("click_ts"),
+    )
+    errors = spark.range(60).select(
+        (F.col("id") % 3).alias("user_id"),
+        F.col("id").alias("error_id"),
+        F.timestamp_seconds(F.lit(1704067200) + (F.col("id") * 97) % 5000).alias("error_ts"),
+    )
+    c_src, e_src = str(tmp_path / "c"), str(tmp_path / "e")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    # Phase 1 files: half of each side (cross-phase pairs exist, so join
+    # state MUST survive the restart for exactly-once to hold).
+    clicks.filter(F.col("click_id") % 2 == 0).coalesce(1).write.mode("append").parquet(c_src)
+    errors.filter(F.col("error_id") % 2 == 0).coalesce(1).write.mode("append").parquet(e_src)
+
+    def start():
+        c_s = spark.readStream.schema(clicks.schema).parquet(c_src)
+        e_s = spark.readStream.schema(errors.schema).parquet(e_src)
+        joined = jobs.interval_join_stream(
+            c_s, e_s, ["user_id"], "click_ts", "error_ts",
+            window_seconds=600, watermark="3 hours",
+        )
+        return (
+            joined.selectExpr("click_id", "error_id")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # Phase 2 arrives while the query is DOWN; restart from checkpoint.
+    clicks.filter(F.col("click_id") % 2 == 1).coalesce(1).write.mode("append").parquet(c_src)
+    errors.filter(F.col("error_id") % 2 == 1).coalesce(1).write.mode("append").parquet(e_src)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.click_id, r.error_id) for r in spark.read.parquet(sink).collect()
+    )
+    want = sorted(
+        (r.click_id, r.error_id)
+        for r in interval_event_join(
+            clicks, errors, ["user_id"], "click_ts", "error_ts", 600
+        ).collect()
+    )
+    assert got == want and len(want) > 50
