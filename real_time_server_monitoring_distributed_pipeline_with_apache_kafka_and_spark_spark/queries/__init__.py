@@ -56,6 +56,8 @@ _PRIORITY: tuple[str, ...] = (
     "sim_knn_join",
     "dedup_containment",
     "rel_cascade_delete",
+    "monitor_resample_locf",
+    "rel_cohort_retention",
     # -- warehouse-ingest pack, never driver-proven --
     "rel_cdc_merge",
     "rel_scd2_intervals",

@@ -280,6 +280,50 @@ def monitor_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def monitor_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to a regular grid with last-observation-
+    carried-forward gap fill — the operator that turns irregular event
+    streams into the fixed-step matrix every downstream model/dashboard
+    wants, and which Spark has no primitive for.
+
+    Same union+window merge as operators.joins.asof_join (its docstring
+    has the cost argument): grid points (one 6-hour lattice per user,
+    fixed January window) union with observations, ONE shuffle on
+    user_id, per-user ordered ``last(ignorenulls)`` carry-forward, keep
+    grid rows. Never the naive grid x observations range join. Grid
+    points before a user's first observation stay NULL (nothing to
+    carry). The carried value is copied, not computed — no float
+    arithmetic, hash-safe.
+
+    The grid literal is cast to the events ``ts`` column's own type:
+    the testdata surfaces as TIMESTAMP or TIMESTAMP_NTZ depending on
+    session confs, and a union must not coerce across that split.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_type = dict(ev.dtypes)["ts"]
+    grid_start = F.lit("2024-01-01 00:00:00").cast(ts_type)
+    grid_end = F.lit("2024-01-31 00:00:00").cast(ts_type)
+    step = F.expr("INTERVAL 6 HOUR")
+    users = ev.select("user_id").distinct()
+    grid = users.select(
+        "user_id", F.explode(F.sequence(grid_start, grid_end, step)).alias("ts")
+    ).select("user_id", "ts", F.lit(None).cast("double").alias("value"), F.lit(1).alias("is_grid"))
+    obs = ev.select("user_id", "ts", "value", F.lit(0).alias("is_grid"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = grid.unionByName(obs).withColumn(
+        "value_locf", F.last("value", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("is_grid") == 1).select(
+        "user_id", F.col("ts").alias("grid_ts"), "value_locf"
+    )
+
+
 def monitor_case_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5/P6/P7: threshold predicates + 3-branch CASE on raw events."""
     ev = load_table(spark, sf_dir, "events")
@@ -539,6 +583,7 @@ def monitor_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "monitor_error_after_click": monitor_error_after_click,
     "monitor_sessionize": monitor_sessionize,
+    "monitor_resample_locf": monitor_resample_locf,
     "monitor_drift_psi": monitor_drift_psi,
     "monitor_cpu_mem_alerts": monitor_cpu_mem_alerts,
     "monitor_cpu_mem_alerts_bucketed": monitor_cpu_mem_alerts_bucketed,
@@ -556,6 +601,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "monitor_resample_locf": """
+WITH grid AS (
+  SELECT u.user_id, g.ts, CAST(NULL AS DOUBLE) AS value, 1 AS is_grid
+  FROM (SELECT DISTINCT user_id FROM events) u,
+       LATERAL unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                      TIMESTAMP '2024-01-31 00:00:00',
+                                      INTERVAL 6 HOUR)) g(ts)
+),
+obs AS (SELECT user_id, ts, value, 0 AS is_grid FROM events),
+merged AS (
+  SELECT user_id, ts, is_grid,
+         last_value(value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_grid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+  FROM (SELECT * FROM grid UNION ALL SELECT * FROM obs)
+)
+SELECT user_id, ts AS grid_ts, value_locf FROM merged WHERE is_grid = 1
+""",
     "monitor_sessionize": """
 WITH flagged AS (
   SELECT user_id, ts, event_id,

@@ -682,7 +682,43 @@ def rel_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CORRECTNESS_r01.json) sits at the tail so it is what falls outside the cap
 # now that text_*/mm_* run earlier. Local pytest oracle-parity still covers
 # every query each round regardless of driver order.
+def rel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers grouped by first-order month,
+    counted in each subsequent month they ordered again — the standard
+    retention triangle every warehouse produces.
+
+    Month arithmetic is integer (year*12 + month), NOT months_between:
+    Spark's and other engines' fractional month semantics differ at
+    month-end corners, while the integer lattice is engine-exact. Two
+    hash aggregations (first order per customer; distinct customers per
+    (cohort, offset) cell) and one broadcast-eligible join of the
+    per-customer cohort table back onto orders.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ym = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    firsts = (
+        orders.select("o_custkey", ym.alias("ym"))
+        .groupBy("o_custkey")
+        .agg(F.min("ym").alias("cohort_ym"))
+    )
+    cells = (
+        orders.select("o_custkey", ym.alias("ym"))
+        .join(firsts, "o_custkey")
+        .groupBy("cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("months_since"))
+        .agg(F.count_distinct("o_custkey").alias("n_customers"))
+    )
+    cohort_str = F.concat_ws(
+        "-",
+        F.floor((F.col("cohort_ym") - 1) / 12).cast("int"),
+        F.lpad((F.pmod(F.col("cohort_ym") - 1, F.lit(12)) + 1).cast("string"), 2, "0"),
+    )
+    return cells.select(
+        cohort_str.alias("cohort_month"), "months_since", "n_customers"
+    )
+
+
 QUERIES = {
+    "rel_cohort_retention": rel_cohort_retention,
     "rel_cdc_merge": rel_cdc_merge,
     "rel_scd2_intervals": rel_scd2_intervals,
     "rel_fuzzy_join": rel_fuzzy_join,
@@ -725,6 +761,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_cohort_retention": """
+WITH o AS (
+  SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) AS ym FROM orders
+),
+firsts AS (SELECT o_custkey, min(ym) AS cohort_ym FROM o GROUP BY o_custkey),
+cells AS (
+  SELECT cohort_ym, ym - cohort_ym AS months_since,
+         count(DISTINCT o.o_custkey) AS n_customers
+  FROM o JOIN firsts USING (o_custkey)
+  GROUP BY cohort_ym, ym - cohort_ym
+)
+SELECT CAST((cohort_ym - 1) // 12 AS INTEGER) || '-' ||
+       lpad(CAST(((cohort_ym - 1) % 12) + 1 AS VARCHAR), 2, '0') AS cohort_month,
+       CAST(months_since AS INTEGER) AS months_since,
+       CAST(n_customers AS BIGINT) AS n_customers
+FROM cells
+""",
     "rel_cdc_merge": """
 WITH ranked AS (
   SELECT user_id, ts, event_id, event_type, value,

@@ -1769,3 +1769,41 @@ def test_interval_join_stream_checkpoint_restart(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(want) > 50
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: each micro-batch enriches against a STATIC
+    dimension (broadcast per batch, no stream-side state, no watermark
+    needed) — the standard lookup-enrichment shape. Output must equal the
+    batch join."""
+    wide = metrics_wide_df(spark)
+    cpu, *_ = narrow_splits(wide)
+    dim = spark.createDataFrame(
+        [("server_1", "eu"), ("server_2", "us"), ("server_3", "ap")],
+        ["server_id", "region"],
+    )
+    src = str(tmp_path / "cpu_static")
+    _write_csv(cpu, src)
+    stream = spark.readStream.schema(schemas.METRICS_CPU).csv(src)
+    enriched = stream.join(F.broadcast(dim), "server_id", "left")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT region, count(*) AS n FROM enrich_out GROUP BY region"
+        ).collect()
+    finally:
+        q.stop()
+    want = {
+        (r.region, r.n)
+        for r in cpu.join(F.broadcast(dim), "server_id", "left")
+        .groupBy("region")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {(r.region, r.n) for r in got} == want and len(want) >= 3
