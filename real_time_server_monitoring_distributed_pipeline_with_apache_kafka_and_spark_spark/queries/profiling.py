@@ -89,10 +89,13 @@ def rel_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     cascading purge removes from each dependent table — the dry-run
     report a warehouse emits before destructive compliance jobs.
 
-    Plan: each cascade level is a LEFT SEMI join against the previous
-    level's keys (semi joins never materialize the pair blowup;
-    customer keys broadcast, the orders->lineitem level shuffles on the
-    orderkey) plus one count per table. Nothing is rewritten here —
+    Plan: each cascade level LEFT-joins the previous level's (unique)
+    key set and counts matches as a conditional aggregate — one pass and
+    ONE 4-column row per table, no scalar cross-joins (1-row crossJoins
+    plan as BroadcastNestedLoopJoin and trip the blanket nested-loop
+    guard for nothing). Deletion keys are primary keys, so the left
+    joins cannot multiply rows; customer keys broadcast, the
+    orders->lineitem level is AQE's choice. Nothing is rewritten here —
     pair with CDC tombstones (rel_cdc_merge) for the actual delete at
     scale.
     """
@@ -101,32 +104,33 @@ def rel_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    del_cust = customer.filter(F.col("c_mktsegment") == "BUILDING")
-    del_orders = orders.join(
-        F.broadcast(del_cust.select("c_custkey")),
-        orders.o_custkey == F.col("c_custkey"),
-        "left_semi",
-    )
-    del_li = li.join(
-        del_orders.select("o_orderkey"),
-        li.l_orderkey == F.col("o_orderkey"),
-        "left_semi",
-    )
 
-    def level(name: str, full: DataFrame, purged: DataFrame) -> DataFrame:
-        return purged.agg(F.count(F.lit(1)).alias("n_purged")).crossJoin(
-            full.agg(F.count(F.lit(1)).alias("n_rows"))
-        ).select(
+    def level(name: str, flagged: DataFrame, flag) -> DataFrame:
+        return flagged.agg(
             F.lit(name).alias("table_name"),
-            "n_rows",
-            "n_purged",
-            (F.col("n_rows") - F.col("n_purged")).alias("n_remaining"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(flag).alias("n_purged"),
+            (F.count(F.lit(1)) - F.count(flag)).alias("n_remaining"),
         )
 
+    del_cust_keys = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("_dk")
+    )
+    orders_flagged = orders.join(
+        F.broadcast(del_cust_keys), orders.o_custkey == F.col("_dk"), "left"
+    )
+    del_order_keys = orders_flagged.filter(F.col("_dk").isNotNull()).select(
+        F.col("o_orderkey").alias("_ok")
+    )
+    li_flagged = li.join(del_order_keys, li.l_orderkey == F.col("_ok"), "left")
     return (
-        level("customer", customer, del_cust)
-        .unionByName(level("orders", orders, del_orders))
-        .unionByName(level("lineitem", li, del_li))
+        level(
+            "customer",
+            customer,
+            F.when(F.col("c_mktsegment") == "BUILDING", F.lit(1)),
+        )
+        .unionByName(level("orders", orders_flagged, F.col("_dk")))
+        .unionByName(level("lineitem", li_flagged, F.col("_ok")))
     )
 
 
