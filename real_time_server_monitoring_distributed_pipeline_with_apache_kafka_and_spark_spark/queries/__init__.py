@@ -58,6 +58,7 @@ _PRIORITY: tuple[str, ...] = (
     "rel_cascade_delete",
     "monitor_resample_locf",
     "rel_cohort_retention",
+    "monitor_anomaly_zscore",
     # -- warehouse-ingest pack, never driver-proven --
     "rel_cdc_merge",
     "rel_scd2_intervals",

@@ -280,6 +280,50 @@ def monitor_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def monitor_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event's value scored
+    against the trailing 12 events of the SAME user (frame excludes the
+    current row — you detect against history, not against yourself).
+    The per-entity "is this metric suddenly weird" alarm, one window pass.
+
+    Exactness policy: frame sums run in DECIMAL (sum and sum-of-squares
+    are integer-lattice exact, so Spark's incremental add/remove frame
+    evaluation and any other engine's recompute agree bit-for-bit), and
+    mean/variance/z derive from those sums with an op sequence the
+    oracle mirrors. Frames with fewer than 2 history rows or zero
+    variance yield NULL z (NULLIF guards — no ANSI divide-by-zero
+    poison). z is floor-rounded to 9 decimals and the anomaly flag
+    compares the ROUNDED value, so flag and score are engine-identical.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.numeric import display_round
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-12, -1)
+    )
+    vdec = F.col("value").cast("decimal(12,2)")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(vdec).over(w).cast("double")
+    sq = F.sum(vdec * vdec).over(w).cast("double")
+    mean = s / n
+    var = (sq - s * s / n) / F.nullif(n - 1, F.lit(0))
+    z = (F.col("value") - mean) / F.nullif(F.sqrt(var), F.lit(0.0))
+    zr = display_round(z, 9)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        n.alias("n_history"),
+        zr.alias("zscore"),
+        (F.abs(zr) > 3.0).alias("is_anomaly"),
+    )
+
+
 def monitor_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resampling to a regular grid with last-observation-
     carried-forward gap fill — the operator that turns irregular event
@@ -584,6 +628,7 @@ QUERIES = {
     "monitor_error_after_click": monitor_error_after_click,
     "monitor_sessionize": monitor_sessionize,
     "monitor_resample_locf": monitor_resample_locf,
+    "monitor_anomaly_zscore": monitor_anomaly_zscore,
     "monitor_drift_psi": monitor_drift_psi,
     "monitor_cpu_mem_alerts": monitor_cpu_mem_alerts,
     "monitor_cpu_mem_alerts_bucketed": monitor_cpu_mem_alerts_bucketed,
@@ -601,6 +646,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "monitor_anomaly_zscore": """
+WITH f AS (
+  SELECT event_id, user_id, ts, value,
+         count(*) OVER w AS n,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS s,
+         CAST(sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sq
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT event_id, user_id, ts, value, n,
+         (value - s / n) / NULLIF(sqrt((sq - s * s / n) / NULLIF(n - 1, 0)), 0.0) AS zraw
+  FROM f
+)
+SELECT event_id, user_id, ts, value, CAST(n AS BIGINT) AS n_history,
+       floor(zraw * 1e9 + 0.5) / 1e9 AS zscore,
+       abs(floor(zraw * 1e9 + 0.5) / 1e9) > 3.0 AS is_anomaly
+FROM z
+""",
     "monitor_resample_locf": """
 WITH grid AS (
   SELECT u.user_id, g.ts, CAST(NULL AS DOUBLE) AS value, 1 AS is_grid
