@@ -232,3 +232,108 @@ def test_duplicated_span_stats_matches_python_reference(spark, texts):
         frac = round(n_dup / len(ss), 12) if ss else 0.0
         expected[i] = (len(ss), n_dup, frac)
     assert got == expected, (got, expected)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 5000)), min_size=1, max_size=40),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 5000)), min_size=1, max_size=40),
+)
+def test_interval_join_bucketing_matches_naive_theta(spark, lefts, rights):
+    """interval_event_join's bucket optimization must be LOSSLESS for any
+    key/timestamp layout: identical pair set to the naive key-join +
+    range-filter, including window-boundary and bucket-boundary
+    timestamps."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.joins import (
+        interval_event_join,
+    )
+
+    left = spark.createDataFrame(
+        [(k, i, datetime.fromtimestamp(1704067200 + s, tz=timezone.utc).replace(tzinfo=None))
+         for i, (k, s) in enumerate(lefts)],
+        "k long, lid long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, i, datetime.fromtimestamp(1704067200 + s, tz=timezone.utc).replace(tzinfo=None))
+         for i, (k, s) in enumerate(rights)],
+        "k long, rid long, rts timestamp",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_event_join(left, right, ["k"], "lts", "rts", 600).collect()
+    )
+    naive = sorted(
+        (r.lid, r.rid)
+        for r in left.join(right, "k")
+        .filter(
+            (F.col("rts") > F.col("lts"))
+            & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 600 SECOND"))
+        )
+        .collect()
+    )
+    assert got == naive
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_containment_prefix_filter_is_lossless(spark, token_lists):
+    """containment_pairs' asymmetric prefix filter must be LOSSLESS: same
+    directed pair set as the naive all-pairs set intersection for any
+    corpus."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.dedup import (
+        containment_pairs,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        "doc_id long, text string",
+    )
+    sh = word_shingles(docs)
+    got = sorted(
+        (r.a_id, r.b_id) for r in containment_pairs(sh, threshold=0.6).collect()
+    )
+    # Driver-side naive model over the same shingle sets.
+    sets: dict[int, set] = {}
+    for r in sh.collect():
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
+    want = sorted(
+        (a, b)
+        for a in sets
+        for b in sets
+        if a != b and len(sets[a] & sets[b]) / len(sets[a]) >= 0.6
+    )
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(1, 60), min_size=1, max_size=80))
+def test_key_skew_histogram_percentiles_property(spark, keys):
+    """Histogram-derived percentiles == Spark's sort-based F.percentile
+    for ANY key multiset (interpolation corners included)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.profiling import (
+        key_skew_stats,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = key_skew_stats(df, "k").collect()[0]
+    want = (
+        df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.percentile("c", 0.5).alias("p50"),
+            F.percentile("c", 0.9).alias("p90"),
+            F.percentile("c", 0.99).alias("p99"),
+        )
+        .collect()[0]
+    )
+    assert got.p50_rows_per_key == want.p50
+    assert got.p90_rows_per_key == want.p90
+    assert got.p99_rows_per_key == want.p99
+    assert got.n_rows == len(keys)
