@@ -379,6 +379,20 @@ def _minhash_band_candidates(
     hashing entirely. Integer keys also hash/compare faster than 16-char
     hex strings did.
     """
+    band_rows, key = _band_rows(sig, id_col, num_perm, bands)
+    a = band_rows.select(F.col(id_col).alias("a_id"), *key)
+    b = band_rows.select(F.col(id_col).alias("b_id"), *key)
+    return (
+        a.join(b, key)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def _band_rows(sig: DataFrame, id_col: str, num_perm: int, bands: int):
+    """Explode a signature table into (id, band_idx, k0..k{r-1}) rows;
+    returns (band_rows, join_key_columns)."""
     rows_per_band = num_perm // bands
     band_rows = sig.select(
         F.col(id_col),
@@ -397,14 +411,62 @@ def _minhash_band_candidates(
             )
         ).alias("band"),
     ).select(id_col, "band.*")
-    key = ["band_idx"] + [f"k{r}" for r in range(rows_per_band)]
-    a = band_rows.select(F.col(id_col).alias("a_id"), *key)
-    b = band_rows.select(F.col(id_col).alias("b_id"), *key)
-    return (
-        a.join(b, key)
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+    return band_rows, ["band_idx"] + [f"k{r}" for r in range(rows_per_band)]
+
+
+def minhash_lsh_pairs_cross(
+    shingled_new: DataFrame,
+    shingled_ref: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 48,
+    bands: int = 12,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """CROSS-corpus MinHash near-dup: new documents vs an existing
+    reference corpus — "dedup this crawl against the training set we
+    already have", the decontamination-shaped workflow where dropping
+    happens only on the NEW side.
+
+    Same banding as :func:`minhash_lsh_pairs`, but the band equi-join is
+    new x ref ONLY (no a<b self-join, no within-side candidates — with a
+    small incremental crawl against a huge reference corpus the
+    within-side pairs would dominate a union self-join for nothing).
+    Shingle ids must be disjoint across the two inputs. Output:
+    (new_id, ref_id, jaccard), exact-verified >= threshold.
+
+    Caching contract: both shingle tables stay persist()-ed (each feeds
+    signature + verification branches); clearCache()/unpersist() after.
+    """
+    shingled_new = shingled_new.persist()
+    shingled_ref = shingled_ref.persist()
+    sig_n = minhash_signatures(shingled_new, id_col, num_perm, seed)
+    sig_r = minhash_signatures(shingled_ref, id_col, num_perm, seed)
+    bn, key = _band_rows(sig_n, id_col, num_perm, bands)
+    br, _ = _band_rows(sig_r, id_col, num_perm, bands)
+    candidates = (
+        bn.select(F.col(id_col).alias("new_id"), *key)
+        .join(br.select(F.col(id_col).alias("ref_id"), *key), key)
+        .select("new_id", "ref_id")
         .distinct()
+    )
+
+    def sets(df: DataFrame, out_id: str) -> DataFrame:
+        return df.groupBy(id_col).agg(
+            F.collect_set("shingle").alias(f"sh_{out_id}"),
+            F.count(F.lit(1)).alias(f"n_{out_id}"),
+        ).withColumnRenamed(id_col, out_id)
+
+    return (
+        candidates.join(sets(shingled_new, "new_id"), "new_id")
+        .join(sets(shingled_ref, "ref_id"), "ref_id")
+        .withColumn("common", F.size(F.array_intersect("sh_new_id", "sh_ref_id")))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_new_id") + F.col("n_ref_id") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "ref_id", "jaccard")
     )
 
 

@@ -59,6 +59,7 @@ _PRIORITY: tuple[str, ...] = (
     "monitor_resample_locf",
     "rel_cohort_retention",
     "monitor_anomaly_zscore",
+    "dedup_cross_corpus",
     # -- warehouse-ingest pack, never driver-proven --
     "rel_cdc_merge",
     "rel_scd2_intervals",

@@ -131,6 +131,20 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.containment_pairs(shingled, threshold=CONTAINMENT_THRESHOLD)
 
 
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup: the "new crawl" (sources src10..src19)
+    deduped against the existing reference corpus (src0..src9) — band
+    join is new x ref ONLY (see operators.dedup.minhash_lsh_pairs_cross;
+    within-side pairs are deliberately not generated)."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    new_sh = ops.word_shingles(docs.filter(src_num >= 10))
+    ref_sh = ops.word_shingles(docs.filter(src_num < 10))
+    return ops.minhash_lsh_pairs_cross(
+        new_sh, ref_sh, num_perm=48, bands=12, threshold=JACCARD_THRESHOLD
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: the 3-gram Jaccard pair graph closed under
     transitivity (connected components, min-id representative). Every
@@ -242,6 +256,7 @@ QUERIES = {
     "pipeline_corpus_curation": pipeline_corpus_curation,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,
+    "dedup_cross_corpus": dedup_cross_corpus,
     "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -348,6 +363,51 @@ FROM pairs
 JOIN sizes sa ON a_id = sa.doc_id
 JOIN sizes sb ON b_id = sb.doc_id
 WHERE common * 1.0 / (sa.n_shingles + sb.n_shingles - common) >= {JACCARD_THRESHOLD}
+""",
+    "dedup_cross_corpus": f"""
+WITH docs AS (
+  SELECT doc_id, CAST(substr(source, 4) AS INTEGER) >= 10 AS is_new,
+         string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, is_new, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM docs, UNNEST(range(1, len(w) - 1)) t(i)
+  WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, is_new, count(*) AS n_shingles FROM shingles GROUP BY doc_id, is_new),
+based AS (
+  SELECT doc_id, is_new,
+         CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) % {_MERSENNE} AS h
+  FROM shingles
+),
+sig AS (
+  SELECT doc_id, is_new,
+    {_MH_SIG_EXPRS}
+  FROM based GROUP BY doc_id, is_new
+),
+bands AS (
+  {_MH_BAND_SELECTS.replace("SELECT doc_id,", "SELECT doc_id, is_new,")}
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND {_MH_BAND_JOIN}
+  WHERE a.is_new AND NOT b.is_new
+),
+pairs AS (
+  SELECT c.new_id, c.ref_id, count(*) AS common
+  FROM candidates c
+  JOIN shingles sa ON sa.doc_id = c.new_id
+  JOIN shingles sb ON sb.doc_id = c.ref_id AND sb.shingle = sa.shingle
+  GROUP BY c.new_id, c.ref_id
+)
+SELECT new_id, ref_id,
+       common * 1.0 / (zn.n_shingles + zr.n_shingles - common) AS jaccard
+FROM pairs
+JOIN sizes zn ON zn.doc_id = new_id
+JOIN sizes zr ON zr.doc_id = ref_id
+WHERE common * 1.0 / (zn.n_shingles + zr.n_shingles - common) >= {JACCARD_THRESHOLD}
 """,
     "dedup_minhash_lsh": f"""
 WITH {_SHINGLE_CTE},
