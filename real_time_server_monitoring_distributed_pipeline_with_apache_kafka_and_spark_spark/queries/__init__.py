@@ -60,6 +60,7 @@ _PRIORITY: tuple[str, ...] = (
     "rel_cohort_retention",
     "monitor_anomaly_zscore",
     "dedup_cross_corpus",
+    "rel_pit_features",
     # -- warehouse-ingest pack, never driver-proven --
     "rel_cdc_merge",
     "rel_scd2_intervals",

@@ -682,6 +682,56 @@ def rel_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CORRECTNESS_r01.json) sits at the tail so it is what falls outside the cap
 # now that text_*/mm_* run earlier. Local pytest oracle-parity still covers
 # every query each round regardless of driver order.
+def rel_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct FEATURE JOIN (the feature-store primitive):
+    a spine of label events (purchases) enriched with the latest value of
+    each feature source AS OF the spine timestamp — here two sources
+    (last click, last view per user), i.e. two chained as-of joins. PIT
+    correctness is what prevents train-time leakage: a feature row from
+    AFTER the label timestamp must never attach.
+
+    Each as-of join is the union+window merge (one shuffle per source,
+    never a quadratic range join — operators.joins.asof_join); chaining
+    keeps the spine partitioned by user across both merges. Feature
+    sources are pre-aggregated to one row per (user, ts) so matches are
+    deterministic across engines.
+    """
+    from ..operators.joins import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    spine = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("label_value")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    with_clicks = asof_join(spine, clicks, key_cols=["user_id"], ts_col="ts").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "label_value",
+        F.col("click_value_right").alias("f_click_value"),
+        F.col("ts_right").alias("f_click_ts"),
+    )
+    return asof_join(with_clicks, views, key_cols=["user_id"], ts_col="ts").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "label_value",
+        "f_click_value",
+        "f_click_ts",
+        F.col("view_value_right").alias("f_view_value"),
+        F.col("ts_right").alias("f_view_ts"),
+    )
+
+
 def rel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: customers grouped by first-order month,
     counted in each subsequent month they ordered again — the standard
@@ -718,6 +768,7 @@ def rel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "rel_pit_features": rel_pit_features,
     "rel_cohort_retention": rel_cohort_retention,
     "rel_cdc_merge": rel_cdc_merge,
     "rel_scd2_intervals": rel_scd2_intervals,
@@ -761,6 +812,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_pit_features": """
+WITH spine AS (
+  SELECT event_id, user_id, ts, value AS label_value
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+views AS (
+  SELECT user_id, ts, max(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT s.event_id, s.user_id, s.ts, s.label_value,
+       c.click_value AS f_click_value, c.ts AS f_click_ts,
+       v.view_value AS f_view_value, v.ts AS f_view_ts
+FROM spine s
+ASOF LEFT JOIN clicks c ON s.user_id = c.user_id AND s.ts >= c.ts
+ASOF LEFT JOIN views v ON s.user_id = v.user_id AND s.ts >= v.ts
+""",
     "rel_cohort_retention": """
 WITH o AS (
   SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) AS ym FROM orders
