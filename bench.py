@@ -52,8 +52,9 @@ HEADLINE = LEGACY9 + [
     "rel_fuzzy_join",             # deletion-variant explode + self equi-join
     "rel_scd2_intervals",         # key-clustered window stack (lag/sum/lead)
     # added with the audit pack
-    "rel_profile_columns",        # unpivot cells + narrow distinct agg
+    "rel_profile_columns",        # split wide aggregates + multi-distinct
     "monitor_error_after_click",  # bucketed event-interval join
+    "sim_knn_join",               # LSH bucket join + per-query ranking window
 ]
 
 
