@@ -38,10 +38,15 @@ from . import dedup, extras, monitoring, multimodal, profiling, relational, simi
 #       clusters) and the 4 queries whose code changed since r04. Then
 #       the 5 queries whose code changed since r04 (incl. dedup_simhash,
 #       refactored through hamming64_pairs), then the 28 rows whose
-#       newest green is r03 (2 rounds stale) — the last few of which
-#       fall just past the cap this round, outranked by changed-code
-#       re-proofs. Past the cap: rows-only sketches and the r04-green
-#       keep-green representatives / unchanged tail.
+#       newest green is r03 (2 rounds stale). With ~33 never-proven/
+#       changed entries ahead of them, only the first ~17 r03 rows make
+#       the 50-row window; the tail (~11 rows, text_hash_split onward)
+#       ages to 3 rounds and MUST rotate to the r06 window head right
+#       after the new r05 queries are proven. Past the cap: rows-only
+#       sketches and the r04-green keep-green representatives /
+#       unchanged tail. Every query is still locally oracle-checked
+#       every round by tests/test_oracle_parity.py regardless of driver
+#       window position.
 _PRIORITY: tuple[str, ...] = (
     # -- newest (audit/profiling + interval join), never driver-proven --
     "rel_profile_columns",
