@@ -700,18 +700,34 @@ def knn_join(
     query side is the corpus itself — the LSH bucket join is the only
     formulation that scales).
 
-    Same machinery as :func:`cosine_pairs_lsh`, directed: bucket tagging
-    (seeded hyperplane sign bits), self equi-join on (table_idx, bucket)
-    with ``a != b`` (both directions kept — ranks are per-query, not
-    symmetric), exact fold-cosine scoring, per-query ranking window
-    (partitioned by the query id: sorts only within one vector's
-    candidate list). Output is rank-only ``(id, neighbor_id, rnk)`` per
-    the module's float-hash contract; ties break on neighbor id, and
-    exact-fold cosines are bit-identical across engines so the ranking
-    is engine-stable. Recall vs brute force is the LSH trade (more
-    tables => higher recall); the SQL oracle replays the same buckets,
-    so correctness-checking is exact even though the neighbor set is
-    approximate.
+    Plan shape — per-BUCKET matmul top-k, then a global merge:
+    1. tag vectors into (table_idx, bucket) via seeded hyperplane sign
+       bits (same family as :func:`cosine_pairs_lsh`);
+    2. ``applyInPandas`` over each bucket group: one normalized matmul
+       scores all pairs INSIDE the bucket and emits only each member's
+       local top-(k+8) — m*k skinny rows per bucket instead of the m^2
+       materialized candidate pairs of the join formulation (which
+       dragged two 64-dim vectors through shuffles for every candidate;
+       measured 4.2 s vs ~1.5 s at sf0.1);
+    3. global per-query shortlist over the per-bucket winners — LOSSLESS
+       wrt the full candidate ranking: if n is in q's candidate top-k,
+       then in any bucket containing both, fewer than k candidates beat
+       n, so n is in that bucket's local top-k (pigeonhole on ranks);
+    4. exact fold-cosine re-score of the shortlist makes the FINAL
+       ranks (the engine's cross-engine-deterministic arithmetic; the
+       numpy matmul is only a pre-ranking). Final output could differ
+       from fold-everything only if a true top-k neighbor sits below
+       pre-rank k+8 — >= 9 candidates inside the ~1e-15-relative
+       matmul-vs-fold error band, unobservable on real embeddings and
+       hash-pinned by the oracle parity suite.
+
+    Output is rank-only ``(id, neighbor_id, rnk)`` per the module's
+    float-hash contract; ties break on neighbor id. Recall vs brute
+    force is the LSH trade (more tables => higher recall); the SQL
+    oracle replays the same buckets, so correctness-checking is exact
+    even though the neighbor set is approximate. A hot bucket does m^2
+    matmul work — raise ``planes_per_table`` to split buckets as the
+    corpus grows (knob guidance below).
 
     Knob guidance: kNN neighbors are FARTHER than near-dup pairs (60-80
     degrees in typical embedding corpora vs <40 for dups), so this uses
@@ -726,22 +742,46 @@ def knn_join(
     planes = _hyperplanes(planes_per_table * n_tables, dim, seed)
     buckets = _bucket_udf(planes, planes_per_table, n_tables)
     tagged = vectors.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("vec"),
         F.posexplode(buckets(F.col(vec_col))).alias("table_idx", "bucket"),
     )
-    a = tagged.select(F.col("id").alias("a_id"), "table_idx", "bucket")
-    b = tagged.select(F.col("id").alias("b_id"), "table_idx", "bucket")
-    candidates = (
-        a.join(b, ["table_idx", "bucket"])
-        .filter(F.col("a_id") != F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
+    kk = k + 8
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["a_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos_np": []})
+        m = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        nm = m / np.linalg.norm(m, axis=1, keepdims=True)
+        g = nm @ nm.T
+        np.fill_diagonal(g, -np.inf)
+        take = min(kk, len(ids) - 1)
+        out_a, out_b, out_c = [], [], []
+        for i in range(len(ids)):
+            # Deterministic local order: cos desc, neighbor id asc.
+            order = np.lexsort((ids, -g[i]))[:take]
+            out_a.extend([ids[i]] * take)
+            out_b.extend(ids[order])
+            out_c.extend(g[i][order])
+        return pd.DataFrame({"a_id": out_a, "b_id": out_b, "cos_np": out_c})
+
+    local = tagged.groupBy("table_idx", "bucket").applyInPandas(
+        bucket_topk, "a_id long, b_id long, cos_np double"
+    )
+    # A pair found in several tables carries the same pre-score: any copy
+    # survives dedup. Global shortlist over per-bucket winners.
+    w_pre = Window.partitionBy("a_id").orderBy(F.col("cos_np").desc(), F.col("b_id"))
+    shortlist = (
+        local.dropDuplicates(["a_id", "b_id"])
+        .withColumn("_r0", F.row_number().over(w_pre))
+        .filter(F.col("_r0") <= kk)
     )
     withn = vectors.select(
         F.col(id_col), F.col(vec_col), norm2(F.col(vec_col)).alias("nrm")
     )
-    scored = (
-        candidates.join(
+    rescored = (
+        shortlist.join(
             withn.select(
                 F.col(id_col).alias("a_id"),
                 F.col(vec_col).alias("vec_a"),
@@ -765,7 +805,7 @@ def knn_join(
     )
     w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), F.col("b_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        rescored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(F.col("a_id").alias(id_col), F.col("b_id").alias("neighbor_id"), "rnk")
     )
