@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "monitor_anomaly_zscore",
     "dedup_cross_corpus",
     "rel_pit_features",
+    "rel_scd2_asof_lookup",
     # -- warehouse-ingest pack, never driver-proven --
     "rel_cdc_merge",
     "rel_scd2_intervals",

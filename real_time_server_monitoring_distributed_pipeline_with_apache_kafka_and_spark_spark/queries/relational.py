@@ -682,6 +682,55 @@ def rel_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CORRECTNESS_r01.json) sits at the tail so it is what falls outside the cap
 # now that text_*/mm_* run earlier. Local pytest oracle-parity still covers
 # every query each round regardless of driver order.
+def rel_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query leg of the SCD2 story: which attribute version was valid for
+    each user at each probe date ("what was this dimension row on the
+    12th") — the half-open interval containment lookup every versioned
+    dimension serves.
+
+    One probe lattice per user (daily midnights, explode of a sequence —
+    no cross join), equi-join on the user key, then the
+    ``valid_from <= p < valid_to`` (NULL = current) containment filter:
+    an EQUI join plus post-filter, since per-key interval counts are
+    small; for wide keyless interval sets use
+    operators.joins.bucketed_range_join instead. Probes before a user's
+    first interval simply have no row.
+    """
+    from ..operators.changelog import scd2_intervals
+
+    events = load_table(spark, sf_dir, "events")
+    intervals = scd2_intervals(
+        events.select("user_id", "ts", "event_id", "event_type"),
+        key_cols=["user_id"],
+        attr_col="event_type",
+        ts_col="ts",
+        seq_cols=["ts", "event_id"],
+    )
+    ts_type = dict(events.dtypes)["ts"]
+    probes = (
+        events.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-02 00:00:00").cast(ts_type),
+                    F.lit("2024-01-31 00:00:00").cast(ts_type),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("probe_ts"),
+        )
+    )
+    return (
+        probes.join(intervals, "user_id")
+        .filter(
+            (F.col("valid_from") <= F.col("probe_ts"))
+            & (F.col("valid_to").isNull() | (F.col("probe_ts") < F.col("valid_to")))
+        )
+        .select("user_id", "probe_ts", "event_type")
+    )
+
+
 def rel_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time-correct FEATURE JOIN (the feature-store primitive):
     a spine of label events (purchases) enriched with the latest value of
@@ -768,6 +817,7 @@ def rel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "rel_scd2_asof_lookup": rel_scd2_asof_lookup,
     "rel_pit_features": rel_pit_features,
     "rel_cohort_retention": rel_cohort_retention,
     "rel_cdc_merge": rel_cdc_merge,
@@ -812,6 +862,42 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_scd2_asof_lookup": """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, ts, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run
+  FROM flagged
+),
+agg AS (
+  SELECT user_id, run, min(event_type) AS event_type, min(ts) AS valid_from
+  FROM runs GROUP BY user_id, run
+),
+scd2 AS (
+  SELECT user_id, event_type, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to
+  FROM agg
+),
+probes AS (
+  SELECT u.user_id, g.ts AS probe_ts
+  FROM (SELECT DISTINCT user_id FROM events) u,
+       LATERAL unnest(generate_series(TIMESTAMP '2024-01-02 00:00:00',
+                                      TIMESTAMP '2024-01-31 00:00:00',
+                                      INTERVAL 1 DAY)) g(ts)
+)
+SELECT p.user_id, p.probe_ts, s.event_type
+FROM probes p JOIN scd2 s
+  ON p.user_id = s.user_id
+ AND s.valid_from <= p.probe_ts
+ AND (s.valid_to IS NULL OR p.probe_ts < s.valid_to)
+""",
     "rel_pit_features": """
 WITH spine AS (
   SELECT event_id, user_id, ts, value AS label_value
