@@ -67,6 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_cross_corpus",
     "rel_pit_features",
     "rel_scd2_asof_lookup",
+    "rel_hll_daily_users",
     # -- warehouse-ingest pack, never driver-proven --
     "rel_cdc_merge",
     "rel_scd2_intervals",

@@ -682,6 +682,35 @@ def rel_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CORRECTNESS_r01.json) sits at the tail so it is what falls outside the cap
 # now that text_*/mm_* run earlier. Local pytest oracle-parity still covers
 # every query each round regardless of driver order.
+def rel_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL, built
+    into Spark): one user-id sketch per day, then per-day estimates plus
+    an 'ALL' row whose estimate comes from UNIONING the daily sketches —
+    never re-scanning events. This is the warehouse pattern approx_
+    count_distinct alone can't express: store per-partition sketches
+    once, answer any date-range distinct-count by merging O(days)
+    sketch blobs.
+
+    Rows-only driver check by design (DataSketches binary/estimates are
+    not replayable in the SQL oracle engine — same policy as
+    rel_approx_distinct); estimate-vs-exact error bounds are pinned in
+    pytest instead.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"), F.count(F.lit(1)).alias("n_events"))
+    per_day = daily.select(
+        "day", F.hll_sketch_estimate("sk").alias("est_users"), "n_events"
+    )
+    total = daily.agg(
+        F.lit("ALL").alias("day"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.sum("n_events").alias("n_events"),
+    )
+    return per_day.unionByName(total)
+
+
 def rel_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query leg of the SCD2 story: which attribute version was valid for
     each user at each probe date ("what was this dimension row on the
@@ -817,6 +846,7 @@ def rel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "rel_hll_daily_users": rel_hll_daily_users,
     "rel_scd2_asof_lookup": rel_scd2_asof_lookup,
     "rel_pit_features": rel_pit_features,
     "rel_cohort_retention": rel_cohort_retention,

@@ -224,3 +224,30 @@ def test_interval_event_join_matches_naive_theta(spark):
         .collect()
     )
     assert got == naive and len(got) > 1000
+
+
+def test_hll_daily_sketch_union_accuracy(spark):
+    """Mergeable HLL sketches: per-day estimates and the unioned 'ALL'
+    estimate must sit within the default-lgK HLL error band of the exact
+    counts, and the union must never exceed the sum of its parts."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.relational import (
+        rel_hll_daily_users,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.day: r.est_users for r in rel_hll_daily_users(spark, sf).collect()}
+    events = load_table(spark, sf, "events")
+    exact_all = events.select("user_id").distinct().count()
+    exact_daily = {
+        r.day: r.n
+        for r in events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert abs(got["ALL"] - exact_all) / exact_all < 0.05
+    for day, n in exact_daily.items():
+        assert abs(got[day] - n) / n < 0.05, (day, got[day], n)
+    assert got["ALL"] <= sum(v for d, v in got.items() if d != "ALL")
