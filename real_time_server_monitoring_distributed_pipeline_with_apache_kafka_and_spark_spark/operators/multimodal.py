@@ -251,3 +251,69 @@ def image_ahash(with_payload: DataFrame, grid: int = 64) -> DataFrame:
             )
 
     return with_payload.select("doc_id", "payload").mapInPandas(run, AHASH_SCHEMA)
+
+
+FRAME_FEATURE_SCHEMA = (
+    "doc_id long, frame_idx int, sum_byte long, n_byte int, mean_byte double"
+)
+
+
+def frame_mean_features(frames: DataFrame) -> DataFrame:
+    """Per-frame mean-byte feature over :func:`sample_frames` output —
+    the cheap luminance proxy scene detection thresholds on. Like
+    audio_rms_windows this is REAL math (bytes are the data; no codec),
+    so the whole downstream pipeline stays oracle-replayable: mean =
+    exact integer sum / count, one IEEE division.
+
+    1:1 Arrow-batched mapInPandas; only (doc_id, frame_idx, frame)
+    transfer."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sums = pdf["frame"].map(lambda b: int(sum(b)))
+            lens = pdf["frame"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"].astype("int32"),
+                    "sum_byte": sums.astype("int64"),
+                    "n_byte": lens.astype("int32"),
+                    "mean_byte": (
+                        sums.astype("float64") / lens.clip(lower=1)
+                    ).astype("float64"),
+                }
+            )
+
+    return frames.select("doc_id", "frame_idx", "frame").mapInPandas(
+        run, FRAME_FEATURE_SCHEMA
+    )
+
+
+def scene_segments(
+    features: DataFrame, threshold: float = 8.0
+) -> DataFrame:
+    """Scene segmentation over per-frame features: a new segment starts
+    where the feature jumps by more than ``threshold`` vs the previous
+    frame — the keyframe/shot-boundary pass of a video curation pipeline
+    (dedup/caption one representative per scene, not per frame).
+
+    lag + running-sum per doc (the gaps-and-islands shape, windows sorted
+    within each doc's partition only), then one per-segment aggregate.
+    The segment mean derives from the EXACT integer byte sums (one
+    division at the end), not a float sum of per-frame means — so it is
+    order-independent and oracle-hashable without rounding.
+    Output: (doc_id, seg_idx, start_frame, n_frames, mean_feature).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    prev = F.lag("mean_byte").over(w)
+    chg = F.when(
+        prev.isNull() | (F.abs(F.col("mean_byte") - prev) > threshold), 1
+    ).otherwise(0)
+    runs = features.withColumn("_chg", chg).withColumn("seg_idx", F.sum("_chg").over(w))
+    return runs.groupBy("doc_id", "seg_idx").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.count(F.lit(1)).alias("n_frames"),
+        (F.sum("sum_byte").cast("double") / F.sum("n_byte")).alias("mean_feature"),
+    )

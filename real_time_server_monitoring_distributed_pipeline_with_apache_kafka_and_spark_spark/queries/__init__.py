@@ -68,6 +68,8 @@ _PRIORITY: tuple[str, ...] = (
     "rel_pit_features",
     "rel_scd2_asof_lookup",
     "rel_hll_daily_users",
+    "mm_scene_segments",
+    "text_langid_confusion",
     # -- warehouse-ingest pack, never driver-proven --
     "rel_cdc_merge",
     "rel_scd2_intervals",

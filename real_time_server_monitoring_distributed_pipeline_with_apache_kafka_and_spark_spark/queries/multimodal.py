@@ -120,7 +120,57 @@ WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 6
 """
 
 
+def mm_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene segmentation plumbing: every 64-byte frame gets a
+    mean-byte feature (REAL math, mapInPandas —
+    operators.multimodal.frame_mean_features), then gaps-and-islands
+    windows cut segments where the feature jumps > 8 between consecutive
+    frames (operators.multimodal.scene_segments). Exact integer byte
+    sums make the per-segment mean oracle-hashable without rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = ops.sample_frames(
+        ops.attach_binary_payload(docs), frame_size=64, every_n=1
+    )
+    feats = ops.frame_mean_features(frames)
+    return ops.scene_segments(feats, threshold=8.0)
+
+
+_SCENES_SQL = """
+WITH chars AS (
+  SELECT doc_id, length(text) AS n, i,
+         ord(substr(text, CAST(i AS INTEGER), 1)) AS b
+  FROM documents, LATERAL unnest(range(1, length(text) + 1)) t(i)
+),
+frames AS (
+  SELECT doc_id, CAST((i - 1) // 64 AS INTEGER) AS frame_idx,
+         sum(b) AS sum_byte, count(*) AS n_byte,
+         CAST(sum(b) AS DOUBLE) / count(*) AS mean_byte
+  FROM chars
+  WHERE (i - 1) // 64 < greatest(n // 64, 1)
+  GROUP BY doc_id, (i - 1) // 64
+),
+flagged AS (
+  SELECT doc_id, frame_idx, sum_byte, n_byte, mean_byte,
+         CASE WHEN lag(mean_byte) OVER w IS NULL
+                OR abs(mean_byte - lag(mean_byte) OVER w) > 8.0
+              THEN 1 ELSE 0 END AS chg
+  FROM frames WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+),
+runs AS (
+  SELECT doc_id, frame_idx, sum_byte, n_byte,
+         sum(chg) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS seg
+  FROM flagged
+)
+SELECT doc_id, CAST(seg AS BIGINT) AS seg_idx,
+       CAST(min(frame_idx) AS INTEGER) AS start_frame,
+       count(*) AS n_frames,
+       CAST(sum(sum_byte) AS DOUBLE) / sum(n_byte) AS mean_feature
+FROM runs GROUP BY doc_id, seg
+"""
+
+
 QUERIES = {
+    "mm_scene_segments": mm_scene_segments,
     "mm_image_ahash": mm_image_ahash,
     "mm_audio_rms": mm_audio_rms,
     "mm_binary_meta": mm_binary_meta,
@@ -130,6 +180,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mm_scene_segments": _SCENES_SQL,
     "mm_image_ahash": _AHASH_SQL,
     "mm_audio_rms": """
 WITH s AS (

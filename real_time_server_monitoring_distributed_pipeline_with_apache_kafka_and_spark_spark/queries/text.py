@@ -339,7 +339,32 @@ def text_source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.source_quality_filter(docs, threshold=0.33)
 
 
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality evaluation: the true-label x predicted-label
+    confusion matrix with per-true-language recall — the acceptance
+    report you produce before trusting a classifier to route a corpus.
+    Pure aggregation over the langid pipeline (one extra hash agg + a
+    per-language total join); recall is exact int/int division.
+    """
+    from pyspark.sql import Window
+
+    preds = ops.lang_id(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "lang_pred"
+    )
+    cells = preds.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(total)).alias(
+            "frac_of_lang"
+        ),
+    )
+
+
 QUERIES = {
+    "text_langid_confusion": text_langid_confusion,
     "text_bigram_logprob": text_bigram_logprob,
     "text_char_entropy": text_char_entropy,
     "text_source_quality_filter": text_source_quality_filter,
@@ -360,6 +385,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_langid_confusion": f"""
+WITH t AS (SELECT doc_id, lang, text, {_TOKENS} AS toks FROM documents),
+h AS (
+  SELECT doc_id, lang, text,
+    len(list_filter(toks, x -> x IN {_STOP_EN})) AS en_hits,
+    len(list_filter(toks, x -> x IN {_STOP_DE})) AS de_hits,
+    len(list_filter(toks, x -> x IN {_STOP_ES})) AS es_hits,
+    len(list_filter(toks, x -> x IN {_STOP_FR})) AS fr_hits
+  FROM t
+),
+preds AS (
+  SELECT lang,
+    CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+         WHEN de_hits >= greatest(es_hits, fr_hits) AND de_hits > en_hits THEN 'de'
+         WHEN es_hits >= greatest(fr_hits, en_hits) AND es_hits > 0 THEN 'es'
+         WHEN fr_hits >= en_hits AND fr_hits > 0 THEN 'fr'
+         WHEN en_hits > 0 THEN 'en'
+         ELSE 'und' END AS lang_pred
+  FROM h
+),
+cells AS (SELECT lang, lang_pred, count(*) AS n_docs FROM preds GROUP BY lang, lang_pred)
+SELECT lang, lang_pred, n_docs,
+       CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang) AS frac_of_lang
+FROM cells
+""",
     "text_bigram_logprob": f"""
 WITH t AS (SELECT doc_id, {_TOKENS} AS w FROM documents),
 bg AS (
