@@ -70,6 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     "rel_hll_daily_users",
     "mm_scene_segments",
     "text_langid_confusion",
+    "text_fixed_n_per_lang",
     # -- warehouse-ingest pack, never driver-proven --
     "rel_cdc_merge",
     "rel_scd2_intervals",

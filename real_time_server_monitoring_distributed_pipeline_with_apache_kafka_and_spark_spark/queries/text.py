@@ -339,6 +339,30 @@ def text_source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.source_quality_filter(docs, threshold=0.33)
 
 
+def text_fixed_n_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT-N-per-group sampling: exactly 40 docs per
+    language (or all of them, for smaller strata), chosen by ranking a
+    salted md5 of the doc id within each stratum — the "same 40 docs on
+    every run, any partitioning, any engine" complement of the
+    rate-based stratified_sample. The eval-set construction primitive:
+    budgets are per-group COUNTS, not rates.
+
+    One ranking window per stratum (sorts only within the language
+    partition); the salt decorrelates selection from the split/sample
+    hashes on the same ids (same policy as stratified_sample_salted).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#fixedn")))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 40)
+        .select("doc_id", "lang", F.col("_rk").alias("sample_rank"))
+    )
+
+
 def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID quality evaluation: the true-label x predicted-label
     confusion matrix with per-true-language recall — the acceptance
@@ -364,6 +388,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "text_fixed_n_per_lang": text_fixed_n_per_lang,
     "text_langid_confusion": text_langid_confusion,
     "text_bigram_logprob": text_bigram_logprob,
     "text_char_entropy": text_char_entropy,
@@ -385,6 +410,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_fixed_n_per_lang": """
+SELECT doc_id, lang, CAST(rk AS INTEGER) AS sample_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '#fixedn'), doc_id) AS rk
+  FROM documents
+) WHERE rk <= 40
+""",
     "text_langid_confusion": f"""
 WITH t AS (SELECT doc_id, lang, text, {_TOKENS} AS toks FROM documents),
 h AS (

@@ -501,6 +501,89 @@ def probe_rollup_store(spark, store_path: str, key_cols: list[str]) -> DataFrame
     )
 
 
+def profile_ingest_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    numeric_cols: list[str],
+):
+    """Streaming ingest leg for INCREMENTAL COLUMN PROFILING: each
+    micro-batch lands one partial-statistics row per profiled column
+    (count / null count / min / max / exact decimal sum / a DataSketches
+    HLL sketch blob) in the idempotent ``batch_id=N`` store. Every piece
+    merges commutatively, so :func:`probe_profile_store` reproduces a
+    one-shot pass over the union input: the exact statistics
+    bit-identically, and the distinct ESTIMATE within HLL error of the
+    single-pass sketch (DataSketches unions run an HLL_8 accumulator
+    internally, so union and single-sketch estimates can differ by a
+    fraction of a percent — both stay inside the lgK error band).
+    This closes the audit pack's batch-only gap the same way the
+    rollup/CDC/ANN/MinHash legs closed theirs: data-quality monitoring
+    becomes a per-batch O(columns) append, never a rescan.
+
+    Store rows are O(columns) per batch. Same idempotent-store delivery
+    contract as the other ingest legs (replayed batches overwrite their
+    own directory => exactly-once).
+    """
+    import os
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        parts = None
+        for col in numeric_cols:
+            c = F.col(col)
+            one = batch_df.agg(
+                F.lit(col).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(c).alias("n_nonnull"),
+                F.min(c).cast("double").alias("min_value"),
+                F.max(c).cast("double").alias("max_value"),
+                F.sum(c.cast("decimal(38,6)")).alias("sum_dec"),
+                # Sketch the canonical string rendering: hll_sketch_agg
+                # accepts int/string/binary only, and double->string is
+                # Spark's injective shortest-round-trip form (the same
+                # canonicalization profile_table's distinct pass uses).
+                F.hll_sketch_agg(c.cast("string")).alias("sk"),
+            )
+            parts = one if parts is None else parts.unionByName(one)
+        parts.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch_id={batch_id}")
+        )
+
+    return stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def probe_profile_store(spark, store_path: str) -> DataFrame:
+    """Merged column profile of a :func:`profile_ingest_stream` store:
+    monoid-merge the per-batch partials (sums of counts/sums, min of
+    mins, max of maxes, HLL union of sketches) and derive the final
+    statistics. Output matches operators.profiling.profile_table's
+    numeric columns: (col_name, n_rows, n_nulls, n_distinct, min_value,
+    max_value, mean_value) with n_distinct an HLL estimate."""
+    merged = (
+        read_ingest_store(spark, store_path)
+        .groupBy("col_name")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_nonnull").alias("_nn"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.sum("sum_dec").alias("_sum"),
+            F.hll_union_agg("sk").alias("_sk"),
+        )
+    )
+    return merged.select(
+        "col_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("_nn")).alias("n_nulls"),
+        F.hll_sketch_estimate("_sk").alias("n_distinct"),
+        "min_value",
+        "max_value",
+        (F.col("_sum").cast("double") / F.col("_nn")).alias("mean_value"),
+    )
+
+
 def changelog_ingest_stream(
     changes: DataFrame,
     store_path: str,

@@ -1807,3 +1807,46 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         .collect()
     }
     assert {(r.region, r.n) for r in got} == want and len(want) >= 3
+
+
+def test_profile_ingest_stream_matches_batch(spark, tmp_path):
+    """Incremental column profiling: per-batch monoid partials (counts,
+    min/max, exact decimal sums, HLL sketch blobs) merged at probe time
+    must equal a one-shot pass over the union input — exact stats
+    bit-identical, the distinct estimate within HLL error of both the
+    single-pass sketch estimate and the exact count."""
+    data = spark.range(4000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 7) % 900).cast("double").alias("x"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") % 50).cast("double").alias("y"),
+    )
+    src = str(tmp_path / "prof_src")
+    for cond in (F.col("k") % 3 == 0, F.col("k") % 3 == 1, F.col("k") % 3 == 2):
+        data.filter(cond).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(data.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    store, ckpt = str(tmp_path / "prof_store"), str(tmp_path / "prof_ckpt")
+    q = jobs.profile_ingest_stream(stream, store, ckpt, ["k", "x", "y"]).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.col_name: r for r in jobs.probe_profile_store(spark, store).collect()}
+    for col in ("k", "x", "y"):
+        c = F.col(col)
+        want = data.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+            F.hll_sketch_estimate(F.hll_sketch_agg(c.cast("string"))).alias("nd"),
+            F.min(c).cast("double").alias("mn"),
+            F.max(c).cast("double").alias("mx"),
+            (F.sum(c.cast("decimal(38,6)")).cast("double") / F.count(c)).alias("mean"),
+        ).collect()[0]
+        g = got[col]
+        assert (g.n_rows, g.n_nulls) == (want.n_rows, want.n_nulls), col
+        # Union vs single-pass sketches agree to HLL tolerance (the
+        # union's internal HLL_8 accumulator is not bit-identical).
+        assert abs(g.n_distinct - want.nd) / max(want.nd, 1) < 0.03, col
+        exact_nd = data.select(col).distinct().count() - (1 if col == "y" else 0)
+        assert abs(g.n_distinct - exact_nd) / max(exact_nd, 1) < 0.05, col
+        assert (g.min_value, g.max_value) == (want.mn, want.mx), col
+        assert g.mean_value == want.mean, col  # exact decimal merge
