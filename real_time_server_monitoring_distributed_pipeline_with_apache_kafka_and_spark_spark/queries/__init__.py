@@ -71,6 +71,8 @@ _PRIORITY: tuple[str, ...] = (
     "mm_scene_segments",
     "text_langid_confusion",
     "text_fixed_n_per_lang",
+    "monitor_gap_report",
+    "text_length_percentiles",
     # -- warehouse-ingest pack, never driver-proven --
     "rel_cdc_merge",
     "rel_scd2_intervals",

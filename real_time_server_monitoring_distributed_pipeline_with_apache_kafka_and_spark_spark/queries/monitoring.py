@@ -280,6 +280,36 @@ def monitor_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def monitor_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-data report: which (user, day) cells of the expected
+    reporting lattice have NO events — the "which servers stopped
+    reporting" audit a monitoring pipeline runs before trusting its own
+    aggregates. Expected lattice = every known user x every day of
+    January; actual = one hash-aggregate of events; anti-semantics via
+    left join + null flag, one row per missing cell plus per-user
+    summary counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = F.sequence(
+        F.lit("2024-01-01").cast("date"),
+        F.lit("2024-01-30").cast("date"),
+        F.expr("INTERVAL 1 DAY"),
+    )
+    lattice = ev.select("user_id").distinct().select(
+        "user_id", F.explode(days).alias("day")
+    )
+    actual = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    cells = lattice.join(actual, ["user_id", "day"], "left")
+    return cells.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days_expected"),
+        F.count("n_events").alias("n_days_reporting"),
+        (F.count(F.lit(1)) - F.count("n_events")).alias("n_days_missing"),
+        F.coalesce(F.sum("n_events"), F.lit(0)).alias("n_events"),
+    )
+
+
 def monitor_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly detection: each event's value scored
     against the trailing 12 events of the SAME user (frame excludes the
@@ -629,6 +659,7 @@ QUERIES = {
     "monitor_sessionize": monitor_sessionize,
     "monitor_resample_locf": monitor_resample_locf,
     "monitor_anomaly_zscore": monitor_anomaly_zscore,
+    "monitor_gap_report": monitor_gap_report,
     "monitor_drift_psi": monitor_drift_psi,
     "monitor_cpu_mem_alerts": monitor_cpu_mem_alerts,
     "monitor_cpu_mem_alerts_bucketed": monitor_cpu_mem_alerts_bucketed,
@@ -646,6 +677,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "monitor_gap_report": """
+WITH lattice AS (
+  SELECT u.user_id, CAST(g.d AS DATE) AS day
+  FROM (SELECT DISTINCT user_id FROM events) u,
+       LATERAL unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                      INTERVAL 1 DAY)) g(d)
+),
+actual AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+cells AS (
+  SELECT l.user_id, l.day, a.n_events
+  FROM lattice l LEFT JOIN actual a ON l.user_id = a.user_id AND l.day = a.day
+)
+SELECT user_id, count(*) AS n_days_expected,
+       count(n_events) AS n_days_reporting,
+       count(*) - count(n_events) AS n_days_missing,
+       CAST(coalesce(sum(n_events), 0) AS BIGINT) AS n_events
+FROM cells GROUP BY user_id
+""",
     "monitor_anomaly_zscore": """
 WITH f AS (
   SELECT event_id, user_id, ts, value,

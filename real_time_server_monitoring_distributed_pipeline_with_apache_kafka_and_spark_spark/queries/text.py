@@ -339,6 +339,24 @@ def text_source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.source_quality_filter(docs, threshold=0.33)
 
 
+def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution (p10/p50/p90 exact
+    interpolated percentiles + min/max/count) — the corpus-shape report
+    that motivates length-filter thresholds. Sort-based ``F.percentile``
+    per group (groups are languages: few and fat — fine; for extreme
+    group counts swap in the sketch or the histogram derivation of
+    rel_key_skew_stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.percentile("n_chars", 0.1).alias("p10_chars"),
+        F.percentile("n_chars", 0.5).alias("p50_chars"),
+        F.percentile("n_chars", 0.9).alias("p90_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 def text_fixed_n_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic EXACT-N-per-group sampling: exactly 40 docs per
     language (or all of them, for smaller strata), chosen by ranking a
@@ -388,6 +406,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "text_length_percentiles": text_length_percentiles,
     "text_fixed_n_per_lang": text_fixed_n_per_lang,
     "text_langid_confusion": text_langid_confusion,
     "text_bigram_logprob": text_bigram_logprob,
@@ -410,6 +429,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_length_percentiles": """
+SELECT lang, count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       quantile_cont(n_chars, 0.1) AS p10_chars,
+       quantile_cont(n_chars, 0.5) AS p50_chars,
+       quantile_cont(n_chars, 0.9) AS p90_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY lang
+""",
     "text_fixed_n_per_lang": """
 SELECT doc_id, lang, CAST(rk AS INTEGER) AS sample_rank FROM (
   SELECT doc_id, lang,
