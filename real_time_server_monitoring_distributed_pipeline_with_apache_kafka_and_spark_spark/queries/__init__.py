@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_fixed_n_per_lang",
     "monitor_gap_report",
     "text_length_percentiles",
+    "rel_pagerank_coparts",
     # -- warehouse-ingest pack, never driver-proven --
     "rel_cdc_merge",
     "rel_scd2_intervals",

@@ -682,6 +682,94 @@ def rel_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CORRECTNESS_r01.json) sits at the tail so it is what falls outside the cap
 # now that text_*/mm_* run earlier. Local pytest oracle-parity still covers
 # every query each round regardless of driver order.
+_PR_SCALE = 10**12
+_PR_ITERS = 5
+
+
+def rel_pagerank_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part CO-PURCHASE graph (parts sharing an order,
+    symmetric edges) — the second iterative algorithm in the engine
+    after connected components, and unlike most distributed PageRanks it
+    is fully ORACLE-HASHABLE: ranks live on an integer 1e-12 lattice and
+    every update is integer arithmetic (``rank div outdeg`` per edge,
+    ``150e9 + (85 * sum) div 100`` per node), so five unrolled
+    iterations produce bit-identical longs in any engine — no float
+    accumulation order anywhere.
+
+    Per iteration: one shuffle join of the (static, persisted) edge list
+    against the current rank table + one hash aggregate on the
+    destination — the classic Pregel-as-joins shape. Five static
+    iterations keep the plan finite for the driver; an open-ended run
+    would localCheckpoint per round exactly like
+    operators.dedup.connected_components. Nodes = edge endpoints
+    (isolated parts have no co-purchase evidence and no rank).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    # The edge⋈outdeg join is loop-invariant: attach the out-degree to
+    # each edge ONCE and persist that — per iteration only the (tiny,
+    # broadcastable) rank table joins in.
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_d = edges.join(outdeg, "src").persist()
+    ranks = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "rank", F.lit(_PR_SCALE).cast("long")
+    )
+    for _ in range(_PR_ITERS):
+        # No explicit broadcast: at this SF AQE broadcasts the small rank
+        # table on its own, and at 1e9-node scale a shuffle join is the
+        # correct plan — the hint would force a driver collect there.
+        contribs = edges_d.join(ranks, edges_d.src == ranks.node).select(
+            "dst", F.expr("rank div outdeg").alias("c")
+        )
+        ranks = (
+            contribs.groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "node",
+                F.expr("150000000000 + (85 * s) div 100").alias("rank"),
+            )
+        )
+    return ranks
+
+
+def _pagerank_sql() -> str:
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"""r{i} AS (
+  SELECT e.dst AS node,
+         150000000000 + (85 * sum(p.rank // d.outdeg)) // 100 AS rank
+  FROM edges e
+  JOIN r{i - 1} p ON p.node = e.src
+  JOIN outdeg d ON d.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+    joined = ",\n".join(steps)
+    return f"""
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT DISTINCT src AS node, CAST({_PR_SCALE} AS BIGINT) AS rank FROM edges),
+{joined}
+SELECT node, CAST(rank AS BIGINT) AS rank FROM r{_PR_ITERS}
+"""
+
+
 def rel_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE distinct-count sketches (Apache DataSketches HLL, built
     into Spark): one user-id sketch per day, then per-day estimates plus
@@ -846,6 +934,7 @@ def rel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "rel_pagerank_coparts": rel_pagerank_coparts,
     "rel_hll_daily_users": rel_hll_daily_users,
     "rel_scd2_asof_lookup": rel_scd2_asof_lookup,
     "rel_pit_features": rel_pit_features,
@@ -892,6 +981,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_pagerank_coparts": _pagerank_sql(),
     "rel_scd2_asof_lookup": """
 WITH flagged AS (
   SELECT user_id, ts, event_id, event_type,
