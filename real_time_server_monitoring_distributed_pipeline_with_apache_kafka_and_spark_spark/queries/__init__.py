@@ -74,6 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     "monitor_gap_report",
     "text_length_percentiles",
     "rel_pagerank_coparts",
+    "pipeline_training_prep",
     # -- warehouse-ingest pack, never driver-proven --
     "rel_cdc_merge",
     "rel_scd2_intervals",

@@ -251,9 +251,72 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select("doc_id", "quality", "n_copies", "n_tokens", "n_bpe_tokens")
 
 
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL training-data prep as one query — the widest composite in
+    the engine, and still covered by a single oracle: source-level
+    filtering (drop whole low-quality domains) -> per-doc quality filter
+    -> exact dedup (min-id representative) -> 3-gram Jaccard near-dup
+    removal -> 8-gram benchmark decontamination (docs 0-9 are the
+    held-out set and are excluded from the corpus) -> deterministic
+    hash split with per-split token budgets.
+
+    Every stage is exact or lattice-exact (int/int ratios, 1e-9 integer
+    quality sums, lossless PPJoin prefix filter, md5 buckets), so six
+    chained curation decisions hash-check end-to-end. Scale shape: scans
+    + hash aggs + the inverted-index joins, two anti-joins, a broadcast
+    of the tiny benchmark shingle set — no all-pairs, no Python.
+    Output: (split, n_docs, total_tokens).
+    """
+    from ..operators import text as text_ops
+    from ..operators.text import hash_bucket_100, source_quality_filter
+    from ..operators.text import tokens as tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept_sources = source_quality_filter(docs, threshold=0.33).filter(
+        F.col("kept")
+    ).select("source")
+    corpus = docs.filter(F.col("doc_id") >= 10).join(
+        F.broadcast(kept_sources), "source"
+    )
+    scored = text_ops.quality_score(corpus).filter(F.col("quality") >= 0.33)
+    reps = ops.exact_dedup(scored, ["text"], "doc_id").select("doc_id")
+    survivors = scored.join(reps, "doc_id")
+    pairs = ops.jaccard_pairs(
+        ops.word_shingles(survivors.select("doc_id", "text")),
+        threshold=JACCARD_THRESHOLD,
+    )
+    drops = pairs.select(F.col("b_id").alias("doc_id")).distinct()
+    deduped = survivors.join(drops, "doc_id", "left_anti")
+    bench_sh = (
+        ops.word_shingles(docs.filter(F.col("doc_id") < 10), n=8)
+        .select("shingle")
+        .distinct()
+    )
+    contaminated = (
+        ops.word_shingles(deduped.select("doc_id", "text"), n=8)
+        .join(F.broadcast(bench_sh), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    bucket = hash_bucket_100(F.col("doc_id"))
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return (
+        clean.select(
+            split.alias("split"), F.size(tokenize(F.col("text"))).alias("n_tok")
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "pipeline_corpus_curation": pipeline_corpus_curation,
+    "pipeline_training_prep": pipeline_training_prep,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,
     "dedup_cross_corpus": dedup_cross_corpus,
@@ -266,6 +329,77 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pipeline_training_prep": """
+WITH t AS (
+  SELECT doc_id, source, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id, source, text, toks,
+      0.3*(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/NULLIF(len(toks), 0))
+    + 0.3*(CAST(len(list_distinct(toks)) AS DOUBLE)/NULLIF(len(toks), 0))
+    + 0.3*least(CAST(len(toks) AS DOUBLE)/100.0, 1.0)
+    - 0.1*(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)/NULLIF(length(text), 0))
+    AS quality
+  FROM t
+),
+src AS (
+  SELECT source FROM (
+    SELECT source,
+           CAST(sum(CAST(floor(quality * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1e9 AS mq
+    FROM q GROUP BY source
+  ) WHERE mq >= 0.33
+),
+corpus AS (
+  SELECT * FROM q
+  WHERE doc_id >= 10 AND source IN (SELECT source FROM src) AND quality >= 0.33
+),
+rep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text),
+surv AS (SELECT c.* FROM corpus c JOIN rep USING (doc_id)),
+sh3 AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, toks AS w FROM surv) s, UNNEST(range(1, len(w) - 1)) u(i)
+  WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+  FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+drops AS (
+  SELECT DISTINCT b_id AS doc_id FROM p
+  JOIN sizes sa ON a_id = sa.doc_id
+  JOIN sizes sb ON b_id = sb.doc_id
+  WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.8
+),
+surv2 AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+bench8 AS (
+  SELECT DISTINCT array_to_string(w[i : i + 7], ' ') AS shingle
+  FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents WHERE doc_id < 10) b,
+       UNNEST(range(1, len(w) - 6)) u(i)
+  WHERE len(w) >= 8
+),
+s8 AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i : i + 7], ' ') AS shingle
+  FROM (SELECT doc_id, toks AS w FROM surv2) s, UNNEST(range(1, len(w) - 6)) u(i)
+  WHERE len(w) >= 8
+),
+cont AS (SELECT DISTINCT doc_id FROM s8 JOIN bench8 USING (shingle)),
+clean AS (SELECT * FROM surv2 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+final AS (
+  SELECT CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+              WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         len(toks) AS n_tok
+  FROM clean
+)
+SELECT split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM final GROUP BY split
+""",
     "pipeline_corpus_curation": """
 WITH t AS (
   SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks
