@@ -55,6 +55,7 @@ HEADLINE = LEGACY9 + [
     "rel_profile_columns",        # split wide aggregates + multi-distinct
     "monitor_error_after_click",  # bucketed event-interval join
     "sim_knn_join",               # LSH bucket join + per-query ranking window
+    "pipeline_training_prep",     # six-stage curation composite
 ]
 
 
