@@ -35,18 +35,17 @@ from . import dedup, extras, monitoring, multimodal, profiling, relational, simi
 #       warehouse-ingest pack (CDC merge, SCD2, fuzzy join, winsorize,
 #       drift PSI, weighted sample, audio RMS), the earlier r05 additions
 #       (salted stratified sample, dup spans, shuffle order, embedding
-#       clusters) and the 4 queries whose code changed since r04. Then
-#       the 5 queries whose code changed since r04 (incl. dedup_simhash,
-#       refactored through hamming64_pairs), then the 28 rows whose
-#       newest green is r03 (2 rounds stale). With ~33 never-proven/
-#       changed entries ahead of them, only the first ~17 r03 rows make
-#       the 50-row window; the tail (~11 rows, text_hash_split onward)
-#       ages to 3 rounds and MUST rotate to the r06 window head right
-#       after the new r05 queries are proven. Past the cap: rows-only
-#       sketches and the r04-green keep-green representatives /
-#       unchanged tail. Every query is still locally oracle-checked
-#       every round by tests/test_oracle_parity.py regardless of driver
-#       window position.
+#       clusters), then the 6 queries whose code changed since r04
+#       (incl. dedup_simhash, refactored through hamming64_pairs), then
+#       the 28 rows whose newest green is r03 (2 rounds stale). With 44
+#       never-proven/changed entries ahead of them, only the first ~6
+#       r03 rows make the 50-row window; the rest age to 3 rounds and
+#       MUST lead the r06 window once the new r05 queries are proven.
+#       Past the cap: rows-only sketches and the r04-green keep-green
+#       representatives / unchanged tail. Every query is still locally
+#       oracle-checked every round by tests/test_oracle_parity.py
+#       regardless of driver window position — the driver window is
+#       re-proof freshness, not the only correctness evidence.
 _PRIORITY: tuple[str, ...] = (
     # -- newest (audit/profiling + interval join), never driver-proven --
     "rel_profile_columns",
@@ -75,6 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_length_percentiles",
     "rel_pagerank_coparts",
     "pipeline_training_prep",
+    "rel_benford_check",
     # -- warehouse-ingest pack, never driver-proven --
     "rel_cdc_merge",
     "rel_scd2_intervals",

@@ -150,6 +150,38 @@ SELECT 'lineitem', (SELECT count(*) FROM lineitem), (SELECT count(*) FROM dl),
 """
 
 
+def rel_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order totals — the
+    classic fabricated-data smell test (organic multiplicative data
+    follows log10(1+1/d); manufactured numbers usually don't). One
+    scan + a 9-group aggregate; per-digit observed fraction is exact
+    int/int division, the expected fraction and the chi-square
+    contribution are floor-rounded to 9 decimals (JVM-vs-libm log10
+    last-ulp policy, the text_tfidf precedent).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import display_round
+
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(F.col("o_totalprice").cast("string"), 1, 1).cast("int")
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    total = Window.partitionBy()
+    frac = F.col("n_obs").cast("double") / F.sum("n_obs").over(total)
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    dev = frac - expected
+    return counts.select(
+        "digit",
+        "n_obs",
+        frac.alias("frac_obs"),
+        display_round(expected, 9).alias("expected_frac"),
+        display_round(dev * dev / expected, 9).alias("chi2_term"),
+    )
+
+
 _VALIDATE_SQL = """
 SELECT 'orders.o_orderkey unique' AS constraint_name,
        CAST(count(*) AS BIGINT) AS n_violations, count(*) = 0 AS passed
@@ -254,10 +286,27 @@ QUERIES = {
     "rel_key_skew_stats": rel_key_skew_stats,
     "rel_validate_constraints": rel_validate_constraints,
     "rel_cascade_delete": rel_cascade_delete,
+    "rel_benford_check": rel_benford_check,
 }
+
+_BENFORD_SQL = """
+WITH d AS (
+  SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders
+),
+c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit)
+SELECT digit, n_obs,
+       CAST(n_obs AS DOUBLE) / sum(n_obs) OVER () AS frac_obs,
+       floor(log10(1.0 + 1.0 / digit) * 1e9 + 0.5) / 1e9 AS expected_frac,
+       floor((CAST(n_obs AS DOUBLE) / sum(n_obs) OVER () - log10(1.0 + 1.0 / digit))
+             * (CAST(n_obs AS DOUBLE) / sum(n_obs) OVER () - log10(1.0 + 1.0 / digit))
+             / log10(1.0 + 1.0 / digit) * 1e9 + 0.5) / 1e9 AS chi2_term
+FROM c
+"""
 
 ORACLES = {
     "rel_profile_columns": _PROFILE_SQL,
+    "rel_benford_check": _BENFORD_SQL,
     "rel_validate_constraints": _VALIDATE_SQL,
     "rel_cascade_delete": _CASCADE_SQL,
     "rel_key_skew_stats": _SKEW_SQL.format(
