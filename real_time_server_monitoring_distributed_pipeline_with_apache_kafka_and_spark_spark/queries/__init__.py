@@ -75,6 +75,9 @@ _PRIORITY: tuple[str, ...] = (
     "rel_pagerank_coparts",
     "pipeline_training_prep",
     "rel_benford_check",
+    "rel_time_range_frame",
+    "rel_disjunctive_filter",
+    "rel_map_funcs",
     # -- warehouse-ingest pack, never driver-proven --
     "rel_cdc_merge",
     "rel_scd2_intervals",

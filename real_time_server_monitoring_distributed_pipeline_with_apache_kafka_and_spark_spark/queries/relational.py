@@ -682,6 +682,85 @@ def rel_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CORRECTNESS_r01.json) sits at the tail so it is what falls outside the cap
 # now that text_*/mm_* run earlier. Local pytest oracle-parity still covers
 # every query each round regardless of driver order.
+def rel_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frames: each order sees its customer's trailing
+    30-DAY order count and exact decimal revenue — value-range frames
+    (all peers at equal dates included, deterministic by construction),
+    not the positional ROWS frames rel_window_frames covers.
+
+    The order key is an integer DAY INDEX (datediff from an epoch), not
+    a raw timestamp: the DataFrame ``rangeBetween`` API takes numeric
+    offsets, and an integer lattice makes the frame boundary
+    engine-exact (interval-literal RANGE frames coerce differently
+    across engines).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        day.alias("day_idx"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        F.sum(F.col("o_totalprice").cast(_MONEY)).over(w).cast("double").alias(
+            "revenue_30d"
+        ),
+    )
+
+
+def rel_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three conjunctive
+    branch predicates spanning BOTH join sides (brand x size-band x
+    quantity-band). The optimizer test case for disjunction handling —
+    the join keys still push down (candidates must satisfy SOME branch's
+    part-side conjuncts), and the exact decimal sum keeps the single
+    output row hash-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branch1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 20))
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#7")
+        & (F.col("p_size").between(10, 30))
+        & (F.col("l_quantity").between(10, 35))
+    )
+    branch3 = (
+        (F.col("p_brand") == "Brand#20")
+        & (F.col("p_size").between(20, 50))
+        & (F.col("l_quantity").between(20, 50))
+    )
+    price = F.col("l_extendedprice").cast(_MONEY)
+    disc = F.col("l_discount").cast(_MONEY)
+    return j.filter(branch1 | branch2 | branch3).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(price * (1 - disc)).cast("double").alias("revenue"),
+    )
+
+
+def rel_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface over events.props: JSON parsed to a
+    ``map<string,int>``, then map_keys/size/element_at/contains — the
+    schema-flexible complement of rel_json_funcs' fixed-struct
+    extraction (real props payloads carry open key sets)."""
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return events.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.element_at(m, "k").alias("k_val"),
+        F.array_contains(F.map_keys(m), "k").alias("has_k"),
+    )
+
+
 _PR_SCALE = 10**12
 _PR_ITERS = 5
 
@@ -934,6 +1013,9 @@ def rel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "rel_time_range_frame": rel_time_range_frame,
+    "rel_disjunctive_filter": rel_disjunctive_filter,
+    "rel_map_funcs": rel_map_funcs,
     "rel_pagerank_coparts": rel_pagerank_coparts,
     "rel_hll_daily_users": rel_hll_daily_users,
     "rel_scd2_asof_lookup": rel_scd2_asof_lookup,
@@ -981,6 +1063,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_time_range_frame": """
+SELECT o_custkey, o_orderkey,
+       datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_idx,
+       count(*) OVER w AS n_orders_30d,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS revenue_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+""",
+    "rel_disjunctive_filter": """
+SELECT count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+""",
+    "rel_map_funcs": """
+SELECT event_id,
+       CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+       array_to_string(json_keys(props), ',') AS keys_csv,
+       CAST(props->>'k' AS INTEGER) AS k_val,
+       list_contains(json_keys(props), 'k') AS has_k
+FROM events
+""",
     "rel_pagerank_coparts": _pagerank_sql(),
     "rel_scd2_asof_lookup": """
 WITH flagged AS (
