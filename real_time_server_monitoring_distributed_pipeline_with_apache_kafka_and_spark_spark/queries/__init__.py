@@ -37,10 +37,12 @@ from . import dedup, extras, monitoring, multimodal, profiling, relational, simi
 #       (salted stratified sample, dup spans, shuffle order, embedding
 #       clusters), then the 6 queries whose code changed since r04
 #       (incl. dedup_simhash, refactored through hamming64_pairs), then
-#       the 28 rows whose newest green is r03 (2 rounds stale). With 44
-#       never-proven/changed entries ahead of them, only the first ~6
+#       the 28 rows whose newest green is r03 (2 rounds stale). With 47
+#       never-proven/changed entries ahead of them, only the first ~3
 #       r03 rows make the 50-row window; the rest age to 3 rounds and
-#       MUST lead the r06 window once the new r05 queries are proven.
+#       MUST lead the r06 window once the new r05 queries are proven —
+#       the deliberate price of shipping 33 new verified queries in one
+#       round.
 #       Past the cap: rows-only sketches and the r04-green keep-green
 #       representatives / unchanged tail. Every query is still locally
 #       oracle-checked every round by tests/test_oracle_parity.py
