@@ -502,3 +502,34 @@ def test_sessionize_sorts_within_user_partitions_only(spark):
     for m in re.finditer(r"Window \[", plan):
         window_line = plan[m.start() : plan.index("\n", m.start())]
         assert "partitionby user_id" in window_line.lower().replace("'", ""), window_line
+
+
+def test_pagerank_iterations_reuse_cached_edges(spark):
+    """rel_pagerank_coparts persists the edge⋈outdeg table: all five
+    iterations must read the InMemoryRelation, not recompute the order
+    self-join five times."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(all_queries()["rel_pagerank_coparts"](spark, SF_DIR))
+    assert plan.count("InMemoryTableScan") >= 5, plan.count("InMemoryTableScan")
+    spark.catalog.clearCache()
+
+
+def test_bench_headliners_are_registered():
+    """Every bench.py HEADLINE name must resolve in the query registry —
+    a rename that orphans a headliner should fail here, not in the
+    driver's bench run."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    qs = all_queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, missing
+    assert set(bench.LEGACY9) <= set(bench.HEADLINE)
