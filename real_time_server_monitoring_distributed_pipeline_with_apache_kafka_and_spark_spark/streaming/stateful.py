@@ -160,3 +160,106 @@ def track_alert_transitions_batch(
         return pd.DataFrame(rows, columns=names)
 
     return alerts.groupBy(entity_col).applyInPandas(fn, schema=schema)
+
+
+def _zscore_schemas(window: int):
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        LongType,
+    )
+
+    out = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("n_history", LongType()),
+            StructField("zscore", DoubleType()),
+            StructField("is_anomaly", BooleanType()),
+        ]
+    )
+    st = StructType([StructField("window", ArrayType(DoubleType()))])
+    return out, st
+
+
+def _zscore_row(value: float, hist: list[float]) -> tuple[int, float | None]:
+    """One z-score against the trailing history, replaying the batch
+    query's EXACT op sequence (queries.monitoring.monitor_anomaly_zscore):
+    cent-lattice sums (the decimal(12,2) cast), s*s/n before the
+    subtraction, one division per step, floor-round to 1e-9. Bitwise
+    identical to the window-aggregate formulation on the same rows."""
+    import math
+
+    n = len(hist)
+    if n < 2:
+        return n, None
+    cents = [int(round(v * 100)) for v in hist]
+    s = sum(cents) / 100.0
+    sq = sum(c * c for c in cents) / 10000.0
+    mean = s / n
+    var = (sq - s * s / n) / (n - 1)
+    std = math.sqrt(var) if var >= 0 else float("nan")
+    if std == 0.0:
+        return n, None
+    z = (value - mean) / std
+    return n, math.floor(z * 1e9 + 0.5) / 1e9
+
+
+def _zscore_fn(window: int):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        hist: list[float] = list(state.get[0]) if state.exists else []
+        out = {k: [] for k in (
+            "event_id", "user_id", "ts", "value", "n_history", "zscore", "is_anomaly"
+        )}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples():
+                n, z = _zscore_row(float(r.value), hist)
+                out["event_id"].append(r.event_id)
+                out["user_id"].append(r.user_id)
+                out["ts"].append(r.ts)
+                out["value"].append(r.value)
+                out["n_history"].append(n)
+                out["zscore"].append(z)
+                out["is_anomaly"].append(None if z is None else abs(z) > 3.0)
+                hist.append(float(r.value))
+                if len(hist) > window:
+                    del hist[: len(hist) - window]
+        state.update((hist,))
+        if out["event_id"]:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def rolling_zscore_stream(
+    events: DataFrame, window: int = 12
+) -> DataFrame:
+    """Streaming leg of queries.monitoring.monitor_anomaly_zscore: the
+    per-user trailing-``window`` z-score as CONTINUOUS keyed state
+    (``applyInPandasWithState``; state = at most ``window`` doubles per
+    user, O(users) total — no watermark needed because the state is
+    size-bounded by construction, not time-bounded).
+
+    Replays the batch query's exact arithmetic (shared
+    :func:`_zscore_row`), so on an event-time-ordered stream the emitted
+    rows are bitwise identical to the batch window aggregate over the
+    union input (pinned by tests/test_streaming.py::
+    test_rolling_zscore_stream_matches_batch). Order caveat: like any
+    sequence-stateful operator, per-user arrival order must match event
+    order across micro-batches (within a batch rows are sorted); for
+    out-of-order transports put a watermarked sort-buffer in front.
+    """
+    out_schema, state_schema = _zscore_schemas(window)
+    return events.groupBy("user_id").applyInPandasWithState(
+        _zscore_fn(window),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1850,3 +1850,54 @@ def test_profile_ingest_stream_matches_batch(spark, tmp_path):
         assert abs(g.n_distinct - exact_nd) / max(exact_nd, 1) < 0.05, col
         assert (g.min_value, g.max_value) == (want.mn, want.mx), col
         assert g.mean_value == want.mean, col  # exact decimal merge
+
+
+def test_rolling_zscore_stream_matches_batch(spark, tmp_path):
+    """T5: the stateful streaming z-score (applyInPandasWithState, state
+    = trailing 12 values per user) must emit rows BITWISE identical to
+    the batch window-aggregate query over the union input, with state
+    carried across micro-batch boundaries (files split by TIME, so
+    cross-boundary windows depend on persisted state)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.monitoring import (
+        monitor_anomaly_zscore,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.stateful import (
+        rolling_zscore_stream,
+    )
+
+    events = spark.range(400).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 5).alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 60).alias("ts"),
+        (F.round((F.col("id") % 37) * 1.37 + 5, 2)).alias("value"),
+    )
+    # The batch oracle side: the REGISTERED query over a temp sf_dir.
+    sf_dir = str(tmp_path / "sf")
+    events.write.parquet(sf_dir + "/events.parquet")
+    want = sorted(
+        (r.event_id, r.n_history, r.zscore, r.is_anomaly)
+        for r in monitor_anomaly_zscore(spark, sf_dir).collect()
+    )
+    # Stream side: two TIME-ordered files => state must survive the
+    # micro-batch boundary.
+    src = str(tmp_path / "src")
+    cutoff = F.col("event_id") < 200
+    events.filter(cutoff).coalesce(1).write.mode("append").parquet(src)
+    events.filter(~cutoff).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        rolling_zscore_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("zs_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.event_id, r.n_history, r.zscore, r.is_anomaly)
+            for r in spark.sql("SELECT * FROM zs_out").collect()
+        )
+    finally:
+        q.stop()
+    assert got == want and len(want) == 400
