@@ -80,6 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "rel_time_range_frame",
     "rel_disjunctive_filter",
     "rel_map_funcs",
+    "monitor_ewma_level",
     # -- warehouse-ingest pack, never driver-proven --
     "rel_cdc_merge",
     "rel_scd2_intervals",

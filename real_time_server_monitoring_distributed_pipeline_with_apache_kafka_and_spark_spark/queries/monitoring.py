@@ -280,6 +280,39 @@ def monitor_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def monitor_ewma_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of ``value``
+    (alpha = 0.2, initialized at the first observation) — the smoothed
+    "current level" a monitoring pipeline alerts against. EWMA is a
+    RECURSIVE statistic no plain window aggregate expresses; here it is
+    an ordered SEQUENTIAL FOLD over the user's event history
+    (``F.aggregate`` over the time-sorted value array), which is
+    engine-portable bit-for-bit: DuckDB's ``list_reduce`` folds the same
+    ordered list with the same op sequence, so the floats agree exactly
+    — no rounding needed.
+
+    Scale: one hash aggregate collects each user's ordered history (state
+    = that user's events, the same bound every per-entity window op here
+    has); the fold itself is O(events) inside the group. For unbounded
+    histories use the streaming stateful form (one scalar of state) —
+    the rolling_zscore_stream pattern with acc = EWMA.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        arr.alias("h"), F.count(F.lit(1)).alias("n_events")
+    )
+    vals = F.expr("transform(h, x -> x.value)")
+    ewma = F.aggregate(
+        F.expr("slice(transform(h, x -> x.value), 2, size(h) - 1)"),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+    )
+    return per_user.select("user_id", "n_events", ewma.alias("ewma_value"))
+
+
 def monitor_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-data report: which (user, day) cells of the expected
     reporting lattice have NO events — the "which servers stopped
@@ -660,6 +693,7 @@ QUERIES = {
     "monitor_resample_locf": monitor_resample_locf,
     "monitor_anomaly_zscore": monitor_anomaly_zscore,
     "monitor_gap_report": monitor_gap_report,
+    "monitor_ewma_level": monitor_ewma_level,
     "monitor_drift_psi": monitor_drift_psi,
     "monitor_cpu_mem_alerts": monitor_cpu_mem_alerts,
     "monitor_cpu_mem_alerts_bucketed": monitor_cpu_mem_alerts_bucketed,
@@ -677,6 +711,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "monitor_ewma_level": """
+WITH h AS (
+  SELECT user_id, count(*) AS n_events,
+         list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CASE WHEN len(vals) = 1 THEN vals[1]
+            ELSE list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc)
+       END AS ewma_value
+FROM h
+""",
     "monitor_gap_report": """
 WITH lattice AS (
   SELECT u.user_id, CAST(g.d AS DATE) AS day
