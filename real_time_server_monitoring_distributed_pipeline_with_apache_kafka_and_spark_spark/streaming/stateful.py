@@ -263,3 +263,68 @@ def rolling_zscore_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _ewma_schemas():
+    from pyspark.sql.types import BooleanType, DoubleType, LongType
+
+    out = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("ewma_value", DoubleType()),
+        ]
+    )
+    st = StructType(
+        [StructField("started", BooleanType()), StructField("ewma", DoubleType())]
+    )
+    return out, st
+
+
+def _ewma_fn(alpha: float):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        started, ewma = state.get if state.exists else (False, 0.0)
+        out = {k: [] for k in ("event_id", "user_id", "ts", "value", "ewma_value")}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for r in pdf.itertuples():
+                v = float(r.value)
+                # Same op order as the batch fold (alpha*x + (1-alpha)*acc)
+                # so stream and batch floats agree bitwise.
+                ewma = (alpha * v + (1.0 - alpha) * ewma) if started else v
+                started = True
+                out["event_id"].append(r.event_id)
+                out["user_id"].append(r.user_id)
+                out["ts"].append(r.ts)
+                out["value"].append(r.value)
+                out["ewma_value"].append(ewma)
+        state.update((started, ewma))
+        if out["event_id"]:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def ewma_stream(events: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Streaming leg of queries.monitoring.monitor_ewma_level: the
+    recursive EWMA as ONE SCALAR of keyed state per user — the minimal
+    stateful operator (contrast rolling_zscore_stream's trailing-window
+    state). Emits the running smoothed level at every event; the final
+    emitted value per user is bitwise identical to the batch ordered
+    fold over the union input (same init-at-first-observation, same
+    ``alpha*x + (1-alpha)*acc`` op order; pinned by
+    tests/test_streaming.py::test_ewma_stream_matches_batch). Same
+    ordering caveat as every sequence-stateful operator.
+    """
+    out_schema, state_schema = _ewma_schemas()
+    return events.groupBy("user_id").applyInPandasWithState(
+        _ewma_fn(alpha),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1901,3 +1901,48 @@ def test_rolling_zscore_stream_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == want and len(want) == 400
+
+
+def test_ewma_stream_matches_batch(spark, tmp_path):
+    """T5: the scalar-state streaming EWMA's LAST emitted value per user
+    equals the batch ordered-fold query bitwise, with the recursion
+    crossing micro-batch boundaries (time-split files)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.monitoring import (
+        monitor_ewma_level,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.stateful import (
+        ewma_stream,
+    )
+
+    events = spark.range(300).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 4).alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 30).alias("ts"),
+        (F.round((F.col("id") % 23) * 2.13 + 1, 2)).alias("value"),
+    )
+    sf_dir = str(tmp_path / "sf")
+    events.write.parquet(sf_dir + "/events.parquet")
+    want = {r.user_id: (r.n_events, r.ewma_value)
+            for r in monitor_ewma_level(spark, sf_dir).collect()}
+    src = str(tmp_path / "src")
+    cutoff = F.col("event_id") < 150
+    events.filter(cutoff).coalesce(1).write.mode("append").parquet(src)
+    events.filter(~cutoff).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        ewma_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ewma_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ewma_out").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 300  # one running level per event
+    last = {}
+    for r in sorted(rows, key=lambda r: (r.ts, r.event_id)):
+        last[r.user_id] = r.ewma_value
+    assert {u: v for u, v in last.items()} == {u: w[1] for u, w in want.items()}
