@@ -357,6 +357,8 @@ def monitor_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance yield NULL z (NULLIF guards — no ANSI divide-by-zero
     poison). z is floor-rounded to 9 decimals and the anomaly flag
     compares the ROUNDED value, so flag and score are engine-identical.
+    Streaming twin: streaming.stateful.rolling_zscore_stream holds the
+    trailing window as keyed state and emits these rows bitwise.
     """
     from pyspark.sql import Window
 
