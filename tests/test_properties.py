@@ -337,3 +337,37 @@ def test_key_skew_histogram_percentiles_property(spark, keys):
     assert got.p90_rows_per_key == want.p90
     assert got.p99_rows_per_key == want.p99
     assert got.n_rows == len(keys)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=99999), min_size=1, max_size=30
+    )
+)
+def test_ewma_fold_matches_python_model(spark, cents):
+    """The Catalyst ordered-fold EWMA must equal the plain Python
+    recurrence bit-for-bit for any value sequence (same init-at-first,
+    same op order)."""
+    vals = [c / 100.0 for c in cents]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, value double"
+    )
+    arr = F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("value"))))
+    got = (
+        df.groupBy(F.lit(1).alias("g"))
+        .agg(arr.alias("h"))
+        .select(
+            F.aggregate(
+                F.expr("slice(transform(h, x -> x.value), 2, size(h) - 1)"),
+                F.element_at(F.expr("transform(h, x -> x.value)"), 1),
+                lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+            ).alias("ewma")
+        )
+        .collect()[0]
+        .ewma
+    )
+    want = vals[0]
+    for v in vals[1:]:
+        want = 0.2 * v + 0.8 * want
+    assert got == want
