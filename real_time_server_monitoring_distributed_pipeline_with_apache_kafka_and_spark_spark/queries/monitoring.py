@@ -325,7 +325,7 @@ def monitor_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     days = F.sequence(
         F.lit("2024-01-01").cast("date"),
-        F.lit("2024-01-30").cast("date"),
+        F.lit("2024-01-31").cast("date"),
         F.expr("INTERVAL 1 DAY"),
     )
     lattice = ev.select("user_id").distinct().select(
@@ -353,9 +353,12 @@ def monitor_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     are integer-lattice exact, so Spark's incremental add/remove frame
     evaluation and any other engine's recompute agree bit-for-bit), and
     mean/variance/z derive from those sums with an op sequence the
-    oracle mirrors. Frames with fewer than 2 history rows or zero
-    variance yield NULL z (NULLIF guards — no ANSI divide-by-zero
-    poison). z is floor-rounded to 9 decimals and the anomaly flag
+    oracle mirrors. Frames with fewer than 2 history rows or non-positive
+    variance yield NULL z (a `var > 0` CASE guard — covers n<2 NULLs,
+    exact-zero spread, AND the tiny-negative var that double rounding
+    produces on constant windows, where sqrt(neg)=NaN would make Spark's
+    floor(NaN)=0 disagree with DuckDB's floor(NaN)=NaN).
+    z is floor-rounded to 9 decimals and the anomaly flag
     compares the ROUNDED value, so flag and score are engine-identical.
     Streaming twin: streaming.stateful.rolling_zscore_stream holds the
     trailing window as keyed state and emits these rows bitwise.
@@ -376,7 +379,12 @@ def monitor_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq = F.sum(vdec * vdec).over(w).cast("double")
     mean = s / n
     var = (sq - s * s / n) / F.nullif(n - 1, F.lit(0))
-    z = (F.col("value") - mean) / F.nullif(F.sqrt(var), F.lit(0.0))
+    # var can land tiny-NEGATIVE on constant windows (double rounding of
+    # s*s/n); sqrt would yield NaN, and Spark's floor(NaN)=0 vs DuckDB's
+    # floor(NaN)=NaN would split the engines. `WHEN var > 0` treats
+    # no-spread (and NULL var for n<2) as no-score on BOTH engines and in
+    # the streaming twin's `not (var > 0)` guard.
+    z = F.when(var > 0.0, (F.col("value") - mean) / F.sqrt(var))
     zr = display_round(z, 9)
     return ev.select(
         "event_id",
@@ -729,7 +737,7 @@ FROM h
 WITH lattice AS (
   SELECT u.user_id, CAST(g.d AS DATE) AS day
   FROM (SELECT DISTINCT user_id FROM events) u,
-       LATERAL unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+       LATERAL unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
                                       INTERVAL 1 DAY)) g(d)
 ),
 actual AS (
@@ -758,7 +766,9 @@ WITH f AS (
 ),
 z AS (
   SELECT event_id, user_id, ts, value, n,
-         (value - s / n) / NULLIF(sqrt((sq - s * s / n) / NULLIF(n - 1, 0)), 0.0) AS zraw
+         CASE WHEN (sq - s * s / n) / NULLIF(n - 1, 0) > 0
+              THEN (value - s / n) / sqrt((sq - s * s / n) / NULLIF(n - 1, 0))
+         END AS zraw
   FROM f
 )
 SELECT event_id, user_id, ts, value, CAST(n AS BIGINT) AS n_history,

@@ -527,6 +527,11 @@ def profile_ingest_stream(
     """
     import os
 
+    if not numeric_cols:
+        # Fail at build time, not as an opaque None.write AttributeError
+        # inside foreachBatch at the first micro-batch.
+        raise ValueError("numeric_cols must be non-empty")
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         parts = None
         for col in numeric_cols:

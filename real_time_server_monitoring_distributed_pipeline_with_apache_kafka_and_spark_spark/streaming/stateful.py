@@ -201,10 +201,14 @@ def _zscore_row(value: float, hist: list[float]) -> tuple[int, float | None]:
     sq = sum(c * c for c in cents) / 10000.0
     mean = s / n
     var = (sq - s * s / n) / (n - 1)
-    std = math.sqrt(var) if var >= 0 else float("nan")
-    if std == 0.0:
+    # Constant windows can land at var == 0 or tiny-NEGATIVE (double
+    # rounding of s*s/n); both mean "no spread, no score". `not (var > 0)`
+    # also catches NaN — without it sqrt(neg)=NaN reaches floor() and
+    # kills the streaming query. Mirrors the batch query's
+    # `WHEN var > 0` guard exactly.
+    if not (var > 0.0):
         return n, None
-    z = (value - mean) / std
+    z = (value - mean) / math.sqrt(var)
     return n, math.floor(z * 1e9 + 0.5) / 1e9
 
 

@@ -1946,3 +1946,100 @@ def test_ewma_stream_matches_batch(spark, tmp_path):
     for r in sorted(rows, key=lambda r: (r.ts, r.event_id)):
         last[r.user_id] = r.ewma_value
     assert {u: v for u, v in last.items()} == {u: w[1] for u, w in want.items()}
+
+
+def test_zscore_constant_window_no_crash_three_way_parity(spark, tmp_path):
+    """Regression (r06): a constant trailing window makes var tiny-NEGATIVE
+    under double rounding (e.g. hist=[20.53]*k). Before the `var > 0`
+    guard, the streaming leg crashed (math.floor(NaN) ValueError inside
+    applyInPandasWithState) and the batch query diverged from DuckDB
+    (Spark floor(NaN)=0 vs DuckDB floor(NaN)=NaN). All three legs must
+    now agree: constant history => NULL zscore, NULL is_anomaly."""
+    import duckdb
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.monitoring import (
+        ORACLES,
+        monitor_anomaly_zscore,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.stateful import (
+        _zscore_row,
+        rolling_zscore_stream,
+    )
+
+    # Unit: the shared streaming/batch core must not crash and must
+    # refuse to score a spread-free window.
+    for k in (2, 3, 7, 12):
+        n, z = _zscore_row(20.53, [20.53] * k)
+        assert (n, z) == (k, None)
+    # Mixed history still scores.
+    n, z = _zscore_row(9.0, [1.0, 2.0, 3.0])
+    assert n == 3 and z is not None
+
+    # Events: user 0 is CONSTANT (the idle-server case), user 1 varies.
+    events = spark.range(60).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 2).alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 60).alias("ts"),
+        F.when(F.col("id") % 2 == 0, F.lit(20.53))
+        .otherwise(F.round((F.col("id") % 13) * 1.7 + 2, 2))
+        .alias("value"),
+    )
+    sf_dir = str(tmp_path / "sf")
+    events.write.parquet(sf_dir + "/events.parquet")
+
+    batch = monitor_anomaly_zscore(spark, sf_dir).collect()
+    const_rows = [r for r in batch if r.user_id == 0 and r.n_history >= 2]
+    assert const_rows and all(
+        r.zscore is None and r.is_anomaly is None for r in const_rows
+    )
+    vary_scored = [r for r in batch if r.user_id == 1 and r.zscore is not None]
+    assert vary_scored  # the guard must not blanket-NULL real spread
+
+    # Oracle parity on the same data.
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    from .oracle_utils import compare
+
+    assert compare(
+        monitor_anomaly_zscore(spark, sf_dir), con, ORACLES["monitor_anomaly_zscore"]
+    ) == []
+
+    # Streaming: the same rows must flow through without killing the query.
+    src = str(tmp_path / "src")
+    events.filter(F.col("event_id") < 30).coalesce(1).write.mode("append").parquet(src)
+    events.filter(F.col("event_id") >= 30).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        rolling_zscore_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("zs_const_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.event_id, r.n_history, r.zscore, r.is_anomaly)
+            for r in spark.sql("SELECT * FROM zs_const_out").collect()
+        )
+    finally:
+        q.stop()
+    want = sorted((r.event_id, r.n_history, r.zscore, r.is_anomaly) for r in batch)
+    assert got == want and len(want) == 60
+
+
+def test_profile_ingest_stream_rejects_empty_cols(spark, tmp_path):
+    """Regression (r06): an empty numeric_cols must fail at build time
+    with a clear message, not as None.write inside foreachBatch."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.jobs import (
+        profile_ingest_stream,
+    )
+
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="numeric_cols"):
+        profile_ingest_stream(stream, str(tmp_path / "s"), str(tmp_path / "c"), [])
