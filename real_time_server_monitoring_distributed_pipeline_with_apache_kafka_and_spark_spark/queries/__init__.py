@@ -16,94 +16,29 @@ from . import dedup, extras, monitoring, multimodal, profiling, relational, simi
 
 # Order is load-bearing: the correctness driver verifies the first ~50
 # registry entries in iteration order (observed: each round records exactly
-# 50 rows). _PRIORITY makes the window explicit. Rotation history:
-#   r01 green: monitoring/dedup/similarity/relational head (50 rows; the 9
-#       text_*/mm_* queries sat past the cap and got no row).
-#   r02 green: monitoring, text (minus text_hash_split, red on an oracle
-#       HUGEINT type artifact — fixed r03), multimodal, dedup, similarity,
-#       relational head.
-#   r03 green: all 50 — extras' first rows, text_hash_split re-proof,
-#       changed dedup rows, keep-green surface. With that, every
-#       registered query has had >=1 green driver row.
-#   r04 green: all 50 — the 7 new rows (bucketed flagships, 4 text ops,
-#       dedup_clusters), 3 code-changed re-proofs, the 18-row r01/r02
-#       tail, and keep-green fill.
-#   r05 window (this list): everything built since the r04 verify is in
-#       ONE driver round (r04 was the last recorded verify), so the head
-#       is all never-driver-proven work, newest first: the audit pack
-#       (profile/skew/interval-join/entropy/source-filter/ahash), the
-#       warehouse-ingest pack (CDC merge, SCD2, fuzzy join, winsorize,
-#       drift PSI, weighted sample, audio RMS), the earlier r05 additions
-#       (salted stratified sample, dup spans, shuffle order, embedding
-#       clusters), then the 6 queries whose code changed since r04
-#       (incl. dedup_simhash, refactored through hamming64_pairs), then
-#       the 28 rows whose newest green is r03 (2 rounds stale). With 47
-#       never-proven/changed entries ahead of them, only the first ~3
-#       r03 rows make the 50-row window; the rest age to 3 rounds and
-#       MUST lead the r06 window once the new r05 queries are proven —
-#       the deliberate price of shipping 33 new verified queries in one
-#       round.
-#       Past the cap: rows-only sketches and the r04-green keep-green
-#       representatives / unchanged tail. Every query is still locally
-#       oracle-checked every round by tests/test_oracle_parity.py
-#       regardless of driver window position — the driver window is
-#       re-proof freshness, not the only correctness evidence.
+# 50 rows). _PRIORITY makes the window explicit. Rotation history lives in
+# git (r01-r05 summarized: every query driver-proven at least once by r03;
+# r05 spent the window on 47 never-proven/changed rows, aging the r02/r03
+# tail to 3-4 rounds).
+#
+# r06 window policy (and the standing policy hereafter, enforced by
+# tests/test_freshness.py): lead with every row whose newest driver green
+# would be >2 rounds old at this round's composition (the 3 r02 rows incl.
+# both rows-only sketches + the 23 r03 rows), then every row whose query
+# code changed since its last green (monitor_anomaly_zscore and
+# monitor_gap_report: the var>0 guard / Jan-31 lattice, r06), then any
+# never-proven new rows, then fill the remainder with the OLDEST
+# still-fresh rows (r04 block) so the aging wave stays spread across
+# future windows instead of piling onto one round.
 _PRIORITY: tuple[str, ...] = (
-    # -- newest (audit/profiling + interval join), never driver-proven --
-    "rel_profile_columns",
-    "rel_key_skew_stats",
-    "monitor_error_after_click",
-    "text_char_entropy",
-    "text_source_quality_filter",
-    "mm_image_ahash",
-    "rel_validate_constraints",
-    "monitor_sessionize",
-    "text_bigram_logprob",
-    "sim_knn_join",
-    "dedup_containment",
-    "rel_cascade_delete",
-    "monitor_resample_locf",
-    "rel_cohort_retention",
-    "monitor_anomaly_zscore",
-    "dedup_cross_corpus",
-    "rel_pit_features",
-    "rel_scd2_asof_lookup",
-    "rel_hll_daily_users",
-    "mm_scene_segments",
-    "text_langid_confusion",
-    "text_fixed_n_per_lang",
-    "monitor_gap_report",
-    "text_length_percentiles",
-    "rel_pagerank_coparts",
-    "pipeline_training_prep",
-    "rel_benford_check",
-    "rel_time_range_frame",
-    "rel_disjunctive_filter",
-    "rel_map_funcs",
-    "monitor_ewma_level",
-    # -- warehouse-ingest pack, never driver-proven --
-    "rel_cdc_merge",
-    "rel_scd2_intervals",
-    "rel_fuzzy_join",
-    "rel_winsorize",
-    "monitor_drift_psi",
-    "text_weighted_sample",
-    "mm_audio_rms",
-    # -- earlier additions this round, never driver-proven --
-    "text_stratified_sample_salted",
-    "text_dup_spans",
-    "text_shuffle_order",
-    "dedup_embedding_clusters",
-    # -- code changed since the r04 verify: re-prove --
-    "dedup_simhash",
-    "dedup_clusters",
-    "dedup_minhash_lsh",
-    "monitor_cpu_mem_alerts_bucketed",
-    "monitor_net_disk_alerts_bucketed",
-    "text_stratified_sample",
-    # -- newest green row is r03 (2 rounds old): cycle back in --
-    "rel_salted_join",
-    "rel_range_join",
+    # -- newest driver green is r02 (3-4 rounds old): MUST re-prove now.
+    #    rel_approx_percentile / rel_approx_distinct are the rows-only
+    #    sketches: keeping one+ in every window gives the driver a
+    #    rows-sanity re-proof even though they can never hash-match. --
+    "rel_join_full_outer",
+    "rel_approx_percentile",
+    "rel_approx_distinct",
+    # -- newest driver green is r03: re-prove now --
     "rel_window_running",
     "rel_window_frames",
     "rel_rollup",
@@ -113,7 +48,6 @@ _PRIORITY: tuple[str, ...] = (
     "rel_join_left_outer",
     "rel_join_semi",
     "rel_join_anti",
-    "rel_join_full_outer",
     "text_token_stats",
     "text_langid",
     "text_fingerprint",
@@ -128,17 +62,19 @@ _PRIORITY: tuple[str, ...] = (
     "mm_decode_features",
     "mm_resize",
     "mm_frame_sample",
-    "rel_approx_percentile",
-    # -- past the ~50 cap: r04-green keep-green representative surface --
-    "rel_approx_distinct",
+    # -- code changed in r06 (zscore var>0 guard; gap-report Jan-31
+    #    lattice): green rows predate the change, re-prove --
+    "monitor_anomaly_zscore",
+    "monitor_gap_report",
+    # -- never driver-proven (new in r06) --
+    # -- fill: oldest still-fresh rows (r04 block, age 2) so r07 only
+    #    inherits the remainder of the r04 block, not all 44 --
     "monitor_cpu_mem_alerts",
     "monitor_net_disk_alerts",
     "monitor_window_sliding_avg",
     "pipeline_corpus_curation",
     "text_quality_score",
     "dedup_exact",
-    # -- tail (past the ~50 cap): all r04-green, unchanged since; cycle
-    #    back by r07 --
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
@@ -155,6 +91,9 @@ _PRIORITY: tuple[str, ...] = (
     "monitor_funnel",
     "monitor_window_tumbling",
     "monitor_session_window",
+    # ---- past the ~50-row cap from here ----
+    # -- rest of the r04 block (age 2 now): these MUST lead the r07
+    #    window (age 3 there) together with any r06 code changes --
     "monitor_case_classify",
     "monitor_project_cast",
     "monitor_filter_range",
@@ -177,6 +116,55 @@ _PRIORITY: tuple[str, ...] = (
     "rel_join_customer_orders",
     "rel_topk_per_group",
     "rel_asof_join",
+    # -- r05-green tail (age 1): due again by r08 --
+    "rel_profile_columns",
+    "rel_key_skew_stats",
+    "monitor_error_after_click",
+    "text_char_entropy",
+    "text_source_quality_filter",
+    "mm_image_ahash",
+    "rel_validate_constraints",
+    "monitor_sessionize",
+    "text_bigram_logprob",
+    "sim_knn_join",
+    "dedup_containment",
+    "rel_cascade_delete",
+    "monitor_resample_locf",
+    "rel_cohort_retention",
+    "dedup_cross_corpus",
+    "rel_pit_features",
+    "rel_scd2_asof_lookup",
+    "rel_hll_daily_users",
+    "mm_scene_segments",
+    "text_langid_confusion",
+    "text_fixed_n_per_lang",
+    "text_length_percentiles",
+    "rel_pagerank_coparts",
+    "pipeline_training_prep",
+    "rel_benford_check",
+    "rel_time_range_frame",
+    "rel_disjunctive_filter",
+    "rel_map_funcs",
+    "monitor_ewma_level",
+    "rel_cdc_merge",
+    "rel_scd2_intervals",
+    "rel_fuzzy_join",
+    "rel_winsorize",
+    "monitor_drift_psi",
+    "text_weighted_sample",
+    "mm_audio_rms",
+    "text_stratified_sample_salted",
+    "text_dup_spans",
+    "text_shuffle_order",
+    "dedup_embedding_clusters",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "monitor_cpu_mem_alerts_bucketed",
+    "monitor_net_disk_alerts_bucketed",
+    "text_stratified_sample",
+    "rel_salted_join",
+    "rel_range_join",
 )
 
 _MODULES = (monitoring, text, multimodal, dedup, similarity, relational, extras, profiling)

@@ -1,0 +1,92 @@
+"""Driver-window freshness invariant (r06 process debt, VERDICT r05 #1-2).
+
+The external correctness driver verifies only the FIRST ~50 registry
+entries each round, so with 120+ registered queries a query's "driver
+green" goes stale unless the window rotates. This test encodes the
+rotation contract as an invariant over the PLANNED next window (the first
+50 of ``_PRIORITY``), not just history:
+
+    after the next round runs its window, no registered query's newest
+    driver green may be more than MAX_AGE rounds old.
+
+Equivalently: every query whose recorded newest green is already
+``next_round - MAX_AGE`` or older MUST sit inside the planned window, and
+every never-proven query must too. Capacity check included: the policy is
+only satisfiable while ``registered <= WINDOW * (MAX_AGE + 1)``.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+MAX_AGE = 2  # a green from round N satisfies compositions of rounds N..N+MAX_AGE
+
+
+def _history() -> dict[int, dict]:
+    out = {}
+    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        if not m:
+            continue
+        out[int(m.group(1))] = json.load(open(f))
+    return out
+
+
+def _newest_green(history: dict[int, dict]) -> dict[str, int]:
+    newest: dict[str, int] = {}
+    for rnd, rows in history.items():
+        for name, row in rows.items():
+            # Green = full hash match, or the rows-only contract for
+            # no-oracle sketches (driver ran it and got rows back).
+            ok = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if ok:
+                newest[name] = max(newest.get(name, -1), rnd)
+    return newest
+
+
+def test_planned_window_keeps_every_query_fresh():
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries import (
+        _PRIORITY,
+    )
+
+    history = _history()
+    assert history, "no CORRECTNESS_r*.json found — driver artifacts missing"
+    newest = _newest_green(history)
+    next_round = max(history) + 1
+    window = set(_PRIORITY[:WINDOW])
+
+    stale = []
+    for q in _PRIORITY:
+        effective = next_round if q in window else newest.get(q, -1)
+        if effective < 0:
+            stale.append(f"{q}: never driver-proven and NOT in the planned window")
+        elif next_round - effective > MAX_AGE:
+            stale.append(
+                f"{q}: newest driver green r{newest[q]:02d} would be "
+                f"{next_round - effective} rounds old after r{next_round:02d} "
+                f"and it is not in the planned window"
+            )
+    assert not stale, (
+        f"driver-window rotation debt at r{next_round:02d} "
+        f"(lead _PRIORITY with these):\n" + "\n".join(stale)
+    )
+
+
+def test_registry_size_within_rotation_capacity():
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries import (
+        _PRIORITY,
+    )
+
+    capacity = WINDOW * (MAX_AGE + 1)
+    assert len(_PRIORITY) <= capacity, (
+        f"{len(_PRIORITY)} registered queries exceed the {capacity}-query "
+        f"rotation capacity of a {WINDOW}-row window at max age {MAX_AGE}; "
+        "either raise MAX_AGE deliberately or stop registering new queries"
+    )
