@@ -1,0 +1,215 @@
+"""Watermarked reorder buffer for sequence-stateful streaming operators.
+
+The reference's own transport can reorder deliveries: its producer sends
+asynchronously with up to 5 requests in flight (reference
+``producer/producer.py:17``), so per-key arrival order across micro-batches
+is NOT guaranteed to match event order. The plain sequence-stateful legs
+(:func:`..streaming.stateful.rolling_zscore_stream`, ``ewma_stream``) fold
+rows in arrival order and would silently compute wrong values on such a
+transport.
+
+Spark disallows chaining two arbitrary ``applyInPandasWithState`` stages in
+one streaming query, so the buffer cannot be a separate operator. Instead
+it FUSES into the operator's keyed state:
+
+- incoming rows park in a per-key pending buffer (columnar arrays in the
+  state struct — O(delay x rate) rows per key, bounded by the watermark);
+- each invocation folds-and-emits, in (event time, event id) order, exactly
+  the pending rows at or below the current watermark
+  (``GroupState.getCurrentWatermarkMs``) — by watermark contract no
+  still-earlier row can arrive afterwards, so the fold order equals event
+  order;
+- an event-time timeout wakes keys that receive no further data once the
+  watermark passes their earliest pending row, so buffered rows always
+  drain without requiring fresh per-key traffic;
+- rows later than the watermark never reach the operator (Spark drops them
+  upstream) — standard watermark semantics, same as the windowed aggs.
+
+The fold cores are SHARED with the arrival-order legs and the batch
+queries (``_zscore_row``; the ``alpha*x + (1-alpha)*acc`` op order), so an
+out-of-order stream emits rows bitwise identical to the batch window
+aggregate over the same input (pinned by tests/test_streaming.py::
+test_*_stream_ordered_matches_batch_on_out_of_order_input).
+
+At 100 TB scale: state per key = the fold core plus at most
+``watermark delay x per-key event rate`` buffered rows, partitioned by key
+across executors with the shuffle — the same state-size story as any
+watermarked stream-stream join, and strictly smaller (three scalars per
+pending row).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from .stateful import _ewma_schemas, _zscore_row, _zscore_schemas
+
+_BUF_FIELDS = (
+    StructField("buf_event_id", ArrayType(LongType())),
+    StructField("buf_ts", ArrayType(LongType())),  # event time, micros since epoch
+    StructField("buf_value", ArrayType(DoubleType())),
+)
+
+
+def _ts_micros(ts: pd.Series) -> list[int]:
+    s = ts
+    if getattr(s.dtype, "tz", None) is not None:
+        s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+    return [int(x) for x in s.astype("datetime64[us]").astype("int64")]
+
+
+def _buffered_fn(
+    n_core: int,
+    init_core: Callable[[], list],
+    fold: Callable[[list, list[tuple[int, int, float]], Any], tuple[list, list]],
+    out_names: list[str],
+):
+    """Build the applyInPandasWithState function: state = ``n_core`` fold
+    fields followed by the three pending-buffer arrays; ``fold(core,
+    ready_rows, key)`` consumes watermark-ready (event_id, ts_us, value)
+    tuples in event order and returns (out_rows, new_core)."""
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = state.get
+            core = list(st[:n_core])
+            buf = [list(x) if x is not None else [] for x in st[n_core:]]
+        else:
+            core, buf = init_core(), [[], [], []]
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            buf[0].extend(int(x) for x in pdf["event_id"])
+            buf[1].extend(_ts_micros(pdf["ts"]))
+            buf[2].extend(float(x) for x in pdf["value"])
+        wm_ms = state.getCurrentWatermarkMs()
+        pending = sorted(zip(buf[0], buf[1], buf[2]), key=lambda r: (r[1], r[0]))
+        ready = [r for r in pending if r[1] <= wm_ms * 1000]
+        rest = [r for r in pending if r[1] > wm_ms * 1000]
+        out_rows, core = fold(core, ready, key[0])
+        state.update(
+            tuple(core)
+            + ([r[0] for r in rest], [r[1] for r in rest], [r[2] for r in rest])
+        )
+        if rest:
+            # Wake this key once the watermark passes its earliest pending
+            # row, even if no further data arrives for it. Must be strictly
+            # beyond the current watermark or Spark rejects it.
+            state.setTimeoutTimestamp(max(rest[0][1] // 1000, wm_ms + 1))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=out_names)
+
+    return fn
+
+
+def _zscore_fold(window: int):
+    def fold(core, ready, user_id):
+        hist = list(core[0]) if core[0] is not None else []
+        rows = []
+        for eid, ts_us, v in ready:
+            n, z = _zscore_row(v, hist)
+            rows.append(
+                (
+                    eid,
+                    user_id,
+                    pd.Timestamp(ts_us, unit="us"),
+                    v,
+                    n,
+                    z,
+                    None if z is None else abs(z) > 3.0,
+                )
+            )
+            hist.append(v)
+            if len(hist) > window:
+                del hist[: len(hist) - window]
+        return rows, [hist]
+
+    return fold
+
+
+def rolling_zscore_stream_ordered(
+    events: DataFrame, window: int = 12, delay: str = "2 hours"
+) -> DataFrame:
+    """Out-of-order-safe twin of ``stateful.rolling_zscore_stream``: the
+    same trailing-window z-score fold (shared :func:`_zscore_row` core,
+    bitwise-identical to the batch ``monitor_anomaly_zscore``), preceded
+    by the fused watermarked reorder buffer. Applies
+    ``withWatermark("ts", delay)`` itself — ``delay`` is the reorder
+    tolerance; rows later than that are dropped upstream per watermark
+    contract. Emission lags arrival by the watermark (a row emits once no
+    earlier row can still arrive), the price of correctness on a
+    reordering transport.
+    """
+    out_schema, _ = _zscore_schemas(window)
+    state_schema = StructType(
+        [StructField("window", ArrayType(DoubleType())), *_BUF_FIELDS]
+    )
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _buffered_fn(1, lambda: [[]], _zscore_fold(window), [f.name for f in out_schema]),
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _ewma_fold(alpha: float):
+    def fold(core, ready, user_id):
+        started = bool(core[0]) if core[0] is not None else False
+        ewma = float(core[1]) if core[1] is not None else 0.0
+        rows = []
+        for eid, ts_us, v in ready:
+            # Same op order as the batch fold so floats agree bitwise.
+            ewma = (alpha * v + (1.0 - alpha) * ewma) if started else v
+            started = True
+            rows.append((eid, user_id, pd.Timestamp(ts_us, unit="us"), v, ewma))
+        return rows, [started, ewma]
+
+    return fold
+
+
+def ewma_stream_ordered(
+    events: DataFrame, alpha: float = 0.2, delay: str = "2 hours"
+) -> DataFrame:
+    """Out-of-order-safe twin of ``stateful.ewma_stream``: the same scalar
+    EWMA recursion behind the fused watermarked reorder buffer. See
+    :func:`rolling_zscore_stream_ordered` for the buffer contract.
+    """
+    out_schema, _ = _ewma_schemas()
+    state_schema = StructType(
+        [
+            StructField("started", BooleanType()),
+            StructField("ewma", DoubleType()),
+            *_BUF_FIELDS,
+        ]
+    )
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _buffered_fn(2, lambda: [False, 0.0], _ewma_fold(alpha), [f.name for f in out_schema]),
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -256,8 +256,10 @@ def rolling_zscore_stream(
     union input (pinned by tests/test_streaming.py::
     test_rolling_zscore_stream_matches_batch). Order caveat: like any
     sequence-stateful operator, per-user arrival order must match event
-    order across micro-batches (within a batch rows are sorted); for
-    out-of-order transports put a watermarked sort-buffer in front.
+    order across micro-batches (within a batch rows are sorted); on a
+    reordering transport (the reference's producer runs 5 async sends in
+    flight) use :func:`..streaming.reorder.rolling_zscore_stream_ordered`,
+    which fuses a watermarked reorder buffer into the same fold.
     """
     out_schema, state_schema = _zscore_schemas(window)
     return events.groupBy("user_id").applyInPandasWithState(
@@ -322,7 +324,9 @@ def ewma_stream(events: DataFrame, alpha: float = 0.2) -> DataFrame:
     fold over the union input (same init-at-first-observation, same
     ``alpha*x + (1-alpha)*acc`` op order; pinned by
     tests/test_streaming.py::test_ewma_stream_matches_batch). Same
-    ordering caveat as every sequence-stateful operator.
+    ordering caveat as every sequence-stateful operator — the
+    out-of-order-safe twin is
+    :func:`..streaming.reorder.ewma_stream_ordered`.
     """
     out_schema, state_schema = _ewma_schemas()
     return events.groupBy("user_id").applyInPandasWithState(

@@ -2043,3 +2043,150 @@ def test_profile_ingest_stream_rejects_empty_cols(spark, tmp_path):
     stream = spark.readStream.format("rate").load()
     with pytest.raises(ValueError, match="numeric_cols"):
         profile_ingest_stream(stream, str(tmp_path / "s"), str(tmp_path / "c"), [])
+
+
+def _out_of_order_event_files(spark, events, src, sentinel_ts_expr):
+    """Write events as two maximally interleaved files (per key, every
+    other row arrives one micro-batch late => heavy cross-batch reorder)
+    plus a sentinel file that pushes the watermark past every real row."""
+    import time as _time
+
+    even = F.col("event_id") % 2 == 0
+    events.filter(even).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)  # distinct mtimes => deterministic file order
+    events.filter(~even).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    sentinels = (
+        events.select("user_id")
+        .distinct()
+        .select(
+            (F.lit(100000) + F.col("user_id")).alias("event_id"),
+            "user_id",
+            sentinel_ts_expr.alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+    )
+    sentinels.coalesce(1).write.mode("append").parquet(src)
+
+
+def test_zscore_stream_ordered_matches_batch_on_out_of_order_input(spark, tmp_path):
+    """T4/T5: the fused watermarked reorder buffer must make the
+    sequence-stateful z-score correct on a REORDERING transport — per-key
+    arrival order deliberately violates event order across micro-batches,
+    yet emitted rows are bitwise identical to the batch window aggregate.
+    (The plain arrival-order leg would compute wrong values here.)"""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.monitoring import (
+        monitor_anomaly_zscore,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.reorder import (
+        rolling_zscore_stream_ordered,
+    )
+
+    events = spark.range(240).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 4).alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 60).alias("ts"),
+        (F.round((F.col("id") % 31) * 1.73 + 3, 2)).alias("value"),
+    )
+    sf_dir = str(tmp_path / "sf")
+    events.write.parquet(sf_dir + "/events.parquet")
+    want = sorted(
+        (r.event_id, r.n_history, r.zscore, r.is_anomaly)
+        for r in monitor_anomaly_zscore(spark, sf_dir).collect()
+    )
+
+    src = str(tmp_path / "src")
+    # Real span is 4 h; delay=6 h keeps every reordered row inside the
+    # watermark, sentinels at +20 h push the final watermark past all
+    # real rows so the buffer fully drains.
+    sentinel_ts = F.timestamp_seconds(F.lit(1704067200 + 240 * 60 + 20 * 3600))
+    _out_of_order_event_files(spark, events, src, sentinel_ts)
+    stream = (
+        spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        rolling_zscore_stream_ordered(stream, delay="6 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("zs_ord_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.event_id, r.n_history, r.zscore, r.is_anomaly)
+            for r in spark.sql(
+                "SELECT * FROM zs_ord_out WHERE event_id < 100000"
+            ).collect()
+        )
+    finally:
+        q.stop()
+    assert got == want and len(want) == 240
+
+
+def test_ewma_stream_ordered_matches_in_order_leg(spark, tmp_path):
+    """T4/T5: the reorder-buffered EWMA over an out-of-order stream emits
+    the same per-row smoothed levels as the plain leg over an IN-ORDER
+    stream (which test_ewma_stream_matches_batch ties to the batch fold)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.reorder import (
+        ewma_stream_ordered,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.stateful import (
+        ewma_stream,
+    )
+
+    events = spark.range(200).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 60).alias("ts"),
+        (F.round((F.col("id") % 17) * 2.91 + 1, 2)).alias("value"),
+    )
+    # In-order leg: time-split files.
+    src_in = str(tmp_path / "src_in")
+    cutoff = F.col("event_id") < 100
+    events.filter(cutoff).coalesce(1).write.mode("append").parquet(src_in)
+    events.filter(~cutoff).coalesce(1).write.mode("append").parquet(src_in)
+    stream_in = (
+        spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(src_in)
+    )
+    q1 = (
+        ewma_stream(stream_in)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ewma_in_out")
+        .start()
+    )
+    try:
+        q1.processAllAvailable()
+        want = sorted(
+            (r.event_id, r.value, r.ewma_value)
+            for r in spark.sql("SELECT * FROM ewma_in_out").collect()
+        )
+    finally:
+        q1.stop()
+
+    # Out-of-order leg through the reorder buffer.
+    src_ooo = str(tmp_path / "src_ooo")
+    sentinel_ts = F.timestamp_seconds(F.lit(1704067200 + 200 * 60 + 20 * 3600))
+    _out_of_order_event_files(spark, events, src_ooo, sentinel_ts)
+    stream_ooo = (
+        spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(src_ooo)
+    )
+    q2 = (
+        ewma_stream_ordered(stream_ooo, delay="6 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ewma_ord_out")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        got = sorted(
+            (r.event_id, r.value, r.ewma_value)
+            for r in spark.sql(
+                "SELECT * FROM ewma_ord_out WHERE event_id < 100000"
+            ).collect()
+        )
+    finally:
+        q2.stop()
+    assert got == want and len(want) == 200
