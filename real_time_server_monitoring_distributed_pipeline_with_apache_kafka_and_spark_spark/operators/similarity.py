@@ -691,6 +691,7 @@ def knn_join(
     n_tables: int = 20,
     dim: int = 64,
     seed: int = 7,
+    bucket_cap: int = 2048,
 ) -> DataFrame:
     """Self kNN join: for every vector, its top-k most-cosine-similar
     OTHER vectors — the kNN-graph primitive under SemDeDup-style semantic
@@ -725,9 +726,23 @@ def knn_join(
     float-hash contract; ties break on neighbor id. Recall vs brute
     force is the LSH trade (more tables => higher recall); the SQL
     oracle replays the same buckets, so correctness-checking is exact
-    even though the neighbor set is approximate. A hot bucket does m^2
-    matmul work — raise ``planes_per_table`` to split buckets as the
-    corpus grows (knob guidance below).
+    even though the neighbor set is approximate.
+
+    Hot buckets are BOUNDED, not knob-guidance: a (table, bucket) group
+    with m > ``bucket_cap`` members is split into C = ceil(m/cap) hash
+    chunks and every (query-chunk, candidate-chunk) cell becomes its own
+    ``applyInPandas`` group — a distributed block matmul. Per-task work
+    and memory drop from m^2 to cap^2 and the bucket's C^2 cells spread
+    across executors, so one skewed bucket can no longer pin a single
+    task (the same reason salted joins beat raise-the-knob advice). The
+    RESULT is unchanged: each in-bucket pair is scored in exactly one
+    cell (the (chunk(a), chunk(b)) cell), and the union of per-cell
+    top-(k+8)s is a superset of the per-bucket top-(k+8) (pigeonhole on
+    ranks), so the global shortlist — the top-(k+8) of that union — is
+    the candidate-set top-(k+8) either way. Pinned by the skewed fixture
+    in tests/test_skew.py. ``planes_per_table`` remains the knob for the
+    TOTAL candidate volume (L * N / 2^planes per query), which the split
+    distributes but cannot shrink.
 
     Knob guidance: kNN neighbors are FARTHER than near-dup pairs (60-80
     degrees in typical embedding corpora vs <40 for dups), so this uses
@@ -748,26 +763,82 @@ def knn_join(
     )
     kk = k + 8
 
-    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["a_id"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"a_id": [], "b_id": [], "cos_np": []})
-        m = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-        nm = m / np.linalg.norm(m, axis=1, keepdims=True)
-        g = nm @ nm.T
-        np.fill_diagonal(g, -np.inf)
-        take = min(kk, len(ids) - 1)
+    # Hot-bucket split: C = ceil(m / bucket_cap) hash chunks per bucket;
+    # a member is a QUERY in the C cells (its-chunk, *) and a CANDIDATE in
+    # the C cells (*, its-chunk) — each in-bucket ordered pair lands in
+    # exactly one cell. Bucket sizes are one tiny hash-agg, broadcast back.
+    sizes = tagged.groupBy("table_idx", "bucket").agg(F.count(F.lit(1)).alias("_m"))
+    nchunks = F.ceil(F.col("_m") / F.lit(bucket_cap)).cast("int")
+    base = (
+        tagged.join(F.broadcast(sizes), ["table_idx", "bucket"])
+        .withColumn("_nc", nchunks)
+        .withColumn(
+            "_ck", F.pmod(F.xxhash64("a_id", F.lit(seed)), F.col("_nc")).cast("int")
+        )
+    )
+    cells = F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("_j")
+    qside = base.select("table_idx", "bucket", "a_id", "vec", "_ck", cells).select(
+        "table_idx",
+        "bucket",
+        "a_id",
+        "vec",
+        F.col("_ck").alias("qc"),
+        F.col("_j").alias("cc"),
+        F.lit(True).alias("is_q"),
+        (F.col("_j") == F.col("_ck")).alias("is_c"),
+    )
+    cside = (
+        base.select("table_idx", "bucket", "a_id", "vec", "_ck", cells)
+        .filter(F.col("_j") != F.col("_ck"))
+        .select(
+            "table_idx",
+            "bucket",
+            "a_id",
+            "vec",
+            F.col("_j").alias("qc"),
+            F.col("_ck").alias("cc"),
+            F.lit(False).alias("is_q"),
+            F.lit(True).alias("is_c"),
+        )
+    )
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "cos_np": []})
+        q = pdf[pdf["is_q"]]
+        c = pdf[pdf["is_c"]]
+        if not len(q) or not len(c):
+            return empty
+        q_ids = q["a_id"].to_numpy()
+        c_ids = c["a_id"].to_numpy()
+        qm = np.stack(q["vec"].to_numpy()).astype(np.float64)
+        cm = np.stack(c["vec"].to_numpy()).astype(np.float64)
+        qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        g = qn @ cn.T
+        # Self never scores itself (a member is both roles iff qc == cc).
+        col_of = {cid: j for j, cid in enumerate(c_ids)}
         out_a, out_b, out_c = [], [], []
-        for i in range(len(ids)):
+        for i, qid in enumerate(q_ids):
+            row = g[i]
+            j = col_of.get(qid)
+            if j is not None:
+                row = row.copy()
+                row[j] = -np.inf
             # Deterministic local order: cos desc, neighbor id asc.
-            order = np.lexsort((ids, -g[i]))[:take]
-            out_a.extend([ids[i]] * take)
-            out_b.extend(ids[order])
-            out_c.extend(g[i][order])
+            order = np.lexsort((c_ids, -row))
+            take = min(kk, len(c_ids) - (0 if j is None else 1))
+            order = order[:take]
+            out_a.extend([qid] * take)
+            out_b.extend(c_ids[order])
+            out_c.extend(row[order])
+        if not out_a:
+            return empty
         return pd.DataFrame({"a_id": out_a, "b_id": out_b, "cos_np": out_c})
 
-    local = tagged.groupBy("table_idx", "bucket").applyInPandas(
-        bucket_topk, "a_id long, b_id long, cos_np double"
+    local = (
+        qside.unionByName(cside)
+        .groupBy("table_idx", "bucket", "qc", "cc")
+        .applyInPandas(cell_topk, "a_id long, b_id long, cos_np double")
     )
     # A pair found in several tables carries the same pre-score: any copy
     # survives dedup. Global shortlist over per-bucket winners.

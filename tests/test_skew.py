@@ -86,3 +86,39 @@ def test_salted_join_spreads_hot_key(spark, no_aqe):
     )
     # and no rows lost in the histograms themselves
     assert sum(plain_hist.values()) == sum(salted_hist.values()) == total
+
+
+def test_knn_join_hot_bucket_split_is_lossless(spark):
+    """knn_join bounds hot buckets by splitting (table, bucket) groups
+    with m > bucket_cap into C^2 block-matmul cells. A pathological
+    corpus — 600 vectors clustered so tightly they share one LSH bucket
+    in every table — must produce EXACTLY the same kNN graph with a tiny
+    cap (C~10 split cells) as with an effectively-infinite cap (the old
+    single-task m^2 path): each pair is still scored in exactly one
+    cell and the shortlist merge is lossless by pigeonhole."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.similarity import (
+        knn_join,
+    )
+
+    # Tight cluster: one dominant direction + small deterministic jitter
+    # => identical sign pattern on every hyperplane => one hot bucket.
+    dim = 16
+    base = [1.0] * dim
+    rows = []
+    for i in range(600):
+        v = list(base)
+        v[i % dim] += 0.001 * ((i * 2654435761) % 97) / 97.0
+        v[(i + 7) % dim] += 0.0007 * ((i * 40503) % 89) / 89.0
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kw = dict(k=5, planes_per_table=4, n_tables=6, dim=dim)
+    unsplit = sorted(
+        (r.vec_id, r.neighbor_id, r.rnk)
+        for r in knn_join(emb, bucket_cap=10**9, **kw).collect()
+    )
+    split = sorted(
+        (r.vec_id, r.neighbor_id, r.rnk)
+        for r in knn_join(emb, bucket_cap=64, **kw).collect()
+    )
+    assert split == unsplit and len(unsplit) == 600 * 5
