@@ -31,8 +31,10 @@ from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spar
 
 # Headline set: the reference-parity flagships plus one representative per
 # engine area (relational joins/aggs, window fns, dedup, similarity, text).
-# LEGACY9 is the set every round since r01 has timed — its subtotal keeps
-# round-over-round totals comparable after later additions.
+# LEGACY9 is the set every round since r01 has timed; HEADLINE17 is the
+# set r05 settled on. Each frozen set gets its own subtotal so any later
+# round compares to any earlier one on a stable basis — new queries may
+# append to HEADLINE but never join a frozen subtotal.
 LEGACY9 = [
     "monitor_cpu_mem_alerts",     # spark_job1 shape: join + sliding window + CASE
     "monitor_net_disk_alerts",    # spark_job2 shape
@@ -44,7 +46,7 @@ LEGACY9 = [
     "sim_ann_bruteforce",         # cosine top-k over embeddings
     "text_token_stats",           # text analysis over documents
 ]
-HEADLINE = LEGACY9 + [
+HEADLINE17 = LEGACY9 + [
     # added r05: plan shapes the legacy set doesn't exercise
     "dedup_clusters",             # iterative label-propagation joins
     "text_unigram_logprob",       # explode + term join + per-doc agg
@@ -57,6 +59,7 @@ HEADLINE = LEGACY9 + [
     "sim_knn_join",               # LSH bucket join + per-query ranking window
     "pipeline_training_prep",     # six-stage curation composite
 ]
+HEADLINE = HEADLINE17 + []  # r06+: append new headliners here
 
 
 def main() -> None:
@@ -107,6 +110,7 @@ def main() -> None:
                 "queries": timings,
                 "samples": samples,
                 "legacy9_total": round(sum(timings[n] for n in LEGACY9), 3),
+                "headline17_total": round(sum(timings[n] for n in HEADLINE17), 3),
                 "sf": sf,
             }
         )

@@ -217,29 +217,61 @@ def streaming_window_alerts(
     )
 
 
-def foreach_batch_idempotent_parquet(df: DataFrame, path: str, checkpoint_dir: str):
-    """foreachBatch sink with replay-idempotent writes.
+def ingest_store_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    transform=None,
+):
+    """THE idempotent ``batch_id=N`` store contract, defined once.
 
-    The extension point for destinations without a native streaming sink
-    (JDBC, transactional Kafka, REST): each micro-batch lands in its own
-    ``batch_id=N`` directory with mode=overwrite, so a batch replayed
-    after a failure (checkpoint says N wasn't committed) OVERWRITES its
-    own partial output instead of appending duplicates — per-batch
-    idempotence + the checkpointed offset log = effectively-once, the
-    same contract the built-in file sink gets from its transaction log.
+    Every ingest leg in this module (raw landing, LSH vector tags,
+    MinHash profiles, rollup partials, profile partials, CDC changelog)
+    is this function with a different per-batch ``transform``: each
+    micro-batch is transformed and lands in its own ``batch_id=N``
+    directory with mode=overwrite, so a batch replayed after a failure
+    (checkpoint says N wasn't committed) OVERWRITES its own partial
+    output instead of appending duplicates — per-batch idempotence + the
+    checkpointed offset log = effectively-once, the same contract the
+    built-in file sink gets from its transaction log. Centralizing it
+    means a delivery-contract bugfix lands in every store at once.
 
-    Returns the DataStreamWriter (caller starts it).
+    ``transform`` maps the micro-batch DataFrame to the rows to land
+    (default: verbatim). It may instead return ``(df, cleanup)`` where
+    ``cleanup()`` runs after the write — for transforms that persist an
+    intermediate (e.g. the MinHash shingle scan) and must release it
+    once the batch is durable.
+
+    Returns the DataStreamWriter (caller starts it). Read the store back
+    with :func:`read_ingest_store`; re-layout it with
+    :func:`compact_ingest_store`.
     """
     import os
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(path, f"batch_id={batch_id}")
+        out = batch_df if transform is None else transform(batch_df)
+        cleanup = None
+        if isinstance(out, tuple):
+            out, cleanup = out
+        out.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch_id={batch_id}")
         )
+        if cleanup is not None:
+            cleanup()
 
-    return df.writeStream.foreachBatch(write_batch).option(
+    return stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir
     )
+
+
+def foreach_batch_idempotent_parquet(df: DataFrame, path: str, checkpoint_dir: str):
+    """Raw landing leg: the :func:`ingest_store_stream` contract with no
+    transform — the extension point for destinations without a native
+    streaming sink (JDBC, transactional Kafka, REST).
+
+    Returns the DataStreamWriter (caller starts it).
+    """
+    return ingest_store_stream(df, path, checkpoint_dir)
 
 
 def vector_ingest_stream(
@@ -278,12 +310,10 @@ def vector_ingest_stream(
 
     Returns the DataStreamWriter (caller starts it).
     """
-    import os
-
     from ..operators.similarity import lsh_tag_corpus
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        tagged = lsh_tag_corpus(
+    def transform(batch_df: DataFrame) -> DataFrame:
+        return lsh_tag_corpus(
             batch_df,
             id_col=id_col,
             vec_col=vec_col,
@@ -292,13 +322,8 @@ def vector_ingest_stream(
             dim=dim,
             seed=seed,
         )
-        tagged.write.mode("overwrite").parquet(
-            os.path.join(store_path, f"batch_id={batch_id}")
-        )
 
-    return vectors.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", checkpoint_dir
-    )
+    return ingest_store_stream(vectors, store_path, checkpoint_dir, transform)
 
 
 def minhash_ingest_stream(
@@ -344,23 +369,16 @@ def minhash_ingest_stream(
 
     Returns the DataStreamWriter (caller starts it).
     """
-    import os
-
     from ..operators.dedup import minhash_profiles, word_shingles
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def transform(batch_df: DataFrame):
         shingled = word_shingles(batch_df, id_col, text_col, n=shingle_n)
         profiles = minhash_profiles(
             shingled, id_col=id_col, num_perm=num_perm, seed=seed
         )
-        profiles.write.mode("overwrite").parquet(
-            os.path.join(store_path, f"batch_id={batch_id}")
-        )
-        shingled.unpersist()
+        return profiles, shingled.unpersist
 
-    return docs.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", checkpoint_dir
-    )
+    return ingest_store_stream(docs, store_path, checkpoint_dir, transform)
 
 
 def bucket_count_stream(
@@ -461,24 +479,17 @@ def rollup_ingest_stream(
     bit-identical to batch regardless of batch boundaries (pinned by
     tests/test_streaming.py::test_rollup_ingest_stream_matches_batch).
 
-    Same idempotent-store delivery contract as the other ingest legs:
-    replayed batches overwrite their own directory; checkpoint +
-    idempotent writes give exactly-once into the store.
+    Same idempotent-store delivery contract as the other ingest legs
+    (:func:`ingest_store_stream`).
     """
-    import os
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        partial = batch_df.groupBy(*key_cols).agg(
+    def transform(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy(*key_cols).agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col(value_col).cast("decimal(18,6)")).alias("sum_val"),
         )
-        partial.write.mode("overwrite").parquet(
-            os.path.join(store_path, f"batch_id={batch_id}")
-        )
 
-    return stream.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", checkpoint_dir
-    )
+    return ingest_store_stream(stream, store_path, checkpoint_dir, transform)
 
 
 def probe_rollup_store(spark, store_path: str, key_cols: list[str]) -> DataFrame:
@@ -522,17 +533,14 @@ def profile_ingest_stream(
     becomes a per-batch O(columns) append, never a rescan.
 
     Store rows are O(columns) per batch. Same idempotent-store delivery
-    contract as the other ingest legs (replayed batches overwrite their
-    own directory => exactly-once).
+    contract as the other ingest legs (:func:`ingest_store_stream`).
     """
-    import os
-
     if not numeric_cols:
-        # Fail at build time, not as an opaque None.write AttributeError
-        # inside foreachBatch at the first micro-batch.
+        # Fail at build time, not as an opaque failure inside
+        # foreachBatch at the first micro-batch.
         raise ValueError("numeric_cols must be non-empty")
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def transform(batch_df: DataFrame) -> DataFrame:
         parts = None
         for col in numeric_cols:
             c = F.col(col)
@@ -550,13 +558,9 @@ def profile_ingest_stream(
                 F.hll_sketch_agg(c.cast("string")).alias("sk"),
             )
             parts = one if parts is None else parts.unionByName(one)
-        parts.write.mode("overwrite").parquet(
-            os.path.join(store_path, f"batch_id={batch_id}")
-        )
+        return parts
 
-    return stream.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", checkpoint_dir
-    )
+    return ingest_store_stream(stream, store_path, checkpoint_dir, transform)
 
 
 def probe_profile_store(spark, store_path: str) -> DataFrame:
@@ -615,16 +619,7 @@ def changelog_ingest_stream(
 
     Returns the DataStreamWriter (caller starts it).
     """
-    import os
-
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(store_path, f"batch_id={batch_id}")
-        )
-
-    return changes.writeStream.foreachBatch(write_batch).option(
-        "checkpointLocation", checkpoint_dir
-    )
+    return ingest_store_stream(changes, store_path, checkpoint_dir)
 
 
 def probe_changelog_store(
