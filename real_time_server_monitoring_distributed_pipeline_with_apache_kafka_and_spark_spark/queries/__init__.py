@@ -67,6 +67,11 @@ _PRIORITY: tuple[str, ...] = (
     "monitor_anomaly_zscore",
     "monitor_gap_report",
     # -- never driver-proven (new in r06) --
+    "monitor_top_movers",
+    "text_prefix_dup",
+    "text_zipf_slope",
+    "sim_kmeans_iter",
+    "rel_triangle_count",
     # -- fill: oldest still-fresh rows (r04 block, age 2) so r07 only
     #    inherits the remainder of the r04 block, not all 44 --
     "monitor_cpu_mem_alerts",
@@ -86,14 +91,14 @@ _PRIORITY: tuple[str, ...] = (
     "rel_multiway_revenue",
     "text_sequence_packing",
     "text_repetition",
+    # ---- past the ~50-row cap from here ----
+    # -- rest of the r04 block (age 2 now): these MUST lead the r07
+    #    window (age 3 there) together with any r06 code changes --
     "text_unigram_logprob",
     "monitor_alert_transitions",
     "monitor_funnel",
     "monitor_window_tumbling",
     "monitor_session_window",
-    # ---- past the ~50-row cap from here ----
-    # -- rest of the r04 block (age 2 now): these MUST lead the r07
-    #    window (age 3 there) together with any r06 code changes --
     "monitor_case_classify",
     "monitor_project_cast",
     "monitor_filter_range",

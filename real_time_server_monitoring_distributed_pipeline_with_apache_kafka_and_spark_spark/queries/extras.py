@@ -1,9 +1,9 @@
-"""Extra scale-pattern queries (registry tail).
+"""Extra scale-pattern queries.
 
-These sit deliberately PAST the correctness driver's ~50-query window
-(queries/__init__.py ordering note) — they extend the surface without
-displacing driver rows; the local pytest oracle-parity suite covers them
-every round.
+Overflow module for engine-surface extensions that don't belong to one
+domain pack. Driver-window position is governed by
+``queries/__init__._PRIORITY`` (rotation policy there); the local pytest
+oracle-parity suite covers every entry every round regardless.
 """
 
 from __future__ import annotations
@@ -155,7 +155,83 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-prefix duplicate groups: documents whose normalized first
+    120 characters coincide — the cheap curation pass that catches
+    boilerplate-headed families (mirrored pages, templated spam) whole-
+    document hashing misses because tails differ. The standard ladder is
+    exact dedup -> THIS -> MinHash: each stage removes what the cheaper
+    one can't see.
+
+    One scan + one hash agg on the 32-char prefix digest — word-count
+    shaped at any scale; carrying the md5 instead of the raw prefix keeps
+    shuffle rows fixed-width. min(doc_id) is the keeper convention shared
+    with the other dedup queries.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.lower(F.trim(F.col("text"))), 1, 120)
+    return (
+        docs.select("doc_id", F.md5(prefix).alias("prefix_hash"))
+        .groupBy("prefix_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit for the corpus vocabulary: OLS slope of ln(freq) on
+    ln(rank) over the top-1000 tokens — the one-number corpus health
+    check (natural language sits near -1; templated/synthetic corpora
+    drift off, so a drifting slope between ingest snapshots flags a
+    contaminated shard before any model sees it).
+
+    Plan: explode -> term-count hash agg (map-side partial) -> rank-1000
+    via a row_number window Spark rewrites to a group-limit (no global
+    sort materializes) -> ONE 1000-row pass of sums -> slope arithmetic
+    on the driver-sized result. Float policy: per-row ln() values are
+    floor-rounded to 9 decimals (JVM vs libm last-ulp, the text_tfidf
+    policy), all cross-row sums run in exact DECIMAL (order-independent),
+    and the closed-form slope derives from those sums with an op
+    sequence the oracle mirrors.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.numeric import display_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "term")
+    top = tf.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 1000)
+    lx = display_round(F.log(F.col("rank").cast("double")), 9)
+    ly = display_round(F.log(F.col("cnt").cast("double")), 9)
+    dec = "decimal(28,9)"
+    sums = top.select(
+        lx.alias("lx"), ly.alias("ly")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("lx").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("ly").cast(dec)).cast("double").alias("sy"),
+        F.sum(display_round(F.col("lx") * F.col("ly"), 9).cast(dec)).cast("double").alias("sxy"),
+        F.sum(display_round(F.col("lx") * F.col("lx"), 9).cast(dec)).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return sums.select(
+        F.col("n").cast("long").alias("n_terms"),
+        display_round(slope, 9).alias("zipf_slope"),
+        display_round(intercept, 9).alias("zipf_intercept"),
+    )
+
+
 QUERIES = {
+    "text_prefix_dup": text_prefix_dup,
+    "text_zipf_slope": text_zipf_slope,
     "text_vocab_topk": text_vocab_topk,
     "rel_salted_count_distinct": rel_salted_count_distinct,
     "sim_ann_quantized": sim_ann_quantized,
@@ -165,6 +241,43 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_prefix_dup": """
+SELECT md5(substr(lower(trim(text)), 1, 120)) AS prefix_hash,
+       count(*) AS n_docs,
+       min(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY 1 HAVING count(*) > 1
+""",
+    "text_zipf_slope": """
+WITH tf AS (
+  SELECT token AS term, count(*) AS cnt FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+    FROM documents
+  ) GROUP BY token
+),
+top AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank
+  FROM tf QUALIFY rank <= 1000
+),
+r AS (
+  SELECT floor(ln(CAST(rank AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS lx,
+         floor(ln(CAST(cnt AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS ly
+  FROM top
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(lx AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(ly AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(floor(lx * ly * 1e9 + 0.5) / 1e9 AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(floor(lx * lx * 1e9 + 0.5) / 1e9 AS DECIMAL(28,9))) AS DOUBLE) AS sxx
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e9 + 0.5) / 1e9 AS zipf_slope,
+       floor((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n * 1e9 + 0.5) / 1e9
+         AS zipf_intercept
+FROM s
+""",
     "text_vocab_topk": """
 WITH tok AS (
   SELECT DISTINCT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token

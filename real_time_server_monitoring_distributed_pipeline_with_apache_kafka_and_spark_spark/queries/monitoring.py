@@ -640,6 +640,41 @@ def monitor_error_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def monitor_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day activity movers: per-user daily event counts, the
+    jump between consecutive REPORTING days (gaps skip — delta is vs the
+    previous day that had events), and the 100 largest jumps corpus-wide
+    — the "which servers suddenly got 10x louder" triage view.
+
+    One hash agg to daily counts, one per-user lag window (shuffles on
+    user_id — the same partitioning both steps use, so AQE keeps them in
+    one exchange), and a global top-100 as ordered limit
+    (TakeOrderedAndProject: per-partition heaps + a 100-row driver
+    merge, never a global sort — the shape that survives a billion-user
+    table). All-integer output, hash-exact by construction;
+    (delta, user_id, day) is unique so the limit is deterministic.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    enriched = daily.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lag("n_events").over(w).alias("prev_n"),
+    ).filter(F.col("prev_n").isNotNull())
+    return (
+        enriched.withColumn("delta", F.col("n_events") - F.col("prev_n"))
+        .orderBy(F.col("delta").desc(), "user_id", "day")
+        .limit(100)
+    )
+
+
 def monitor_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metric-distribution drift between two halves of the month:
     Population Stability Index over a fixed 10-bucket histogram of
@@ -703,6 +738,7 @@ QUERIES = {
     "monitor_resample_locf": monitor_resample_locf,
     "monitor_anomaly_zscore": monitor_anomaly_zscore,
     "monitor_gap_report": monitor_gap_report,
+    "monitor_top_movers": monitor_top_movers,
     "monitor_ewma_level": monitor_ewma_level,
     "monitor_drift_psi": monitor_drift_psi,
     "monitor_cpu_mem_alerts": monitor_cpu_mem_alerts,
@@ -753,6 +789,23 @@ SELECT user_id, count(*) AS n_days_expected,
        count(*) - count(n_events) AS n_days_missing,
        CAST(coalesce(sum(n_events), 0) AS BIGINT) AS n_events
 FROM cells GROUP BY user_id
+""",
+    "monitor_top_movers": """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+d AS (
+  SELECT user_id, day, n_events,
+         lag(day) OVER w AS prev_day,
+         lag(n_events) OVER w AS prev_n
+  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)
+)
+SELECT user_id, day, n_events, prev_day, prev_n,
+       n_events - prev_n AS delta
+FROM d WHERE prev_n IS NOT NULL
+ORDER BY delta DESC, user_id, day
+LIMIT 100
 """,
     "monitor_anomaly_zscore": """
 WITH f AS (

@@ -1012,11 +1012,73 @@ def rel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the part co-purchase graph (parts sharing an
+    order; same edge base as rel_pagerank_coparts) — the clustering-
+    coefficient primitive behind community detection and graph-quality
+    audits, and the third graph algorithm in the engine after connected
+    components and PageRank.
+
+    The distributed formulation is DEGREE-ORDERED node-iterator: orient
+    every undirected edge from its (degree, id)-smaller endpoint to the
+    larger, build wedges by joining oriented edges head-to-tail, and
+    close each wedge against the oriented edge list. Orientation is the
+    load-bearing trick: out-degrees are bounded by ~sqrt(edges) on any
+    graph, so the wedge join is O(sum outdeg^2) = O(edges^1.5) instead
+    of the hub-explosion O(sum deg^2) the unoriented join suffers — the
+    difference between feasible and not on a power-law graph at 100 TB.
+    Every step is an equi-join or hash agg; integer-only output.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    with_deg = pairs.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).persist()
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
+        F.col("e1.src").alias("x"), F.col("e1.dst").alias("y"), F.col("e2.dst").alias("z")
+    )
+    closer = oriented.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    n_tri = wedges.join(closer, ["x", "z"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    counts = pairs.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+    ).crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+    # 1-row x 1-row scalar combine (the documented scalar-broadcast
+    # cross-join family, covered by the blanket nested-loop guard).
+    return counts.crossJoin(n_tri).select("n_nodes", "n_edges", "n_triangles")
+
+
 QUERIES = {
     "rel_time_range_frame": rel_time_range_frame,
     "rel_disjunctive_filter": rel_disjunctive_filter,
     "rel_map_funcs": rel_map_funcs,
     "rel_pagerank_coparts": rel_pagerank_coparts,
+    "rel_triangle_count": rel_triangle_count,
     "rel_hll_daily_users": rel_hll_daily_users,
     "rel_scd2_asof_lookup": rel_scd2_asof_lookup,
     "rel_pit_features": rel_pit_features,
@@ -1063,6 +1125,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_triangle_count": """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs
+  ) GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND p.u < p.v)
+              THEN p.u ELSE p.v END AS src,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND p.u < p.v)
+              THEN p.v ELSE p.u END AS dst
+  FROM pairs p JOIN deg du ON du.node = p.u JOIN deg dv ON dv.node = p.v
+),
+w AS (
+  SELECT e1.src AS x, e2.dst AS z
+  FROM o e1 JOIN o e2 ON e1.dst = e2.src
+),
+t AS (
+  SELECT count(*) AS n_triangles FROM w JOIN o ON o.src = w.x AND o.dst = w.z
+)
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM pairs) AS n_edges,
+       n_triangles
+FROM t
+""",
     "rel_time_range_frame": """
 SELECT o_custkey, o_orderkey,
        datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_idx,

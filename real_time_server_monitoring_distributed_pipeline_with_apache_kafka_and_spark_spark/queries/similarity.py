@@ -95,14 +95,128 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.knn_join(emb, k=TOP_K)
 
 
+# k-means assignment-step building blocks: seeded centroid literals shared
+# verbatim between the Spark plan and the SQL oracle (repr() round-trips
+# float64 exactly, so both engines fold the same doubles).
+_KMEANS_K, _KMEANS_SEED = 8, 23
+
+
+def _kmeans_centroids() -> list[list[float]]:
+    import math
+    import random
+
+    rng = random.Random(_KMEANS_SEED)
+    out = []
+    for _ in range(_KMEANS_K):
+        v = [rng.gauss(0.0, 1.0) for _ in range(64)]
+        # Unit-normalize before rounding: embeddings are ~unit-norm, so a
+        # raw gauss centroid (norm ~8) would make ||c||^2 dominate the
+        # argmin and collapse most clusters onto the smallest centroid.
+        n = math.sqrt(sum(x * x for x in v))
+        out.append([round(x / n, 3) for x in v])
+    return out
+
+
+def sim_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means Lloyd ASSIGNMENT step over the embeddings: every
+    vector assigned to its nearest of 8 fixed seeded centroids, reduced
+    to per-cluster membership counts and within-cluster distance mass —
+    the training iteration under every IVF index (sim_ann_ivf consumes
+    exactly this step's output) and the partitioner under
+    cluster-balanced corpus sampling.
+
+    Plan: ZERO joins — the centroid matrix rides along as plan literals
+    (the broadcast-variable analogue), each row evaluates 8 Catalyst
+    zip_with/aggregate squared-L2 folds, and one 8-group hash agg
+    finishes. Pure scan shape: at 100 TB this runs at full codegen scan
+    speed with an 8-row exchange. Float policy: fold order is pinned
+    left-to-right on both engines (identical per-row doubles), the
+    argmin tie breaks to the lowest cluster, per-row distances are
+    floor-lattice'd to integer micros and SUMMED AS INTEGERS, so the
+    cross-row aggregation is order-independent and hash-exact.
+    """
+    from ..functions.numeric import display_round
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dists = []
+    for cent in _kmeans_centroids():
+        carr = F.array(*[F.lit(x) for x in cent])
+        dists.append(
+            F.aggregate(
+                F.zip_with(F.col("v"), carr, lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            )
+        )
+    darr = emb.select("vec_id", F.array(*dists).alias("_dists"))
+    assigned = darr.select(
+        "vec_id",
+        (F.array_position(F.col("_dists"), F.array_min(F.col("_dists"))) - 1).alias(
+            "cluster_id"
+        ),
+        F.floor(F.array_min(F.col("_dists")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("_micro"),
+    )
+    agg = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("_micro").alias("sum_dist_micro"),
+    )
+    return agg.select(
+        "cluster_id",
+        "n_members",
+        "sum_dist_micro",
+        display_round(
+            F.col("sum_dist_micro").cast("double") / 1e6 / F.col("n_members"), 6
+        ).alias("avg_dist"),
+    )
+
+
+def _kmeans_dist_sql(cent: list[float]) -> str:
+    clit = "[" + ", ".join(repr(x) for x in cent) + "]"
+    return (
+        f"list_reduce(list_transform(range(1, 65), i -> (v[i] - {clit}[i]) * (v[i] - {clit}[i])), "
+        "(a, b) -> a + b)"
+    )
+
+
+_KMEANS_DISTS_SQL = "[" + ",\n    ".join(
+    _kmeans_dist_sql(c) for c in _kmeans_centroids()
+) + "]"
+
+
 QUERIES = {
     "sim_knn_join": sim_knn_join,
+    "sim_kmeans_iter": sim_kmeans_iter,
     "sim_ann_bruteforce": sim_ann_bruteforce,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
 }
 
 ORACLES = {
+    "sim_kmeans_iter": f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+d AS (
+  SELECT vec_id, {_KMEANS_DISTS_SQL} AS dists FROM e
+),
+a AS (
+  SELECT vec_id,
+         CAST(list_position(dists, list_aggregate(dists, 'min')) - 1 AS BIGINT) AS cluster_id,
+         list_aggregate(dists, 'min') AS dmin
+  FROM d
+)
+SELECT cluster_id, count(*) AS n_members,
+       CAST(sum(CAST(floor(dmin * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_dist_micro,
+       floor(CAST(sum(CAST(floor(dmin * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
+             / count(*) * 1e6 + 0.5) / 1e6 AS avg_dist
+FROM a GROUP BY cluster_id
+""",
     "sim_knn_join": f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
