@@ -72,6 +72,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_zipf_slope",
     "sim_kmeans_iter",
     "rel_triangle_count",
+    "rel_merge_intervals",
+    "pipeline_embedding_prep",
     # -- fill: oldest still-fresh rows (r04 block, age 2) so r07 only
     #    inherits the remainder of the r04 block, not all 44 --
     "monitor_cpu_mem_alerts",
@@ -89,9 +91,9 @@ _PRIORITY: tuple[str, ...] = (
     "sim_ann_quantized",
     "rel_pricing_summary",
     "rel_multiway_revenue",
+    # ---- past the ~50-row cap from here ----
     "text_sequence_packing",
     "text_repetition",
-    # ---- past the ~50-row cap from here ----
     # -- rest of the r04 block (age 2 now): these MUST lead the r07
     #    window (age 3 there) together with any r06 code changes --
     "text_unigram_logprob",

@@ -1012,6 +1012,44 @@ def rel_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (merge overlapping ranges): each order opens a
+    30-day validity window; per customer, overlapping/touching windows
+    merge into maximal coverage spans — the dedup-of-time-ranges
+    primitive behind downtime consolidation, contract-coverage reports,
+    and SCD interval repair.
+
+    Gaps-and-islands: one window pass computes the running max of prior
+    interval ends; a row starts a new island iff its start exceeds that
+    max; the island ordinal is a running sum of those flags; one hash
+    agg per (customer, island) emits the span. Both windows sort only
+    within the customer partition (the same key the agg shuffles on, so
+    AQE plans one exchange). Date arithmetic only — hash-exact.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("start"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("end"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("start", "end", "o_orderkey")
+    prev_max_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = orders.withColumn(
+        "_new",
+        (prev_max_end.isNull() | (F.col("start") > prev_max_end)).cast("int"),
+    )
+    island = F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        flagged.withColumn("island", island)
+        .groupBy("o_custkey", "island")
+        .agg(
+            F.min("start").alias("valid_from"),
+            F.max("end").alias("valid_to"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
 def rel_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the part co-purchase graph (parts sharing an
     order; same edge base as rel_pagerank_coparts) — the clustering-
@@ -1062,15 +1100,21 @@ def rel_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e1.src").alias("x"), F.col("e1.dst").alias("y"), F.col("e2.dst").alias("z")
     )
     closer = oriented.select(F.col("src").alias("x"), F.col("dst").alias("z"))
-    n_tri = wedges.join(closer, ["x", "z"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    closed = wedges.join(closer, ["x", "z"])
+    # Three independent scalars combined WITHOUT 1-row cross joins: tag
+    # each population, union, one conditional-count agg (the
+    # rel_cascade_delete pattern — keeps the blanket nested-loop guard
+    # meaningful).
+    tagged = (
+        deg.select(F.lit("n").alias("k"))
+        .unionAll(pairs.select(F.lit("e").alias("k")))
+        .unionAll(closed.select(F.lit("t").alias("k")))
     )
-    counts = pairs.agg(
-        F.count(F.lit(1)).alias("n_edges"),
-    ).crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
-    # 1-row x 1-row scalar combine (the documented scalar-broadcast
-    # cross-join family, covered by the blanket nested-loop guard).
-    return counts.crossJoin(n_tri).select("n_nodes", "n_edges", "n_triangles")
+    return tagged.agg(
+        F.count(F.when(F.col("k") == "n", 1)).alias("n_nodes"),
+        F.count(F.when(F.col("k") == "e", 1)).alias("n_edges"),
+        F.count(F.when(F.col("k") == "t", 1)).alias("n_triangles"),
+    )
 
 
 QUERIES = {
@@ -1079,6 +1123,7 @@ QUERIES = {
     "rel_map_funcs": rel_map_funcs,
     "rel_pagerank_coparts": rel_pagerank_coparts,
     "rel_triangle_count": rel_triangle_count,
+    "rel_merge_intervals": rel_merge_intervals,
     "rel_hll_daily_users": rel_hll_daily_users,
     "rel_scd2_asof_lookup": rel_scd2_asof_lookup,
     "rel_pit_features": rel_pit_features,
@@ -1125,6 +1170,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_merge_intervals": """
+WITH iv AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS e
+  FROM orders
+),
+f AS (
+  SELECT o_custkey, o_orderkey, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY o_custkey ORDER BY s, e, o_orderkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR s > max(e) OVER (PARTITION BY o_custkey ORDER BY s, e, o_orderkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+i AS (
+  SELECT o_custkey, s, e,
+         sum(new_island) OVER (PARTITION BY o_custkey ORDER BY s, e, o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM f
+)
+SELECT o_custkey, CAST(island AS BIGINT) AS island,
+       min(s) AS valid_from,
+       CAST(max(e) AS DATE) AS valid_to,
+       count(*) AS n_orders
+FROM i GROUP BY o_custkey, island
+""",
     "rel_triangle_count": """
 WITH pairs AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -117,6 +117,22 @@ def _kmeans_centroids() -> list[list[float]]:
     return out
 
 
+def _kmeans_dists_col(vcol) -> F.Column:
+    """Array of 8 squared-L2 distances to the seeded centroids, as pinned
+    left-to-right Catalyst folds (see sim_kmeans_iter's float policy)."""
+    dists = []
+    for cent in _kmeans_centroids():
+        carr = F.array(*[F.lit(x) for x in cent])
+        dists.append(
+            F.aggregate(
+                F.zip_with(vcol, carr, lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            )
+        )
+    return F.array(*dists)
+
+
 def sim_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One k-means Lloyd ASSIGNMENT step over the embeddings: every
     vector assigned to its nearest of 8 fixed seeded centroids, reduced
@@ -141,17 +157,7 @@ def sim_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    dists = []
-    for cent in _kmeans_centroids():
-        carr = F.array(*[F.lit(x) for x in cent])
-        dists.append(
-            F.aggregate(
-                F.zip_with(F.col("v"), carr, lambda x, c: (x - c) * (x - c)),
-                F.lit(0.0),
-                lambda acc, e: acc + e,
-            )
-        )
-    darr = emb.select("vec_id", F.array(*dists).alias("_dists"))
+    darr = emb.select("vec_id", _kmeans_dists_col(F.col("v")).alias("_dists"))
     assigned = darr.select(
         "vec_id",
         (F.array_position(F.col("_dists"), F.array_min(F.col("_dists"))) - 1).alias(
@@ -175,6 +181,64 @@ def sim_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_embedding_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side training prep as ONE query — the vector mirror of
+    queries.dedup.pipeline_training_prep, four chained curation
+    decisions under a single oracle: SemDeDup semantic dedup (LSH cosine
+    pair graph closed by connected components, keep the min-id
+    representative per cluster) -> k-means cluster assignment (the 8
+    seeded centroids) -> cluster-balanced cap (at most 40 vectors per
+    cluster by salted md5 rank — the diversity-preserving downsample) ->
+    deterministic train/val/test hash split. Output: (split, cluster_id,
+    n_vectors) — the shard manifest a contrastive/embedding training run
+    starts from.
+
+    Scale shape: the LSH band equi-join + exact verify for candidates
+    (never all-pairs), pointer-doubling components, zero-join centroid
+    literals, one ranking window per cluster, md5 split — every stage is
+    hash-exact, so the composite hash-checks end-to-end.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import connected_components
+    from ..operators.similarity import cosine_pairs_lsh
+    from ..operators.text import hash_bucket_100
+    from .dedup import COSINE_LSH_THRESHOLD
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_lsh(
+        emb, threshold=COSINE_LSH_THRESHOLD, planes_per_table=3, n_tables=16
+    )
+    clusters = connected_components(
+        pairs.select("a_id", "b_id"), emb.select("vec_id"), id_col="vec_id"
+    )
+    keepers = clusters.filter(F.col("cluster_id") == F.col("vec_id")).select("vec_id")
+    kept = emb.join(keepers, "vec_id").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    darr = kept.select("vec_id", _kmeans_dists_col(F.col("v")).alias("_dists"))
+    assigned = darr.select(
+        "vec_id",
+        (F.array_position(F.col("_dists"), F.array_min(F.col("_dists"))) - 1).alias(
+            "cluster_id"
+        ),
+    )
+    h = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("#embprep")))
+    w = Window.partitionBy("cluster_id").orderBy(h, "vec_id")
+    capped = assigned.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= 40
+    )
+    bucket = hash_bucket_100(F.col("vec_id"))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        capped.select(split.alias("split"), "cluster_id")
+        .groupBy("split", "cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
 def _kmeans_dist_sql(cent: list[float]) -> str:
     clit = "[" + ", ".join(repr(x) for x in cent) + "]"
     return (
@@ -191,10 +255,85 @@ _KMEANS_DISTS_SQL = "[" + ",\n    ".join(
 QUERIES = {
     "sim_knn_join": sim_knn_join,
     "sim_kmeans_iter": sim_kmeans_iter,
+    "pipeline_embedding_prep": pipeline_embedding_prep,
     "sim_ann_bruteforce": sim_ann_bruteforce,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
 }
+
+
+def _embedding_prep_oracle() -> str:
+    # Deferred import: reuses queries.dedup's LSH band SQL + threshold so
+    # the composite's candidate stage is literally the cluster oracle's.
+    from .dedup import _EMB_BANDS_SQL, COSINE_LSH_THRESHOLD
+
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+bt AS (
+  {_EMB_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bt a JOIN bt b
+    ON a.table_idx = b.table_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+sim AS (
+  SELECT a_id, b_id
+  FROM cand
+  JOIN e ea ON ea.vec_id = a_id
+  JOIN e eb ON eb.vec_id = b_id
+  WHERE list_dot_product(ea.v, eb.v)
+        / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+        >= {COSINE_LSH_THRESHOLD}
+),
+edges AS (SELECT a_id AS u, b_id AS v FROM sim
+          UNION ALL SELECT b_id AS u, a_id AS v FROM sim),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+),
+clus AS (
+  SELECT emb.vec_id,
+         CAST(COALESCE(least(m.mn, emb.vec_id), emb.vec_id) AS BIGINT) AS cid
+  FROM embeddings emb
+  LEFT JOIN (SELECT u, min(v) AS mn FROM reach GROUP BY u) m ON emb.vec_id = m.u
+),
+kept AS (
+  SELECT e.vec_id, e.v FROM e JOIN clus ON clus.vec_id = e.vec_id
+  WHERE clus.cid = e.vec_id
+),
+d AS (
+  SELECT vec_id, {_KMEANS_DISTS_SQL} AS dists FROM kept
+),
+a AS (
+  SELECT vec_id,
+         CAST(list_position(dists, list_aggregate(dists, 'min')) - 1 AS BIGINT)
+           AS cluster_id
+  FROM d
+),
+r AS (
+  SELECT vec_id, cluster_id,
+         row_number() OVER (
+           PARTITION BY cluster_id
+           ORDER BY md5(CAST(vec_id AS VARCHAR) || '#embprep'), vec_id) AS rk
+  FROM a
+),
+s AS (
+  SELECT cluster_id,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT vec_id, cluster_id,
+           CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 100 AS b
+    FROM r WHERE rk <= 40
+  )
+)
+SELECT split, cluster_id, count(*) AS n_vectors FROM s GROUP BY split, cluster_id
+"""
 
 ORACLES = {
     "sim_kmeans_iter": f"""
@@ -380,3 +519,4 @@ _KNN_BANDS_SQL = "\n  UNION ALL ".join(
     for t in range(_KNN_TABLES)
 )
 ORACLES["sim_knn_join"] = ORACLES["sim_knn_join"].format(bands=_KNN_BANDS_SQL)
+ORACLES["pipeline_embedding_prep"] = _embedding_prep_oracle()
