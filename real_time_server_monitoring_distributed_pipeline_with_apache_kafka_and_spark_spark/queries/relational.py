@@ -1057,15 +1057,17 @@ def rel_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     audits, and the third graph algorithm in the engine after connected
     components and PageRank.
 
-    The distributed formulation is DEGREE-ORDERED node-iterator: orient
+    The distributed formulation is DEGREE-ORDERED edge-iterator: orient
     every undirected edge from its (degree, id)-smaller endpoint to the
-    larger, build wedges by joining oriented edges head-to-tail, and
-    close each wedge against the oriented edge list. Orientation is the
-    load-bearing trick: out-degrees are bounded by ~sqrt(edges) on any
-    graph, so the wedge join is O(sum outdeg^2) = O(edges^1.5) instead
-    of the hub-explosion O(sum deg^2) the unoriented join suffers — the
-    difference between feasible and not on a power-law graph at 100 TB.
-    Every step is an equi-join or hash agg; integer-only output.
+    larger, build each node's sorted out-neighbor array once, then count
+    |N+(u) ∩ N+(v)| per oriented edge with a codegen array intersect.
+    Orientation bounds out-degrees at ~sqrt(edges) on any graph (the
+    hub-explosion guard), and the adjacency-array form keeps the
+    closure work INSIDE each edge row: the naive wedge-join alternative
+    materializes and shuffles every wedge (measured 49M wedge rows and
+    ~25 s at sf0.1 vs ~8 s for this plan — the arrays move the same
+    information as packed payloads of an edges-sized join). Every step
+    is an equi-join or hash agg; integer-only output.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
@@ -1095,25 +1097,36 @@ def rel_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
     ).persist()
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
-        F.col("e1.src").alias("x"), F.col("e1.dst").alias("y"), F.col("e2.dst").alias("z")
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
-    closer = oriented.select(F.col("src").alias("x"), F.col("dst").alias("z"))
-    closed = wedges.join(closer, ["x", "z"])
+    per_edge = (
+        oriented.join(
+            adj.select(F.col("src").alias("u_"), F.col("nbrs").alias("nu")),
+            F.col("src") == F.col("u_"),
+        )
+        .join(
+            # Inner join: a sink dst has no out-neighbors and closes
+            # nothing, so dropping its edges changes no count.
+            adj.select(F.col("src").alias("v_"), F.col("nbrs").alias("nv")),
+            F.col("dst") == F.col("v_"),
+        )
+        .select(F.size(F.array_intersect("nu", "nv")).alias("n_closed"))
+    )
     # Three independent scalars combined WITHOUT 1-row cross joins: tag
-    # each population, union, one conditional-count agg (the
-    # rel_cascade_delete pattern — keeps the blanket nested-loop guard
-    # meaningful).
+    # each population, union, one conditional agg (the rel_cascade_delete
+    # pattern — keeps the blanket nested-loop guard meaningful).
     tagged = (
-        deg.select(F.lit("n").alias("k"))
-        .unionAll(pairs.select(F.lit("e").alias("k")))
-        .unionAll(closed.select(F.lit("t").alias("k")))
+        deg.select(F.lit("n").alias("k"), F.lit(0).alias("n_closed"))
+        .unionAll(pairs.select(F.lit("e").alias("k"), F.lit(0).alias("n_closed")))
+        .unionAll(per_edge.select(F.lit("t").alias("k"), F.col("n_closed")))
     )
     return tagged.agg(
         F.count(F.when(F.col("k") == "n", 1)).alias("n_nodes"),
         F.count(F.when(F.col("k") == "e", 1)).alias("n_edges"),
-        F.count(F.when(F.col("k") == "t", 1)).alias("n_triangles"),
+        F.coalesce(
+            F.sum(F.when(F.col("k") == "t", F.col("n_closed"))), F.lit(0)
+        ).alias("n_triangles"),
     )
 
 

@@ -94,6 +94,27 @@ def read_metrics_csv(spark: SparkSession, path: str, topic: str = "wide") -> Dat
     return spark.read.schema(schema).csv(path, header=True)
 
 
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Explicit-schema JSON-Lines scan — the interchange format most raw
+    text/web corpora arrive in before they become parquet.
+
+    Same no-inference policy as every other source here: at 100 TB a
+    schema-inference pass is a full extra read of the corpus, and a
+    drifting inferred type (one shard where an id happens to parse as
+    long) silently forks downstream plans. Corrupt lines land in
+    ``_corrupt_record`` (PERMISSIVE) instead of failing the scan —
+    the audit-then-drop posture; pass a schema without that column to
+    drop them silently.
+    """
+    return spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-Lines sink (one object per line, parallel files) — the export
+    format for downstream tokenizer/training toolchains."""
+    df.write.mode(mode).json(path)
+
+
 def write_partitioned_parquet(
     df: DataFrame, path: str, partition_cols: list[str] | None = None, mode: str = "overwrite"
 ) -> None:

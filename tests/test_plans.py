@@ -533,3 +533,34 @@ def test_bench_headliners_are_registered():
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert not missing, missing
     assert set(bench.LEGACY9) <= set(bench.HEADLINE)
+
+
+def test_kmeans_iter_is_pure_scan(reports):
+    """sim_kmeans_iter must plan with ZERO joins and zero Python stages —
+    the centroid matrix is plan literals, so the whole assignment step is
+    a codegen scan plus one tiny hash agg (the 100 TB posture)."""
+    r = reports("sim_kmeans_iter")
+    assert r["broadcast_joins"] + r["sort_merge_joins"] + r["nested_loop_joins"] == 0
+    assert r["python_stages"] == 0
+    assert r["exchanges"] == 1, r  # the single 8-group agg exchange
+
+
+def test_merge_intervals_single_exchange(reports):
+    """rel_merge_intervals: both gaps-and-islands windows and the final
+    agg cluster on o_custkey — one shuffle, not three."""
+    r = reports("rel_merge_intervals")
+    assert r["exchanges"] == 1, r
+    assert r["python_stages"] == 0
+
+
+def test_top_movers_uses_ordered_limit(spark):
+    """monitor_top_movers' global top-100 must plan as
+    TakeOrderedAndProject (per-partition heaps + driver merge), never a
+    global Sort of the daily table."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    df = all_queries()["monitor_top_movers"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
