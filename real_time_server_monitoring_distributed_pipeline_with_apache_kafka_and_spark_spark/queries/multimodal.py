@@ -120,6 +120,65 @@ WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 6
 """
 
 
+def mm_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup CLUSTERS: close the a-hash hamming pair graph
+    (mm_image_ahash's candidates) under transitivity with distributed
+    connected components — every image gets a cluster_id (min reachable
+    doc id), keep-one-per-cluster is the multimodal dedup decision.
+    The vector/text dedup-cluster story (dedup_clusters,
+    dedup_embedding_clusters) applied to the image modality: same
+    pointer-doubling components operator, same recursive-CTE oracle
+    closure over the replayed pair SQL."""
+    from ..operators.dedup import connected_components, hamming64_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = ops.image_ahash(ops.attach_binary_payload(docs))
+    pairs = hamming64_pairs(sig, "doc_id", max_hamming=6, n_chunks=8)
+    return connected_components(
+        pairs.select("a_id", "b_id"), docs.select("doc_id"), id_col="doc_id"
+    )
+
+
+_AHASH_CLUSTERS_SQL = f"""
+WITH RECURSIVE px AS (
+  SELECT doc_id, j,
+         ord(substr(text, CAST((j % length(text)) + 1 AS INTEGER), 1)) AS p
+  FROM documents, LATERAL unnest(range(0, 64)) t(j)
+),
+m AS (SELECT doc_id, sum(p) / 64.0 AS mean FROM px GROUP BY doc_id),
+sig AS (
+  SELECT px.doc_id,
+    CAST(sum(CASE WHEN j < 32 AND p > mean THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER) ELSE 0 END) AS BIGINT) AS sig_lo,
+    CAST(sum(CASE WHEN j >= 32 AND p > mean THEN CAST(1 AS BIGINT) << CAST(j - 32 AS INTEGER) ELSE 0 END) AS BIGINT) AS sig_hi
+  FROM px JOIN m USING (doc_id) GROUP BY px.doc_id
+),
+chunks AS (
+  {_AH_CHUNKS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.sig_lo AS alo, a.sig_hi AS ahi, b.sig_lo AS blo, b.sig_hi AS bhi
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+),
+sim AS (
+  SELECT a_id, b_id FROM cand
+  WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 6
+),
+edges AS (SELECT a_id AS u, b_id AS v FROM sim
+          UNION ALL SELECT b_id AS u, a_id AS v FROM sim),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+)
+SELECT d.doc_id,
+       CAST(COALESCE(least(mm.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d
+LEFT JOIN (SELECT u, min(v) AS mn FROM reach GROUP BY u) mm ON d.doc_id = mm.u
+"""
+
+
 def mm_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video scene segmentation plumbing: every 64-byte frame gets a
     mean-byte feature (REAL math, mapInPandas —

@@ -245,6 +245,24 @@ def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): part's numeric attributes to long form — the
+    inverse reshape of rel_pivot and the standard prep for
+    one-metric-per-row stores and per-attribute profiling. Spark's
+    native ``unpivot`` plans as an Expand (each input row emitted once
+    per attribute inside the scan stage) — zero shuffles, scan-shaped
+    at any scale; the oracle is the portable UNION ALL formulation of
+    the same semantics.
+    """
+    part = load_table(spark, sf_dir, "part")
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size"],
+        variableColumnName="attr",
+        valueColumnName="val",
+    ).select("p_partkey", "attr", F.col("val").cast("double").alias("val"))
+
+
 def rel_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-N: orderBy + limit (TakeOrderedAndProject - no full sort).
 
@@ -1166,6 +1184,7 @@ QUERIES = {
     "rel_approx_percentile": rel_approx_percentile,
     # --- tail: trivial/stock-SQL surface, proven green in round 1 ---
     "rel_pivot": rel_pivot,
+    "rel_unpivot": rel_unpivot,
     "rel_cube": rel_cube,
     "rel_agg_stats": rel_agg_stats,
     "rel_count_distinct": rel_count_distinct,
@@ -1183,6 +1202,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_unpivot": """
+SELECT p_partkey, 'p_retailprice' AS attr, CAST(p_retailprice AS DOUBLE) AS val FROM part
+UNION ALL
+SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+""",
     "rel_merge_intervals": """
 WITH iv AS (
   SELECT o_custkey, o_orderkey,
