@@ -74,6 +74,8 @@ _PRIORITY: tuple[str, ...] = (
     "rel_triangle_count",
     "rel_merge_intervals",
     "pipeline_embedding_prep",
+    "rel_unpivot",
+    "mm_image_dedup_clusters",
     # -- fill: oldest still-fresh rows (r04 block, age 2) so r07 only
     #    inherits the remainder of the r04 block, not all 44 --
     "monitor_cpu_mem_alerts",
@@ -89,9 +91,9 @@ _PRIORITY: tuple[str, ...] = (
     "sim_ann_lsh",
     "sim_ann_ivf",
     "sim_ann_quantized",
+    # ---- past the ~50-row cap from here ----
     "rel_pricing_summary",
     "rel_multiway_revenue",
-    # ---- past the ~50-row cap from here ----
     "text_sequence_packing",
     "text_repetition",
     # -- rest of the r04 block (age 2 now): these MUST lead the r07

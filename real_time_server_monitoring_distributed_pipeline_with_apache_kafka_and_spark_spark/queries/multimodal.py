@@ -231,6 +231,7 @@ FROM runs GROUP BY doc_id, seg
 QUERIES = {
     "mm_scene_segments": mm_scene_segments,
     "mm_image_ahash": mm_image_ahash,
+    "mm_image_dedup_clusters": mm_image_dedup_clusters,
     "mm_audio_rms": mm_audio_rms,
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_features": mm_decode_features,
@@ -241,6 +242,7 @@ QUERIES = {
 ORACLES = {
     "mm_scene_segments": _SCENES_SQL,
     "mm_image_ahash": _AHASH_SQL,
+    "mm_image_dedup_clusters": _AHASH_CLUSTERS_SQL,
     "mm_audio_rms": """
 WITH s AS (
   SELECT doc_id, i,
