@@ -63,9 +63,11 @@ _PRIORITY: tuple[str, ...] = (
     "mm_resize",
     "mm_frame_sample",
     # -- code changed in r06 (zscore var>0 guard; gap-report Jan-31
-    #    lattice): green rows predate the change, re-prove --
+    #    lattice; knn_join hot-bucket dispatch): green rows predate the
+    #    change, re-prove --
     "monitor_anomaly_zscore",
     "monitor_gap_report",
+    "sim_knn_join",
     # -- never driver-proven (new in r06) --
     "monitor_top_movers",
     "text_prefix_dup",
@@ -90,8 +92,8 @@ _PRIORITY: tuple[str, ...] = (
     "sim_ann_bruteforce",
     "sim_ann_lsh",
     "sim_ann_ivf",
-    "sim_ann_quantized",
     # ---- past the ~50-row cap from here ----
+    "sim_ann_quantized",
     "rel_pricing_summary",
     "rel_multiway_revenue",
     "text_sequence_packing",
@@ -135,7 +137,6 @@ _PRIORITY: tuple[str, ...] = (
     "rel_validate_constraints",
     "monitor_sessionize",
     "text_bigram_logprob",
-    "sim_knn_join",
     "dedup_containment",
     "rel_cascade_delete",
     "monitor_resample_locf",
