@@ -22,8 +22,14 @@ it FUSES into the operator's keyed state:
 - an event-time timeout wakes keys that receive no further data once the
   watermark passes their earliest pending row, so buffered rows always
   drain without requiring fresh per-key traffic;
-- rows later than the watermark never reach the operator (Spark drops them
-  upstream) — standard watermark semantics, same as the windowed aggs.
+- UNLIKE aggregations, Spark does NOT filter late input for arbitrary
+  stateful operators, so the buffer enforces its own guarantee: an arrival
+  sorting at or before its key's emission high-water mark (the last
+  (event time, id) actually folded) is dropped — folding it would violate
+  event order. An arrival behind the GLOBAL watermark but still ahead of
+  its key's emissions folds correctly, so this loses strictly less data
+  than the windowed aggs' global-watermark drop (pinned by
+  tests/test_streaming.py::test_reorder_buffer_drops_rows_later_than_hwm).
 
 The fold cores are SHARED with the arrival-order legs and the batch
 queries (``_zscore_row``; the ``alpha*x + (1-alpha)*acc`` op order), so an
@@ -61,6 +67,16 @@ _BUF_FIELDS = (
     StructField("buf_event_id", ArrayType(LongType())),
     StructField("buf_ts", ArrayType(LongType())),  # event time, micros since epoch
     StructField("buf_value", ArrayType(DoubleType())),
+    # Per-key emission high-water mark (ts_us, event_id of the LAST row
+    # folded). Spark does NOT filter late input for arbitrary stateful
+    # operators (unlike aggregations), so the buffer enforces its own
+    # order guarantee: an arrival sorting at or before the high-water
+    # mark would have to be folded out of order — it is dropped. An
+    # arrival behind the GLOBAL watermark but still ahead of its key's
+    # emissions folds correctly — strictly less data loss than the
+    # aggregate operators' global-watermark drop.
+    StructField("hwm_ts", LongType()),
+    StructField("hwm_eid", LongType()),
 )
 
 
@@ -88,23 +104,43 @@ def _buffered_fn(
         if state.exists:
             st = state.get
             core = list(st[:n_core])
-            buf = [list(x) if x is not None else [] for x in st[n_core:]]
+            buf = [list(x) if x is not None else [] for x in st[n_core : n_core + 3]]
+            hwm = (
+                st[n_core + 3] if st[n_core + 3] is not None else -(1 << 62),
+                st[n_core + 4] if st[n_core + 4] is not None else -(1 << 62),
+            )
         else:
-            core, buf = init_core(), [[], [], []]
+            core, buf, hwm = init_core(), [[], [], []], (-(1 << 62), -(1 << 62))
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            buf[0].extend(int(x) for x in pdf["event_id"])
-            buf[1].extend(_ts_micros(pdf["ts"]))
-            buf[2].extend(float(x) for x in pdf["value"])
+            for eid, ts_us, v in zip(
+                (int(x) for x in pdf["event_id"]),
+                _ts_micros(pdf["ts"]),
+                (float(x) for x in pdf["value"]),
+            ):
+                # Too late: this key already emitted at or past (ts, id).
+                if (ts_us, eid) <= hwm:
+                    continue
+                buf[0].append(eid)
+                buf[1].append(ts_us)
+                buf[2].append(v)
         wm_ms = state.getCurrentWatermarkMs()
         pending = sorted(zip(buf[0], buf[1], buf[2]), key=lambda r: (r[1], r[0]))
         ready = [r for r in pending if r[1] <= wm_ms * 1000]
         rest = [r for r in pending if r[1] > wm_ms * 1000]
         out_rows, core = fold(core, ready, key[0])
+        if ready:
+            hwm = (ready[-1][1], ready[-1][0])
         state.update(
             tuple(core)
-            + ([r[0] for r in rest], [r[1] for r in rest], [r[2] for r in rest])
+            + (
+                [r[0] for r in rest],
+                [r[1] for r in rest],
+                [r[2] for r in rest],
+                hwm[0],
+                hwm[1],
+            )
         )
         if rest:
             # Wake this key once the watermark passes its earliest pending
@@ -150,10 +186,10 @@ def rolling_zscore_stream_ordered(
     bitwise-identical to the batch ``monitor_anomaly_zscore``), preceded
     by the fused watermarked reorder buffer. Applies
     ``withWatermark("ts", delay)`` itself — ``delay`` is the reorder
-    tolerance; rows later than that are dropped upstream per watermark
-    contract. Emission lags arrival by the watermark (a row emits once no
-    earlier row can still arrive), the price of correctness on a
-    reordering transport.
+    tolerance; arrivals the key has already emitted past are dropped (see
+    the module docstring's high-water-mark contract). Emission lags
+    arrival by the watermark (a row emits once no earlier row can still
+    arrive), the price of correctness on a reordering transport.
     """
     out_schema, _ = _zscore_schemas(window)
     state_schema = StructType(

@@ -371,3 +371,131 @@ def test_ewma_fold_matches_python_model(spark, cents):
     for v in vals[1:]:
         want = 0.2 * v + 0.8 * want
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda e: e[0] != e[1]),
+        min_size=0,
+        max_size=120,
+    )
+)
+def test_triangle_count_matches_bruteforce_model(spark, edges):
+    """The degree-ordered adjacency-intersection triangle count must
+    equal the O(n^3) set-model count on arbitrary small graphs (the
+    orientation + per-edge intersect must neither double-count nor miss
+    triangles, whatever the degree ties)."""
+    import itertools
+
+    und = {tuple(sorted(e)) for e in edges}
+    nodes = sorted({x for e in und for x in e})
+    adj = {n: set() for n in nodes}
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+
+    # Rebuild the query's pipeline from a raw edge DataFrame (the query
+    # itself derives edges from lineitem; the algorithm under test starts
+    # at the undirected distinct pair list).
+    if not und:
+        return
+    pairs = spark.createDataFrame(sorted(und), "u long, v long")
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    with_deg = pairs.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    adj_arr = oriented.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    got = (
+        oriented.join(
+            adj_arr.select(F.col("src").alias("u_"), F.col("nbrs").alias("nu")),
+            F.col("src") == F.col("u_"),
+        )
+        .join(
+            adj_arr.select(F.col("src").alias("v_"), F.col("nbrs").alias("nv")),
+            F.col("dst") == F.col("v_"),
+        )
+        .agg(F.coalesce(F.sum(F.size(F.array_intersect("nu", "nv"))), F.lit(0)))
+        .collect()[0][0]
+    )
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    intervals=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 60), st.integers(1, 20)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_merge_intervals_islands_match_python_model(spark, intervals):
+    """The gaps-and-islands interval union must produce exactly the
+    maximal merged spans of a naive per-key sweep (touching intervals
+    merge iff start <= running max end; strictly-after starts open a new
+    island)."""
+    from datetime import date, timedelta
+
+    d0 = date(2024, 1, 1)
+    rows = [
+        (k, i, d0 + timedelta(days=s), d0 + timedelta(days=s + ln))
+        for i, (k, s, ln) in enumerate(intervals)
+    ]
+    # Python model
+    want = set()
+    bykey = {}
+    for k, i, s, e in rows:
+        bykey.setdefault(k, []).append((s, e, i))
+    for k, ivs in bykey.items():
+        ivs.sort()
+        cur_s, cur_e, n = None, None, 0
+        island = 0
+        for s, e, _ in ivs:
+            if cur_s is None or s > cur_e:
+                if cur_s is not None:
+                    want.add((k, island, cur_s, cur_e, n))
+                island += 1
+                cur_s, cur_e, n = s, e, 1
+            else:
+                cur_e = max(cur_e, e)
+                n += 1
+        want.add((k, island, cur_s, cur_e, n))
+
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, "k long, i long, start date, end date")
+    w = Window.partitionBy("k").orderBy("start", "end", "i")
+    prev_max_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = df.withColumn(
+        "_new", (prev_max_end.isNull() | (F.col("start") > prev_max_end)).cast("int")
+    )
+    island = F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    got = {
+        (r.k, r.island, r.valid_from, r.valid_to, r.n)
+        for r in flagged.withColumn("island", island)
+        .groupBy("k", "island")
+        .agg(
+            F.min("start").alias("valid_from"),
+            F.max("end").alias("valid_to"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == want

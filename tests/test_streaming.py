@@ -2190,3 +2190,67 @@ def test_ewma_stream_ordered_matches_in_order_leg(spark, tmp_path):
     finally:
         q2.stop()
     assert got == want and len(want) == 200
+
+
+def test_reorder_buffer_drops_rows_later_than_hwm(spark, tmp_path):
+    """T3/T4: Spark does NOT filter late input for arbitrary stateful
+    operators, so the reorder buffer enforces its own guarantee — an
+    arrival sorting at or before its key's emission high-water mark (the
+    last (event time, id) actually folded) is DROPPED rather than folded
+    out of order; an arrival behind the global watermark but still ahead
+    of the key's emissions folds correctly (less data loss than the
+    aggregate operators' global drop)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.reorder import (
+        ewma_stream_ordered,
+    )
+
+    base = 1704067200
+
+    def write(rows, src):
+        import time as _time
+
+        df = spark.createDataFrame(
+            [(e, 0, t, v) for e, t, v in rows], "event_id long, user_id long, tsec long, value double"
+        ).select("event_id", "user_id", F.timestamp_seconds("tsec").alias("ts"), "value")
+        df.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    src = str(tmp_path / "src")
+    # Batch 1: t+0, t+60, t+120. Watermark after it: t+120 - 60s = t+60.
+    write([(0, base, 1.0), (1, base + 60, 2.0), (2, base + 120, 3.0)], src)
+    # Batch 2 (wm = t+60): emits events 0 and 1; hwm becomes (t+60, 1).
+    write([(4, base + 300, 4.0)], src)
+    # Batch 3 (wm = t+240): event 3 at t+10 <= hwm t+60 => DROPPED; the
+    # sentinel pushes the final watermark past everything else.
+    write([(3, base + 10, 99.0), (100000, base + 99999, 0.0)], src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        ewma_stream_ordered(stream, delay="1 minute")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ewma_late_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            r.event_id: r.ewma_value
+            for r in spark.sql(
+                "SELECT * FROM ewma_late_out WHERE event_id < 100000"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    # Event 3 (behind the key's emissions) must not appear and must not
+    # perturb the fold over 1.0, 2.0, 3.0, 4.0 in event order.
+    assert 3 not in rows
+    want, acc = {}, None
+    for eid, v in ((0, 1.0), (1, 2.0), (2, 3.0), (4, 4.0)):
+        acc = v if acc is None else 0.2 * v + 0.8 * acc
+        want[eid] = acc
+    assert rows == want
