@@ -851,3 +851,45 @@ def rate_replay_stream(
         .select(F.col("value").alias(id_col), F.col("timestamp").alias("emit_ts"))
     )
     return rate.join(keyed, id_col)
+
+
+def heavy_hitter_ingest_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    key_col: str,
+    capacity: int = 256,
+):
+    """Streaming ingest leg for BOUNDED-MEMORY heavy hitters: each
+    micro-batch reduces to its SpaceSaving summaries
+    (``operators.heavy_hitters.space_saving_partial`` — O(capacity) rows
+    per partition, never O(rows)) and lands in the idempotent
+    ``batch_id=N`` store; :func:`probe_heavy_hitter_store` merges the
+    accreted summaries into global (key, est, lo, hi) bounds with
+    ``lo <= true stream count <= hi``. The approximate sibling of
+    :func:`rollup_ingest_stream`: the rollup store is exact but O(keys);
+    this store is O(batches x partitions x capacity) regardless of how
+    many distinct keys the stream carries — the 100 TB top-k answer.
+
+    Seventh store on the :func:`ingest_store_stream` contract — one
+    transform, delivery semantics inherited.
+    """
+    from ..operators.heavy_hitters import space_saving_partial
+
+    def transform(batch_df: DataFrame) -> DataFrame:
+        return space_saving_partial(batch_df, key_col, capacity=capacity)
+
+    return ingest_store_stream(stream, store_path, checkpoint_dir, transform)
+
+
+def probe_heavy_hitter_store(spark, store_path: str) -> DataFrame:
+    """Global heavy-hitter bounds over a :func:`heavy_hitter_ingest_stream`
+    store. Summaries are identified by (batch_id, pid) — pids repeat
+    across micro-batches, so the probe keeps the partition-discovery
+    ``batch_id`` column instead of the usual :func:`read_ingest_store`
+    drop."""
+    from ..operators.heavy_hitters import merge_summaries
+
+    return merge_summaries(
+        spark.read.parquet(store_path), pid_cols=["batch_id", "pid"]
+    )

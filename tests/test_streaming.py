@@ -2254,3 +2254,50 @@ def test_reorder_buffer_drops_rows_later_than_hwm(spark, tmp_path):
         acc = v if acc is None else 0.2 * v + 0.8 * acc
         want[eid] = acc
     assert rows == want
+
+
+def test_heavy_hitter_store_bounds_and_coverage(spark, tmp_path):
+    """Approximate bounded-state heavy hitters: the streamed SpaceSaving
+    store's merged bounds must bracket every key's exact count, and
+    every true heavy hitter (count > sum of summary floors) must be
+    present — with summary size O(capacity) per partition per batch, not
+    O(distinct keys)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.jobs import (
+        heavy_hitter_ingest_stream,
+        probe_heavy_hitter_store,
+    )
+
+    # Zipf-ish: key k gets ~N/(k+1) rows; 3000 distinct keys, capacity 64.
+    rows = spark.range(60000).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("k"), F.pmod(F.pow(F.col("id") % 9973, 2).cast("long"), 3000).cast("string")).alias("key"),
+    )
+    exact = {r.key: r.n for r in rows.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    src = str(tmp_path / "src")
+    half = F.col("event_id") < 30000
+    rows.filter(half).coalesce(2).write.mode("append").parquet(src)
+    rows.filter(~half).coalesce(2).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(rows.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    store, cp = str(tmp_path / "store"), str(tmp_path / "cp")
+    q = heavy_hitter_ingest_stream(stream, store, cp, "key", capacity=64).start()
+    q.processAllAvailable()
+    q.stop()
+
+    merged = {r.key: (r.est, r.lo, r.hi) for r in probe_heavy_hitter_store(spark, store).collect()}
+    # Store stayed bounded: at most batches x partitions x capacity rows.
+    n_summary_rows = spark.read.parquet(store).count()
+    assert n_summary_rows <= 2 * 2 * 64
+    # Bounds bracket the truth for every reported key.
+    for k, (est, lo, hi) in merged.items():
+        true = exact.get(k, 0)
+        assert lo <= true <= hi, (k, lo, true, hi)
+        assert est <= hi
+    # Coverage: every key whose count exceeds the total floor is present.
+    floors = spark.read.parquet(store).select("batch_id", "pid", "floor").distinct()
+    total_floor = floors.agg(F.sum("floor")).collect()[0][0]
+    for k, n in exact.items():
+        if n > total_floor:
+            assert k in merged, (k, n, total_floor)
+    # And the test is non-vacuous: some guaranteed heavy hitters exist.
+    assert sum(1 for n in exact.values() if n > total_floor) >= 1
