@@ -59,7 +59,15 @@ HEADLINE17 = LEGACY9 + [
     "sim_knn_join",               # LSH bucket join + per-query ranking window
     "pipeline_training_prep",     # six-stage curation composite
 ]
-HEADLINE = HEADLINE17 + []  # r06+: append new headliners here
+HEADLINE = HEADLINE17 + [
+    # added r06: cheap representatives of the round's new plan shapes
+    # (the heavy graph/composite queries stay out of the bench budget;
+    # their scale notes live in their docstrings)
+    "sim_kmeans_iter",            # zero-join centroid-literal codegen scan
+    "rel_merge_intervals",        # gaps-and-islands single-exchange windows
+    "monitor_top_movers",         # daily agg + lag + TakeOrderedAndProject
+    "text_zipf_slope",            # explode + rank-limit + decimal-lattice fit
+]
 
 
 def main() -> None:

@@ -92,3 +92,67 @@ def test_jsonl_roundtrip_and_corrupt_line_audit(spark, tmp_path):
     n_bad = sum(1 for r in rows if r._corrupt_record is not None)
     assert n_bad == 1
     assert len(rows) - n_bad == docs.count() + 1
+
+
+def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
+    """write_zorder_clustered must keep per-file footer min/max ranges
+    BOUNDED on both clustered columns simultaneously — a point/range
+    predicate on either column can skip most files. The single-column
+    range-sorted layout (the control) leaves the second column's per-file
+    ranges spanning nearly the whole domain."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.readers import (
+        write_range_sorted,
+        write_zorder_clustered,
+    )
+
+    from pyspark.sql import functions as F
+
+    # Two independent uniform dimensions.
+    df = spark.range(40000).select(
+        F.pmod(F.xxhash64("id"), F.lit(10000)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10000)).alias("y"),
+        F.col("id").alias("payload"),
+    )
+
+    def per_file_coverage(path, col):
+        """Mean fraction of the column's domain a file's [min, max] spans."""
+        spans = []
+        lo_all, hi_all = None, None
+        metas = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            pf = pq.ParquetFile(f)
+            fmin = fmax = None
+            for g in range(pf.metadata.num_row_groups):
+                c = next(
+                    pf.metadata.row_group(g).column(i)
+                    for i in range(pf.metadata.row_group(g).num_columns)
+                    if pf.metadata.row_group(g).column(i).path_in_schema == col
+                )
+                s = c.statistics
+                fmin = s.min if fmin is None else min(fmin, s.min)
+                fmax = s.max if fmax is None else max(fmax, s.max)
+            if fmin is None:
+                continue
+            metas.append((fmin, fmax))
+            lo_all = fmin if lo_all is None else min(lo_all, fmin)
+            hi_all = fmax if hi_all is None else max(hi_all, fmax)
+        domain = (hi_all - lo_all) or 1
+        return sum((b - a) / domain for a, b in metas) / len(metas), len(metas)
+
+    z_out = str(tmp_path / "zorder")
+    write_zorder_clustered(df, z_out, ["x", "y"], n_files=16)
+    ctl_out = str(tmp_path / "xsorted")
+    write_range_sorted(df, ctl_out, sort_cols=["x"], n_files=16)
+
+    zx, nzx = per_file_coverage(z_out, "x")
+    zy, _ = per_file_coverage(z_out, "y")
+    cx, ncx = per_file_coverage(ctl_out, "x")
+    cy, _ = per_file_coverage(ctl_out, "y")
+    assert nzx >= 8 and ncx >= 8  # layouts actually split
+    # Control: x airtight, y unclustered (files span ~the whole y domain).
+    assert cx < 0.15 and cy > 0.8
+    # Z-order: BOTH columns bounded — every file covers a strict
+    # sub-range of each dimension (the 2D skipping property).
+    assert zx < 0.5 and zy < 0.5, (zx, zy)
+    # And rows survive the round trip.
+    assert spark.read.parquet(z_out).count() == 40000
