@@ -499,3 +499,51 @@ def test_merge_intervals_islands_match_python_model(spark, intervals):
         .collect()
     }
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-2.0, 2.0, allow_nan=False, allow_infinity=False, width=32),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_kmeans_assignment_matches_numpy_argmin(spark, vecs):
+    """The Catalyst fold-based k-means assignment (sim_kmeans_iter's
+    core) must agree with numpy's argmin of squared L2 distances against
+    the same seeded centroids for arbitrary float32-representable
+    vectors (ties break to the lowest cluster in both)."""
+    import numpy as np
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.similarity import (
+        _kmeans_centroids,
+        _kmeans_dists_col,
+    )
+
+    cents = np.array(_kmeans_centroids())
+    m = np.array(vecs, dtype=np.float64)
+    d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    want = d.argmin(axis=1).tolist()
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, v array<double>"
+    )
+    got = {
+        r.vec_id: r.c
+        for r in df.select(
+            "vec_id",
+            (
+                F.array_position(
+                    _kmeans_dists_col(F.col("v")),
+                    F.array_min(_kmeans_dists_col(F.col("v"))),
+                )
+                - 1
+            ).alias("c"),
+        ).collect()
+    }
+    assert [got[i] for i in range(len(vecs))] == want

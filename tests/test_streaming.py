@@ -2301,3 +2301,63 @@ def test_heavy_hitter_store_bounds_and_coverage(spark, tmp_path):
             assert k in merged, (k, n, total_floor)
     # And the test is non-vacuous: some guaranteed heavy hitters exist.
     assert sum(1 for n in exact.values() if n > total_floor) >= 1
+
+
+def test_heavy_hitter_ingest_checkpoint_restart(spark, tmp_path):
+    """Kill the heavy-hitter ingest between micro-batches and restart
+    from checkpoint: the summary store must be identical to an
+    uninterrupted run's (no lost and no duplicated summaries — the
+    shared idempotent-store contract), and the merged bounds must still
+    bracket every exact count."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.jobs import (
+        heavy_hitter_ingest_stream,
+        probe_heavy_hitter_store,
+    )
+
+    rows = spark.range(20000).select(
+        F.col("id").alias("event_id"),
+        F.concat(
+            F.lit("k"), F.pmod(F.xxhash64("id"), F.lit(500)).cast("string")
+        ).alias("key"),
+    )
+    exact = {
+        r.key: r.n
+        for r in rows.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    src, store, ckpt = (
+        str(tmp_path / "hh_src"),
+        str(tmp_path / "hh_store"),
+        str(tmp_path / "hh_ckpt"),
+    )
+
+    def start():
+        stream = (
+            spark.readStream.schema(rows.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/b*")
+        )
+        return heavy_hitter_ingest_stream(stream, store, ckpt, "key", capacity=48).start()
+
+    rows.filter(F.col("event_id") < 10000).coalesce(2).write.parquet(f"{src}/b0")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows.filter(F.col("event_id") >= 10000).coalesce(2).write.parquet(f"{src}/b1")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    raw = spark.read.parquet(store)
+    # one summary per (batch, pid), each within capacity
+    per_summary = raw.groupBy("batch_id", "pid").count().collect()
+    assert all(r["count"] <= 48 for r in per_summary)
+    assert raw.select("batch_id").distinct().count() == 2
+    merged = {
+        r.key: (r.lo, r.hi) for r in probe_heavy_hitter_store(spark, store).collect()
+    }
+    for k, (lo, hi) in merged.items():
+        assert lo <= exact.get(k, 0) <= hi, (k, lo, exact.get(k, 0), hi)
