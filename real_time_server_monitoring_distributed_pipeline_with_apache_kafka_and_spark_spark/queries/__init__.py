@@ -78,10 +78,21 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_embedding_prep",
     "rel_unpivot",
     "mm_image_dedup_clusters",
+    "monitor_rate_spike",
+    "monitor_sla_burn",
+    "rel_skyline",
+    "rel_mode_per_group",
+    "rel_corr_matrix",
+    "rel_decile_lift",
+    "rel_mom_growth",
+    "text_bpe_pair_counts",
+    "text_pmi_bigrams",
+    "mm_audio_silence_trim",
     # -- fill: oldest still-fresh rows (r04 block, age 2) so r07 only
     #    inherits the remainder of the r04 block, not all 44 --
     "monitor_cpu_mem_alerts",
     "monitor_net_disk_alerts",
+    # ---- past the ~50-row cap from here ----
     "monitor_window_sliding_avg",
     "pipeline_corpus_curation",
     "text_quality_score",
@@ -92,7 +103,6 @@ _PRIORITY: tuple[str, ...] = (
     "sim_ann_bruteforce",
     "sim_ann_lsh",
     "sim_ann_ivf",
-    # ---- past the ~50-row cap from here ----
     "sim_ann_quantized",
     "rel_pricing_summary",
     "rel_multiway_revenue",

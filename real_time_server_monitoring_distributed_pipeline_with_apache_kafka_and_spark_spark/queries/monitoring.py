@@ -732,8 +732,107 @@ def monitor_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def monitor_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric rate-of-change spikes: per-server first derivative between
+    consecutive readings (delta value / delta seconds) and the rows where
+    the magnitude clears 0.1/s (the sf0.01 p99) — the "counter just
+    jumped" triage view that complements the level-based CASE alerts.
+
+    One per-key lag window (shuffles on user_id only), then a stateless
+    filter; nothing else moves. The division is (double - double) over
+    (bigint / 1e6) — two IEEE ops in fixed order, so the rate is
+    bit-identical in any engine; the spike predicate compares the
+    9-decimal display rounding so the boundary row set is engine-exact
+    too. Zero time deltas (none in this corpus, but possible under
+    at-least-once replay) yield NULL rate via NULLIF and are dropped.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).filter(F.col("prev_ts").isNotNull())
+    delta_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    rate = (F.col("value") - F.col("prev_value")) / F.nullif(
+        delta_us.cast("double") / F.lit(1e6), F.lit(0.0)
+    )
+    return (
+        d.withColumn("delta_us", delta_us)
+        .withColumn("rate_per_s", display_round(rate, 9))
+        .filter(F.abs(F.col("rate_per_s")) > 0.1)
+        .select(
+            "user_id", "event_id", "ts", "value", "prev_value", "delta_us", "rate_per_s"
+        )
+    )
+
+
+def monitor_sla_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn rate at two resolutions: per hour, the error
+    fraction vs a 25% error-rate SLO (burn 1.0 = budget consumed exactly
+    at the sustainable pace), plus the enclosing 6-hour window's burn —
+    the standard fast-burn/slow-burn alerting pair (1h page, 6h ticket).
+
+    One conditional hash agg to hourly counts (map-side partial: raw rows
+    collapse to <=744 groups per month before the exchange), a second
+    tiny agg of hours into epoch-aligned 6h buckets, and a broadcast join
+    back — no window over raw data, no second scan. Burn = (int/int)
+    double division then one divide by the SLO constant, fixed op order
+    on both engines; displayed at 9 decimals, breach flags compare the
+    rounded value so the boundary is engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            (F.col("event_type") == "error").cast("int").alias("is_err"),
+        )
+        .groupBy("hour_start")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("is_err").alias("n_err"))
+    )
+    # Day-index*24 + hour, div 6: epoch-aligned (2024-01-01 is a 6h
+    # boundary) and type-agnostic across the TIMESTAMP/TIMESTAMP_NTZ
+    # session split (unix_timestamp is not — see operators/joins.py).
+    h6 = (
+        (
+            F.datediff(F.to_date("hour_start"), F.lit("2024-01-01").cast("date")) * 24
+            + F.hour("hour_start")
+        )
+        .cast("bigint")
+        .alias("h6_raw")
+    )
+    h6 = F.floor(h6 / F.lit(6)).alias("h6_bucket")
+    six = (
+        hourly.groupBy(h6)
+        .agg(F.sum("n").alias("n6"), F.sum("n_err").alias("n_err6"))
+    )
+    slo = F.lit(0.25)
+    burn1 = (F.col("n_err").cast("double") / F.col("n").cast("double")) / slo
+    burn6 = (F.col("n_err6").cast("double") / F.col("n6").cast("double")) / slo
+    return (
+        hourly.withColumn("h6_bucket", h6)
+        .join(F.broadcast(six), "h6_bucket")
+        .select(
+            "hour_start",
+            "n",
+            "n_err",
+            display_round(burn1, 9).alias("burn_1h"),
+            display_round(burn6, 9).alias("burn_6h"),
+        )
+        .withColumn("page", F.col("burn_1h") > 1.0)
+        .withColumn("ticket", F.col("burn_6h") > 1.0)
+    )
+
+
 QUERIES = {
     "monitor_error_after_click": monitor_error_after_click,
+    "monitor_rate_spike": monitor_rate_spike,
+    "monitor_sla_burn": monitor_sla_burn,
     "monitor_sessionize": monitor_sessionize,
     "monitor_resample_locf": monitor_resample_locf,
     "monitor_anomaly_zscore": monitor_anomaly_zscore,
@@ -757,6 +856,51 @@ QUERIES = {
 }
 
 ORACLES = {
+    "monitor_rate_spike": """
+WITH d AS (
+  SELECT user_id, event_id, ts, value,
+         lag(value) OVER w AS prev_value,
+         lag(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT user_id, event_id, ts, value, prev_value,
+         CAST(datediff('microsecond', prev_ts, ts) AS BIGINT) AS delta_us,
+         (value - prev_value)
+           / nullif(CAST(datediff('microsecond', prev_ts, ts) AS DOUBLE) / 1e6, 0.0)
+           AS rate
+  FROM d WHERE prev_ts IS NOT NULL
+)
+SELECT user_id, event_id, ts, value, prev_value, delta_us,
+       floor(rate * 1e9 + 0.5) / 1e9 AS rate_per_s
+FROM r
+WHERE abs(floor(rate * 1e9 + 0.5) / 1e9) > 0.1
+""",
+    "monitor_sla_burn": """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour_start,
+         count(*) AS n,
+         CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_err
+  FROM events GROUP BY 1
+),
+h AS (
+  SELECT *,
+         CAST(floor((datediff('day', DATE '2024-01-01', CAST(hour_start AS DATE)) * 24
+                     + hour(hour_start)) / 6) AS BIGINT) AS h6_bucket
+  FROM hourly
+),
+six AS (
+  SELECT h6_bucket, sum(n) AS n6, sum(n_err) AS n_err6
+  FROM h GROUP BY 1
+)
+SELECT hour_start, n, n_err,
+       floor((CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE)) / 0.25 * 1e9 + 0.5) / 1e9 AS burn_1h,
+       floor((CAST(n_err6 AS DOUBLE) / CAST(n6 AS DOUBLE)) / 0.25 * 1e9 + 0.5) / 1e9 AS burn_6h,
+       floor((CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE)) / 0.25 * 1e9 + 0.5) / 1e9 > 1.0 AS page,
+       floor((CAST(n_err6 AS DOUBLE) / CAST(n6 AS DOUBLE)) / 0.25 * 1e9 + 0.5) / 1e9 > 1.0 AS ticket
+FROM h JOIN six USING (h6_bucket)
+""",
     "monitor_ewma_level": """
 WITH h AS (
   SELECT user_id, count(*) AS n_events,

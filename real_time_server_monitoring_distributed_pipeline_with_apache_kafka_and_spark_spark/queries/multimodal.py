@@ -62,6 +62,35 @@ def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.audio_rms_windows(ops.attach_binary_payload(docs))
 
 
+def mm_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence trimming over the PCM payload: per clip, the first/last
+    RMS window at or above the 25000 energy threshold and how many
+    windows survive the trim — the VAD-style preprocessing step that
+    crops lead-in/lead-out silence before audio is chunked for training.
+
+    Rides the same windowed-RMS leg as mm_audio_rms (exact int64
+    square-sums in Arrow-batched mapInPandas, one divide + one sqrt)
+    then ONE conditional hash agg per clip — the 1:N explosion collapses
+    right back to 1 row/doc before any exchange. The threshold compares
+    the bit-exact RMS doubles, so the voiced set (and therefore every
+    output integer) is engine-exact; clips that are all "silence" report
+    NULL bounds and 0 kept windows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rms = ops.audio_rms_windows(ops.attach_binary_payload(docs))
+    voiced = F.col("rms") >= 25000.0
+    agg = rms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.count(F.when(voiced, 1)).alias("n_voiced"),
+        F.min(F.when(voiced, F.col("window_idx"))).alias("first_voiced"),
+        F.max(F.when(voiced, F.col("window_idx"))).alias("last_voiced"),
+    )
+    kept = F.when(
+        F.col("first_voiced").isNull(), F.lit(0)
+    ).otherwise(F.col("last_voiced") - F.col("first_voiced") + 1)
+    return agg.withColumn("kept_windows", kept.cast("int"))
+
+
 def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup pairs: perceptual average-hash signatures
     (operators.multimodal.image_ahash — Arrow-batched mapInPandas over
@@ -233,6 +262,7 @@ QUERIES = {
     "mm_image_ahash": mm_image_ahash,
     "mm_image_dedup_clusters": mm_image_dedup_clusters,
     "mm_audio_rms": mm_audio_rms,
+    "mm_audio_silence_trim": mm_audio_silence_trim,
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_features": mm_decode_features,
     "mm_resize": mm_resize,
@@ -243,6 +273,34 @@ ORACLES = {
     "mm_scene_segments": _SCENES_SQL,
     "mm_image_ahash": _AHASH_SQL,
     "mm_image_dedup_clusters": _AHASH_CLUSTERS_SQL,
+    "mm_audio_silence_trim": """
+WITH s AS (
+  SELECT doc_id, i,
+         ord(substr(text, CAST(2*i + 1 AS INTEGER), 1))
+           + 256 * ord(substr(text, CAST(2*i + 2 AS INTEGER), 1)) AS sample
+  FROM documents,
+       LATERAL unnest(range(0, CAST(floor(length(text) / 2) AS BIGINT))) AS t(i)
+),
+w AS (
+  SELECT doc_id, CAST(floor(i / 32) AS INTEGER) AS window_idx,
+         count(*) AS n_samples, sum(sample * sample) AS ss
+  FROM s GROUP BY 1, 2
+),
+r AS (
+  SELECT doc_id, window_idx,
+         sqrt(CAST(ss AS DOUBLE) / n_samples) >= 25000.0 AS voiced
+  FROM w
+)
+SELECT doc_id,
+       count(*) AS n_windows,
+       CAST(count(*) FILTER (WHERE voiced) AS BIGINT) AS n_voiced,
+       CAST(min(window_idx) FILTER (WHERE voiced) AS INTEGER) AS first_voiced,
+       CAST(max(window_idx) FILTER (WHERE voiced) AS INTEGER) AS last_voiced,
+       CAST(coalesce(max(window_idx) FILTER (WHERE voiced)
+                     - min(window_idx) FILTER (WHERE voiced) + 1, 0) AS INTEGER)
+         AS kept_windows
+FROM r GROUP BY doc_id
+""",
     "mm_audio_rms": """
 WITH s AS (
   SELECT doc_id, i,

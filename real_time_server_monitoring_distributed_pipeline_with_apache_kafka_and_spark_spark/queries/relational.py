@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import display_round
 from ..sources import load_table
 
 _MONEY = "decimal(12,2)"
@@ -1148,8 +1149,224 @@ def rel_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts: maximize ``p_size``,
+    minimize ``p_retailprice`` — keep every part not dominated by another
+    (size >= AND price <=, strict in at least one). The multi-objective
+    shortlist primitive (best tradeoff curve) no single ORDER BY gives.
+
+    The naive formulation is an all-pairs dominance anti-join; this one
+    exploits that one dimension has a SMALL DOMAIN: one hash agg to the
+    per-size min price (<=50 groups at any scale), a window suffix-min
+    over that tiny table for "cheapest among strictly larger sizes", and
+    a broadcast semi-filter back onto the scan. A part survives iff it
+    hits its size's min price AND beats every larger size's min. Total
+    shuffled data: <=50 rows. Doubles are compared, never arithmetic'd —
+    hash-exact.
+    """
+    part = load_table(spark, sf_dir, "part")
+    per_size = part.groupBy("p_size").agg(F.min("p_retailprice").alias("min_price"))
+    w = Window.orderBy(F.col("p_size").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = per_size.withColumn("min_price_larger", F.min("min_price").over(w))
+    keep = frontier.filter(
+        F.col("min_price_larger").isNull()
+        | (F.col("min_price") < F.col("min_price_larger"))
+    )
+    return (
+        part.join(
+            F.broadcast(keep.select("p_size", "min_price")), "p_size"
+        )
+        .filter(F.col("p_retailprice") == F.col("min_price"))
+        .select("p_partkey", "p_size", "p_retailprice")
+    )
+
+
+def rel_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode: each brand's most frequent part type (count-desc,
+    type-asc tiebreak) with its share of the brand — the categorical
+    "most common value" statistic every profiler needs and SQL has no
+    aggregate for.
+
+    Count hash-agg first (map-side partials collapse the fact table to
+    |brand x type| <= 150 rows before any exchange), then the ranking
+    window runs on the TINY grouped table partitioned by the same key —
+    never a window over raw rows. Share = int/int double division, one
+    op, display-rounded.
+    """
+    part = load_table(spark, sf_dir, "part")
+    counts = part.groupBy("p_brand", "p_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("p_brand")
+    rank = F.row_number().over(w.orderBy(F.col("n").desc(), "p_type"))
+    share = F.col("n").cast("double") / F.col("n_brand").cast("double")
+    return (
+        counts.withColumn("n_brand", F.sum("n").over(w))
+        .withColumn("rk", rank)
+        .filter(F.col("rk") == 1)
+        .select(
+            "p_brand",
+            F.col("p_type").alias("modal_type"),
+            "n",
+            "n_brand",
+            display_round(share, 9).alias("mode_share"),
+        )
+    )
+
+
+def rel_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the lineitem numeric measures
+    (quantity, extendedprice, discount) as a tidy 3-row matrix — the
+    feature-redundancy screen run before any model training.
+
+    ONE aggregation pass computes every moment (n, Σx, Σx², Σxy for all
+    pairs) — 10 sums in a single map-side-partial HashAggregate, never
+    one pass per pair, and no `corr()` whose float accumulation is
+    order-dependent: every sum is exact DECIMAL arithmetic
+    (order-independent in any engine) cast to double once, and the
+    closed-form corr = (nΣxy-ΣxΣy)/(√(nΣx²-Σx²)·√(nΣy²-Σy²)) is a fixed
+    IEEE op sequence — bit-identical cross-engine, display-rounded at 9.
+    The 1-row moment vector unpivots to 3 rows via stack (no joins).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast(_MONEY)
+    p = F.col("l_extendedprice").cast(_MONEY)
+    d = F.col("l_discount").cast(_MONEY)
+
+    def s(col, name):  # exact decimal sum, surfaced as double
+        return F.sum(col).cast("double").alias(name)
+
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        s(q, "sq"), s(p, "sp"), s(d, "sd"),
+        s(q * q, "sqq"), s(p * p, "spp"), s(d * d, "sdd"),
+        s(q * p, "sqp"), s(q * d, "sqd"), s(p * d, "spd"),
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        n = F.col("n")
+        num = n * F.col(sxy) - F.col(sx) * F.col(sy)
+        den = F.sqrt(n * F.col(sxx) - F.col(sx) * F.col(sx)) * F.sqrt(
+            n * F.col(syy) - F.col(sy) * F.col(sy)
+        )
+        return display_round(num / den, 9)
+
+    wide = m.select(
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("c_qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("c_qty_disc"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("c_price_disc"),
+    )
+    return wide.selectExpr(
+        "stack(3, "
+        "'l_quantity', 'l_extendedprice', c_qty_price, "
+        "'l_quantity', 'l_discount', c_qty_disc, "
+        "'l_extendedprice', 'l_discount', c_price_disc"
+        ") as (col_a, col_b, corr)"
+    )
+
+
+def rel_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table: orders banded into 10 equal-count spend tiers
+    (decile 0 = highest totalprice) with each tier's fulfilled-rate lift
+    over the base rate — the model-evaluation / campaign-targeting view.
+
+    A global NTILE is a single-reducer sort at 100 TB; this is the
+    two-pass histogram formulation instead: hash-agg orders into $100
+    price buckets (bounded domain, map-side partial), cumulative-count
+    the TINY bucket table descending (window over <=6k rows), assign
+    each bucket the decile of its last row (documented bucket-granular
+    boundary), broadcast the bucket->decile map back — the raw table is
+    touched by scans and hash aggs only. Rates and lift are int/int
+    double divisions in fixed order, display-rounded at 9.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bucketed = orders.select(
+        F.floor(F.col("o_totalprice") / F.lit(100.0)).alias("bucket"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("is_f"),
+        F.col("o_totalprice").cast(_MONEY).alias("price_d"),
+    )
+    hist = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_f").alias("n_f"),
+        F.sum("price_d").alias("rev_d"),
+    )
+    w_cum = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    with_cum = hist.select(
+        "bucket", "n", "n_f", "rev_d",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n").over(w_all).alias("total_n"),
+    )
+    # Integer `div`, not float `/`: exact at decile boundaries.
+    decile = F.least(
+        F.lit(9).cast("bigint"), F.expr("((cum_n - 1) * 10) div total_n")
+    ).cast("int")
+    per_decile = (
+        with_cum.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.sum("n_f").alias("n_fulfilled"),
+            F.sum("rev_d").cast("double").alias("revenue"),
+        )
+    )
+    base_rate = F.sum("n_fulfilled").over(w_all).cast("double") / F.sum(
+        "n_orders"
+    ).over(w_all).cast("double")
+    rate = F.col("n_fulfilled").cast("double") / F.col("n_orders").cast("double")
+    return per_decile.select(
+        "decile", "n_orders", "n_fulfilled", "revenue",
+        display_round(rate, 9).alias("fulfilled_rate"),
+        display_round(rate / base_rate, 9).alias("lift"),
+    )
+
+
+def rel_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth by order priority: the standard
+    BI trend table (period totals + % change vs previous period).
+
+    Revenue aggregates in exact DECIMAL (order-independent) through a
+    map-side-partial hash agg; the lag window then runs on the tiny
+    (month x priority) table partitioned by the same grouping column.
+    Growth = (cur - prev) / prev on the two decimal-exact doubles, one
+    fixed-order op pair, display-rounded at 9; the first month of each
+    priority has no prior and reports NULL growth.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.select(
+            F.trunc(F.to_date("o_orderdate"), "month").alias("month"),
+            "o_orderpriority",
+            F.col("o_totalprice").cast(_MONEY).alias("price_d"),
+        )
+        .groupBy("month", "o_orderpriority")
+        .agg(
+            F.sum("price_d").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    growth = (F.col("revenue") - prev) / prev
+    return monthly.select(
+        "month",
+        "o_orderpriority",
+        "revenue",
+        "n_orders",
+        prev.alias("prev_revenue"),
+        display_round(growth, 9).alias("mom_growth"),
+    )
+
+
 QUERIES = {
     "rel_time_range_frame": rel_time_range_frame,
+    "rel_skyline": rel_skyline,
+    "rel_mode_per_group": rel_mode_per_group,
+    "rel_corr_matrix": rel_corr_matrix,
+    "rel_decile_lift": rel_decile_lift,
+    "rel_mom_growth": rel_mom_growth,
     "rel_disjunctive_filter": rel_disjunctive_filter,
     "rel_map_funcs": rel_map_funcs,
     "rel_pagerank_coparts": rel_pagerank_coparts,
@@ -1202,6 +1419,115 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_skyline": """
+WITH per_size AS (
+  SELECT p_size, min(p_retailprice) AS min_price
+  FROM part GROUP BY p_size
+),
+frontier AS (
+  SELECT p_size, min_price,
+         min(min_price) OVER (ORDER BY p_size DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS min_price_larger
+  FROM per_size
+),
+keep AS (
+  SELECT p_size, min_price FROM frontier
+  WHERE min_price_larger IS NULL OR min_price < min_price_larger
+)
+SELECT p.p_partkey, p.p_size, p.p_retailprice
+FROM part p JOIN keep k ON p.p_size = k.p_size AND p.p_retailprice = k.min_price
+""",
+    "rel_mode_per_group": """
+WITH counts AS (
+  SELECT p_brand, p_type, count(*) AS n
+  FROM part GROUP BY p_brand, p_type
+),
+ranked AS (
+  SELECT p_brand, p_type, n,
+         sum(n) OVER (PARTITION BY p_brand) AS n_brand,
+         row_number() OVER (PARTITION BY p_brand ORDER BY n DESC, p_type) AS rk
+  FROM counts
+)
+SELECT p_brand, p_type AS modal_type, n, CAST(n_brand AS BIGINT) AS n_brand,
+       floor(CAST(n AS DOUBLE) / CAST(n_brand AS DOUBLE) * 1e9 + 0.5) / 1e9 AS mode_share
+FROM ranked WHERE rk = 1
+""",
+    "rel_corr_matrix": """
+WITH m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp,
+    CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sd,
+    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sqq,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS spp,
+    CAST(sum(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sdd,
+    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sqp,
+    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sqd,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS spd
+  FROM lineitem
+)
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+       floor((n * sqp - sq * sp) / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)) * 1e9 + 0.5) / 1e9 AS corr
+FROM m
+UNION ALL
+SELECT 'l_quantity', 'l_discount',
+       floor((n * sqd - sq * sd) / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)) * 1e9 + 0.5) / 1e9
+FROM m
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount',
+       floor((n * spd - sp * sd) / (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd)) * 1e9 + 0.5) / 1e9
+FROM m
+""",
+    "rel_decile_lift": """
+WITH hist AS (
+  SELECT CAST(floor(o_totalprice / 100.0) AS BIGINT) AS bucket,
+         count(*) AS n,
+         CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+         sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_d
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT bucket, n, n_f, rev_d,
+         sum(n) OVER (ORDER BY bucket DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         sum(n) OVER () AS total_n
+  FROM hist
+),
+assigned AS (
+  SELECT *, CAST(least(9, ((cum_n - 1) * 10) // total_n) AS INTEGER) AS decile
+  FROM cum
+),
+per_decile AS (
+  SELECT decile, sum(n) AS n_orders, sum(n_f) AS n_fulfilled,
+         CAST(sum(rev_d) AS DOUBLE) AS revenue
+  FROM assigned GROUP BY decile
+),
+base AS (
+  SELECT CAST(sum(n_fulfilled) AS DOUBLE) / CAST(sum(n_orders) AS DOUBLE) AS base_rate
+  FROM per_decile
+)
+SELECT decile, CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(n_fulfilled AS BIGINT) AS n_fulfilled, revenue,
+       floor(CAST(n_fulfilled AS DOUBLE) / CAST(n_orders AS DOUBLE) * 1e9 + 0.5) / 1e9 AS fulfilled_rate,
+       floor(CAST(n_fulfilled AS DOUBLE) / CAST(n_orders AS DOUBLE) / base_rate * 1e9 + 0.5) / 1e9 AS lift
+FROM per_decile, base
+""",
+    "rel_mom_growth": """
+WITH monthly AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+         o_orderpriority,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT month, o_orderpriority, revenue, n_orders,
+       lag(revenue) OVER w AS prev_revenue,
+       floor((revenue - lag(revenue) OVER w) / lag(revenue) OVER w * 1e9 + 0.5) / 1e9
+         AS mom_growth
+FROM monthly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+""",
     "rel_unpivot": """
 SELECT p_partkey, 'p_retailprice' AS attr, CAST(p_retailprice AS DOUBLE) AS val FROM part
 UNION ALL

@@ -405,7 +405,110 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge step over the corpus: the 50 most frequent
+    adjacent character pairs inside whitespace tokens (count-desc,
+    pair-asc tiebreak) — exactly the statistic a byte-pair-encoding
+    tokenizer trainer computes each iteration to pick its next merge.
+
+    Pairs come from a higher-order ``transform`` over 1..len-1 substring
+    offsets (scan-local, no join/window to FORM pairs), then one
+    hash agg and a TakeOrderedAndProject top-50 (per-partition heaps +
+    a 50-row driver merge, never a global sort) — word-count-shaped, the
+    plan that holds at any corpus size. Integer counts: hash-exact.
+    """
+    from ..operators.text import tokens as tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokenize(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(50)
+    )
+
+
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top-50 word bigrams by pointwise mutual
+    information, PMI = ln(P(xy) / (P(x)P(y))) with a min-count-5 support
+    floor — the classic "New York"-style phrase detector used to build
+    tokenizer merge lists and phrase vocabularies.
+
+    Bigrams form scan-locally (higher-order transform over the token
+    array — no lag window), then two hash aggs (bigram counts, unigram
+    counts) meet through BROADCAST joins (|vocab| << corpus) plus a
+    1-row scalar broadcast for the totals. The support filter runs
+    BEFORE the joins so only frequent bigrams shuffle. PMI is a fixed
+    IEEE op sequence over exact integer ratios, floor-rounded at 9
+    (text_tfidf last-ulp policy); ordering ties break on the rounded
+    value then (w1, w2), and top-50 is TakeOrderedAndProject.
+    """
+    from ..functions.numeric import display_round
+    from ..operators.text import tokens as tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_toks = docs.select(tokenize(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bigrams = with_toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> struct(toks[i] as w1, toks[i + 1] as w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    unigrams = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    totals = (
+        unigrams.agg(
+            F.sum("cw").alias("n_tokens"),
+        )
+        .crossJoin(
+            bigrams.agg(F.count(F.lit(1)).alias("n_bigrams"))
+        )
+    )
+    bg_counts = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .filter(F.col("cxy") >= 5)
+    )
+    pmi_raw = F.log(
+        (F.col("cxy") / F.col("n_bigrams"))
+        / ((F.col("cx") / F.col("n_tokens")) * (F.col("cy") / F.col("n_tokens")))
+    )
+    scored = (
+        bg_counts.join(
+            F.broadcast(unigrams.select(F.col("w").alias("w1"), F.col("cw").alias("cx"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(unigrams.select(F.col("w").alias("w2"), F.col("cw").alias("cy"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", "cxy", "cx", "cy",
+            display_round(pmi_raw, 9).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(50)
+
+
 QUERIES = {
+    "text_bpe_pair_counts": text_bpe_pair_counts,
+    "text_pmi_bigrams": text_pmi_bigrams,
     "text_length_percentiles": text_length_percentiles,
     "text_fixed_n_per_lang": text_fixed_n_per_lang,
     "text_langid_confusion": text_langid_confusion,
@@ -429,6 +532,53 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bpe_pair_counts": f"""
+WITH words AS (
+  SELECT w FROM documents, LATERAL unnest({_TOKENS}) t(w)
+  WHERE length(w) >= 2
+),
+pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+  FROM words, LATERAL unnest(range(1, length(w))) t(i)
+)
+SELECT pair, count(*) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 50
+""",
+    "text_pmi_bigrams": f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents WHERE len({_TOKENS}) >= 2),
+bigrams AS (
+  SELECT t[CAST(i AS INTEGER) + 1] AS w1, t[CAST(i AS INTEGER) + 2] AS w2
+  FROM toks, LATERAL unnest(range(0, len(t) - 1)) u(i)
+),
+unigrams AS (
+  SELECT w, count(*) AS cw
+  FROM documents, LATERAL unnest({_TOKENS}) t(w)
+  GROUP BY w
+),
+totals AS (
+  SELECT (SELECT sum(cw) FROM unigrams) AS n_tokens,
+         (SELECT count(*) FROM bigrams) AS n_bigrams
+),
+bg AS (
+  SELECT w1, w2, count(*) AS cxy FROM bigrams GROUP BY w1, w2
+  HAVING count(*) >= 5
+),
+scored AS (
+  SELECT b.w1, b.w2, b.cxy, u1.cw AS cx, u2.cw AS cy,
+         floor(ln((b.cxy / t.n_bigrams)
+                  / ((u1.cw / t.n_tokens) * (u2.cw / t.n_tokens))) * 1e9 + 0.5) / 1e9
+           AS pmi
+  FROM bg b
+  JOIN unigrams u1 ON b.w1 = u1.w
+  JOIN unigrams u2 ON b.w2 = u2.w
+  CROSS JOIN totals t
+)
+SELECT * FROM scored
+ORDER BY pmi DESC, w1, w2
+LIMIT 50
+""",
     "text_length_percentiles": """
 SELECT lang, count(*) AS n_docs,
        min(n_chars) AS min_chars,
