@@ -779,13 +779,19 @@ def monitor_sla_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard fast-burn/slow-burn alerting pair (1h page, 6h ticket).
 
     One conditional hash agg to hourly counts (map-side partial: raw rows
-    collapse to <=744 groups per month before the exchange), a second
-    tiny agg of hours into epoch-aligned 6h buckets, and a broadcast join
-    back — no window over raw data, no second scan. Burn = (int/int)
-    double division then one divide by the SLO constant, fixed op order
-    on both engines; displayed at 9 decimals, breach flags compare the
-    rounded value so the boundary is engine-exact.
+    collapse to <=744 groups per month before the exchange); the 6h
+    totals come from a window partitioned by the 6h bucket OVER THE TINY
+    HOURLY TABLE — not a second aggregation branch, which Spark would
+    plan as a SECOND full scan of the raw events (measured: the re-agg +
+    join formulation scans events twice). One scan, one raw-data
+    exchange, plan-pinned by tests/test_plans.py::test_sla_burn_one_scan.
+    Burn = (int/int) double division then one divide by the SLO
+    constant, fixed op order on both engines; displayed at 9 decimals,
+    breach flags compare the rounded value so the boundary is
+    engine-exact.
     """
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
     hourly = (
         ev.select(
@@ -798,25 +804,18 @@ def monitor_sla_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Day-index*24 + hour, div 6: epoch-aligned (2024-01-01 is a 6h
     # boundary) and type-agnostic across the TIMESTAMP/TIMESTAMP_NTZ
     # session split (unix_timestamp is not — see operators/joins.py).
-    h6 = (
-        (
-            F.datediff(F.to_date("hour_start"), F.lit("2024-01-01").cast("date")) * 24
-            + F.hour("hour_start")
-        )
-        .cast("bigint")
-        .alias("h6_raw")
+    h6 = F.expr(
+        "(datediff(to_date(hour_start), date'2024-01-01') * 24"
+        " + hour(hour_start)) div 6"
     )
-    h6 = F.floor(h6 / F.lit(6)).alias("h6_bucket")
-    six = (
-        hourly.groupBy(h6)
-        .agg(F.sum("n").alias("n6"), F.sum("n_err").alias("n_err6"))
-    )
+    w6 = Window.partitionBy("h6_bucket")
     slo = F.lit(0.25)
     burn1 = (F.col("n_err").cast("double") / F.col("n").cast("double")) / slo
-    burn6 = (F.col("n_err6").cast("double") / F.col("n6").cast("double")) / slo
+    burn6 = (
+        F.sum("n_err").over(w6).cast("double") / F.sum("n").over(w6).cast("double")
+    ) / slo
     return (
         hourly.withColumn("h6_bucket", h6)
-        .join(F.broadcast(six), "h6_bucket")
         .select(
             "hour_start",
             "n",

@@ -471,13 +471,13 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cw"))
     )
-    totals = (
-        unigrams.agg(
-            F.sum("cw").alias("n_tokens"),
-        )
-        .crossJoin(
-            bigrams.agg(F.count(F.lit(1)).alias("n_bigrams"))
-        )
+    # Both corpus totals from ONE pass over doc token counts (a doc with
+    # t tokens contributes t unigrams and t-1 bigrams; every doc has >=1
+    # token under this tokenizer) — one 1-row scalar broadcast, not one
+    # per total.
+    totals = docs.select(F.size(tokenize(F.col("text"))).alias("nt")).agg(
+        F.sum("nt").alias("n_tokens"),
+        F.sum(F.col("nt") - 1).alias("n_bigrams"),
     )
     bg_counts = (
         bigrams.groupBy("w1", "w2")

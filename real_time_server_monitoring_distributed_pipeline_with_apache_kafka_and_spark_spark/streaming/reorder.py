@@ -59,6 +59,7 @@ from pyspark.sql.types import (
     LongType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from .stateful import _ewma_schemas, _zscore_row, _zscore_schemas
@@ -244,6 +245,93 @@ def ewma_stream_ordered(
         .applyInPandasWithState(
             _buffered_fn(2, lambda: [False, 0.0], _ewma_fold(alpha), [f.name for f in out_schema]),
             outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+_RATE_SPIKE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("prev_value", DoubleType()),
+        StructField("delta_us", LongType()),
+        StructField("rate_per_s", DoubleType()),
+    ]
+)
+
+
+def _rate_spike_fold(threshold: float):
+    import math
+
+    def fold(core, ready, user_id):
+        prev_ts = int(core[0]) if core[0] is not None else None
+        prev_v = float(core[1]) if core[1] is not None else None
+        rows = []
+        for eid, ts_us, v in ready:
+            if prev_ts is not None:
+                delta_us = ts_us - prev_ts
+                if delta_us != 0:
+                    # Same IEEE op sequence as the batch query's
+                    # (value - prev) / (delta_us / 1e6) + display_round(9),
+                    # so emitted doubles agree bitwise.
+                    rate = (v - prev_v) / (delta_us / 1e6)
+                    r9 = math.floor(rate * 1e9 + 0.5) / 1e9
+                    if abs(r9) > threshold:
+                        rows.append(
+                            (
+                                user_id,
+                                eid,
+                                pd.Timestamp(ts_us, unit="us"),
+                                v,
+                                prev_v,
+                                delta_us,
+                                r9,
+                            )
+                        )
+            prev_ts, prev_v = ts_us, v
+        return rows, [prev_ts, prev_v]
+
+    return fold
+
+
+def rate_spike_stream_ordered(
+    events: DataFrame, threshold: float = 0.1, delay: str = "2 hours"
+) -> DataFrame:
+    """Out-of-order-safe streaming twin of the batch
+    ``monitor_rate_spike`` query: per-key first-derivative spike
+    detection behind the fused watermarked reorder buffer. The fold
+    state is just the previous (ts, value) pair — the smallest possible
+    sequence-stateful core — but it is exactly as order-sensitive as the
+    z-score window (a swapped arrival pair inverts the derivative's
+    sign), so it gets the same buffer treatment. Emits ONLY spike rows
+    (|9-dec rounded rate| > threshold), matching the batch filter; rows
+    are bitwise identical to the batch lag-window query on the same
+    input (pinned by tests/test_streaming.py::
+    test_rate_spike_stream_ordered_matches_batch_on_out_of_order_input).
+    """
+    state_schema = StructType(
+        [
+            StructField("prev_ts_us", LongType()),
+            StructField("prev_value", DoubleType()),
+            *_BUF_FIELDS,
+        ]
+    )
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _buffered_fn(
+                2,
+                lambda: [None, None],
+                _rate_spike_fold(threshold),
+                [f.name for f in _RATE_SPIKE_SCHEMA],
+            ),
+            outputStructType=_RATE_SPIKE_SCHEMA,
             stateStructType=state_schema,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,

@@ -291,6 +291,7 @@ def test_no_accidental_nested_loops_anywhere(spark):
         "rel_cross_join",       # the cross-join surface query itself
         "text_tfidf",           # 1-row n_docs scalar broadcast (standard)
         "text_unigram_logprob",  # 1-row n_total scalar broadcast (same)
+        "text_pmi_bigrams",     # 1-row corpus-totals scalar broadcast (same)
     }
     qs = all_queries()
     offenders = {}
@@ -564,3 +565,90 @@ def test_top_movers_uses_ordered_limit(spark):
     df = all_queries()["monitor_top_movers"](spark, SF_DIR)
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_skyline_broadcasts_frontier(reports):
+    """rel_skyline must NOT plan the all-pairs dominance join: the
+    frontier (<=50 rows) broadcasts back onto the scan, and the raw part
+    table is never shuffled (only the tiny per-size agg exchanges)."""
+    r = reports("rel_skyline")
+    assert r["broadcast_joins"] >= 1, r
+    assert r["sort_merge_joins"] == 0 and r["nested_loop_joins"] == 0, r
+    assert set(r["read_schema_columns"]) == {"p_partkey", "p_size", "p_retailprice"}
+
+
+def test_corr_matrix_single_pass(reports):
+    """rel_corr_matrix: all ten moments in ONE aggregation over ONE scan
+    — no joins, no per-pair passes, nothing Python."""
+    r = reports("rel_corr_matrix")
+    assert r["broadcast_joins"] + r["sort_merge_joins"] + r["nested_loop_joins"] == 0
+    assert r["python_stages"] == 0
+    assert set(r["read_schema_columns"]) == {
+        "l_quantity", "l_extendedprice", "l_discount",
+    }
+
+
+def test_decile_lift_never_sorts_raw_orders(spark):
+    """rel_decile_lift must keep the global Sort on the TINY bucket
+    histogram (window input), never on the raw orders scan — the whole
+    point of the two-pass histogram formulation vs a global NTILE."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    df = all_queries()["rel_decile_lift"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # The raw table contributes only scan + partial/final hash agg; every
+    # Sort in the plan sits above the first aggregation.
+    first_agg = plan.find("HashAggregate")
+    first_sort = plan.find("Sort ")
+    assert first_agg != -1
+    assert first_sort == -1 or first_sort > -1  # structure probed below
+    # Stronger: the scan's immediate consumer chain contains an agg
+    # before any sort — assert no Sort node lists o_totalprice (raw col).
+    import re
+
+    for m in re.finditer(r"\(\d+\) Sort[^\n]*\n(?:[^\n]*\n){0,4}", plan):
+        assert "o_totalprice" not in m.group(0), m.group(0)
+
+
+def test_bpe_pair_counts_uses_ordered_limit(spark):
+    """text_bpe_pair_counts' top-50 must be TakeOrderedAndProject, and
+    the pair construction must stay scan-local (no join/window below the
+    count agg)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    df = all_queries()["text_bpe_pair_counts"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_pmi_bigrams_broadcasts_vocab(reports):
+    """text_pmi_bigrams: both unigram-count joins and the scalar-totals
+    join must broadcast — the bigram table is the only shuffled side."""
+    r = reports("text_pmi_bigrams")
+    assert r["broadcast_joins"] >= 2, r
+    assert r["sort_merge_joins"] == 0, r
+
+
+def test_sla_burn_one_scan(spark, reports):
+    """monitor_sla_burn: ONE events scan feeding one hash agg chain; the
+    6h totals are a window over the tiny hourly table, never a second
+    aggregation branch (Spark plans that as a second full scan)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    r = reports("monitor_sla_burn")
+    assert r["broadcast_joins"] + r["sort_merge_joins"] + r["nested_loop_joins"] == 0, r
+    assert set(r["read_schema_columns"]) == {"ts", "event_type"}
+    import re
+
+    plan = formatted_plan(all_queries()["monitor_sla_burn"](spark, SF_DIR))
+    # Count numbered plan nodes, not raw substrings (the formatted output
+    # repeats nodes in AQE's "Initial Plan" section).
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 1, plan[:2000]

@@ -2361,3 +2361,56 @@ def test_heavy_hitter_ingest_checkpoint_restart(spark, tmp_path):
     }
     for k, (lo, hi) in merged.items():
         assert lo <= exact.get(k, 0) <= hi, (k, lo, exact.get(k, 0), hi)
+
+
+def test_rate_spike_stream_ordered_matches_batch_on_out_of_order_input(spark, tmp_path):
+    """T4/T5: the reorder buffer generalizes beyond zscore/EWMA — the
+    rate-of-change fold (prev ts/value pair) is maximally order-sensitive
+    (a swapped pair flips the derivative's sign), yet on a deliberately
+    reordering transport the emitted spike rows are bitwise identical to
+    the batch lag-window query."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.monitoring import (
+        monitor_rate_spike,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.reorder import (
+        rate_spike_stream_ordered,
+    )
+
+    events = spark.range(240).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 4).alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 60).alias("ts"),
+        (F.round((F.col("id") % 31) * 1.73 + 3, 2)).alias("value"),
+    )
+    sf_dir = str(tmp_path / "sf")
+    events.write.parquet(sf_dir + "/events.parquet")
+    want = sorted(
+        (r.user_id, r.event_id, r.value, r.prev_value, r.delta_us, r.rate_per_s)
+        for r in monitor_rate_spike(spark, sf_dir).collect()
+    )
+    assert len(want) > 20  # the fixture must actually exercise spikes
+
+    src = str(tmp_path / "src")
+    sentinel_ts = F.timestamp_seconds(F.lit(1704067200 + 240 * 60 + 20 * 3600))
+    _out_of_order_event_files(spark, events, src, sentinel_ts)
+    stream = (
+        spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        rate_spike_stream_ordered(stream, delay="6 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rate_ord_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.user_id, r.event_id, r.value, r.prev_value, r.delta_us, r.rate_per_s)
+            for r in spark.sql(
+                "SELECT * FROM rate_ord_out WHERE event_id < 100000"
+            ).collect()
+        )
+    finally:
+        q.stop()
+    assert got == want
