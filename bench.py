@@ -67,6 +67,10 @@ HEADLINE = HEADLINE17 + [
     "rel_merge_intervals",        # gaps-and-islands single-exchange windows
     "monitor_top_movers",         # daily agg + lag + TakeOrderedAndProject
     "text_zipf_slope",            # explode + rank-limit + decimal-lattice fit
+    # added r06 second wave: new plan shapes from the ten-query pack
+    "text_pmi_bigrams",           # scan-local bigram explode + broadcast vocab joins
+    "rel_decile_lift",            # two-pass histogram deciles (no global NTILE)
+    "mm_audio_silence_trim",      # Arrow mapInPandas 1:N explode + conditional re-agg
 ]
 
 

@@ -828,10 +828,41 @@ def monitor_sla_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def monitor_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 noisiest servers through the bounded-memory SpaceSaving
+    path (operators.heavy_hitters) rather than an exact hash aggregate —
+    the "top URLs/users at 100 TB" answer where per-executor aggregation
+    state must stay O(capacity) no matter how many distinct keys exist.
+
+    Correctness regime: with capacity (4096) >= distinct keys per
+    partition the sketch performs NO evictions, so every merged estimate
+    IS the exact count (err = 0, lo = est) independent of physical
+    partitioning — which is what makes this driver-hash-checkable
+    against the exact-count oracle at test SFs. Past that regime the
+    guarantees degrade gracefully to the Metwally bounds
+    (lo <= true <= hi, floor-covered detection), pinned adversarially in
+    tests/test_streaming.py's store probes and
+    tests/test_properties.py. The `hi` column is partitioning-dependent
+    by construction (absent-partition floors) and is therefore NOT part
+    of the hash surface — only (key, est, lo) are emitted.
+    """
+    from ..operators.heavy_hitters import merge_summaries, space_saving_partial
+
+    ev = load_table(spark, sf_dir, "events")
+    summaries = space_saving_partial(ev, "user_id", capacity=4096)
+    merged = merge_summaries(summaries)
+    return (
+        merged.select("key", "est", "lo")
+        .orderBy(F.col("est").desc(), "key")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "monitor_error_after_click": monitor_error_after_click,
     "monitor_rate_spike": monitor_rate_spike,
     "monitor_sla_burn": monitor_sla_burn,
+    "monitor_heavy_hitters": monitor_heavy_hitters,
     "monitor_sessionize": monitor_sessionize,
     "monitor_resample_locf": monitor_resample_locf,
     "monitor_anomaly_zscore": monitor_anomaly_zscore,
@@ -899,6 +930,16 @@ SELECT hour_start, n, n_err,
        floor((CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE)) / 0.25 * 1e9 + 0.5) / 1e9 > 1.0 AS page,
        floor((CAST(n_err6 AS DOUBLE) / CAST(n6 AS DOUBLE)) / 0.25 * 1e9 + 0.5) / 1e9 > 1.0 AS ticket
 FROM h JOIN six USING (h6_bucket)
+""",
+    "monitor_heavy_hitters": """
+WITH counts AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT key, n AS est, n AS lo
+FROM counts
+ORDER BY est DESC, key
+LIMIT 20
 """,
     "monitor_ewma_level": """
 WITH h AS (

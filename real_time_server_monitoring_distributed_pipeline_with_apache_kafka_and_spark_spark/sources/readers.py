@@ -115,6 +115,34 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC scan — the other columnar interchange format (Hive/Trino
+    warehouses commonly hand data over as ORC). Columnar + footer stats,
+    so Spark's predicate pushdown and column pruning work exactly as on
+    parquet (pinned by tests/test_sources.py::test_orc_pushdown_and_pruning).
+
+    Schema is optional (unlike the text formats): ORC files embed their
+    schema, so no inference pass is needed; pass one to pin types across
+    shards written by drifting producers.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_cols: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """ORC sink (parallel files, optional hive-style partitioning) — the
+    export path into ORC-native warehouses; same no-coalesce posture as
+    :func:`write_partitioned_parquet`."""
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.orc(path)
+
+
 def write_partitioned_parquet(
     df: DataFrame, path: str, partition_cols: list[str] | None = None, mode: str = "overwrite"
 ) -> None:
