@@ -217,6 +217,39 @@ def streaming_window_alerts(
     )
 
 
+def session_window_stream(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming twin of the batch ``monitor_session_window`` query:
+    gap-based session windows (``F.session_window``) per user with
+    append-mode emission — a session row emits once the watermark
+    guarantees no further event can extend it (event past session_end +
+    gap is impossible once watermark > session_end).
+
+    This is the T2 session-window surface ON A STREAM: state per key is
+    the open session's (start, end, partial aggs) only — Spark merges
+    sessions whose gaps close under late data and the watermark bounds
+    how long any session can stay open. Same aggregate set and column
+    names as the batch query, so stream output == batch output on a
+    drained file stream (pinned by tests/test_streaming.py::
+    test_session_window_stream_matches_batch).
+    """
+    agged = (
+        watermarked(events, delay=watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    return agged.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def ingest_store_stream(
     stream: DataFrame,
     store_path: str,

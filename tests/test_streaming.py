@@ -2414,3 +2414,75 @@ def test_rate_spike_stream_ordered_matches_batch_on_out_of_order_input(spark, tm
     finally:
         q.stop()
     assert got == want
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """T2-on-a-stream: gap-based session windows in append mode must
+    emit, once the watermark closes them, exactly the batch session
+    table — same gap rule, same aggregates, same column names."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.monitoring import (
+        monitor_session_window,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.jobs import (
+        session_window_stream,
+    )
+
+    # 4 users, bursts of 3 events 1 min apart, bursts 30 min apart =>
+    # every burst is its own 5-min-gap session.
+    events = spark.range(120).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 4).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1704067200)
+            + (F.col("id") % 4) * 7
+            + F.floor(F.col("id") / 12).cast("long") * 1800
+            + (F.floor(F.col("id") / 4).cast("long") % 3) * 60
+        ).alias("ts"),
+        (F.round((F.col("id") % 13) * 2.41 + 1, 2)).alias("value"),
+    )
+    sf_dir = str(tmp_path / "sf")
+    events.write.parquet(sf_dir + "/events.parquet")
+    want = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.sum_value, 6))
+        for r in monitor_session_window(spark, sf_dir).collect()
+    )
+    assert len(want) >= 30  # the fixture must produce many sessions
+
+    import time as _time
+
+    src = str(tmp_path / "src")
+    half = F.col("event_id") < 60
+    events.filter(half).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    events.filter(~half).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    # Sentinel user far in the future pushes the watermark past every
+    # real session's close.
+    spark.range(1).select(
+        F.lit(999999).alias("event_id"),
+        F.lit(999999).alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200 + 30 * 24 * 3600)).alias("ts"),
+        F.lit(0.0).alias("value"),
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        session_window_stream(stream.drop("event_id"), watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_win_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events, round(r.sum_value, 6))
+            for r in spark.sql(
+                "SELECT * FROM sess_win_out WHERE user_id != 999999"
+            ).collect()
+        )
+    finally:
+        q.stop()
+    assert got == want
