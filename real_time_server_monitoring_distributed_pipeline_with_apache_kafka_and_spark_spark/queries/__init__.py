@@ -89,10 +89,11 @@ _PRIORITY: tuple[str, ...] = (
     "text_pmi_bigrams",
     "mm_audio_silence_trim",
     "monitor_heavy_hitters",
-    # -- fill: oldest still-fresh rows (r04 block, age 2) so r07 only
-    #    inherits the remainder of the r04 block, not all 44 --
-    "monitor_cpu_mem_alerts",
+    "sim_ann_ivfpq",
     # ---- past the ~50-row cap from here ----
+    # (r04 block, age 2 at this composition — safe to age one more
+    #  round; they lead the r07 window together with the r05 tail)
+    "monitor_cpu_mem_alerts",
     "monitor_net_disk_alerts",
     "monitor_window_sliding_avg",
     "pipeline_corpus_curation",

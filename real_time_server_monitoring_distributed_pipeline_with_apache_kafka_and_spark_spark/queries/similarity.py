@@ -85,6 +85,19 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.ann_ivf_topk(corpus, queries, k=TOP_K)
 
 
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF-PQ (16 coarse cells probe 4, 8x16
+    seeded product-quantization codebooks, ADC scoring) — the compressed
+    ANN tier where candidates move as (id, cell, 8 codes) instead of 64
+    floats and scoring is 8 table lookups per pair. The full build +
+    encode + probe + ADC rank is bit-deterministic (shared IVF machinery
+    + pinned-fold PQ distances + integer-micro ranking), so the DuckDB
+    oracle replays it end-to-end — hash-checked like the other ANN
+    tiers. Recall vs brute force additionally pinned in tests."""
+    corpus, queries = _split(spark, sf_dir)
+    return ops.ann_ivfpq_topk(corpus, queries, k=TOP_K)
+
+
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self kNN join over the whole embeddings table (top-5 neighbors per
     vector via LSH bucket candidates + exact fold-cosine ranking — see
@@ -252,7 +265,38 @@ _KMEANS_DISTS_SQL = "[" + ",\n    ".join(
 ) + "]"
 
 
+# IVF-PQ oracle building blocks: the seeded codebooks inlined as SQL
+# literals, per-subspace pinned-fold distance lists, argmin codes, and
+# the per-query ADC lookup table — the same op sequences the Spark plan
+# folds, so every double agrees bitwise.
+_PQ_M, _PQ_CODES, _PQ_SUB, _PQ_SEED, _PQ_REFINE = 16, 16, 4, 11, 3
+_PQ_BOOKS = ops.pq_codebooks(_PQ_M, _PQ_CODES, 64, seed=_PQ_SEED)
+
+
+def _pq_dists_sql(m: int) -> str:
+    """SQL list of squared-L2 dists from subspace m's sub-vector to each
+    sub-centroid (list_reduce left-fold == the Spark 0.0-init fold)."""
+    o = m * _PQ_SUB
+    items = []
+    for cent in _PQ_BOOKS[m]:
+        clit = "[" + ", ".join(repr(x) for x in cent) + "]"
+        items.append(
+            f"list_reduce(list_transform(range(1, {_PQ_SUB + 1}), "
+            f"i -> (v[{o} + i] - {clit}[i]) * (v[{o} + i] - {clit}[i])), (a, b) -> a + b)"
+        )
+    return "[" + ",\n      ".join(items) + "]"
+
+
+_PQ_CODES_SQL = "[" + ", ".join(
+    f"CAST(list_position(pd{m}, list_aggregate(pd{m}, 'min')) - 1 AS INTEGER)"
+    for m in range(_PQ_M)
+) + "]"
+_PQ_DLISTS_SQL = ",\n    ".join(f"{_pq_dists_sql(m)} AS pd{m}" for m in range(_PQ_M))
+_PQ_LUT_SQL = "[" + ", ".join(f"pd{m}" for m in range(_PQ_M)) + "]"
+
+
 QUERIES = {
+    "sim_ann_ivfpq": sim_ann_ivfpq,
     "sim_knn_join": sim_knn_join,
     "sim_kmeans_iter": sim_kmeans_iter,
     "pipeline_embedding_prep": pipeline_embedding_prep,
@@ -336,6 +380,103 @@ SELECT split, cluster_id, count(*) AS n_vectors FROM s GROUP BY split, cluster_i
 """
 
 ORACLES = {
+    "sim_ann_ivfpq": f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+corpus AS (SELECT * FROM e WHERE vec_id >= {N_QUERIES}),
+qs AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+init AS (
+  SELECT vec_id, v, CAST(rn - 1 AS INTEGER) AS cell FROM (
+    SELECT vec_id, v,
+           row_number() OVER (ORDER BY md5(concat(CAST(vec_id AS VARCHAR), '_{_IVF_SEED}'))) AS rn
+    FROM corpus
+  ) WHERE rn <= {_IVF_CELLS}
+),
+a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, i.cell,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+             list_dot_product(c.v, i.v) / sqrt(list_dot_product(i.v, i.v)) DESC, i.cell) AS rn
+    FROM corpus c CROSS JOIN init i
+  ) WHERE rn = 1
+),
+sums AS (
+  SELECT a1.cell,
+    {_IVF_SUMS}
+  FROM corpus c JOIN a1 USING (vec_id)
+  GROUP BY a1.cell
+),
+cent AS (
+  SELECT i.cell,
+         CASE WHEN m.cell IS NULL THEN i.v ELSE {_IVF_SUM_VEC} END AS cv
+  FROM init i LEFT JOIN sums m ON i.cell = m.cell
+),
+a2 AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, cent.cell,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+             list_dot_product(c.v, cv) / sqrt(list_dot_product(cv, cv)) DESC, cent.cell) AS rn
+    FROM corpus c CROSS JOIN cent
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT q.vec_id, cent.cell,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(q.v, cv) / sqrt(list_dot_product(cv, cv)) DESC, cent.cell) AS rn
+    FROM qs q CROSS JOIN cent
+  ) WHERE rn <= {_IVF_PROBE}
+),
+cpd AS (
+  SELECT c.vec_id, a2.cell,
+    {_PQ_DLISTS_SQL}
+  FROM corpus c JOIN a2 USING (vec_id)
+),
+codes AS (
+  SELECT vec_id AS neighbor_id, cell, {_PQ_CODES_SQL} AS codes FROM cpd
+),
+qpd AS (
+  SELECT q.vec_id AS query_id,
+    {_PQ_DLISTS_SQL}
+  FROM qs q
+),
+luts AS (
+  SELECT query_id, {_PQ_LUT_SQL} AS lut FROM qpd
+),
+scored AS (
+  SELECT p.query_id, c.neighbor_id,
+         CAST(floor(list_reduce(
+                list_transform(range(1, {_PQ_M + 1}), m -> lut[m][codes[m] + 1]),
+                (a, b) -> a + b) * 1e6 + 0.5) AS BIGINT) AS adc_micro
+  FROM probe p
+  JOIN codes c USING (cell)
+  JOIN luts l ON l.query_id = p.query_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY adc_micro, neighbor_id) AS srk
+    FROM scored
+  ) WHERE srk <= {TOP_K * _PQ_REFINE}
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(c.v, q.v)
+         / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos
+  FROM shortlist s
+  JOIN e c ON c.vec_id = s.neighbor_id
+  JOIN e q ON q.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+  FROM rer
+) WHERE rank <= {TOP_K}
+""",
     "sim_kmeans_iter": f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
