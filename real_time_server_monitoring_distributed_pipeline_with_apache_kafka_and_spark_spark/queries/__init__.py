@@ -62,12 +62,15 @@ _PRIORITY: tuple[str, ...] = (
     "mm_decode_features",
     "mm_resize",
     "mm_frame_sample",
-    # -- code changed in r06 (zscore var>0 guard; gap-report Jan-31
-    #    lattice; knn_join hot-bucket dispatch): green rows predate the
-    #    change, re-prove --
+    # -- code changed in r06 with OUTPUT changes (zscore var>0 guard;
+    #    gap-report Jan-31 lattice): green rows predate the change,
+    #    re-prove now. sim_knn_join's dispatch rework is output-
+    #    PRESERVING (cap==no-cap bitwise-pinned on the skew fixture +
+    #    oracle-green in every local pytest), so it yields its window
+    #    slot to the round's last new query and leads the r07 window
+    #    instead --
     "monitor_anomaly_zscore",
     "monitor_gap_report",
-    "sim_knn_join",
     # -- never driver-proven (new in r06) --
     "monitor_top_movers",
     "text_prefix_dup",
@@ -90,9 +93,12 @@ _PRIORITY: tuple[str, ...] = (
     "mm_audio_silence_trim",
     "monitor_heavy_hitters",
     "sim_ann_ivfpq",
+    "pipeline_multimodal_prep",
     # ---- past the ~50-row cap from here ----
-    # (r04 block, age 2 at this composition — safe to age one more
-    #  round; they lead the r07 window together with the r05 tail)
+    # (sim_knn_join re-proves in r07 — see the changed-code note above;
+    #  the r04 block is age 2 at this composition, safe to age one more
+    #  round; both lead the r07 window together with the r05 tail)
+    "sim_knn_join",
     "monitor_cpu_mem_alerts",
     "monitor_net_disk_alerts",
     "monitor_window_sliding_avg",

@@ -208,6 +208,157 @@ LEFT JOIN (SELECT u, min(v) AS mn FROM reach GROUP BY u) mm ON d.doc_id = mm.u
 """
 
 
+def pipeline_multimodal_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal training prep as ONE query — the third composite next
+    to pipeline_training_prep (text) and pipeline_embedding_prep
+    (vectors), four chained curation decisions on the binary payloads
+    under a single oracle:
+
+    1. image near-dup removal: a-hash hamming<=6 pair graph closed by
+       the shared connected-components operator, keep the min-id
+       representative per cluster;
+    2. audio quality screen: windowed-RMS voiced ratio >= 1/2 (the
+       integer comparison ``2*n_voiced >= n_windows`` — no float
+       boundary), dropping mostly-silent clips;
+    3. keyframe manifest: every-4th-frame sampling counted per kept
+       clip (the 1:N mapInPandas leg, collapsed right back);
+    4. deterministic md5 train/val/test split.
+
+    Output: per-split clip counts + total sampled frames + total voiced
+    windows — the shard manifest a multimodal training run starts from.
+
+    Scale shape: banded signature equi-join (never all-pairs),
+    pointer-doubling components, Arrow-batched 1:N legs that collapse
+    to 1 row/doc before any exchange, stateless md5 split — every stage
+    hash-exact, so the composite hash-checks end-to-end.
+    """
+    from ..operators.dedup import connected_components, hamming64_pairs
+    from ..operators.text import hash_bucket_100
+
+    docs = load_table(spark, sf_dir, "documents")
+    wp = ops.attach_binary_payload(docs)
+    sig = ops.image_ahash(wp)
+    pairs = hamming64_pairs(sig, "doc_id", max_hamming=6, n_chunks=8)
+    clusters = connected_components(
+        pairs.select("a_id", "b_id"), docs.select("doc_id"), id_col="doc_id"
+    )
+    keepers = clusters.filter(F.col("cluster_id") == F.col("doc_id")).select("doc_id")
+    rms = ops.audio_rms_windows(wp)
+    voiced = (
+        rms.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count(F.when(F.col("rms") >= 25000.0, 1)).alias("n_voiced"),
+        )
+        .filter(F.col("n_voiced") * 2 >= F.col("n_windows"))
+        .select("doc_id", "n_voiced")
+    )
+    kept_docs = docs.join(keepers, "doc_id").join(voiced, "doc_id")
+    frames = (
+        ops.sample_frames(ops.attach_binary_payload(kept_docs.drop("n_voiced")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+    manifest = kept_docs.select("doc_id", "n_voiced").join(frames, "doc_id")
+    bucket = hash_bucket_100(F.col("doc_id"))
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return (
+        manifest.select(split.alias("split"), "n_voiced", "n_frames")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_frames").alias("total_frames"),
+            F.sum("n_voiced").alias("total_voiced"),
+        )
+    )
+
+
+# Multimodal-prep oracle: the a-hash cluster fragments (keepers), the
+# RMS voiced screen, the frame-count formula, and the md5 split, joined.
+_MM_PREP_SQL = f"""
+WITH RECURSIVE px AS (
+  SELECT doc_id, j,
+         ord(substr(text, CAST((j % length(text)) + 1 AS INTEGER), 1)) AS p
+  FROM documents, LATERAL unnest(range(0, 64)) t(j)
+),
+m AS (SELECT doc_id, sum(p) / 64.0 AS mean FROM px GROUP BY doc_id),
+sig AS (
+  SELECT px.doc_id,
+    CAST(sum(CASE WHEN j < 32 AND p > mean THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER) ELSE 0 END) AS BIGINT) AS sig_lo,
+    CAST(sum(CASE WHEN j >= 32 AND p > mean THEN CAST(1 AS BIGINT) << CAST(j - 32 AS INTEGER) ELSE 0 END) AS BIGINT) AS sig_hi
+  FROM px JOIN m USING (doc_id) GROUP BY px.doc_id
+),
+chunks AS (
+  {{chunks}}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         a.sig_lo AS alo, a.sig_hi AS ahi, b.sig_lo AS blo, b.sig_hi AS bhi
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+),
+sim AS (
+  SELECT a_id, b_id FROM cand
+  WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 6
+),
+edges AS (SELECT a_id AS u, b_id AS v FROM sim
+          UNION ALL SELECT b_id AS u, a_id AS v FROM sim),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+),
+keepers AS (
+  SELECT d.doc_id
+  FROM documents d
+  LEFT JOIN (SELECT u, min(v) AS mn FROM reach GROUP BY u) mm ON d.doc_id = mm.u
+  WHERE COALESCE(least(mm.mn, d.doc_id), d.doc_id) = d.doc_id
+),
+s AS (
+  SELECT doc_id, i,
+         ord(substr(text, CAST(2*i + 1 AS INTEGER), 1))
+           + 256 * ord(substr(text, CAST(2*i + 2 AS INTEGER), 1)) AS sample
+  FROM documents,
+       LATERAL unnest(range(0, CAST(floor(length(text) / 2) AS BIGINT))) AS t(i)
+),
+w AS (
+  SELECT doc_id, CAST(floor(i / 32) AS INTEGER) AS window_idx,
+         count(*) AS n_samples, sum(sample * sample) AS ss
+  FROM s GROUP BY 1, 2
+),
+voiced AS (
+  SELECT doc_id,
+         count(*) AS n_windows,
+         CAST(count(*) FILTER (WHERE sqrt(CAST(ss AS DOUBLE) / n_samples) >= 25000.0) AS BIGINT)
+           AS n_voiced
+  FROM w GROUP BY doc_id
+  HAVING CAST(count(*) FILTER (WHERE sqrt(CAST(ss AS DOUBLE) / n_samples) >= 25000.0) AS BIGINT) * 2
+         >= count(*)
+),
+frames AS (
+  SELECT doc_id,
+         CAST((greatest(octet_length(encode(text)) // 64, 1) + 3) // 4 AS BIGINT)
+           AS n_frames
+  FROM documents
+),
+manifest AS (
+  SELECT k.doc_id, v.n_voiced, f.n_frames,
+         CAST(concat('0x', substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+           AS bucket
+  FROM keepers k
+  JOIN voiced v ON v.doc_id = k.doc_id
+  JOIN frames f ON f.doc_id = k.doc_id
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_clips,
+       CAST(sum(n_frames) AS BIGINT) AS total_frames,
+       CAST(sum(n_voiced) AS BIGINT) AS total_voiced
+FROM manifest GROUP BY 1
+""".format(chunks=_AH_CHUNKS)
+
+
 def mm_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video scene segmentation plumbing: every 64-byte frame gets a
     mean-byte feature (REAL math, mapInPandas —
@@ -263,6 +414,7 @@ QUERIES = {
     "mm_image_dedup_clusters": mm_image_dedup_clusters,
     "mm_audio_rms": mm_audio_rms,
     "mm_audio_silence_trim": mm_audio_silence_trim,
+    "pipeline_multimodal_prep": pipeline_multimodal_prep,
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_features": mm_decode_features,
     "mm_resize": mm_resize,
@@ -273,6 +425,7 @@ ORACLES = {
     "mm_scene_segments": _SCENES_SQL,
     "mm_image_ahash": _AHASH_SQL,
     "mm_image_dedup_clusters": _AHASH_CLUSTERS_SQL,
+    "pipeline_multimodal_prep": _MM_PREP_SQL,
     "mm_audio_silence_trim": """
 WITH s AS (
   SELECT doc_id, i,
