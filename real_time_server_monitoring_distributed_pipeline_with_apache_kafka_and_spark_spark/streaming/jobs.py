@@ -136,6 +136,45 @@ def interval_join_stream(
     return joined.drop(*[rw[k] for k in key_cols])
 
 
+def interval_join_stream_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """LEFT-OUTER stream-stream time-interval join: like
+    :func:`interval_join_stream`, but a left row with NO matching right
+    event inside its window still emits — with NULL right columns — once
+    the right watermark passes ``left_ts + window`` and Spark can prove
+    no match can arrive anymore. This is the "clicks that did NOT error
+    within the hour" / unmatched-spine leg a funnel-drop or SLA-miss
+    report needs, and it only works because the time bound + watermark
+    make non-matching provable; an unbounded outer stream join could
+    never emit the null row.
+
+    Same eviction contract as the inner leg (state bounded by
+    watermark + window); null-extended rows lag matched rows by up to
+    the watermark delay — the price of proving absence. Emitted pair
+    rows equal the batch left join row-for-row on a drained stream
+    (pinned by tests/test_streaming.py::
+    test_interval_join_stream_outer_matches_batch).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        F.col(right_ts) > F.col(left_ts)
+    ) & (
+        F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {int(window_seconds)} SECOND")
+    )
+    for k in key_cols:
+        cond = cond & (lw[k] == rw[k])
+    joined = lw.join(rw, cond, "left_outer")
+    return joined.drop(*[rw[k] for k in key_cols])
+
+
 def dedup_stream(
     df: DataFrame,
     key_cols: list[str],

@@ -2486,3 +2486,73 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+def test_interval_join_stream_outer_matches_batch(spark, tmp_path):
+    """T4/J-interval-outer: the LEFT-OUTER watermarked time-interval
+    join must emit unmatched left rows with NULL right columns once the
+    watermark proves no match can arrive — and the drained stream must
+    equal the batch left join row-for-row, null rows included."""
+    clicks = spark.range(60).select(
+        (F.col("id") % 5).alias("user_id"),
+        F.col("id").alias("click_id"),
+        F.timestamp_seconds(F.lit(1704067200) + (F.col("id") * 131) % 7000).alias("click_ts"),
+    )
+    # Sparser right side than the inner test => plenty of unmatched clicks.
+    errors = spark.range(25).select(
+        (F.col("id") % 5).alias("user_id"),
+        F.col("id").alias("error_id"),
+        F.timestamp_seconds(F.lit(1704067200) + (F.col("id") * 997) % 7000).alias("error_ts"),
+    )
+    cond = (
+        (F.col("error_ts") > F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr("INTERVAL 600 SECOND"))
+        & (clicks["user_id"] == errors["user_id"])
+    )
+    want = sorted(
+        (r.click_id, r.error_id)
+        for r in clicks.join(errors, cond, "left_outer")
+        .select("click_id", "error_id")
+        .collect()
+    )
+    n_null = sum(1 for _, e in want if e is None)
+    assert n_null > 10 and len(want) > n_null  # both matched and unmatched
+
+    c_src, e_src = str(tmp_path / "clicks"), str(tmp_path / "errors")
+    for cond2 in (F.col("click_id") % 2 == 0, F.col("click_id") % 2 == 1):
+        clicks.filter(cond2).coalesce(1).write.mode("append").parquet(c_src)
+    for cond2 in (F.col("error_id") % 2 == 0, F.col("error_id") % 2 == 1):
+        errors.filter(cond2).coalesce(1).write.mode("append").parquet(e_src)
+    # Sentinels on BOTH sides (unused key 99) push both watermarks far
+    # past every real click's window so null rows become provable.
+    far = F.timestamp_seconds(F.lit(1704067200 + 30 * 24 * 3600))
+    spark.range(1).select(
+        F.lit(99).alias("user_id"), F.lit(999999).alias("click_id"), far.alias("click_ts")
+    ).coalesce(1).write.mode("append").parquet(c_src)
+    spark.range(1).select(
+        F.lit(99).alias("user_id"), F.lit(999999).alias("error_id"), far.alias("error_ts")
+    ).coalesce(1).write.mode("append").parquet(e_src)
+
+    c_s = spark.readStream.schema(clicks.schema).option("maxFilesPerTrigger", 1).parquet(c_src)
+    e_s = spark.readStream.schema(errors.schema).option("maxFilesPerTrigger", 1).parquet(e_src)
+    joined = jobs.interval_join_stream_outer(
+        c_s, e_s, ["user_id"], "click_ts", "error_ts", window_seconds=600,
+        watermark="10 minutes",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_outer_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.click_id, r.error_id)
+            for r in spark.sql(
+                "SELECT click_id, error_id FROM ij_outer_out WHERE click_id < 999999"
+            ).collect()
+        )
+    finally:
+        q.stop()
+    assert got == want
