@@ -547,3 +547,73 @@ def test_kmeans_assignment_matches_numpy_argmin(spark, vecs):
         ).collect()
     }
     assert [got[i] for i in range(len(vecs))] == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    parts=st.lists(
+        st.tuples(st.integers(1, 12), st.integers(100, 999)),  # (size, price)
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_skyline_matches_bruteforce_dominance(spark, parts):
+    """rel_skyline's small-domain window formulation must equal the
+    naive all-pairs dominance filter on arbitrary (size, price) sets:
+    keep (s, p) iff no other row has size >= s AND price <= p with one
+    strict."""
+    from pyspark.sql import Window
+
+    rows = [(i, s, float(p)) for i, (s, p) in enumerate(parts)]
+    df = spark.createDataFrame(rows, "p_partkey long, p_size int, p_retailprice double")
+
+    per_size = df.groupBy("p_size").agg(F.min("p_retailprice").alias("min_price"))
+    w = Window.orderBy(F.col("p_size").desc()).rowsBetween(Window.unboundedPreceding, -1)
+    frontier = per_size.withColumn("mpl", F.min("min_price").over(w))
+    keep = frontier.filter(F.col("mpl").isNull() | (F.col("min_price") < F.col("mpl")))
+    got = {
+        (r.p_partkey)
+        for r in df.join(keep.select("p_size", "min_price"), "p_size")
+        .filter(F.col("p_retailprice") == F.col("min_price"))
+        .collect()
+    }
+
+    want = set()
+    for i, s, p in rows:
+        dominated = any(
+            (s2 >= s and p2 <= p and (s2 > s or p2 < p)) for j, s2, p2 in rows if j != i
+        )
+        if not dominated:
+            want.add(i)
+    assert got == want
+
+
+@settings(max_examples=3, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_pq_refine_unbounded_equals_candidate_exact_rank(spark, seed):
+    """With refine covering EVERY candidate, IVF-PQ's output must equal
+    exact cosine ranking over the IVF candidate set — i.e. the ADC
+    shortlist stage loses nothing it was allowed to keep. (Run on a
+    seeded 60-vector corpus; checks the shortlist/refine plumbing, not
+    recall.)"""
+    import random
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators import (
+        similarity as s,
+    )
+
+    rng = random.Random(seed)
+    dim = 64
+    vecs = [
+        (i, [round(rng.gauss(0.0, 1.0), 3) for _ in range(dim)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    tight = s.ann_ivfpq_topk(corpus, queries, k=3, refine=1000)
+    # refine=1000 >> candidates => rerank sees every candidate => equals
+    # IVF with the same cells/probes (exact rerank over candidates).
+    ivf = s.ann_ivf_topk(corpus, queries, k=3)
+    got = sorted((r.query_id, r.neighbor_id, r.rank) for r in tight.collect())
+    want = sorted((r.query_id, r.neighbor_id, r.rank) for r in ivf.collect())
+    assert got == want
