@@ -58,6 +58,7 @@ ROLES = (
     "spark-job2",
     "stream-job1",
     "stream-job2",
+    "query",
 )
 
 # (metric, topic-attr, landed file stem) per consumer, consumer1.py:30-36 /
@@ -264,10 +265,51 @@ def run_stream_job(spark, config: cfg.PipelineConfig, role: str) -> None:
     )
 
 
+def run_query(spark, args) -> None:
+    """The ad-hoc analytics entrypoint: run any registered engine query
+    by name against a testdata-layout directory and show or persist the
+    result — what a reference user reaches for instead of editing
+    spark_job1.py. ``--list`` enumerates the registry."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries import (
+        all_queries,
+    )
+
+    qs = all_queries()
+    if args.list:
+        for name in sorted(qs):
+            print(name)
+        return
+    if not args.name or args.name not in qs:
+        known = ", ".join(sorted(qs)[:8])
+        raise SystemExit(
+            f"--name must be one of the {len(qs)} registered queries "
+            f"(e.g. {known}, ...); use --list to see all"
+        )
+    df = qs[args.name](spark, args.sf_dir)
+    if args.out:
+        from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.readers import (
+            write_partitioned_parquet,
+        )
+
+        write_partitioned_parquet(df, args.out)
+        print(f"{args.name}: wrote {args.out}")
+    else:
+        df.show(args.show_rows, truncate=False)
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("role", choices=ROLES)
     ap.add_argument("--config", help="reference-layout config.yaml")
+    ap.add_argument("--name", help="query: registered query name to run")
+    ap.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.001",
+        help="query: testdata-layout directory (default sf0.001)",
+    )
+    ap.add_argument("--out", help="query: write result as parquet here instead of showing")
+    ap.add_argument("--show-rows", type=int, default=20, help="query: rows to show")
+    ap.add_argument("--list", action="store_true", help="query: list registered queries")
     ap.add_argument(
         "--parquet", action="store_true", help="partitioned parquet output (scale-safe sink)"
     )
@@ -297,6 +339,8 @@ def main(argv: list[str] | None = None) -> None:
         run_spark_job(spark, config, args.role, args.parquet, args.float32_parity)
     elif args.role in ("stream-job1", "stream-job2"):
         run_stream_job(spark, config, args.role)
+    elif args.role == "query":
+        run_query(spark, args)
     if owns_session:  # don't stop a session we borrowed (tests, notebooks)
         spark.stop()
 

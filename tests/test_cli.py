@@ -151,3 +151,27 @@ def test_kafka_roles_fail_fast_without_connector(spark, tmp_path):
         cli.run_producer(spark, config, dry_run=False)
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         cli.run_consumer(spark, config, "consumer1")
+
+
+def test_query_role_runs_and_writes(spark, tmp_path, capsys):
+    """The `query` role runs any registered query by name: --list
+    enumerates the registry, a bad name fails fast with guidance, and
+    --out persists parquet."""
+    import main as m
+
+    m.main(["query", "--list"])
+    names = capsys.readouterr().out.split()
+    assert "rel_pricing_summary" in names and len(names) >= 140
+
+    out = str(tmp_path / "q_out")
+    m.main([
+        "query", "--name", "rel_pricing_summary",
+        "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+    ])
+    back = spark.read.parquet(out)
+    assert back.count() > 0 and "sum_qty" in back.columns
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="registered queries"):
+        m.main(["query", "--name", "not_a_query"])
