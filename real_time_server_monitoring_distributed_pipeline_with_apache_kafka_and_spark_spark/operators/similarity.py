@@ -954,10 +954,10 @@ def knn_join(
 
     planes = _hyperplanes(planes_per_table * n_tables, dim, seed)
     buckets = _bucket_udf(planes, planes_per_table, n_tables)
-    # Persisted: the hot-bucket split reads the tagged corpus three times
-    # (bucket sizes, query side, candidate side) — without the cache the
-    # Arrow bucket-UDF scan would run for each (measured +35% on the
-    # whole query at sf0.1).
+    # Persisted: the bucket UDF pass is the dominant per-row cost, and
+    # both the dispatch probe and the main path read the tagged corpus
+    # (the split path a third time) — recomputing instead of caching
+    # measured +0.5 s on the balanced query at sf0.1.
     tagged = vectors.select(
         F.col(id_col).alias("a_id"),
         F.col(vec_col).alias("vec"),
@@ -970,7 +970,10 @@ def knn_join(
     # ann_ivf_topk centroid-collect precedent). The common balanced case
     # then skips the split machinery entirely — its sizes join + cell
     # explode + 4-key grouping measured ~35% on the whole query at sf0.1
-    # where every bucket is far under the cap.
+    # where every bucket is far under the cap. The probe job doubles as
+    # the cache materialization the main job reuses; its ~0.4 s is the
+    # price of the at-scale guarantee and shrinks relatively with corpus
+    # size (int-pair shuffle vs the main job's vector shuffles).
     sizes = tagged.groupBy("table_idx", "bucket").agg(F.count(F.lit(1)).alias("_m"))
     max_m = (sizes.agg(F.max("_m")).collect()[0][0]) or 0
     if max_m <= bucket_cap:
