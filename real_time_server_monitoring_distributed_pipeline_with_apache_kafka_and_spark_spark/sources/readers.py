@@ -305,3 +305,43 @@ def write_single_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Reference-parity sink: one CSV part-file with header (S2/M1,
     ``spark_job1.py:57``). Only for small demo outputs."""
     df.coalesce(1).write.csv(path, header=True, mode=mode)
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-tolerant parquet scan: ``mergeSchema`` unions the
+    footers of every file under ``path``, so shards written before a
+    column existed read as NULL in that column instead of failing or
+    silently dropping it — the read side of additive schema evolution on
+    a long-lived 100 TB landing zone.
+
+    mergeSchema costs a footer read per file at planning time; use it on
+    evolving landing zones, not on frozen curated tables (plain
+    ``spark.read.parquet`` skips the union there).
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def conform_to_schema(df: DataFrame, schema, strict: bool = False) -> DataFrame:
+    """Normalize any DataFrame onto a target StructType: missing columns
+    materialize as typed NULLs, extra columns drop (or raise when
+    ``strict``), present columns cast to the target type, and the output
+    column order IS the schema order — the write-side half of schema
+    evolution, run before appending to a governed table so every shard
+    carries the identical schema regardless of which producer version
+    emitted it.
+
+    Casting uses plain ``cast`` (ANSI-off permissive semantics:
+    unparseable values become NULL rather than failing mid-append);
+    pair with an expectations gate downstream when NULLs must alarm.
+    """
+    have = dict(df.dtypes)
+    extras = [c for c in df.columns if c not in {f.name for f in schema.fields}]
+    if strict and extras:
+        raise ValueError(f"unexpected columns for target schema: {extras}")
+    cols = []
+    for field in schema.fields:
+        if field.name in have:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)

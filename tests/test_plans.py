@@ -652,3 +652,40 @@ def test_sla_burn_one_scan(spark, reports):
     # repeats nodes in AQE's "Initial Plan" section).
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
     assert len(scans) == 1, plan[:2000]
+
+
+def test_assert_scale_safe_guard(spark, tmp_path):
+    """plans.guard.assert_scale_safe: passes scale-shaped plans (and
+    returns the report), rejects cross joins, missing pushdown, and
+    blown exchange budgets with actionable messages."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.guard import (
+        ScaleSafetyError,
+        assert_scale_safe,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.readers import (
+        load_table,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    good = (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    report = assert_scale_safe(good, require_pushed=["l_shipdate"], max_exchanges=1)
+    assert report["exchanges"] == 1
+
+    part = load_table(spark, SF_DIR, "part")
+    cross = li.crossJoin(part.limit(3))
+    with _pytest.raises(ScaleSafetyError, match="CartesianProduct|NestedLoop"):
+        assert_scale_safe(cross)
+    assert_scale_safe(cross, allow_nested_loop=True)  # explicit opt-in passes
+
+    with _pytest.raises(ScaleSafetyError, match="never reached the scan"):
+        assert_scale_safe(good, require_pushed=["l_quantity"])
+
+    with _pytest.raises(ScaleSafetyError, match="exchanges > budget"):
+        assert_scale_safe(good, max_exchanges=0)

@@ -215,3 +215,62 @@ def test_orc_pushdown_and_pruning(spark, tmp_path):
     assert "PushedFilters: [" in plan and "o_totalprice" in plan.split("PushedFilters:")[1].split("]")[0]
     assert "o_orderstatus=F" in plan or "PartitionFilters" in plan
     assert df.count() > 0
+
+
+def test_schema_evolution_read_and_conform(spark, tmp_path):
+    """Additive schema evolution: mergeSchema unions old/new shards
+    (pre-evolution files read NULL in the new column), and
+    conform_to_schema normalizes any producer's frame onto the governed
+    schema — missing→typed NULL, extra→dropped (or strict error), types
+    cast, column order = schema order."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.readers import (
+        conform_to_schema,
+        read_parquet_evolved,
+    )
+
+    path = str(tmp_path / "landing")
+    v1 = spark.range(5).select(F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
+    v1.write.mode("append").parquet(path)
+    v2 = spark.range(5, 10).select(
+        F.col("id").alias("doc_id"),
+        F.lit("de").alias("lang"),
+        F.lit(0.9).alias("quality"),  # the column added in v2
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = read_parquet_evolved(spark, path)
+    assert set(merged.columns) == {"doc_id", "lang", "quality"}
+    rows = {r.doc_id: r.quality for r in merged.collect()}
+    assert all(rows[i] is None for i in range(5))
+    assert all(rows[i] == 0.9 for i in range(5, 10))
+
+    target = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("quality", DoubleType()),
+            StructField("source", StringType()),  # not yet produced anywhere
+        ]
+    )
+    legacy = spark.createDataFrame(
+        [(1, "en", "99", "x", True)],
+        "doc_id int, lang string, quality string, junk string, extra boolean",
+    )
+    out = conform_to_schema(legacy, target)
+    assert out.columns == ["doc_id", "lang", "quality", "source"]
+    r = out.collect()[0]
+    assert (r.doc_id, r.lang, r.quality, r.source) == (1, "en", 99.0, None)
+    assert dict(out.dtypes)["doc_id"] == "bigint"  # int upcast to target
+
+    with _pytest.raises(ValueError, match="unexpected columns"):
+        conform_to_schema(legacy, target, strict=True)

@@ -2556,3 +2556,80 @@ def test_interval_join_stream_outer_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+def test_session_window_checkpoint_restart_exactly_once(spark, tmp_path):
+    """T4 for Spark-managed session-window state: stop the query mid-
+    stream, deliver more data while it is down, restart from the same
+    checkpoint — closed sessions must emit exactly once and the drained
+    output must equal the batch session table (no duplicates, no holes)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.monitoring import (
+        monitor_session_window,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.jobs import (
+        session_window_stream,
+    )
+
+    events = spark.range(96).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1704067200)
+            + (F.col("id") % 3) * 11
+            + F.floor(F.col("id") / 12).cast("long") * 3600
+            + (F.floor(F.col("id") / 3).cast("long") % 4) * 60
+        ).alias("ts"),
+        (F.round((F.col("id") % 9) * 3.17 + 2, 2)).alias("value"),
+    )
+    sf_dir = str(tmp_path / "sf")
+    events.write.parquet(sf_dir + "/events.parquet")
+    want = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.sum_value, 6))
+        for r in monitor_session_window(spark, sf_dir).collect()
+    )
+
+    import time as _time
+
+    src, ckpt, out = (str(tmp_path / p) for p in ("src", "ckpt", "out"))
+    events.filter(F.col("event_id") < 48).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+
+    def start():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            session_window_stream(stream.drop("event_id"), watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # While the query is DOWN: the rest of the data + a watermark sentinel.
+    events.filter(F.col("event_id") >= 48).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    spark.range(1).select(
+        F.lit(999999).alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200 + 30 * 24 * 3600)).alias("ts"),
+        F.lit(0.0).alias("value"),
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.sum_value, 6))
+        for r in spark.read.parquet(out).filter(F.col("user_id") != 999999).collect()
+    )
+    assert got == want and len(want) >= 20
