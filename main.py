@@ -286,6 +286,17 @@ def run_query(spark, args) -> None:
             f"(e.g. {known}, ...); use --list to see all"
         )
     df = qs[args.name](spark, args.sf_dir)
+    if args.scale_check:
+        from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.guard import (
+            assert_scale_safe,
+        )
+
+        report = assert_scale_safe(df)
+        print(
+            f"scale-check ok: exchanges={report['exchanges']} "
+            f"broadcast_joins={report['broadcast_joins']} "
+            f"python_stages={report['python_stages']}"
+        )
     if args.out:
         from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.readers import (
             write_partitioned_parquet,
@@ -310,6 +321,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--out", help="query: write result as parquet here instead of showing")
     ap.add_argument("--show-rows", type=int, default=20, help="query: rows to show")
     ap.add_argument("--list", action="store_true", help="query: list registered queries")
+    ap.add_argument(
+        "--scale-check",
+        action="store_true",
+        help="query: run plans.guard.assert_scale_safe on the plan before executing "
+        "(fails fast on nested-loop joins)",
+    )
     ap.add_argument(
         "--parquet", action="store_true", help="partitioned parquet output (scale-safe sink)"
     )

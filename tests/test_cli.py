@@ -175,3 +175,20 @@ def test_query_role_runs_and_writes(spark, tmp_path, capsys):
 
     with _pytest.raises(SystemExit, match="registered queries"):
         m.main(["query", "--name", "not_a_query"])
+
+
+def test_query_role_scale_check(spark, capsys):
+    """--scale-check guards the plan pre-execution: a scale-shaped query
+    passes and reports; a nested-loop query fails fast."""
+    import pytest as _pytest
+
+    import main as m
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.guard import (
+        ScaleSafetyError,
+    )
+
+    m.main(["query", "--name", "rel_pricing_summary", "--scale-check"])
+    assert "scale-check ok" in capsys.readouterr().out
+
+    with _pytest.raises(ScaleSafetyError):
+        m.main(["query", "--name", "rel_cross_join", "--scale-check"])
