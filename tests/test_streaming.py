@@ -2633,3 +2633,87 @@ def test_session_window_checkpoint_restart_exactly_once(spark, tmp_path):
         for r in spark.read.parquet(out).filter(F.col("user_id") != 999999).collect()
     )
     assert got == want and len(want) >= 20
+
+
+def test_rate_spike_reorder_buffer_survives_restart(spark, tmp_path):
+    """T4 x reorder buffer: stop the ordered rate-spike stream while
+    rows are still PARKED in the per-key pending buffer (watermark has
+    not passed them), deliver the rest while down, restart from the
+    checkpoint — the buffered arrays and emission high-water mark must
+    round-trip through the state store so the drained output still
+    matches the batch query bitwise, with no duplicate emissions."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.monitoring import (
+        monitor_rate_spike,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.reorder import (
+        rate_spike_stream_ordered,
+    )
+
+    events = spark.range(180).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 60).alias("ts"),
+        (F.round((F.col("id") % 23) * 2.11 + 1, 2)).alias("value"),
+    )
+    sf_dir = str(tmp_path / "sf")
+    events.write.parquet(sf_dir + "/events.parquet")
+    want = sorted(
+        (r.user_id, r.event_id, r.value, r.prev_value, r.delta_us, r.rate_per_s)
+        for r in monitor_rate_spike(spark, sf_dir).collect()
+    )
+    assert len(want) > 10
+
+    import time as _time
+
+    src, ckpt, out = (str(tmp_path / p) for p in ("src", "ckpt", "out"))
+    # First delivery: only the EVEN rows of the first 2 hours => every
+    # key's buffer holds rows the watermark cannot release in order yet.
+    first = (F.col("event_id") % 2 == 0) & (F.col("event_id") < 120)
+    events.filter(first).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+
+    def start():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            rate_spike_stream_ordered(stream, delay="6 hours")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # While down: the interleaved odd rows + tail + watermark sentinel.
+    events.filter(~first).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    sentinels = (
+        events.select("user_id")
+        .distinct()
+        .select(
+            (F.lit(100000) + F.col("user_id")).alias("event_id"),
+            "user_id",
+            F.timestamp_seconds(F.lit(1704067200 + 180 * 60 + 20 * 3600)).alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+    )
+    sentinels.coalesce(1).write.mode("append").parquet(src)
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = sorted(
+        (r.user_id, r.event_id, r.value, r.prev_value, r.delta_us, r.rate_per_s)
+        for r in spark.read.parquet(out).filter(F.col("event_id") < 100000).collect()
+    )
+    assert got == want
