@@ -617,3 +617,60 @@ def test_pq_refine_unbounded_equals_candidate_exact_rank(spark, seed):
     got = sorted((r.query_id, r.neighbor_id, r.rank) for r in tight.collect())
     want = sorted((r.query_id, r.neighbor_id, r.rank) for r in ivf.collect())
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(n_parts=st.integers(1, 13))
+def test_heavy_hitters_partitioning_invariant_when_uncapped(spark, n_parts):
+    """monitor_heavy_hitters' docstring claim, pinned: in the
+    no-eviction regime (capacity >= per-partition distinct keys) the
+    merged (key, est, lo) triples are EXACT counts — identical under any
+    physical partitioning, which is what makes the query driver-hash-
+    checkable. Only `hi` may vary with partitioning, and it is excluded
+    from the query's output."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.heavy_hitters import (
+        merge_summaries,
+        space_saving_partial,
+    )
+
+    df = spark.range(500).select(
+        (F.col("id") % 37).cast("string").alias("k")
+    ).repartition(n_parts)
+    merged = merge_summaries(space_saving_partial(df, "k", capacity=64))
+    got = sorted((r.key, r.est, r.lo) for r in merged.collect())
+    want = sorted(
+        (r.k, r.n, r.n)
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    present=st.lists(st.sampled_from(["a", "b", "c", "d"]), unique=True, min_size=1),
+    extras=st.lists(st.sampled_from(["x", "y"]), unique=True),
+)
+def test_conform_to_schema_always_matches_target(spark, present, extras):
+    """conform_to_schema invariants for any producer frame: output
+    columns exactly equal the target schema (names, order, types);
+    missing target columns are NULL; extra producer columns never leak."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.readers import (
+        conform_to_schema,
+    )
+
+    target = StructType([StructField(c, LongType()) for c in ["a", "b", "c", "d"]])
+    cols = present + extras
+    df = spark.range(3).select(
+        *[(F.col("id") + i).alias(c) for i, c in enumerate(cols)]
+    )
+    out = conform_to_schema(df, target)
+    assert out.columns == ["a", "b", "c", "d"]
+    assert all(t == "bigint" for _, t in out.dtypes)
+    row = out.collect()[0]
+    for c in ["a", "b", "c", "d"]:
+        if c in present:
+            assert row[c] is not None
+        else:
+            assert row[c] is None
