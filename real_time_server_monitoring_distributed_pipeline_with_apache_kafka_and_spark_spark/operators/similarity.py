@@ -644,14 +644,73 @@ def ann_ivfpq_topk(
         corpus, n_centroids, kmeans_iters, seed, id_col=id_col, vec_col=vec_col
     )
     books = pq_codebooks(m_subspaces, n_codes, dim, seed=pq_seed)
+    encoded = ivfpq_encode_corpus(
+        corpus, centroids, books, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    return ivfpq_probe_encoded(
+        encoded,
+        queries,
+        centroids,
+        books,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_probe=n_probe,
+        dim=dim,
+        refine=refine,
+    )
 
+
+def ivfpq_encode_corpus(
+    corpus: DataFrame,
+    centroids,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Encode vectors against a FIXED IVF-PQ index: (id, cell, codes)
+    plus the original vector (kept for the refine stage). This is the
+    shared encode half of :func:`ann_ivfpq_topk` and the per-micro-batch
+    transform of the streaming ingest leg
+    (``streaming.jobs.ivfpq_ingest_stream``) — the index (centroids +
+    codebooks) is built offline, arrival encodes against it, so a store
+    built incrementally is row-identical to a single batch encode."""
     c_assign = _centroid_udf(centroids, 1)
-    q_assign = _centroid_udf(centroids, n_probe)
     vdbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
+    return corpus.select(
+        F.col(id_col),
         c_assign(F.col(vec_col)).getItem(0).alias("cell"),
         pq_encode_col(vdbl, books, dim).alias("codes"),
+        F.col(vec_col),
+    )
+
+
+def ivfpq_probe_encoded(
+    encoded: DataFrame,
+    queries: DataFrame,
+    centroids,
+    books: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    dim: int = 64,
+    refine: int = 3,
+) -> DataFrame:
+    """Probe an IVF-PQ-encoded corpus (``ivfpq_encode_corpus`` output —
+    batch-built or accreted by the streaming store): probed-cell
+    candidate join, ADC ranking from the codes, exact cosine refine of
+    the top ``k * refine``. Shared by :func:`ann_ivfpq_topk` and the
+    store probe, so stream-built == batch-built by construction."""
+    from pyspark.sql import Window
+
+    m_subspaces = len(books)
+    q_assign = _centroid_udf(centroids, n_probe)
+    vdbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    corpus = encoded.select(F.col(id_col), F.col(vec_col))
+    c = encoded.select(
+        F.col(id_col).alias("neighbor_id"), "cell", "codes"
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),

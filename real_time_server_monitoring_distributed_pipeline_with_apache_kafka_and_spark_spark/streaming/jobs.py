@@ -398,6 +398,78 @@ def vector_ingest_stream(
     return ingest_store_stream(vectors, store_path, checkpoint_dir, transform)
 
 
+def ivfpq_ingest_stream(
+    vectors: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    centroids,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+):
+    """Streaming ingest leg for the IVF-PQ tier (the eighth store on the
+    :func:`ingest_store_stream` contract): the index — coarse centroids
+    + PQ codebooks — is built OFFLINE (``operators.similarity.
+    ivf_centroids`` / ``pq_codebooks``, the FAISS train-then-add
+    lifecycle), and every arriving vector encodes against it at ingest
+    (cell assignment + PQ codes, ``ivfpq_encode_corpus``). The store
+    accretes (id, cell, codes, vector) rows; probing it with
+    ``probe_ivfpq_store`` answers exactly what ``ann_ivfpq_topk`` would
+    on the union corpus with the same index (pinned by
+    tests/test_streaming.py::test_ivfpq_ingest_stream_matches_batch).
+
+    At 100 TB the codes column is what makes this stream-shaped: each
+    arrival's store row adds m bytes of index payload, and the encode
+    work happens exactly once per vector, at arrival — no periodic
+    re-index pass over the corpus.
+    """
+    from ..operators.similarity import ivfpq_encode_corpus
+
+    def transform(batch_df: DataFrame) -> DataFrame:
+        return ivfpq_encode_corpus(
+            batch_df, centroids, books, id_col=id_col, vec_col=vec_col, dim=dim
+        )
+
+    return ingest_store_stream(vectors, store_path, checkpoint_dir, transform)
+
+
+def probe_ivfpq_store(
+    spark,
+    store_path: str,
+    queries: DataFrame,
+    centroids,
+    books,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    dim: int = 64,
+    refine: int = 3,
+):
+    """Answer top-k queries from the accreted IVF-PQ store: reads the
+    encoded rows and runs the SAME probe tail as the batch operator
+    (``ivfpq_probe_encoded``), so stream-built == batch-built by
+    construction."""
+    from ..operators.similarity import ivfpq_probe_encoded
+
+    encoded = read_ingest_store(spark, store_path).select(
+        id_col, "cell", "codes", vec_col
+    )
+    return ivfpq_probe_encoded(
+        encoded,
+        queries,
+        centroids,
+        books,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_probe=n_probe,
+        dim=dim,
+        refine=refine,
+    )
+
+
 def minhash_ingest_stream(
     docs: DataFrame,
     store_path: str,

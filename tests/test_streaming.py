@@ -2717,3 +2717,56 @@ def test_rate_spike_reorder_buffer_survives_restart(spark, tmp_path):
         for r in spark.read.parquet(out).filter(F.col("event_id") < 100000).collect()
     )
     assert got == want
+
+
+def test_ivfpq_ingest_stream_matches_batch(spark, tmp_path):
+    """Streaming IVF-PQ ingest: the index (coarse centroids + PQ
+    codebooks) is trained offline, vectors stream in across micro-batches
+    and encode at arrival; probing the accreted store answers exactly
+    what the one-shot batch operator answers on the union corpus with
+    the same index."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.similarity import (
+        ann_ivfpq_topk,
+        ivf_centroids,
+        pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 310))
+
+    # Offline index build on the full corpus (the FAISS train step).
+    centroids = ivf_centroids(corpus)
+    books = pq_codebooks(16, 16, 64, seed=11)
+
+    src = str(tmp_path / "pq_src")
+    for i, (lo, hi) in enumerate(((10, 110), (110, 210), (210, 310))):
+        emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).coalesce(
+            1
+        ).write.parquet(f"{src}/b{i}")
+
+    store = str(tmp_path / "pq_store")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    q = jobs.ivfpq_ingest_stream(
+        stream, store, str(tmp_path / "pq_ckpt"), centroids, books
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = sorted(
+        tuple(r)
+        for r in jobs.probe_ivfpq_store(
+            spark, store, queries_df, centroids, books, k=5
+        ).collect()
+    )
+    batch = sorted(
+        tuple(r) for r in ann_ivfpq_topk(corpus, queries_df, k=5).collect()
+    )
+    assert streamed == batch
+    assert len(streamed) > 0
