@@ -2770,3 +2770,60 @@ def test_ivfpq_ingest_stream_matches_batch(spark, tmp_path):
     )
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_ivfpq_store_compaction_preserves_probe(spark, tmp_path):
+    """Compacting the IVF-PQ store (generic batch_id compaction,
+    clustered on cell for probe locality) must not change a single
+    probe answer."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.similarity import (
+        ivf_centroids,
+        ivfpq_probe_encoded,
+        pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 210))
+    centroids = ivf_centroids(corpus)
+    books = pq_codebooks(16, 16, 64, seed=11)
+
+    src = str(tmp_path / "src")
+    for i, (lo, hi) in enumerate(((10, 110), (110, 210))):
+        emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).coalesce(
+            1
+        ).write.parquet(f"{src}/b{i}")
+    store = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    q = jobs.ivfpq_ingest_stream(
+        stream, store, str(tmp_path / "ckpt"), centroids, books
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    before = sorted(
+        tuple(r)
+        for r in jobs.probe_ivfpq_store(
+            spark, store, queries_df, centroids, books, k=5
+        ).collect()
+    )
+    compacted = jobs.compact_ingest_store(
+        spark, store, str(tmp_path / "compacted"), cluster_cols=["cell"]
+    )
+    after = sorted(
+        tuple(r)
+        for r in ivfpq_probe_encoded(
+            compacted.select("vec_id", "cell", "codes", "embedding"),
+            queries_df,
+            centroids,
+            books,
+            k=5,
+        ).collect()
+    )
+    assert after == before and len(before) > 0
