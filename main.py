@@ -275,16 +275,6 @@ def run_query(spark, args) -> None:
     )
 
     qs = all_queries()
-    if args.list:
-        for name in sorted(qs):
-            print(name)
-        return
-    if not args.name or args.name not in qs:
-        known = ", ".join(sorted(qs)[:8])
-        raise SystemExit(
-            f"--name must be one of the {len(qs)} registered queries "
-            f"(e.g. {known}, ...); use --list to see all"
-        )
     df = qs[args.name](spark, args.sf_dir)
     if args.scale_check:
         from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.guard import (
@@ -340,6 +330,25 @@ def main(argv: list[str] | None = None) -> None:
         "(spark_job1.py:20-21); default keeps double precision",
     )
     args = ap.parse_args(argv)
+
+    if args.role == "query":
+        # Registry listing / name validation need no SparkSession — keep
+        # `--list` (and the bad-name error) instant and side-effect free.
+        from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries import (
+            all_queries,
+        )
+
+        names = all_queries()
+        if args.list:
+            for name in sorted(names):
+                print(name)
+            return
+        if not args.name or args.name not in names:
+            known = ", ".join(sorted(names)[:8])
+            raise SystemExit(
+                f"--name must be one of the {len(names)} registered queries "
+                f"(e.g. {known}, ...); use --list to see all"
+            )
 
     config = cfg.from_yaml(args.config) if args.config else cfg.DEFAULT_CONFIG
     os.makedirs(config.paths.output_dir, exist_ok=True)

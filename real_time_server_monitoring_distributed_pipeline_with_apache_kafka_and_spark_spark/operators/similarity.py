@@ -527,7 +527,7 @@ def ann_ivf_topk(
 
 
 def pq_codebooks(
-    m_subspaces: int = 8, n_codes: int = 16, dim: int = 64, seed: int = 11
+    m_subspaces: int = 16, n_codes: int = 16, dim: int = 64, seed: int = 11
 ) -> list[list[list[float]]]:
     """Seeded product-quantization codebooks: ``m_subspaces`` codebooks
     of ``n_codes`` sub-centroids over ``dim // m_subspaces`` dims each,

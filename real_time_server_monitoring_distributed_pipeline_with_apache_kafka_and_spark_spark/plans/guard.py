@@ -45,6 +45,8 @@ def assert_scale_safe(
     Raises :class:`ScaleSafetyError` with the offending report (and a
     plan excerpt for nested loops) on violation.
     """
+    import re
+
     report = plan_report(df)
     problems: list[str] = []
     if not allow_nested_loop and report["nested_loop_joins"]:
@@ -54,7 +56,10 @@ def assert_scale_safe(
             "intentional exactness anchor or scalar broadcast"
         )
     for col in require_pushed or []:
-        if not any(col in f for f in report["pushed_filters"]):
+        # Whole-identifier match: a pushed filter on 'prev_value' must
+        # NOT satisfy require_pushed=['value'].
+        pat = re.compile(rf"(?<![A-Za-z0-9_]){re.escape(col)}(?![A-Za-z0-9_])")
+        if not any(pat.search(f) for f in report["pushed_filters"]):
             problems.append(
                 f"filter on {col!r} never reached the scan "
                 f"(PushedFilters: {report['pushed_filters']}) — the whole table "

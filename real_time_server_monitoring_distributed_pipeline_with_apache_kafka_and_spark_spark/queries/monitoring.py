@@ -801,12 +801,19 @@ def monitor_sla_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour_start")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("is_err").alias("n_err"))
     )
-    # Day-index*24 + hour, div 6: epoch-aligned (2024-01-01 is a 6h
-    # boundary) and type-agnostic across the TIMESTAMP/TIMESTAMP_NTZ
-    # session split (unix_timestamp is not — see operators/joins.py).
-    h6 = F.expr(
-        "(datediff(to_date(hour_start), date'2024-01-01') * 24"
-        " + hour(hour_start)) div 6"
+    # Day-index*24 + hour, FLOOR-divided by 6: epoch-aligned (2024-01-01
+    # is a 6h boundary) and type-agnostic across the TIMESTAMP/
+    # TIMESTAMP_NTZ session split (unix_timestamp is not — see
+    # operators/joins.py). floor(x/6.0), not `div`: `div` truncates
+    # toward zero, so pre-2024 hours (negative day index — a replayed
+    # backlog) would land in a misaligned 11-hour "bucket 0" AND diverge
+    # from the oracle's floor().
+    h6 = F.floor(
+        F.expr(
+            "(datediff(to_date(hour_start), date'2024-01-01') * 24"
+            " + hour(hour_start))"
+        )
+        / F.lit(6.0)
     )
     w6 = Window.partitionBy("h6_bucket")
     slo = F.lit(0.25)

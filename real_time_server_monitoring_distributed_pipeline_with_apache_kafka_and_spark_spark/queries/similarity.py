@@ -86,14 +86,15 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via IVF-PQ (16 coarse cells probe 4, 8x16
-    seeded product-quantization codebooks, ADC scoring) — the compressed
-    ANN tier where candidates move as (id, cell, 8 codes) instead of 64
-    floats and scoring is 8 table lookups per pair. The full build +
-    encode + probe + ADC rank is bit-deterministic (shared IVF machinery
-    + pinned-fold PQ distances + integer-micro ranking), so the DuckDB
-    oracle replays it end-to-end — hash-checked like the other ANN
-    tiers. Recall vs brute force additionally pinned in tests."""
+    """Approximate top-5 via IVF-PQ (16 coarse cells probe 4, 16x16
+    seeded product-quantization codebooks, ADC scoring, exact re-rank of
+    the ADC top-15) — the compressed ANN tier where candidates move as
+    (id, cell, 16 codes) instead of 64 floats and ADC scoring is 16
+    table lookups per pair. The full build + encode + probe + ADC rank +
+    refine is bit-deterministic (shared IVF machinery + pinned-fold PQ
+    distances + integer-micro ranking), so the DuckDB oracle replays it
+    end-to-end — hash-checked like the other ANN tiers. Recall vs brute
+    force additionally pinned in tests."""
     corpus, queries = _split(spark, sf_dir)
     return ops.ann_ivfpq_topk(corpus, queries, k=TOP_K)
 

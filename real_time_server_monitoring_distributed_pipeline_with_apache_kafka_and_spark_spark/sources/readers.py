@@ -333,15 +333,30 @@ def conform_to_schema(df: DataFrame, schema, strict: bool = False) -> DataFrame:
     Casting uses plain ``cast`` (ANSI-off permissive semantics:
     unparseable values become NULL rather than failing mid-append);
     pair with an expectations gate downstream when NULLs must alarm.
+
+    Name matching is CASE-INSENSITIVE (Spark's own default resolver
+    semantics, ``spark.sql.caseSensitive=false``): a producer shard that
+    drifted to ``Doc_ID`` still feeds the target's ``doc_id`` instead of
+    silently materializing NULLs. Two producer columns that collide
+    case-insensitively are ambiguous and raise.
     """
-    have = dict(df.dtypes)
-    extras = [c for c in df.columns if c not in {f.name for f in schema.fields}]
+    have: dict[str, str] = {}
+    for c in df.columns:
+        if c.lower() in have:
+            raise ValueError(
+                f"ambiguous producer columns (case-insensitive collision): "
+                f"{have[c.lower()]!r} vs {c!r}"
+            )
+        have[c.lower()] = c
+    target_lower = {f.name.lower() for f in schema.fields}
+    extras = [c for c in df.columns if c.lower() not in target_lower]
     if strict and extras:
         raise ValueError(f"unexpected columns for target schema: {extras}")
     cols = []
     for field in schema.fields:
-        if field.name in have:
-            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        src = have.get(field.name.lower())
+        if src is not None:
+            cols.append(F.col(src).cast(field.dataType).alias(field.name))
         else:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))
     return df.select(*cols)

@@ -106,6 +106,7 @@ def interval_join_stream(
     right_ts: str,
     window_seconds: int,
     watermark: str = DEFAULT_WATERMARK,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream TIME-INTERVAL inner join: right events landing in
     ``(left_ts, left_ts + window_seconds]`` for the same key — the
@@ -131,7 +132,7 @@ def interval_join_stream(
     )
     for k in key_cols:
         cond = cond & (lw[k] == rw[k])
-    joined = lw.join(rw, cond)
+    joined = lw.join(rw, cond, how)
     # Both sides carry the key columns; keep the left copy.
     return joined.drop(*[rw[k] for k in key_cols])
 
@@ -146,7 +147,8 @@ def interval_join_stream_outer(
     watermark: str = DEFAULT_WATERMARK,
 ) -> DataFrame:
     """LEFT-OUTER stream-stream time-interval join: like
-    :func:`interval_join_stream`, but a left row with NO matching right
+    :func:`interval_join_stream` (which it delegates to — one predicate
+    definition, two join modes), but a left row with NO matching right
     event inside its window still emits — with NULL right columns — once
     the right watermark passes ``left_ts + window`` and Spark can prove
     no match can arrive anymore. This is the "clicks that did NOT error
@@ -162,17 +164,10 @@ def interval_join_stream_outer(
     (pinned by tests/test_streaming.py::
     test_interval_join_stream_outer_matches_batch).
     """
-    lw = left.withWatermark(left_ts, watermark)
-    rw = right.withWatermark(right_ts, watermark)
-    cond = (
-        F.col(right_ts) > F.col(left_ts)
-    ) & (
-        F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {int(window_seconds)} SECOND")
+    return interval_join_stream(
+        left, right, key_cols, left_ts, right_ts, window_seconds,
+        watermark=watermark, how="left_outer",
     )
-    for k in key_cols:
-        cond = cond & (lw[k] == rw[k])
-    joined = lw.join(rw, cond, "left_outer")
-    return joined.drop(*[rw[k] for k in key_cols])
 
 
 def dedup_stream(

@@ -596,20 +596,17 @@ def test_decile_lift_never_sorts_raw_orders(spark):
         formatted_plan,
     )
 
-    df = all_queries()["rel_decile_lift"](spark, SF_DIR)
-    plan = formatted_plan(df)
-    # The raw table contributes only scan + partial/final hash agg; every
-    # Sort in the plan sits above the first aggregation.
-    first_agg = plan.find("HashAggregate")
-    first_sort = plan.find("Sort ")
-    assert first_agg != -1
-    assert first_sort == -1 or first_sort > -1  # structure probed below
-    # Stronger: the scan's immediate consumer chain contains an agg
-    # before any sort — assert no Sort node lists o_totalprice (raw col).
     import re
 
-    for m in re.finditer(r"\(\d+\) Sort[^\n]*\n(?:[^\n]*\n){0,4}", plan):
+    df = all_queries()["rel_decile_lift"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # The raw orders table contributes only scan + hash agg; any Sort in
+    # the plan operates on the tiny bucket histogram. Assert it: no Sort
+    # node's full detail block (through its next node header) mentions a
+    # raw orders column.
+    for m in re.finditer(r"\(\d+\) Sort\b.*?(?=\n\(\d+\) |\Z)", plan, flags=re.S):
         assert "o_totalprice" not in m.group(0), m.group(0)
+        assert "o_orderstatus" not in m.group(0), m.group(0)
 
 
 def test_bpe_pair_counts_uses_ordered_limit(spark):
@@ -689,3 +686,24 @@ def test_assert_scale_safe_guard(spark, tmp_path):
 
     with _pytest.raises(ScaleSafetyError, match="exchanges > budget"):
         assert_scale_safe(good, max_exchanges=0)
+
+
+def test_assert_scale_safe_pushed_filter_whole_identifier(spark):
+    """require_pushed must match whole column identifiers: a pushed
+    filter on prev_value must NOT satisfy require_pushed=['value']."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.guard import (
+        ScaleSafetyError,
+        assert_scale_safe,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.readers import (
+        load_table,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    # 'l_ship' is a strict prefix of the actually-pushed 'l_shipdate'.
+    with _pytest.raises(ScaleSafetyError, match="never reached the scan"):
+        assert_scale_safe(li, require_pushed=["l_ship"])
+    assert_scale_safe(li, require_pushed=["l_shipdate"])

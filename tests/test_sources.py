@@ -274,3 +274,28 @@ def test_schema_evolution_read_and_conform(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unexpected columns"):
         conform_to_schema(legacy, target, strict=True)
+
+
+def test_conform_to_schema_case_insensitive_match(spark):
+    """Spark's default resolver is case-insensitive; conform_to_schema
+    must match producer columns the same way (Doc_ID feeds doc_id, never
+    a silent NULL), and must refuse ambiguous case-collisions."""
+    import pytest as _pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.readers import (
+        conform_to_schema,
+    )
+
+    target = StructType(
+        [StructField("doc_id", LongType()), StructField("lang", StringType())]
+    )
+    drifted = spark.createDataFrame([(7, "en")], "Doc_ID int, LANG string")
+    out = conform_to_schema(drifted, target)
+    assert out.columns == ["doc_id", "lang"]
+    r = out.collect()[0]
+    assert (r.doc_id, r.lang) == (7, "en")
+
+    ambiguous = spark.createDataFrame([(1, 2)], "doc_id int, DOC_ID int")
+    with _pytest.raises(ValueError, match="ambiguous"):
+        conform_to_schema(ambiguous, target)
