@@ -44,23 +44,33 @@ def space_saving_partial(
     df: DataFrame, key_col: str, capacity: int = 256
 ) -> DataFrame:
     """One SpaceSaving summary per partition: at most ``capacity`` rows
-    of (pid, key, cnt, err, floor), where ``floor`` is the partition's
-    minimum tracked count (identical on every row of the partition —
-    the untracked-mass bound :func:`merge_summaries` charges to absent
-    partitions). ``pid`` identifies the summary, not a physical
-    partition id — unique within one invocation.
+    of (pid, key, cnt, err, floor), where ``floor`` is the untracked-mass
+    bound :func:`merge_summaries` charges to absent partitions —
+    the partition's minimum tracked count once an eviction has happened,
+    and exactly 0 while the summary is still under capacity (everything
+    seen is tracked, so an absent key's true count IS 0; identical on
+    every row of the partition). NULL keys count like any other key
+    (``value_counts(dropna=False)``) — a missing dimension value is
+    often the single biggest heavy hitter. ``pid`` identifies the
+    summary, not a physical partition id — unique within one invocation.
     """
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counts: dict[str, tuple[int, int]] = {}  # key -> (cnt, err)
+        counts: dict[str | None, tuple[int, int]] = {}  # key -> (cnt, err)
+        saw_eviction = False
         pid = None
         for pdf in batches:
             if pid is None and len(pdf):
                 pid = int(pdf["__pid"].iloc[0])
-            vc = pdf["__key"].value_counts()
+            # dropna=False: a NULL key is a real (often the biggest) heavy
+            # hitter — e.g. a missing user-agent. Silently excluding it
+            # would break the coverage guarantee with no error.
+            vc = pdf["__key"].value_counts(dropna=False)
             for key, c in vc.items():
+                if pd.isna(key):
+                    key = None
                 c = int(c)
                 if key in counts:
                     cnt, err = counts[key]
@@ -68,6 +78,7 @@ def space_saving_partial(
                 elif len(counts) < capacity:
                     counts[key] = (c, 0)
                 else:
+                    saw_eviction = True
                     evict = min(counts, key=lambda k: counts[k][0])
                     m = counts[evict][0]
                     del counts[evict]
@@ -76,7 +87,15 @@ def space_saving_partial(
                     counts[key] = (m + c, m)
         if not counts:
             return
-        floor = min(c for c, _ in counts.values())
+        # floor = the untracked-mass bound. Until the FIRST eviction the
+        # structure tracked every key it ever saw, so an absent key's
+        # true partition count is exactly 0 — reporting min-tracked there
+        # would inflate every merged `hi` and the coverage threshold by
+        # the min count of every under-capacity summary (near-vacuous
+        # bounds on moderate-cardinality streams).
+        floor = (
+            min(c for c, _ in counts.values()) if saw_eviction else 0
+        )
         yield pd.DataFrame(
             {
                 "pid": [pid] * len(counts),

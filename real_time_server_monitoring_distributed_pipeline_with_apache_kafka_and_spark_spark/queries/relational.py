@@ -1051,15 +1051,8 @@ def rel_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("o_orderdate").alias("start"),
         F.date_add(F.to_date("o_orderdate"), 30).alias("end"),
     )
-    w = Window.partitionBy("o_custkey").orderBy("start", "end", "o_orderkey")
-    prev_max_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    flagged = orders.withColumn(
-        "_new",
-        (prev_max_end.isNull() | (F.col("start") > prev_max_end)).cast("int"),
-    )
-    island = F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     return (
-        flagged.withColumn("island", island)
+        interval_islands(orders, "o_custkey", "start", "end", "o_orderkey")
         .groupBy("o_custkey", "island")
         .agg(
             F.min("start").alias("valid_from"),
@@ -1067,6 +1060,25 @@ def rel_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+def interval_islands(
+    df: DataFrame, key_col: str, start: str, end: str, tiebreak: str
+) -> DataFrame:
+    """Gaps-and-islands core shared by rel_merge_intervals and the
+    property tests (so the test exercises the SHIPPED pipeline, not a
+    re-implementation): running max of prior interval ends per key flags
+    island starts; a running sum of flags numbers the islands. Both
+    windows cluster on ``key_col`` — the same key any downstream agg
+    shuffles on."""
+    w = Window.partitionBy(key_col).orderBy(start, end, tiebreak)
+    prev_max_end = F.max(end).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = df.withColumn(
+        "_new",
+        (prev_max_end.isNull() | (F.col(start) > prev_max_end)).cast("int"),
+    )
+    island = F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return flagged.withColumn("island", island)
 
 
 def rel_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1100,6 +1112,32 @@ def rel_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    deg, per_edge = triangle_closure_counts(pairs)
+    # Three independent scalars combined WITHOUT 1-row cross joins: tag
+    # each population, union, one conditional agg (the rel_cascade_delete
+    # pattern — keeps the blanket nested-loop guard meaningful).
+    tagged = (
+        deg.select(F.lit("n").alias("k"), F.lit(0).alias("n_closed"))
+        .unionAll(pairs.select(F.lit("e").alias("k"), F.lit(0).alias("n_closed")))
+        .unionAll(per_edge.select(F.lit("t").alias("k"), F.col("n_closed")))
+    )
+    return tagged.agg(
+        F.count(F.when(F.col("k") == "n", 1)).alias("n_nodes"),
+        F.count(F.when(F.col("k") == "e", 1)).alias("n_edges"),
+        F.coalesce(
+            F.sum(F.when(F.col("k") == "t", F.col("n_closed"))), F.lit(0)
+        ).alias("n_triangles"),
+    )
+
+
+def triangle_closure_counts(pairs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Degree-ordered triangle-count core shared by rel_triangle_count
+    and the property tests (the test must exercise the SHIPPED
+    orientation + adjacency-intersect pipeline, not a re-implementation).
+    ``pairs``: distinct undirected (u, v) with u < v. Returns
+    (per-node degree table, per-oriented-edge closed-wedge counts);
+    sum(n_closed) is the triangle count.
+    """
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))
@@ -1132,21 +1170,7 @@ def rel_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.size(F.array_intersect("nu", "nv")).alias("n_closed"))
     )
-    # Three independent scalars combined WITHOUT 1-row cross joins: tag
-    # each population, union, one conditional agg (the rel_cascade_delete
-    # pattern — keeps the blanket nested-loop guard meaningful).
-    tagged = (
-        deg.select(F.lit("n").alias("k"), F.lit(0).alias("n_closed"))
-        .unionAll(pairs.select(F.lit("e").alias("k"), F.lit(0).alias("n_closed")))
-        .unionAll(per_edge.select(F.lit("t").alias("k"), F.col("n_closed")))
-    )
-    return tagged.agg(
-        F.count(F.when(F.col("k") == "n", 1)).alias("n_nodes"),
-        F.count(F.when(F.col("k") == "e", 1)).alias("n_edges"),
-        F.coalesce(
-            F.sum(F.when(F.col("k") == "t", F.col("n_closed"))), F.lit(0)
-        ).alias("n_triangles"),
-    )
+    return deg, per_edge
 
 
 def rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:

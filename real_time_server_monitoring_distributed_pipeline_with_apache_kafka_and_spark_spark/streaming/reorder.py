@@ -88,6 +88,26 @@ def _ts_micros(ts: pd.Series) -> list[int]:
     return [int(x) for x in s.astype("datetime64[us]").astype("int64")]
 
 
+_UTC_NAMES = {"UTC", "Etc/UTC", "GMT", "Z", "+00:00"}
+
+
+def _require_utc_session(df: DataFrame) -> None:
+    """The buffer compares event-time micros (delivered to Python as
+    SESSION-timezone-naive wall clock) against ``getCurrentWatermarkMs``
+    (epoch UTC). Those agree iff the session time zone is UTC — the
+    engine's session policy (session.py) pins it, but a caller wiring
+    these operators into their own session must not silently get
+    watermark logic offset by their zone: fail loudly at build time."""
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz not in _UTC_NAMES:
+        raise ValueError(
+            "reorder-buffer streaming operators require "
+            f"spark.sql.session.timeZone=UTC (got {tz!r}): event-time "
+            "micros are session-zone wall clock while the watermark is "
+            "epoch UTC, so any other zone mis-folds or stalls emission"
+        )
+
+
 def _buffered_fn(
     n_core: int,
     init_core: Callable[[], list],
@@ -192,6 +212,7 @@ def rolling_zscore_stream_ordered(
     arrival by the watermark (a row emits once no earlier row can still
     arrive), the price of correctness on a reordering transport.
     """
+    _require_utc_session(events)
     out_schema, _ = _zscore_schemas(window)
     state_schema = StructType(
         [StructField("window", ArrayType(DoubleType())), *_BUF_FIELDS]
@@ -231,6 +252,7 @@ def ewma_stream_ordered(
     EWMA recursion behind the fused watermarked reorder buffer. See
     :func:`rolling_zscore_stream_ordered` for the buffer contract.
     """
+    _require_utc_session(events)
     out_schema, _ = _ewma_schemas()
     state_schema = StructType(
         [
@@ -314,6 +336,7 @@ def rate_spike_stream_ordered(
     input (pinned by tests/test_streaming.py::
     test_rate_spike_stream_ordered_matches_batch_on_out_of_order_input).
     """
+    _require_utc_session(events)
     state_schema = StructType(
         [
             StructField("prev_ts_us", LongType()),

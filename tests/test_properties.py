@@ -400,40 +400,19 @@ def test_triangle_count_matches_bruteforce_model(spark, edges):
         if b in adj[a] and c in adj[a] and c in adj[b]
     )
 
-    # Rebuild the query's pipeline from a raw edge DataFrame (the query
-    # itself derives edges from lineitem; the algorithm under test starts
-    # at the undirected distinct pair list).
+    # The SHIPPED pipeline, from a raw edge DataFrame (the query itself
+    # derives edges from lineitem; the algorithm under test starts at
+    # the undirected distinct pair list).
     if not und:
         return
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.relational import (
+        triangle_closure_counts,
+    )
+
     pairs = spark.createDataFrame(sorted(und), "u long, v long")
-    deg = (
-        pairs.select(F.col("u").alias("node"))
-        .unionAll(pairs.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    with_deg = pairs.join(du, "u").join(dv, "v")
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = with_deg.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    )
-    adj_arr = oriented.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    _, per_edge = triangle_closure_counts(pairs)
     got = (
-        oriented.join(
-            adj_arr.select(F.col("src").alias("u_"), F.col("nbrs").alias("nu")),
-            F.col("src") == F.col("u_"),
-        )
-        .join(
-            adj_arr.select(F.col("src").alias("v_"), F.col("nbrs").alias("nv")),
-            F.col("dst") == F.col("v_"),
-        )
-        .agg(F.coalesce(F.sum(F.size(F.array_intersect("nu", "nv"))), F.lit(0)))
-        .collect()[0][0]
+        per_edge.agg(F.coalesce(F.sum("n_closed"), F.lit(0))).collect()[0][0]
     )
     assert got == want
 
@@ -478,18 +457,14 @@ def test_merge_intervals_islands_match_python_model(spark, intervals):
                 n += 1
         want.add((k, island, cur_s, cur_e, n))
 
-    from pyspark.sql import Window
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.relational import (
+        interval_islands,
+    )
 
     df = spark.createDataFrame(rows, "k long, i long, start date, end date")
-    w = Window.partitionBy("k").orderBy("start", "end", "i")
-    prev_max_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    flagged = df.withColumn(
-        "_new", (prev_max_end.isNull() | (F.col("start") > prev_max_end)).cast("int")
-    )
-    island = F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     got = {
         (r.k, r.island, r.valid_from, r.valid_to, r.n)
-        for r in flagged.withColumn("island", island)
+        for r in interval_islands(df, "k", "start", "end", "i")
         .groupBy("k", "island")
         .agg(
             F.min("start").alias("valid_from"),
@@ -674,3 +649,25 @@ def test_conform_to_schema_always_matches_target(spark, present, extras):
             assert row[c] is not None
         else:
             assert row[c] is None
+
+
+@settings(max_examples=5, deadline=None)
+@given(n_null=st.integers(1, 200), n_parts=st.integers(1, 7))
+def test_heavy_hitters_tracks_null_keys(spark, n_null, n_parts):
+    """A NULL key is a real heavy hitter (a missing dimension value):
+    SpaceSaving must track and count it like any other key — in the
+    uncapped regime its merged estimate is its exact count."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.heavy_hitters import (
+        merge_summaries,
+        space_saving_partial,
+    )
+
+    df = spark.range(300 + n_null).select(
+        F.when(F.col("id") < n_null, F.lit(None)).otherwise(
+            (F.col("id") % 11).cast("string")
+        ).alias("k")
+    ).repartition(n_parts)
+    merged = {r.key: (r.est, r.lo) for r in merge_summaries(
+        space_saving_partial(df, "k", capacity=64)
+    ).collect()}
+    assert merged[None] == (n_null, n_null), merged.get(None)

@@ -2827,3 +2827,62 @@ def test_ivfpq_store_compaction_preserves_probe(spark, tmp_path):
         ).collect()
     )
     assert after == before and len(before) > 0
+
+
+def test_reorder_buffer_folds_late_arrival_ahead_of_key_hwm(spark, tmp_path):
+    """The buffer's headline guarantee, pinned from the KEEPING side: an
+    arrival BEHIND the global watermark but still ahead of its key's
+    emission high-water mark must fold and emit — this is exactly the
+    row a windowed aggregation's global-watermark filter would drop, and
+    it is also the row that would silently vanish if Spark ever started
+    late-filtering arbitrary-stateful input (the `(ts, id) <= hwm` guard
+    assumes it does not)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.reorder import (
+        rate_spike_stream_ordered,
+    )
+
+    import time as _time
+
+    base = 1704067200
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    src, = (str(tmp_path / "src"),)
+    # Batch 1: three user-0 events + a far-future sentinel that pushes
+    # the watermark WAY past minute 30 (delay 6h => wm = +20h - 6h).
+    spark.createDataFrame(
+        [
+            (0, 0, __import__("datetime").datetime.utcfromtimestamp(base), 10.0),
+            (1, 0, __import__("datetime").datetime.utcfromtimestamp(base + 60), 520.0),
+            (2, 0, __import__("datetime").datetime.utcfromtimestamp(base + 120), 15.0),
+            (900, 999, __import__("datetime").datetime.utcfromtimestamp(base + 20 * 3600), 0.0),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    # Batch 2: a user-0 event at minute 30 — far BEHIND the watermark,
+    # but ahead of the key's hwm (minute 2). Value jump => clear spike.
+    spark.createDataFrame(
+        [(10, 0, __import__("datetime").datetime.utcfromtimestamp(base + 1800), 600.0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        rate_spike_stream_ordered(stream, delay="6 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_fold_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r.event_id for r in spark.sql("SELECT * FROM late_fold_out").collect()}
+    finally:
+        q.stop()
+    # Spikes from batch 1 emitted (minute 1 and 2 jumps), AND the
+    # late-but-orderable minute-30 arrival emitted too.
+    assert 10 in rows, rows
+    assert {1, 2} <= rows, rows
