@@ -37,6 +37,14 @@ RUNTIME_CONFS: dict[str, str] = {
     # changes plans when a side is already subset-partitioned (bucketed
     # tables); ordinary shuffle joins still partition on all keys.
     "spark.sql.requireAllClusterKeysForCoPartition": "false",
+    # Size shuffle parallelism to the machine for sessions the engine did
+    # not build (the external verification driver constructs a bare
+    # session: its 200-partition default schedules ~3x more tasks than
+    # cores for the small-SF correctness pass, pure overhead). Runtime-
+    # settable, partition-count-invariant by the engine's determinism
+    # policy (decimal sums, lattice rounding — pinned by the
+    # partition-invariance property tests).
+    "spark.sql.shuffle.partitions": str(max(2 * (os.cpu_count() or 4), 8)),
 }
 
 
