@@ -37,21 +37,28 @@ RUNTIME_CONFS: dict[str, str] = {
     # changes plans when a side is already subset-partitioned (bucketed
     # tables); ordinary shuffle joins still partition on all keys.
     "spark.sql.requireAllClusterKeysForCoPartition": "false",
-    # Size shuffle parallelism to the machine for sessions the engine did
-    # not build (the external verification driver constructs a bare
-    # session: its 200-partition default schedules ~3x more tasks than
-    # cores for the small-SF correctness pass, pure overhead). Runtime-
-    # settable, partition-count-invariant by the engine's determinism
-    # policy (decimal sums, lattice rounding — pinned by the
-    # partition-invariance property tests).
-    "spark.sql.shuffle.partitions": str(max(2 * (os.cpu_count() or 4), 8)),
 }
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable confs to an existing session (idempotent)."""
+    """Apply runtime-settable confs to an existing session (idempotent).
+
+    Shuffle parallelism: ONLY when the session still carries Spark's
+    untouched 200-partition default (the external verification driver
+    builds a bare session — 200 schedules ~3x more tasks than local
+    cores, pure overhead at small SF) is it resized to the machine. A
+    session whose owner SET shuffle partitions (a real cluster sized for
+    1000 executors) is respected — clobbering that to 2x driver cores
+    would be the real scale bug. Results are partition-count-invariant
+    either way (decimal sums, lattice rounding — pinned by the
+    partition-invariance property tests).
+    """
     for key, value in RUNTIME_CONFS.items():
         spark.conf.set(key, value)
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(max(2 * (os.cpu_count() or 4), 8))
+        )
     return spark
 
 

@@ -39,3 +39,24 @@ def test_cache_scope_clears_everything(spark):
         ops.minhash_lsh_pairs(shingled, threshold=0.8).count()
         assert not cache_is_empty(spark)
     assert cache_is_empty(spark)
+
+
+def test_runtime_confs_respect_user_shuffle_partitions(spark):
+    """apply_runtime_confs resizes ONLY the untouched 200 default: a
+    session whose owner set shuffle partitions (a sized cluster) must
+    never be clobbered to 2x local cores."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.session import (
+        apply_runtime_confs,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        apply_runtime_confs(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") != "200"
+
+        spark.conf.set("spark.sql.shuffle.partitions", "1000")
+        apply_runtime_confs(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "1000"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
