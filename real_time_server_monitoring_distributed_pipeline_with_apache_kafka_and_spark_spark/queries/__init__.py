@@ -17,88 +17,23 @@ from . import dedup, extras, monitoring, multimodal, profiling, relational, simi
 # Order is load-bearing: the correctness driver verifies the first ~50
 # registry entries in iteration order (observed: each round records exactly
 # 50 rows). _PRIORITY makes the window explicit. Rotation history lives in
-# git (r01-r05 summarized: every query driver-proven at least once by r03;
-# r05 spent the window on 47 never-proven/changed rows, aging the r02/r03
-# tail to 3-4 rounds).
+# git (r01-r06 summarized: every query driver-proven at least once by r03;
+# as of CORRECTNESS_r06 the newest-green distribution is 44@r04, 48@r05,
+# 50@r06 — a clean 3-round cycle at 142 registered / 50-row window).
 #
-# r06 window policy (and the standing policy hereafter, enforced by
-# tests/test_freshness.py): lead with every row whose newest driver green
-# would be >2 rounds old at this round's composition (the 3 r02 rows incl.
-# both rows-only sketches + the 23 r03 rows), then every row whose query
-# code changed since its last green (monitor_anomaly_zscore and
-# monitor_gap_report: the var>0 guard / Jan-31 lattice, r06), then any
-# never-proven new rows, then fill the remainder with the OLDEST
-# still-fresh rows (r04 block) so the aging wave stays spread across
-# future windows instead of piling onto one round.
+# Standing window policy (enforced by tests/test_freshness.py): lead with
+# every row whose newest driver green is OLDEST (the previous cycle's
+# head), then every row whose query code changed since its last green,
+# then any never-proven new rows, then fill the remainder with the oldest
+# still-fresh rows so the aging wave stays spread across future windows.
+#
+# r07 window: the 44 r04-green rows (age 3 after this round if skipped),
+# then sim_knn_join (r06 dispatch rework — output-PRESERVING, cap==no-cap
+# bitwise-pinned + oracle-green locally, but re-prove under the driver),
+# then the 5 oldest r05-green rows as fills. The 43 remaining r05 rows
+# lead r08; the 50 r06 rows lead r09.
 _PRIORITY: tuple[str, ...] = (
-    # -- newest driver green is r02 (3-4 rounds old): MUST re-prove now.
-    #    rel_approx_percentile / rel_approx_distinct are the rows-only
-    #    sketches: keeping one+ in every window gives the driver a
-    #    rows-sanity re-proof even though they can never hash-match. --
-    "rel_join_full_outer",
-    "rel_approx_percentile",
-    "rel_approx_distinct",
-    # -- newest driver green is r03: re-prove now --
-    "rel_window_running",
-    "rel_window_frames",
-    "rel_rollup",
-    "rel_grouping_sets",
-    "rel_sql_subqueries",
-    "rel_percentile",
-    "rel_join_left_outer",
-    "rel_join_semi",
-    "rel_join_anti",
-    "text_token_stats",
-    "text_langid",
-    "text_fingerprint",
-    "text_tfidf",
-    "text_hash_split",
-    "text_pii_redact",
-    "text_chunking",
-    "text_decontaminate",
-    "text_vocab_topk",
-    "rel_salted_count_distinct",
-    "mm_binary_meta",
-    "mm_decode_features",
-    "mm_resize",
-    "mm_frame_sample",
-    # -- code changed in r06 with OUTPUT changes (zscore var>0 guard;
-    #    gap-report Jan-31 lattice): green rows predate the change,
-    #    re-prove now. sim_knn_join's dispatch rework is output-
-    #    PRESERVING (cap==no-cap bitwise-pinned on the skew fixture +
-    #    oracle-green in every local pytest), so it yields its window
-    #    slot to the round's last new query and leads the r07 window
-    #    instead --
-    "monitor_anomaly_zscore",
-    "monitor_gap_report",
-    # -- never driver-proven (new in r06) --
-    "monitor_top_movers",
-    "text_prefix_dup",
-    "text_zipf_slope",
-    "sim_kmeans_iter",
-    "rel_triangle_count",
-    "rel_merge_intervals",
-    "pipeline_embedding_prep",
-    "rel_unpivot",
-    "mm_image_dedup_clusters",
-    "monitor_rate_spike",
-    "monitor_sla_burn",
-    "rel_skyline",
-    "rel_mode_per_group",
-    "rel_corr_matrix",
-    "rel_decile_lift",
-    "rel_mom_growth",
-    "text_bpe_pair_counts",
-    "text_pmi_bigrams",
-    "mm_audio_silence_trim",
-    "monitor_heavy_hitters",
-    "sim_ann_ivfpq",
-    "pipeline_multimodal_prep",
-    # ---- past the ~50-row cap from here ----
-    # (sim_knn_join re-proves in r07 — see the changed-code note above;
-    #  the r04 block is age 2 at this composition, safe to age one more
-    #  round; both lead the r07 window together with the r05 tail)
-    "sim_knn_join",
+    # -- newest driver green is r04: re-prove now --
     "monitor_cpu_mem_alerts",
     "monitor_net_disk_alerts",
     "monitor_window_sliding_avg",
@@ -116,8 +51,6 @@ _PRIORITY: tuple[str, ...] = (
     "rel_multiway_revenue",
     "text_sequence_packing",
     "text_repetition",
-    # -- rest of the r04 block (age 2 now): these MUST lead the r07
-    #    window (age 3 there) together with any r06 code changes --
     "text_unigram_logprob",
     "monitor_alert_transitions",
     "monitor_funnel",
@@ -145,12 +78,16 @@ _PRIORITY: tuple[str, ...] = (
     "rel_join_customer_orders",
     "rel_topk_per_group",
     "rel_asof_join",
-    # -- r05-green tail (age 1): due again by r08 --
+    # -- r06 code change (output-preserving, re-prove under the driver) --
+    "sim_knn_join",
+    # -- fills: the 5 oldest r05-green rows --
     "rel_profile_columns",
     "rel_key_skew_stats",
     "monitor_error_after_click",
     "text_char_entropy",
     "text_source_quality_filter",
+    # ---- past the ~50-row cap from here ----
+    # -- rest of the r05-green tail: leads the r08 window --
     "mm_image_ahash",
     "rel_validate_constraints",
     "monitor_sessionize",
@@ -193,6 +130,60 @@ _PRIORITY: tuple[str, ...] = (
     "text_stratified_sample",
     "rel_salted_join",
     "rel_range_join",
+    # -- r06-green rows (newest): lead the r09 window.
+    #    rel_approx_percentile / rel_approx_distinct are the rows-only
+    #    sketches: the driver re-proves rows-sanity whenever they rotate
+    #    back into a window even though they can never hash-match. --
+    "rel_join_full_outer",
+    "rel_approx_percentile",
+    "rel_approx_distinct",
+    "rel_window_running",
+    "rel_window_frames",
+    "rel_rollup",
+    "rel_grouping_sets",
+    "rel_sql_subqueries",
+    "rel_percentile",
+    "rel_join_left_outer",
+    "rel_join_semi",
+    "rel_join_anti",
+    "text_token_stats",
+    "text_langid",
+    "text_fingerprint",
+    "text_tfidf",
+    "text_hash_split",
+    "text_pii_redact",
+    "text_chunking",
+    "text_decontaminate",
+    "text_vocab_topk",
+    "rel_salted_count_distinct",
+    "mm_binary_meta",
+    "mm_decode_features",
+    "mm_resize",
+    "mm_frame_sample",
+    "monitor_anomaly_zscore",
+    "monitor_gap_report",
+    "monitor_top_movers",
+    "text_prefix_dup",
+    "text_zipf_slope",
+    "sim_kmeans_iter",
+    "rel_triangle_count",
+    "rel_merge_intervals",
+    "pipeline_embedding_prep",
+    "rel_unpivot",
+    "mm_image_dedup_clusters",
+    "monitor_rate_spike",
+    "monitor_sla_burn",
+    "rel_skyline",
+    "rel_mode_per_group",
+    "rel_corr_matrix",
+    "rel_decile_lift",
+    "rel_mom_growth",
+    "text_bpe_pair_counts",
+    "text_pmi_bigrams",
+    "mm_audio_silence_trim",
+    "monitor_heavy_hitters",
+    "sim_ann_ivfpq",
+    "pipeline_multimodal_prep",
 )
 
 _MODULES = (monitoring, text, multimodal, dedup, similarity, relational, extras, profiling)

@@ -1189,8 +1189,18 @@ def rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-exact.
     """
     part = load_table(spark, sf_dir, "part")
-    per_size = part.groupBy("p_size").agg(F.min("p_retailprice").alias("min_price"))
-    w = Window.orderBy(F.col("p_size").desc()).rowsBetween(
+    return skyline_frontier(part, "p_size", "p_retailprice").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+
+
+def skyline_frontier(df: DataFrame, size_col: str, price_col: str) -> DataFrame:
+    """Shared 2-D skyline core (max ``size_col``, min ``price_col``):
+    returns the rows of ``df`` on the Pareto frontier. Exercised both by
+    :func:`rel_skyline` and the all-pairs-dominance property test, so a
+    regression in the formulation is caught against brute force."""
+    per_size = df.groupBy(size_col).agg(F.min(price_col).alias("min_price"))
+    w = Window.orderBy(F.col(size_col).desc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
     frontier = per_size.withColumn("min_price_larger", F.min("min_price").over(w))
@@ -1198,13 +1208,9 @@ def rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_price_larger").isNull()
         | (F.col("min_price") < F.col("min_price_larger"))
     )
-    return (
-        part.join(
-            F.broadcast(keep.select("p_size", "min_price")), "p_size"
-        )
-        .filter(F.col("p_retailprice") == F.col("min_price"))
-        .select("p_partkey", "p_size", "p_retailprice")
-    )
+    return df.join(
+        F.broadcast(keep.select(size_col, "min_price")), size_col
+    ).filter(F.col(price_col) == F.col("min_price"))
 
 
 def rel_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -472,12 +472,14 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cw"))
     )
     # Both corpus totals from ONE pass over doc token counts (a doc with
-    # t tokens contributes t unigrams and t-1 bigrams; every doc has >=1
-    # token under this tokenizer) — one 1-row scalar broadcast, not one
-    # per total.
+    # t tokens contributes t unigrams and max(t-1, 0) bigrams) — one
+    # 1-row scalar broadcast, not one per total. greatest(nt-1, 0) keeps
+    # the bigram total exact even if the tokenizer ever returns an empty
+    # array (today it never does — split('') yields [''] — but the PMI
+    # denominator must not depend on that invariant).
     totals = docs.select(F.size(tokenize(F.col("text"))).alias("nt")).agg(
         F.sum("nt").alias("n_tokens"),
-        F.sum(F.col("nt") - 1).alias("n_bigrams"),
+        F.sum(F.greatest(F.col("nt") - 1, F.lit(0))).alias("n_bigrams"),
     )
     bg_counts = (
         bigrams.groupBy("w1", "w2")

@@ -49,13 +49,16 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     cores, pure overhead at small SF) is it resized to the machine. A
     session whose owner SET shuffle partitions (a real cluster sized for
     1000 executors) is respected — clobbering that to 2x driver cores
-    would be the real scale bug. Results are partition-count-invariant
-    either way (decimal sums, lattice rounding — pinned by the
-    partition-invariance property tests).
+    would be the real scale bug. An owner who DELIBERATELY wants exactly
+    200 (indistinguishable from the untouched default through the conf
+    API) opts out with SPARK_GRAFT_KEEP_SHUFFLE_PARTITIONS=1. Results
+    are partition-count-invariant either way (decimal sums, lattice
+    rounding — pinned by the partition-invariance property tests).
     """
     for key, value in RUNTIME_CONFS.items():
         spark.conf.set(key, value)
-    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+    keep = os.environ.get("SPARK_GRAFT_KEEP_SHUFFLE_PARTITIONS", "") == "1"
+    if not keep and spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(max(2 * (os.cpu_count() or 4), 8))
         )

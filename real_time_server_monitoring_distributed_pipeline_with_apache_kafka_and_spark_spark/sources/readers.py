@@ -338,17 +338,21 @@ def conform_to_schema(df: DataFrame, schema, strict: bool = False) -> DataFrame:
     semantics, ``spark.sql.caseSensitive=false``): a producer shard that
     drifted to ``Doc_ID`` still feeds the target's ``doc_id`` instead of
     silently materializing NULLs. Two producer columns that collide
-    case-insensitively are ambiguous and raise.
+    case-insensitively are ambiguous and raise — but only when the
+    collision matters: in non-strict mode a collision among columns the
+    target doesn't name at all would be dropped either way, so those
+    frames normalize instead of failing.
     """
+    target_lower = {f.name.lower() for f in schema.fields}
     have: dict[str, str] = {}
     for c in df.columns:
-        if c.lower() in have:
+        lc = c.lower()
+        if lc in have and (strict or lc in target_lower):
             raise ValueError(
                 f"ambiguous producer columns (case-insensitive collision): "
-                f"{have[c.lower()]!r} vs {c!r}"
+                f"{have[lc]!r} vs {c!r}"
             )
-        have[c.lower()] = c
-    target_lower = {f.name.lower() for f in schema.fields}
+        have.setdefault(lc, c)
     extras = [c for c in df.columns if c.lower() not in target_lower]
     if strict and extras:
         raise ValueError(f"unexpected columns for target schema: {extras}")

@@ -123,6 +123,14 @@ def interval_join_stream(
     the streaming mirror of the batch operator's bucket-bounded shuffle
     state.
     """
+    if how not in ("inner", "left_outer"):
+        # Keeping only the LEFT key copy (below) is correct for inner and
+        # left-outer joins; with right_outer/full_outer an unmatched right
+        # row would emit NULL keys. Coalescing both copies is the fix if a
+        # right-preserving mode is ever needed — refuse until then.
+        raise ValueError(
+            f"interval_join_stream supports how in ('inner', 'left_outer'); got {how!r}"
+        )
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = (

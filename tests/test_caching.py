@@ -58,5 +58,17 @@ def test_runtime_confs_respect_user_shuffle_partitions(spark):
         spark.conf.set("spark.sql.shuffle.partitions", "1000")
         apply_runtime_confs(spark)
         assert spark.conf.get("spark.sql.shuffle.partitions") == "1000"
+
+        # An owner who DELIBERATELY wants exactly 200 (indistinguishable
+        # from the untouched default) opts out via env var.
+        import os as _os
+
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        _os.environ["SPARK_GRAFT_KEEP_SHUFFLE_PARTITIONS"] = "1"
+        try:
+            apply_runtime_confs(spark)
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
+        finally:
+            del _os.environ["SPARK_GRAFT_KEEP_SHUFFLE_PARTITIONS"]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)

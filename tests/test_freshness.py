@@ -24,7 +24,20 @@ import re
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
-MAX_AGE = 2  # a green from round N satisfies compositions of rounds N..N+MAX_AGE
+
+# Registry-capacity policy (r07, VERDICT r06 #2): MAX_AGE was raised 2 -> 3
+# DELIBERATELY. At 142 registered queries a 50-row window gives a natural
+# 3-round re-proof cycle (ceil(142/50) = 3), which MAX_AGE=2 cannot admit —
+# it left 8 registration slots of headroom and made every new query a
+# freshness liability. MAX_AGE=3 sets capacity at WINDOW*(MAX_AGE+1) = 200;
+# the registry may grow to HEADROOM_CAP = 170 (15% reserved headroom,
+# enforced below) before registration freezes again. The staleness trade:
+# a query's driver green may now be up to 3 rounds old before its
+# mandatory re-proof, but the rotation in queries/__init__.py still leads
+# each window with the OLDEST greens, so practical staleness stays at the
+# natural cycle length (3 rounds at current size), not the cap.
+MAX_AGE = 3  # a green from round N satisfies compositions of rounds N..N+MAX_AGE
+HEADROOM_FRACTION = 0.15
 
 
 def _history() -> dict[int, dict]:
@@ -85,8 +98,12 @@ def test_registry_size_within_rotation_capacity():
     )
 
     capacity = WINDOW * (MAX_AGE + 1)
-    assert len(_PRIORITY) <= capacity, (
-        f"{len(_PRIORITY)} registered queries exceed the {capacity}-query "
-        f"rotation capacity of a {WINDOW}-row window at max age {MAX_AGE}; "
-        "either raise MAX_AGE deliberately or stop registering new queries"
+    headroom_cap = int(capacity * (1 - HEADROOM_FRACTION))
+    assert len(_PRIORITY) <= headroom_cap, (
+        f"{len(_PRIORITY)} registered queries exceed the policy cap of "
+        f"{headroom_cap} ({capacity}-query rotation capacity of a "
+        f"{WINDOW}-row window at max age {MAX_AGE}, minus "
+        f"{HEADROOM_FRACTION:.0%} reserved headroom); either raise MAX_AGE "
+        "deliberately (documenting the staleness trade above) or stop "
+        "registering new queries"
     )

@@ -536,21 +536,18 @@ def test_skyline_matches_bruteforce_dominance(spark, parts):
     """rel_skyline's small-domain window formulation must equal the
     naive all-pairs dominance filter on arbitrary (size, price) sets:
     keep (s, p) iff no other row has size >= s AND price <= p with one
-    strict."""
-    from pyspark.sql import Window
+    strict. Exercises the SHIPPED skyline_frontier core, not an inline
+    re-derivation, so a regression in the query body is caught."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.relational import (
+        skyline_frontier,
+    )
 
     rows = [(i, s, float(p)) for i, (s, p) in enumerate(parts)]
     df = spark.createDataFrame(rows, "p_partkey long, p_size int, p_retailprice double")
 
-    per_size = df.groupBy("p_size").agg(F.min("p_retailprice").alias("min_price"))
-    w = Window.orderBy(F.col("p_size").desc()).rowsBetween(Window.unboundedPreceding, -1)
-    frontier = per_size.withColumn("mpl", F.min("min_price").over(w))
-    keep = frontier.filter(F.col("mpl").isNull() | (F.col("min_price") < F.col("mpl")))
     got = {
-        (r.p_partkey)
-        for r in df.join(keep.select("p_size", "min_price"), "p_size")
-        .filter(F.col("p_retailprice") == F.col("min_price"))
-        .collect()
+        r.p_partkey
+        for r in skyline_frontier(df, "p_size", "p_retailprice").collect()
     }
 
     want = set()

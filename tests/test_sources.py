@@ -299,3 +299,16 @@ def test_conform_to_schema_case_insensitive_match(spark):
     ambiguous = spark.createDataFrame([(1, 2)], "doc_id int, DOC_ID int")
     with _pytest.raises(ValueError, match="ambiguous"):
         conform_to_schema(ambiguous, target)
+
+    # A case-collision among columns the target doesn't name is harmless
+    # in non-strict mode (both copies drop anyway) — normalize, don't
+    # reject. In strict mode the extras themselves are the error.
+    extras_collide = spark.createDataFrame(
+        [(7, "en", 1, 2)], "doc_id int, lang string, Junk int, JUNK int"
+    )
+    out2 = conform_to_schema(extras_collide, target)
+    assert out2.columns == ["doc_id", "lang"]
+    r2 = out2.collect()[0]
+    assert (r2.doc_id, r2.lang) == (7, "en")
+    with _pytest.raises(ValueError):
+        conform_to_schema(extras_collide, target, strict=True)

@@ -1650,6 +1650,20 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     assert got == want and len(want) > 50
 
 
+def test_interval_join_stream_rejects_right_preserving_modes(spark):
+    """interval_join_stream keeps only the LEFT key copy, which would
+    emit NULL keys for unmatched right rows under right_outer /
+    full_outer — those modes must be refused loudly, not corrupt."""
+    import pytest as _pytest
+
+    df = spark.readStream.format("rate").load().select(
+        F.col("value").alias("user_id"), F.col("timestamp").alias("ts")
+    )
+    for bad in ("right_outer", "full_outer", "left_semi"):
+        with _pytest.raises(ValueError, match="interval_join_stream supports"):
+            jobs.interval_join_stream(df, df, ["user_id"], "ts", "ts", 60, how=bad)
+
+
 def test_streaming_session_window_matches_batch(spark, tmp_path):
     """T2/T3: gap-based session windows under watermark in APPEND mode
     produce exactly the batch session set once the stream drains (late
