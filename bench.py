@@ -59,7 +59,7 @@ HEADLINE17 = LEGACY9 + [
     "sim_knn_join",               # LSH bucket join + per-query ranking window
     "pipeline_training_prep",     # six-stage curation composite
 ]
-HEADLINE = HEADLINE17 + [
+HEADLINE24 = HEADLINE17 + [
     # added r06: cheap representatives of the round's new plan shapes
     # (the heavy graph/composite queries stay out of the bench budget;
     # their scale notes live in their docstrings)
@@ -72,11 +72,28 @@ HEADLINE = HEADLINE17 + [
     "rel_decile_lift",            # two-pass histogram deciles (no global NTILE)
     "mm_audio_silence_trim",      # Arrow mapInPandas 1:N explode + conditional re-agg
 ]
+HEADLINE = HEADLINE24 + [
+    # added r07: the three heaviest previously-unbenched queries, so
+    # regressions there surface in BENCH rather than only in pytest
+    "pipeline_embedding_prep",    # dedup + near-dup + cluster-rep composite
+    "dedup_containment",          # asymmetric prefix-filter containment join
+    "text_dup_spans",             # shingle-level duplicate span detection
+]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    # SPARK_GRAFT_BENCH_SET=legacy9|headline17|headline24|all (default all):
+    # time a frozen subset in a FRESH JVM — used to separate per-query
+    # regressions from whole-session effects (heap/code-cache growth as the
+    # set grows) when a frozen subtotal drifts between rounds.
+    bench_set = {
+        "legacy9": LEGACY9,
+        "headline17": HEADLINE17,
+        "headline24": HEADLINE24,
+        "all": HEADLINE,
+    }[os.environ.get("SPARK_GRAFT_BENCH_SET", "all")]
     spark = session.get_spark(app_name="rtsm-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
@@ -102,16 +119,16 @@ def main() -> None:
     warmup_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if not os.path.isdir(warmup_dir):
         warmup_dir = sf_dir
-    for name in HEADLINE:
+    for name in bench_set:
         run(name, at=warmup_dir)
-    for name in HEADLINE:
+    for name in bench_set:
         run(name)
 
     # Median of 3 timed runs per query: a single timed run is hostage to
     # sandbox weather (one loaded-machine run recorded a 1.35x phantom
     # regression in round 3); the median discards one arbitrarily bad
     # sample per query while staying cheap. Total = sum of medians.
-    samples = {name: [round(run(name), 3) for _ in range(3)] for name in HEADLINE}
+    samples = {name: [round(run(name), 3) for _ in range(3)] for name in bench_set}
     timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
     print(
         json.dumps(
@@ -121,8 +138,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "samples": samples,
-                "legacy9_total": round(sum(timings[n] for n in LEGACY9), 3),
-                "headline17_total": round(sum(timings[n] for n in HEADLINE17), 3),
+                "legacy9_total": round(sum(timings[n] for n in LEGACY9 if n in timings), 3),
+                "headline17_total": round(sum(timings[n] for n in HEADLINE17 if n in timings), 3),
+                "headline24_total": round(sum(timings[n] for n in HEADLINE24 if n in timings), 3),
                 "sf": sf,
             }
         )

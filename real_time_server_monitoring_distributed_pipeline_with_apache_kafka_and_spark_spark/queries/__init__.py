@@ -30,8 +30,8 @@ from . import dedup, extras, monitoring, multimodal, profiling, relational, simi
 # r07 window: the 44 r04-green rows (age 3 after this round if skipped),
 # then sim_knn_join (r06 dispatch rework — output-PRESERVING, cap==no-cap
 # bitwise-pinned + oracle-green locally, but re-prove under the driver),
-# then the 5 oldest r05-green rows as fills. The 43 remaining r05 rows
-# lead r08; the 50 r06 rows lead r09.
+# then the 3 never-proven r07 queries, then the 2 oldest r05-green rows
+# as fills. The 46 remaining r05 rows lead r08; the 50 r06 rows lead r09.
 _PRIORITY: tuple[str, ...] = (
     # -- newest driver green is r04: re-prove now --
     "monitor_cpu_mem_alerts",
@@ -80,14 +80,18 @@ _PRIORITY: tuple[str, ...] = (
     "rel_asof_join",
     # -- r06 code change (output-preserving, re-prove under the driver) --
     "sim_knn_join",
-    # -- fills: the 5 oldest r05-green rows --
+    # -- never driver-proven (new in r07) --
+    "rel_mad_outliers",
+    "text_hapax_ratio",
+    "sim_embedding_drift",
+    # -- fills: the 2 oldest r05-green rows --
     "rel_profile_columns",
     "rel_key_skew_stats",
+    # ---- past the ~50-row cap from here ----
+    # -- rest of the r05-green tail: leads the r08 window --
     "monitor_error_after_click",
     "text_char_entropy",
     "text_source_quality_filter",
-    # ---- past the ~50-row cap from here ----
-    # -- rest of the r05-green tail: leads the r08 window --
     "mm_image_ahash",
     "rel_validate_constraints",
     "monitor_sessionize",

@@ -693,6 +693,53 @@ def rel_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier report per event_type: the
+    robust two-parameter (median, MAD) location/scale estimate and the
+    count of events beyond 3 MADs — the outlier flag that, unlike
+    z-scores, a few extreme values cannot drag around (50% breakdown
+    point vs 0%). rel_winsorize's sibling: that one CLAMPS tails, this
+    one COUNTS them against a robust scale.
+
+    Plan shape: three grouped passes over the fact (median -> MAD ->
+    flag counts), each collapsing map-side to one row per event_type;
+    the tiny per-group stats broadcast back, so the fact never shuffles.
+    MAD is inherently two-pass (the deviation needs the median first) —
+    at 100 TB the two extra scans beat a global sort, and a sketch
+    median (approx_percentile) can replace both exact passes where error
+    tolerance allows.
+
+    Float policy (same as rel_winsorize): median and MAD are exact
+    interpolated percentiles (F.percentile == DuckDB quantile_cont,
+    proven by rel_percentile), display-rounded to 6 decimals BEFORE any
+    comparison, so the ``absdev > 3 * mad`` boundary is the same IEEE
+    op sequence in both engines.
+    """
+    from ..functions.numeric import display_round
+
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        display_round(F.percentile("value", 0.5), 6).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "_absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        display_round(F.percentile("_absdev", 0.5), 6).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    n_out = F.sum((F.col("_absdev") > 3.0 * F.col("mad")).cast("int"))
+    return flagged.groupBy("event_type").agg(
+        F.min("med").alias("med"),
+        F.min("mad").alias("mad"),
+        F.count(F.lit(1)).alias("n_events"),
+        n_out.alias("n_outliers"),
+        display_round(
+            n_out.cast("double") / F.count(F.lit(1)).cast("double"), 9
+        ).alias("outlier_frac"),
+    )
+
+
 # Insertion order is load-bearing: the correctness driver checks the first
 # ~50 registry entries in iteration order (CORRECTNESS_r01.json stopped at
 # exactly 50 = the module boundary before text/multimodal). Structurally
@@ -1410,6 +1457,7 @@ QUERIES = {
     "rel_scd2_intervals": rel_scd2_intervals,
     "rel_fuzzy_join": rel_fuzzy_join,
     "rel_winsorize": rel_winsorize,
+    "rel_mad_outliers": rel_mad_outliers,
     "rel_pricing_summary": rel_pricing_summary,
     "rel_join_customer_orders": rel_join_customer_orders,
     "rel_multiway_revenue": rel_multiway_revenue,
@@ -1959,6 +2007,28 @@ SELECT c_custkey,
   c_acctbal < 0 AS is_negative,
   nullif(c_nationkey, 3) IS NULL AS is_nation3
 FROM customer
+""",
+    "rel_mad_outliers": """
+WITH m AS (
+  SELECT event_type,
+         floor(quantile_cont(value, 0.5) * 1e6 + 0.5) / 1e6 AS med
+  FROM events GROUP BY event_type
+),
+d AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS absdev
+  FROM events e JOIN m USING (event_type)
+),
+s AS (
+  SELECT event_type,
+         floor(quantile_cont(absdev, 0.5) * 1e6 + 0.5) / 1e6 AS mad
+  FROM d GROUP BY event_type
+)
+SELECT d.event_type, min(d.med) AS med, min(s.mad) AS mad,
+  count(*) AS n_events,
+  CAST(sum(CASE WHEN d.absdev > 3.0 * s.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  floor(CAST(sum(CASE WHEN d.absdev > 3.0 * s.mad THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE) * 1e9 + 0.5) / 1e9 AS outlier_frac
+FROM d JOIN s USING (event_type) GROUP BY d.event_type
 """,
     "rel_winsorize": """
 WITH b AS (

@@ -195,6 +195,100 @@ def sim_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift report between two corpus halves: split the
+    vectors by deterministic md5 bucket (the stand-in for "last month's
+    embeddings vs this month's"), compute each half's mean vector, and
+    report cosine similarity, L2 distance, and max per-dimension drift of
+    the two means — the cheap monitoring signal that an embedding model
+    rev or a corpus-mix shift moved the space before retraining on it.
+
+    Plan: ONE hash agg over the scan — 2 counts + 128 conditional
+    per-dimension sums collapse map-side to a single row; the 64-dim
+    mean/cosine/L2 arithmetic then runs once on that row. No joins, no
+    window, no collect: at 100 TB this is a pure scan plus a 1-row
+    exchange. Float policy (same lattice as sim_kmeans_iter): each
+    component quantizes to integer tenth-micros BEFORE the cross-row
+    sum, so accumulation is order-independent long addition; the
+    per-dimension means and every downstream double op (left-assoc
+    sums, IEEE sqrt) are the identical op sequence in the oracle.
+    """
+    from functools import reduce
+
+    from ..functions.numeric import display_round
+    from ..operators.text import hash_bucket_100
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    is_ref = hash_bucket_100(F.col("vec_id")) < 50
+
+    def q(i: int) -> F.Column:
+        return F.floor(
+            F.col("embedding")[i].cast("double") * 1e7 + F.lit(0.5)
+        ).cast("long")
+
+    aggs = [
+        F.sum(is_ref.cast("long")).alias("n_ref"),
+        F.sum((~is_ref).cast("long")).alias("n_cur"),
+    ]
+    for i in range(dim):
+        aggs.append(F.sum(F.when(is_ref, q(i)).otherwise(F.lit(0))).alias(f"r{i}"))
+        aggs.append(F.sum(F.when(~is_ref, q(i)).otherwise(F.lit(0))).alias(f"c{i}"))
+    s = emb.agg(*aggs)
+    mr = [
+        (F.col(f"r{i}").cast("double") / 1e7) / F.col("n_ref") for i in range(dim)
+    ]
+    mc = [
+        (F.col(f"c{i}").cast("double") / 1e7) / F.col("n_cur") for i in range(dim)
+    ]
+    add = lambda a, b: a + b  # noqa: E731 — left-assoc fold, mirrored in SQL
+    dot = reduce(add, [mr[i] * mc[i] for i in range(dim)])
+    nr = F.sqrt(reduce(add, [mr[i] * mr[i] for i in range(dim)]))
+    nc = F.sqrt(reduce(add, [mc[i] * mc[i] for i in range(dim)]))
+    l2 = F.sqrt(reduce(add, [(mr[i] - mc[i]) * (mr[i] - mc[i]) for i in range(dim)]))
+    mx = F.greatest(*[F.abs(mr[i] - mc[i]) for i in range(dim)])
+    return s.select(
+        "n_ref",
+        "n_cur",
+        display_round(dot / (nr * nc), 9).alias("mean_cosine"),
+        display_round(l2, 9).alias("mean_l2"),
+        display_round(mx, 9).alias("max_dim_drift"),
+    )
+
+
+def _drift_oracle() -> str:
+    dim = 64
+    parts = [
+        "sum(CASE WHEN half THEN 1 ELSE 0 END) AS n_ref",
+        "sum(CASE WHEN NOT half THEN 1 ELSE 0 END) AS n_cur",
+    ]
+    for i in range(dim):
+        qi = f"CAST(floor(CAST(e[{i + 1}] AS DOUBLE) * 1e7 + 0.5) AS BIGINT)"
+        parts.append(f"sum(CASE WHEN half THEN {qi} ELSE 0 END) AS r{i}")
+        parts.append(f"sum(CASE WHEN NOT half THEN {qi} ELSE 0 END) AS c{i}")
+    mr = [f"((CAST(r{i} AS DOUBLE) / 1e7) / n_ref)" for i in range(dim)]
+    mc = [f"((CAST(c{i} AS DOUBLE) / 1e7) / n_cur)" for i in range(dim)]
+    dot = " + ".join(f"{mr[i]} * {mc[i]}" for i in range(dim))
+    nr = " + ".join(f"{mr[i]} * {mr[i]}" for i in range(dim))
+    nc = " + ".join(f"{mc[i]} * {mc[i]}" for i in range(dim))
+    l2 = " + ".join(f"({mr[i]} - {mc[i]}) * ({mr[i]} - {mc[i]})" for i in range(dim))
+    mx = ", ".join(f"abs({mr[i]} - {mc[i]})" for i in range(dim))
+    return f"""
+WITH h AS (
+  SELECT (CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 100) < 50 AS half,
+         embedding AS e
+  FROM embeddings
+),
+s AS (SELECT {", ".join(parts)} FROM h)
+SELECT n_ref, n_cur,
+  floor(({dot}) / (sqrt({nr}) * sqrt({nc})) * 1e9 + 0.5) / 1e9 AS mean_cosine,
+  floor(sqrt({l2}) * 1e9 + 0.5) / 1e9 AS mean_l2,
+  floor(greatest({mx}) * 1e9 + 0.5) / 1e9 AS max_dim_drift
+FROM s
+"""
+
+
 def pipeline_embedding_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-side training prep as ONE query — the vector mirror of
     queries.dedup.pipeline_training_prep, four chained curation
@@ -300,6 +394,7 @@ QUERIES = {
     "sim_ann_ivfpq": sim_ann_ivfpq,
     "sim_knn_join": sim_knn_join,
     "sim_kmeans_iter": sim_kmeans_iter,
+    "sim_embedding_drift": sim_embedding_drift,
     "pipeline_embedding_prep": pipeline_embedding_prep,
     "sim_ann_bruteforce": sim_ann_bruteforce,
     "sim_ann_lsh": sim_ann_lsh,
@@ -662,3 +757,4 @@ _KNN_BANDS_SQL = "\n  UNION ALL ".join(
 )
 ORACLES["sim_knn_join"] = ORACLES["sim_knn_join"].format(bands=_KNN_BANDS_SQL)
 ORACLES["pipeline_embedding_prep"] = _embedding_prep_oracle()
+ORACLES["sim_embedding_drift"] = _drift_oracle()

@@ -508,6 +508,34 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(50)
 
 
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-hapax fraction: the share of a doc's token
+    instances whose term occurs EXACTLY ONCE in the whole corpus. High
+    hapax fraction marks novel/rare content (or OCR noise); near-zero
+    marks boilerplate — the corpus-level novelty signal quality_score's
+    per-doc lexical_diversity (type/token within one doc) cannot see.
+
+    Plan shape: one explode feeds both sides — the corpus vocabulary
+    count (Zipf-small, broadcast back) and the per-doc re-aggregation;
+    two hash aggs, one broadcast join, no shuffle of the exploded fact.
+    """
+    from ..functions.numeric import display_round
+    from ..operators.text import tokens as tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    joined = toks.join(F.broadcast(vocab), "w")
+    n_hapax = F.sum((F.col("cw") == 1).cast("int"))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        n_hapax.alias("n_hapax"),
+        display_round(
+            n_hapax.cast("double") / F.count(F.lit(1)).cast("double"), 9
+        ).alias("hapax_frac"),
+    )
+
+
 QUERIES = {
     "text_bpe_pair_counts": text_bpe_pair_counts,
     "text_pmi_bigrams": text_pmi_bigrams,
@@ -531,9 +559,21 @@ QUERIES = {
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_tfidf": text_tfidf,
+    "text_hapax_ratio": text_hapax_ratio,
 }
 
 ORACLES = {
+    "text_hapax_ratio": f"""
+WITH toks AS (
+  SELECT doc_id, w FROM documents, LATERAL unnest({_TOKENS}) t(w)
+),
+vocab AS (SELECT w, count(*) AS cw FROM toks GROUP BY w)
+SELECT doc_id, count(*) AS n_tokens,
+  CAST(sum(CASE WHEN cw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+  floor(CAST(sum(CASE WHEN cw = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE) * 1e9 + 0.5) / 1e9 AS hapax_frac
+FROM toks JOIN vocab USING (w) GROUP BY doc_id
+""",
     "text_bpe_pair_counts": f"""
 WITH words AS (
   SELECT w FROM documents, LATERAL unnest({_TOKENS}) t(w)

@@ -280,28 +280,112 @@ def test_hash_split_single_shuffle_narrow_scan(reports):
     assert set(r["read_schema_columns"]) <= {"doc_id", "text"}, r
 
 
-def test_no_accidental_nested_loops_anywhere(spark):
-    """Blanket scale guard: every registered query plans without
-    CartesianProduct/BroadcastNestedLoopJoin, except the operators that
-    are cross-products by definition (exact brute-force scoring)."""
-    INTENTIONAL = {
-        "sim_ann_bruteforce",   # broadcast-query exact baseline
-        "sim_ann_quantized",    # same shape on int8 vectors
-        "dedup_embedding_cosine",  # blocked all-pairs oracle anchor
-        "rel_cross_join",       # the cross-join surface query itself
-        "text_tfidf",           # 1-row n_docs scalar broadcast (standard)
-        "text_unigram_logprob",  # 1-row n_total scalar broadcast (same)
-        "text_pmi_bigrams",     # 1-row corpus-totals scalar broadcast (same)
-    }
-    qs = all_queries()
-    offenders = {}
-    for name, fn in qs.items():
-        if name in INTENTIONAL:
-            continue
-        r = plan_report(fn(spark, SF_DIR))
-        if r["nested_loop_joins"]:
-            offenders[name] = r["nested_loop_joins"]
-    assert not offenders, f"unexpected nested-loop joins: {offenders}"
+# Queries that are cross-products BY DESIGN and opt out of the
+# nested-loop check in the registry-wide guard sweep below.
+INTENTIONAL_NESTED_LOOP = {
+    "sim_ann_bruteforce",   # broadcast-query exact baseline
+    "sim_ann_quantized",    # same shape on int8 vectors
+    "dedup_embedding_cosine",  # blocked all-pairs oracle anchor
+    "rel_cross_join",       # the cross-join surface query itself
+    "text_tfidf",           # 1-row n_docs scalar broadcast (standard)
+    "text_unigram_logprob",  # 1-row n_total scalar broadcast (same)
+    "text_pmi_bigrams",     # 1-row corpus-totals scalar broadcast (same)
+}
+
+# Exact Exchange-node count of every registry query's initial physical
+# plan at sf0.001 (census r07). The registry-wide guard sweep pins these:
+# a new shuffle creeping into ANY of the 142 queries fails loudly here,
+# not just the ~40 with bespoke plan pins above. A count going DOWN also
+# fails — that's an improvement; re-census and update the pin. Counts are
+# deterministic at fixed SF + Spark version (AQE's runtime coalescing
+# happens below the Exchange node and doesn't change node counts).
+EXCHANGE_CENSUS = {
+    "dedup_clusters": 2, "dedup_containment": 6, "dedup_cross_corpus": 4,
+    "dedup_embedding_clusters": 2, "dedup_embedding_cosine": 2,
+    "dedup_embedding_lsh": 1, "dedup_exact": 1, "dedup_minhash_lsh": 4,
+    "dedup_ngram_jaccard": 8, "dedup_simhash": 2, "mm_audio_rms": 0,
+    "mm_audio_silence_trim": 1, "mm_binary_meta": 0, "mm_decode_features": 0,
+    "mm_frame_sample": 0, "mm_image_ahash": 1, "mm_image_dedup_clusters": 2,
+    "mm_resize": 0, "mm_scene_segments": 1, "monitor_alert_transitions": 2,
+    "monitor_anomaly_zscore": 1, "monitor_case_classify": 0,
+    "monitor_cpu_mem_alerts": 1, "monitor_cpu_mem_alerts_bucketed": 0,
+    "monitor_drift_psi": 2, "monitor_error_after_click": 0,
+    "monitor_ewma_level": 1, "monitor_filter_range": 0, "monitor_funnel": 4,
+    "monitor_gap_report": 2, "monitor_heavy_hitters": 1,
+    "monitor_net_disk_alerts": 1, "monitor_net_disk_alerts_bucketed": 0,
+    "monitor_project_cast": 0, "monitor_rate_spike": 1,
+    "monitor_resample_locf": 2, "monitor_rollup_cascade": 2,
+    "monitor_session_window": 1, "monitor_sessionize": 1,
+    "monitor_sla_burn": 2, "monitor_top_movers": 2,
+    "monitor_window_sliding_avg": 1, "monitor_window_tumbling": 1,
+    "pipeline_corpus_curation": 18, "pipeline_embedding_prep": 3,
+    "pipeline_multimodal_prep": 8, "pipeline_training_prep": 43,
+    "rel_agg_stats": 1, "rel_approx_distinct": 1, "rel_approx_percentile": 1,
+    "rel_array_funcs": 0, "rel_asof_join": 2, "rel_benford_check": 2,
+    "rel_cascade_delete": 3, "rel_cdc_merge": 1, "rel_cohort_retention": 3,
+    "rel_conditional_funcs": 0, "rel_corr_matrix": 1, "rel_count_distinct": 2,
+    "rel_cross_join": 0, "rel_cube": 1, "rel_date_funcs": 0,
+    "rel_decile_lift": 2, "rel_disjunctive_filter": 1, "rel_distinct": 1,
+    "rel_fuzzy_join": 1, "rel_grouping_sets": 1, "rel_having": 1,
+    "rel_hll_daily_users": 3, "rel_join_anti": 0,
+    "rel_join_customer_orders": 1, "rel_join_full_outer": 2,
+    "rel_mad_outliers": 4,
+    "rel_join_left_outer": 1, "rel_join_semi": 0, "rel_json_funcs": 0,
+    "rel_key_skew_stats": 3, "rel_map_funcs": 0, "rel_math_funcs": 0,
+    "rel_merge_intervals": 1, "rel_mode_per_group": 2, "rel_mom_growth": 2,
+    "rel_multiway_revenue": 1, "rel_orderby_limit": 0,
+    "rel_pagerank_coparts": 14, "rel_percentile": 1, "rel_pit_features": 4,
+    "rel_pivot": 2, "rel_pricing_summary": 1, "rel_profile_columns": 3,
+    "rel_range_join": 1, "rel_rollup": 1, "rel_salted_count_distinct": 2,
+    "rel_salted_join": 1, "rel_scd2_asof_lookup": 2, "rel_scd2_intervals": 1,
+    "rel_set_ops": 2, "rel_skyline": 2, "rel_sql_subqueries": 1,
+    "rel_string_funcs": 0, "rel_time_range_frame": 1, "rel_topk_per_group": 1,
+    "rel_triangle_count": 11, "rel_unpivot": 0, "rel_validate_constraints": 8,
+    "rel_window_frames": 1, "rel_window_running": 1, "rel_winsorize": 2,
+    "sim_ann_bruteforce": 1, "sim_embedding_drift": 1, "sim_ann_ivf": 1, "sim_ann_ivfpq": 1,
+    "sim_ann_lsh": 2, "sim_ann_quantized": 1, "sim_kmeans_iter": 1,
+    "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1,
+    "text_char_entropy": 2, "text_chunking": 0, "text_decontaminate": 2,
+    "text_dup_spans": 3, "text_fingerprint": 0, "text_fixed_n_per_lang": 1, "text_hapax_ratio": 2,
+    "text_hash_split": 1, "text_langid": 0, "text_langid_confusion": 2,
+    "text_length_percentiles": 1, "text_pii_redact": 0, "text_pmi_bigrams": 4,
+    "text_prefix_dup": 1, "text_quality_score": 0, "text_repetition": 0,
+    "text_sequence_packing": 3, "text_shuffle_order": 3,
+    "text_source_quality_filter": 1, "text_stratified_sample": 1,
+    "text_stratified_sample_salted": 1, "text_tfidf": 5,
+    "text_token_stats": 0, "text_unigram_logprob": 3, "text_vocab_topk": 1,
+    "text_weighted_sample": 0, "text_zipf_slope": 1,
+}
+
+
+def test_exchange_census_covers_registry():
+    assert set(EXCHANGE_CENSUS) == set(all_queries()), (
+        "EXCHANGE_CENSUS out of sync with the registry — re-census "
+        "(plan_report at sf0.001) for added/removed queries"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_CENSUS))
+def test_registry_query_is_scale_safe(spark, name):
+    """Registry-wide guard sweep (VERDICT r06 #7): every query's plan
+    passes the SHIPPED plans.guard.assert_scale_safe — no nested loops
+    (minus the documented brute-force anchors) and exactly the censused
+    Exchange count. Catches a plan regression in ANY of the 142 queries,
+    not just the ones with bespoke pins above."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.guard import (
+        assert_scale_safe,
+    )
+
+    df = all_queries()[name](spark, SF_DIR)
+    report = assert_scale_safe(
+        df,
+        allow_nested_loop=name in INTENTIONAL_NESTED_LOOP,
+        max_exchanges=EXCHANGE_CENSUS[name],
+    )
+    assert report["exchanges"] == EXCHANGE_CENSUS[name], (
+        f"{name}: {report['exchanges']} exchanges, census pins "
+        f"{EXCHANGE_CENSUS[name]} — fewer is an improvement, update the pin"
+    )
 
 
 def test_parallelize_if_narrow_handles_non_file_sources(spark):
