@@ -715,21 +715,29 @@ def rel_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison, so the ``absdev > 3 * mad`` boundary is the same IEEE
     op sequence in both engines.
     """
+    events = load_table(spark, sf_dir, "events")
+    return mad_outlier_report(events, "event_type", "value")
+
+
+def mad_outlier_report(df: DataFrame, key_col: str, val_col: str) -> DataFrame:
+    """Shared MAD core (see :func:`rel_mad_outliers` for semantics and
+    float policy). Exercised both by the registry query and the
+    brute-force property test, so a regression in the formulation is
+    caught against a numpy re-derivation."""
     from ..functions.numeric import display_round
 
-    events = load_table(spark, sf_dir, "events")
-    med = events.groupBy("event_type").agg(
-        display_round(F.percentile("value", 0.5), 6).alias("med")
+    med = df.groupBy(key_col).agg(
+        display_round(F.percentile(val_col, 0.5), 6).alias("med")
     )
-    dev = events.join(F.broadcast(med), "event_type").withColumn(
-        "_absdev", F.abs(F.col("value") - F.col("med"))
+    dev = df.join(F.broadcast(med), key_col).withColumn(
+        "_absdev", F.abs(F.col(val_col) - F.col("med"))
     )
-    mad = dev.groupBy("event_type").agg(
+    mad = dev.groupBy(key_col).agg(
         display_round(F.percentile("_absdev", 0.5), 6).alias("mad")
     )
-    flagged = dev.join(F.broadcast(mad), "event_type")
+    flagged = dev.join(F.broadcast(mad), key_col)
     n_out = F.sum((F.col("_absdev") > 3.0 * F.col("mad")).cast("int"))
-    return flagged.groupBy("event_type").agg(
+    return flagged.groupBy(key_col).agg(
         F.min("med").alias("med"),
         F.min("mad").alias("mad"),
         F.count(F.lit(1)).alias("n_events"),

@@ -668,3 +668,108 @@ def test_heavy_hitters_tracks_null_keys(spark, n_null, n_parts):
         space_saving_partial(df, "k", capacity=64)
     ).collect()}
     assert merged[None] == (n_null, n_null), merged.get(None)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-500, 500)),  # (group, value*0.01)
+        min_size=3,
+        max_size=60,
+    )
+)
+def test_mad_outliers_match_bruteforce(spark, vals):
+    """The shipped mad_outlier_report core must equal a pure-python
+    re-derivation (interpolated medians, 6-dec floor lattice, strict
+    3-MAD boundary) on arbitrary grouped doubles."""
+    import math
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.relational import (
+        mad_outlier_report,
+    )
+
+    rows = [(f"g{g}", v * 0.01) for g, v in vals]
+    df = spark.createDataFrame(rows, "k string, value double")
+    got = {
+        r.k: (r.med, r.mad, r.n_events, r.n_outliers)
+        for r in mad_outlier_report(df, "k", "value").collect()
+    }
+
+    def interp_median(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        pos = (n - 1) * 0.5
+        lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+        return xs[lo] + (xs[hi] - xs[lo]) * (pos - lo)
+
+    def lattice6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    want = {}
+    for k in {r[0] for r in rows}:
+        xs = [v for g, v in rows if g == k]
+        med = lattice6(interp_median(xs))
+        devs = [abs(x - med) for x in xs]
+        mad = lattice6(interp_median(devs))
+        n_out = sum(1 for d in devs if d > 3.0 * mad)
+        want[k] = (med, mad, len(xs), n_out)
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=8),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_hapax_ratio_matches_counter(spark, docs):
+    """text_hapax_ratio's explode/broadcast formulation must equal a
+    Counter re-derivation: n_hapax = instances of corpus-count-1 terms."""
+    from collections import Counter
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries import (
+        text as textq,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # Drive the shipped query body through a temp parquet dir so it runs
+    # the exact registry code path (load_table reads <dir>/documents).
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        got = {
+            r.doc_id: (r.n_tokens, r.n_hapax)
+            for r in textq.text_hapax_ratio(spark, d).collect()
+        }
+
+    corpus = Counter(t for toks in docs for t in toks)
+    want = {
+        i: (len(toks), sum(1 for t in toks if corpus[t] == 1))
+        for i, toks in enumerate(docs)
+    }
+    assert got == want
+
+
+def test_embedding_drift_identical_halves_is_zero(spark, tmp_path):
+    """sim_embedding_drift sanity anchor: when both md5-bucket halves
+    hold the SAME vector (constant corpus), the mean vectors coincide —
+    cosine 1, L2 0, max per-dim drift 0."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries import (
+        similarity as simq,
+    )
+
+    vec = [round(0.1 + 0.01 * i, 3) for i in range(64)]
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(40)], "vec_id long, embedding array<float>"
+    )
+    df.write.parquet(str(tmp_path / "embeddings.parquet"))
+    row = simq.sim_embedding_drift(spark, str(tmp_path)).collect()[0]
+    assert row.n_ref + row.n_cur == 40 and row.n_ref > 0 and row.n_cur > 0
+    assert row.mean_cosine == 1.0
+    assert row.mean_l2 == 0.0
+    assert row.max_dim_drift == 0.0
