@@ -210,7 +210,16 @@ def cosine_pairs_lsh(
         F.col(id_col).alias("id"),
         F.posexplode(buckets(F.col(vec_col))).alias("table_idx", "bucket"),
     )
-    a = tagged.select(F.col("id").alias("a_id"), "table_idx", "bucket")
+    # The candidate join's parallelism is the PROBE side's partitioning
+    # when the build side broadcasts (the single-file test regime): a
+    # one-file corpus would run the whole fan-out + verify on ONE task.
+    # Round-robin respread only when narrow — a no-op at real scale,
+    # where the shuffle join sets its own parallelism.
+    from ..sources.readers import parallelize_if_narrow
+
+    a = parallelize_if_narrow(
+        tagged.select(F.col("id").alias("a_id"), "table_idx", "bucket")
+    )
     b = tagged.select(F.col("id").alias("b_id"), "table_idx", "bucket")
     candidates = (
         a.join(b, ["table_idx", "bucket"])
@@ -251,15 +260,25 @@ def cosine_pairs_lsh(
         mb = np.stack(b.to_numpy()).astype(np.float64)
         return pd.Series(np.einsum("ij,ij->i", ma, mb))
 
-    prefiltered = paired.filter(
-        _np_dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b"))
-        >= margin
+    # EVALUATION-ORDER GUARD: the exact fold must be gated on the numpy
+    # prefilter's OUTPUT column, not written as an independent filter.
+    # Both predicates are deterministic from Catalyst's viewpoint, so two
+    # chained .filter()s let the optimizer push the (interpreted,
+    # per-element) fold predicate down INTO the candidate join condition
+    # — running it on every candidate and demoting the vectorized numpy
+    # pass to a no-op afterthought (observed: the fold landed in the
+    # BroadcastHashJoin condition and the ArrowEvalPython ran after it).
+    # Referencing the UDF column inside F.when pins the fold above the
+    # Python stage: prefilter failures short-circuit to NULL (>= is then
+    # false), and survivors get the same exact fold score as before, so
+    # the output is bit-identical.
+    pre = _np_dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    exact = dot_product(F.col("vec_a"), F.col("vec_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
     )
     return (
-        prefiltered.withColumn(
-            "cos",
-            dot_product(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b")),
-        )
+        paired.withColumn("_pre", pre)
+        .withColumn("cos", F.when(F.col("_pre") >= margin, exact))
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id")
     )

@@ -302,7 +302,10 @@ INTENTIONAL_NESTED_LOOP = {
 EXCHANGE_CENSUS = {
     "dedup_clusters": 2, "dedup_containment": 6, "dedup_cross_corpus": 4,
     "dedup_embedding_clusters": 2, "dedup_embedding_cosine": 2,
-    "dedup_embedding_lsh": 1, "dedup_exact": 1, "dedup_minhash_lsh": 4,
+    # dedup_embedding_lsh: 1 agg exchange + the parallelize_if_narrow
+    # respread cosine_pairs_lsh adds on single-file inputs (a no-op —
+    # and no exchange — once the corpus has >= cores files).
+    "dedup_embedding_lsh": 2, "dedup_exact": 1, "dedup_minhash_lsh": 4,
     "dedup_ngram_jaccard": 8, "dedup_simhash": 2, "mm_audio_rms": 0,
     "mm_audio_silence_trim": 1, "mm_binary_meta": 0, "mm_decode_features": 0,
     "mm_frame_sample": 0, "mm_image_ahash": 1, "mm_image_dedup_clusters": 2,
