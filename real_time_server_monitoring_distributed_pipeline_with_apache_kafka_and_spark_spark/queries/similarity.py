@@ -213,13 +213,22 @@ def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-dimension means and every downstream double op (left-assoc
     sums, IEEE sqrt) are the identical op sequence in the oracle.
     """
-    from functools import reduce
+    emb = load_table(spark, sf_dir, "embeddings")
+    return drift_report_from_sums(emb.agg(*drift_sum_exprs()))
 
-    from ..functions.numeric import display_round
+
+_DRIFT_DIM = 64
+
+
+def drift_sum_exprs(dim: int = _DRIFT_DIM) -> list:
+    """The drift report's partial-aggregate stage: 2 half counts + 2*dim
+    conditional per-dimension component sums, each lattice-quantized to
+    integer tenth-micros BEFORE summing. All outputs are longs — a
+    commutative monoid — so partials merge across partitions AND across
+    micro-batches by plain addition (the streaming twin's contract,
+    streaming/jobs.py::drift_ingest_stream)."""
     from ..operators.text import hash_bucket_100
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    dim = 64
     is_ref = hash_bucket_100(F.col("vec_id")) < 50
 
     def q(i: int) -> F.Column:
@@ -234,7 +243,18 @@ def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(dim):
         aggs.append(F.sum(F.when(is_ref, q(i)).otherwise(F.lit(0))).alias(f"r{i}"))
         aggs.append(F.sum(F.when(~is_ref, q(i)).otherwise(F.lit(0))).alias(f"c{i}"))
-    s = emb.agg(*aggs)
+    return aggs
+
+
+def drift_report_from_sums(s: DataFrame, dim: int = _DRIFT_DIM) -> DataFrame:
+    """Finish the drift report from a 1-row sums frame (the output of
+    ``df.agg(*drift_sum_exprs())`` or the merged streaming store): the
+    64-dim mean/cosine/L2 arithmetic, every double op in a pinned
+    left-assoc order so the SQL oracle replays it bitwise."""
+    from functools import reduce
+
+    from ..functions.numeric import display_round
+
     mr = [
         (F.col(f"r{i}").cast("double") / 1e7) / F.col("n_ref") for i in range(dim)
     ]

@@ -1040,3 +1040,43 @@ def probe_heavy_hitter_store(spark, store_path: str) -> DataFrame:
     return merge_summaries(
         spark.read.parquet(store_path), pid_cols=["batch_id", "pid"]
     )
+
+
+def drift_ingest_stream(stream: DataFrame, store_path: str, checkpoint_dir: str):
+    """Streaming twin of queries.similarity.sim_embedding_drift: each
+    micro-batch of arriving vectors lands its 1-row drift PARTIAL (the
+    half counts + lattice-quantized per-dimension component sums from
+    drift_sum_exprs) in the idempotent ``batch_id=N`` store. Because
+    every column is a long sum — a commutative monoid — the merged probe
+    (:func:`probe_drift_store`) is bit-identical to the one-shot batch
+    report on the union input, for ANY micro-batch boundaries (pinned by
+    tests/test_streaming.py::test_drift_ingest_stream_matches_batch).
+
+    Store rows are O(1) per micro-batch (one 130-column row), so the
+    drift monitor costs nothing next to the vector stream itself; the
+    probe re-aggregates the store and runs the 64-dim mean/cosine/L2
+    arithmetic once. Same delivery contract as the other ingest legs
+    (:func:`ingest_store_stream`).
+    """
+    from ..queries.similarity import drift_sum_exprs
+
+    def transform(batch_df: DataFrame) -> DataFrame:
+        return batch_df.agg(*drift_sum_exprs())
+
+    return ingest_store_stream(stream, store_path, checkpoint_dir, transform)
+
+
+def probe_drift_store(spark, store_path: str) -> DataFrame:
+    """Merged drift report over a :func:`drift_ingest_stream` store: sum
+    the 1-row partials (monoid merge; an empty micro-batch contributes
+    NULL-safe zeros via coalesce) and finish with the shared 64-dim
+    arithmetic — the exact code path the batch query runs."""
+    from ..queries.similarity import _DRIFT_DIM, drift_report_from_sums
+
+    cols = ["n_ref", "n_cur"]
+    for i in range(_DRIFT_DIM):
+        cols += [f"r{i}", f"c{i}"]
+    merged = read_ingest_store(spark, store_path).agg(
+        *[F.coalesce(F.sum(c), F.lit(0)).alias(c) for c in cols]
+    )
+    return drift_report_from_sums(merged)

@@ -2900,3 +2900,42 @@ def test_reorder_buffer_folds_late_arrival_ahead_of_key_hwm(spark, tmp_path):
     # late-but-orderable minute-30 arrival emitted too.
     assert 10 in rows, rows
     assert {1, 2} <= rows, rows
+
+
+def test_drift_ingest_stream_matches_batch(spark, tmp_path):
+    """Embedding-drift streaming twin: per-micro-batch 1-row partials
+    (long-lattice component sums) merge to BITWISE the batch
+    sim_embedding_drift report, for any micro-batch boundaries — and the
+    store stays O(1) rows per batch."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.similarity import (
+        sim_embedding_drift,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = str(tmp_path / "dr_src")
+    # Split UNALIGNED with the md5 halves so every batch mixes ref/cur.
+    for i, cond in enumerate(
+        (F.col("vec_id") % 3 == 2, F.col("vec_id") % 3 == 0, F.col("vec_id") % 3 == 1)
+    ):
+        emb.filter(cond).coalesce(1).write.parquet(f"{src}/b{i}")
+
+    store = str(tmp_path / "dr_store")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    q = jobs.drift_ingest_stream(
+        stream, store, checkpoint_dir=str(tmp_path / "dr_ckpt")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    raw = spark.read.parquet(store)
+    assert raw.count() == 3  # one partial row per micro-batch
+
+    probed = jobs.probe_drift_store(spark, store)
+    want = sim_embedding_drift(spark, "/root/testdata/sf0.001")
+    assert [tuple(r) for r in probed.collect()] == [tuple(r) for r in want.collect()]
