@@ -266,6 +266,13 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     + hash aggs + the inverted-index joins, two anti-joins, a broadcast
     of the tiny benchmark shingle set — no all-pairs, no Python.
     Output: (split, n_docs, total_tokens).
+
+    Caching contract (same as operators.dedup.jaccard_pairs): the two
+    multi-consumer stage outputs (``scored`` feeds the dedup agg AND the
+    survivor join; ``deduped`` feeds the contamination scan AND the
+    final anti-join) stay ``persist()``-ed — without it each branch
+    recomputes the whole upstream regex/quality chain (measured ~15%
+    slower at sf0.1). Long-lived sessions clearCache()/unpersist().
     """
     from ..operators import text as text_ops
     from ..operators.text import hash_bucket_100, source_quality_filter
@@ -278,7 +285,7 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") >= 10).join(
         F.broadcast(kept_sources), "source"
     )
-    scored = text_ops.quality_score(corpus).filter(F.col("quality") >= 0.33)
+    scored = text_ops.quality_score(corpus).filter(F.col("quality") >= 0.33).persist()
     reps = ops.exact_dedup(scored, ["text"], "doc_id").select("doc_id")
     survivors = scored.join(reps, "doc_id")
     pairs = ops.jaccard_pairs(
@@ -286,7 +293,7 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=JACCARD_THRESHOLD,
     )
     drops = pairs.select(F.col("b_id").alias("doc_id")).distinct()
-    deduped = survivors.join(drops, "doc_id", "left_anti")
+    deduped = survivors.join(drops, "doc_id", "left_anti").persist()
     bench_sh = (
         ops.word_shingles(docs.filter(F.col("doc_id") < 10), n=8)
         .select("shingle")

@@ -321,8 +321,10 @@ EXCHANGE_CENSUS = {
     "monitor_session_window": 1, "monitor_sessionize": 1,
     "monitor_sla_burn": 2, "monitor_top_movers": 2,
     "monitor_window_sliding_avg": 1, "monitor_window_tumbling": 1,
+    # pipeline_training_prep: 43 -> 23 when the scored/deduped stages
+    # became persist()-ed (the duplicate upstream subtrees left the plan).
     "pipeline_corpus_curation": 18, "pipeline_embedding_prep": 3,
-    "pipeline_multimodal_prep": 8, "pipeline_training_prep": 43,
+    "pipeline_multimodal_prep": 8, "pipeline_training_prep": 23,
     "rel_agg_stats": 1, "rel_approx_distinct": 1, "rel_approx_percentile": 1,
     "rel_array_funcs": 0, "rel_asof_join": 2, "rel_benford_check": 2,
     "rel_cascade_delete": 3, "rel_cdc_merge": 1, "rel_cohort_retention": 3,
