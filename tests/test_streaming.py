@@ -2939,3 +2939,68 @@ def test_drift_ingest_stream_matches_batch(spark, tmp_path):
     probed = jobs.probe_drift_store(spark, store)
     want = sim_embedding_drift(spark, "/root/testdata/sf0.001")
     assert [tuple(r) for r in probed.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_stateful_legs_under_rocksdb_state_store(spark, tmp_path):
+    """The RocksDB state-store provider (bundled with Spark 4) is the
+    100 TB configuration for stateful streaming — state spills to local
+    disk instead of living on the executor heap, so watermark-bounded
+    state stops being a memory ceiling. Pin that the session-window leg
+    produces the SAME closed sessions under RocksDB as under the default
+    HDFS-backed in-memory provider (and as batch): a provider must be a
+    pure storage swap, never a semantics change."""
+    events = spark.range(200).select(
+        (F.col("id") % 4).alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200) + (F.col("id") * 937) % 50000).alias("ts"),
+        (F.col("id") % 7).cast("double").alias("value"),
+    )
+    src = str(tmp_path / "rdb_events")
+    for cond in (F.col("user_id") < 2, F.col("user_id") >= 2):
+        events.filter(cond).coalesce(1).write.mode("append").parquet(src)
+
+    def sessions(df):
+        agged = df.groupBy("user_id", F.session_window("ts", "5 minutes")).agg(
+            F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
+        )
+        return agged.select(
+            "user_id",
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n_events",
+            "sum_value",
+        )
+
+    def run(queryname, ckpt):
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            sessions(stream.withWatermark("ts", "10 minutes"))
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(queryname)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            return sorted(map(tuple, spark.sql(f"SELECT * FROM {queryname}").collect()))
+        finally:
+            q.stop()
+
+    default_rows = run("rdb_default", "ck_default")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocksdb_rows = run("rdb_rocks", "ck_rocks")
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert rocksdb_rows == default_rows and len(rocksdb_rows) > 20
