@@ -158,6 +158,31 @@ def write_partitioned_parquet(
     writer.parquet(path)
 
 
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Idempotent PARTITION-scoped batch overwrite: rewrite only the
+    partitions present in ``df``, leaving every other landed partition
+    untouched (``spark.sql.sources.partitionOverwriteMode=dynamic``,
+    scoped to this write). The warehouse re-run primitive: a corrected
+    day's batch replaces exactly that day's directories — re-running it
+    twice is a no-op, and neighbors never vanish, unlike a plain
+    ``mode("overwrite")`` which truncates the WHOLE table root.
+
+    At 100 TB this is also the cheap path: the rewrite's cost is the
+    affected partitions' size, not the table's. Pair with the streaming
+    stores' ``batch_id=N`` contract — this is the same idempotence idea
+    for scheduled batch.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,

@@ -312,3 +312,37 @@ def test_conform_to_schema_case_insensitive_match(spark):
     assert (r2.doc_id, r2.lang) == (7, "en")
     with _pytest.raises(ValueError):
         conform_to_schema(extras_collide, target, strict=True)
+
+
+def test_overwrite_partitions_is_scoped_and_idempotent(spark, tmp_path):
+    """Dynamic partition overwrite: re-landing one partition's batch
+    replaces exactly that partition — neighbors survive, a re-run is a
+    no-op, and plain mode('overwrite') (static) would instead truncate
+    the whole root. Also pins that the session conf is restored."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.readers import (
+        overwrite_partitions,
+    )
+
+    path = str(tmp_path / "t")
+    full = spark.createDataFrame(
+        [("d1", 1, 10.0), ("d1", 2, 20.0), ("d2", 3, 30.0)],
+        "day string, id int, v double",
+    )
+    overwrite_partitions(full, path, ["day"])
+    assert spark.read.parquet(path).count() == 3
+
+    # Corrected re-run of ONLY day 1: fewer rows, new values.
+    day1_fix = spark.createDataFrame(
+        [("d1", 9, 99.0)], "day string, id int, v double"
+    )
+    overwrite_partitions(day1_fix, path, ["day"])
+    got = {(r.day, r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {("d1", 9, 99.0), ("d2", 3, 30.0)}
+
+    # Idempotence: the same re-run changes nothing.
+    overwrite_partitions(day1_fix, path, ["day"])
+    got2 = {(r.day, r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert got2 == got
+
+    # The conf guard restored the session default (static unless owner-set).
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
