@@ -84,11 +84,12 @@ _PRIORITY: tuple[str, ...] = (
     "rel_mad_outliers",
     "text_hapax_ratio",
     "sim_embedding_drift",
-    # -- fills: the 2 oldest r05-green rows --
+    "sim_ann_recall",
+    # -- fill: the oldest r05-green row --
     "rel_profile_columns",
-    "rel_key_skew_stats",
     # ---- past the ~50-row cap from here ----
     # -- rest of the r05-green tail: leads the r08 window --
+    "rel_key_skew_stats",
     "monitor_error_after_click",
     "text_char_entropy",
     "text_source_quality_filter",

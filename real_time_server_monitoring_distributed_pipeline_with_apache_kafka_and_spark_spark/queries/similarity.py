@@ -195,6 +195,36 @@ def sim_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a first-class query: per-query recall@5 of the LSH
+    tier against the exact brute-force neighbors — the measurement that
+    decides whether an approximate index is allowed to serve (and the
+    one every recall-vs-cost tuning loop reads). Output: one row per
+    query vector with its hit count and recall fraction.
+
+    Both legs reuse the proven operators (ann_topk / ann_lsh_topk); the
+    oracle composes their two already-hash-checked SQL pipelines and
+    intersects, so even the QUALITY REPORT is engine-reproducible —
+    recall here is a fact, not a sample. Scale: both legs are bounded by
+    the query-set size; the intersection join touches k rows per query.
+    """
+    from ..functions.numeric import display_round
+
+    corpus, queries = _split(spark, sf_dir)
+    exact = ops.ann_topk(corpus, queries, k=TOP_K)
+    approx = ops.ann_lsh_topk(corpus, queries, k=TOP_K).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    j = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    n_hits = F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+    return j.groupBy("query_id").agg(
+        n_hits.alias("n_hits"),
+        display_round(
+            n_hits.cast("double") / F.lit(float(TOP_K)), 9
+        ).alias("recall_at_k"),
+    )
+
+
 def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space drift report between two corpus halves: split the
     vectors by deterministic md5 bucket (the stand-in for "last month's
@@ -415,6 +445,7 @@ QUERIES = {
     "sim_knn_join": sim_knn_join,
     "sim_kmeans_iter": sim_kmeans_iter,
     "sim_embedding_drift": sim_embedding_drift,
+    "sim_ann_recall": sim_ann_recall,
     "pipeline_embedding_prep": pipeline_embedding_prep,
     "sim_ann_bruteforce": sim_ann_bruteforce,
     "sim_ann_lsh": sim_ann_lsh,
@@ -777,4 +808,52 @@ _KNN_BANDS_SQL = "\n  UNION ALL ".join(
 )
 ORACLES["sim_knn_join"] = ORACLES["sim_knn_join"].format(bands=_KNN_BANDS_SQL)
 ORACLES["pipeline_embedding_prep"] = _embedding_prep_oracle()
+ORACLES["sim_ann_recall"] = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+bfs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(c.v, q.v)
+         / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos
+  FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM bfs
+  ) WHERE rank <= {TOP_K}
+),
+bt AS (
+  {_LSH_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bt q JOIN bt c ON q.table_idx = c.table_idx AND q.bucket = c.bucket
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+),
+lscored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(c.v, q.v)
+         / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos
+  FROM cand
+  JOIN e q ON q.vec_id = cand.query_id
+  JOIN e c ON c.vec_id = cand.neighbor_id
+),
+lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM lscored
+  ) WHERE rank <= {TOP_K}
+)
+SELECT bf.query_id,
+  CAST(sum(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+  floor(CAST(sum(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / {TOP_K}.0 * 1e9 + 0.5) / 1e9 AS recall_at_k
+FROM bf LEFT JOIN lsh ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
+GROUP BY bf.query_id
+"""
 ORACLES["sim_embedding_drift"] = _drift_oracle()
