@@ -31,6 +31,13 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     In a real pipeline the payload column comes from the source (parquet
     BINARY / Kafka value); here it's derived from text so the testdata can
     exercise it.
+
+    Parallelism note: the downstream mapInPandas legs run at the scan's
+    partitioning. With the STUB decoder a pre-emptive
+    parallelize_if_narrow respread was MEASURED SLOWER at sf0.1 (silence
+    trim 0.47s -> 1.08s — the byte math is too cheap to amortize a
+    shuffle); when a REAL decoder lands at the decode_image_real seam,
+    add the respread THERE, where per-row cost justifies it.
     """
     payload = F.encode(F.col(text_col), "utf-8")
     return df.select(
