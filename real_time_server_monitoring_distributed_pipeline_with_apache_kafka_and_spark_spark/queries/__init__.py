@@ -88,7 +88,13 @@ _PRIORITY: tuple[str, ...] = (
     # -- fill: the oldest r05-green row --
     "rel_profile_columns",
     # ---- past the ~50-row cap from here ----
-    # -- rest of the r05-green tail: leads the r08 window --
+    # -- rest of the r05-green tail: leads the r08 window. NOTE for the
+    #    r08 composition: the connected-components small-graph fast path
+    #    (r07, output-preserving, oracle-green locally) touched
+    #    dedup_clusters, dedup_embedding_clusters,
+    #    mm_image_dedup_clusters, pipeline_embedding_prep and
+    #    pipeline_multimodal_prep — schedule the non-window ones early
+    #    in r08 like sim_knn_join was this round. --
     "rel_key_skew_stats",
     "monitor_error_after_click",
     "text_char_entropy",

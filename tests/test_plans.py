@@ -301,15 +301,15 @@ INTENTIONAL_NESTED_LOOP = {
 # deterministic at fixed SF + Spark version (AQE's runtime coalescing
 # happens below the Exchange node and doesn't change node counts).
 EXCHANGE_CENSUS = {
-    "dedup_clusters": 2, "dedup_containment": 6, "dedup_cross_corpus": 4,
-    "dedup_embedding_clusters": 2, "dedup_embedding_cosine": 2,
+    "dedup_clusters": 0, "dedup_containment": 6, "dedup_cross_corpus": 4,
+    "dedup_embedding_clusters": 0, "dedup_embedding_cosine": 2,
     # dedup_embedding_lsh: 1 agg exchange + the parallelize_if_narrow
     # respread cosine_pairs_lsh adds on single-file inputs (a no-op —
     # and no exchange — once the corpus has >= cores files).
     "dedup_embedding_lsh": 2, "dedup_exact": 1, "dedup_minhash_lsh": 4,
     "dedup_ngram_jaccard": 8, "dedup_simhash": 2, "mm_audio_rms": 0,
     "mm_audio_silence_trim": 1, "mm_binary_meta": 0, "mm_decode_features": 0,
-    "mm_frame_sample": 0, "mm_image_ahash": 1, "mm_image_dedup_clusters": 2,
+    "mm_frame_sample": 0, "mm_image_ahash": 1, "mm_image_dedup_clusters": 0,
     "mm_resize": 0, "mm_scene_segments": 1, "monitor_alert_transitions": 2,
     "monitor_anomaly_zscore": 1, "monitor_case_classify": 0,
     "monitor_cpu_mem_alerts": 1, "monitor_cpu_mem_alerts_bucketed": 0,
@@ -324,8 +324,12 @@ EXCHANGE_CENSUS = {
     "monitor_window_sliding_avg": 1, "monitor_window_tumbling": 1,
     # pipeline_training_prep: 43 -> 23 when the scored/deduped stages
     # became persist()-ed (the duplicate upstream subtrees left the plan).
-    "pipeline_corpus_curation": 17, "pipeline_embedding_prep": 3,
-    "pipeline_multimodal_prep": 8, "pipeline_training_prep": 23,
+    # The *_clusters / pipeline_{embedding,multimodal}_prep counts are the
+    # post-connected-components-small-graph-fast-path plans: at sf0.001
+    # the edge pipeline executes eagerly during query construction, so
+    # the inspected plan is the final broadcast label join only.
+    "pipeline_corpus_curation": 17, "pipeline_embedding_prep": 1,
+    "pipeline_multimodal_prep": 5, "pipeline_training_prep": 23,
     "rel_agg_stats": 1, "rel_approx_distinct": 1, "rel_approx_percentile": 1,
     "rel_array_funcs": 0, "rel_asof_join": 2, "rel_benford_check": 2,
     "rel_cascade_delete": 3, "rel_cdc_merge": 1, "rel_cohort_retention": 3,
