@@ -30,8 +30,8 @@ from . import dedup, extras, monitoring, multimodal, profiling, relational, simi
 # r07 window: the 44 r04-green rows (age 3 after this round if skipped),
 # then sim_knn_join (r06 dispatch rework — output-PRESERVING, cap==no-cap
 # bitwise-pinned + oracle-green locally, but re-prove under the driver),
-# then the 3 never-proven r07 queries, then the 2 oldest r05-green rows
-# as fills. The 46 remaining r05 rows lead r08; the 50 r06 rows lead r09.
+# then the 5 never-proven r07 queries — exactly 50. The 48 r05-green
+# rows lead r08; the 50 r06 rows lead r09.
 _PRIORITY: tuple[str, ...] = (
     # -- newest driver green is r04: re-prove now --
     "monitor_cpu_mem_alerts",
@@ -85,8 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_hapax_ratio",
     "sim_embedding_drift",
     "sim_ann_recall",
-    # -- fill: the oldest r05-green row --
-    "rel_profile_columns",
+    "monitor_cusum_shift",
     # ---- past the ~50-row cap from here ----
     # -- rest of the r05-green tail: leads the r08 window. NOTE for the
     #    r08 composition: the connected-components small-graph fast path
@@ -95,6 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     #    mm_image_dedup_clusters, pipeline_embedding_prep and
     #    pipeline_multimodal_prep — schedule the non-window ones early
     #    in r08 like sim_knn_join was this round. --
+    "rel_profile_columns",
     "rel_key_skew_stats",
     "monitor_error_after_click",
     "text_char_entropy",

@@ -313,6 +313,68 @@ def monitor_ewma_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.select("user_id", "n_events", ewma.alias("ewma_value"))
 
 
+def monitor_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user two-sided CUSUM level-shift state: the classic
+    change-point statistic S_hi = max(0, S_hi + (x - mu - k)) /
+    S_lo = max(0, S_lo + (mu - k - x)) folded over the user's
+    time-ordered history against their own baseline mean, with the
+    final accumulators and a shift flag (either side above h) — what a
+    monitoring pipeline consults to ask "has this series drifted from
+    its level", catching slow creeps a spike detector (z-score) misses.
+
+    Like monitor_ewma_level, CUSUM is RECURSIVE — no plain window
+    aggregate expresses it — so it runs as ordered sequential folds
+    (``F.aggregate`` over the time-sorted value array) that DuckDB's
+    ``list_reduce`` replays with the identical op sequence: the zero
+    seed is prepended to the list there (list_reduce seeds from the
+    first element), making both engines fold 0.0 + x1 + x2 ... — floats
+    agree exactly, no rounding needed. The baseline mean is the exact
+    decimal-sum mean, so it is the same double in both engines too.
+
+    Scale: one hash aggregate collects each user's ordered history
+    (the same per-entity bound every window op here has); both folds
+    are O(events) inside the group. The streaming form is ONE scalar of
+    state per side — the rolling_zscore_stream pattern with acc =
+    (s_hi, s_lo) behind the watermarked reorder buffer.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k, h = 25.0, 200.0
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        arr.alias("h"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+    )
+    vals = F.expr("transform(h, x -> x.value)")
+    s_hi = F.aggregate(
+        vals,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(
+            F.lit(0.0), acc + (x - F.col("mu") - F.lit(k))
+        ),
+    )
+    s_lo = F.aggregate(
+        vals,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(
+            F.lit(0.0), acc + (F.col("mu") - F.lit(k) - x)
+        ),
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "mu",
+        s_hi.alias("cusum_hi"),
+        s_lo.alias("cusum_lo"),
+        ((s_hi > F.lit(h)) | (s_lo > F.lit(h))).alias("shifted"),
+    )
+
+
 def monitor_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-data report: which (user, day) cells of the expected
     reporting lattice have NO events — the "which servers stopped
@@ -876,6 +938,7 @@ QUERIES = {
     "monitor_gap_report": monitor_gap_report,
     "monitor_top_movers": monitor_top_movers,
     "monitor_ewma_level": monitor_ewma_level,
+    "monitor_cusum_shift": monitor_cusum_shift,
     "monitor_drift_psi": monitor_drift_psi,
     "monitor_cpu_mem_alerts": monitor_cpu_mem_alerts,
     "monitor_cpu_mem_alerts_bucketed": monitor_cpu_mem_alerts_bucketed,
@@ -947,6 +1010,25 @@ SELECT key, n AS est, n AS lo
 FROM counts
 ORDER BY est DESC, key
 LIMIT 20
+""",
+    "monitor_cusum_shift": """
+WITH h AS (
+  SELECT user_id, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mu,
+         list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT user_id, n_events, mu,
+         list_reduce(list_prepend(0.0, vals),
+                     (acc, x) -> greatest(0.0, acc + (x - mu - 25.0))) AS cusum_hi,
+         list_reduce(list_prepend(0.0, vals),
+                     (acc, x) -> greatest(0.0, acc + (mu - 25.0 - x))) AS cusum_lo
+  FROM h
+)
+SELECT user_id, n_events, mu, cusum_hi, cusum_lo,
+       (cusum_hi > 200.0 OR cusum_lo > 200.0) AS shifted
+FROM c
 """,
     "monitor_ewma_level": """
 WITH h AS (

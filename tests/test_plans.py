@@ -313,7 +313,7 @@ EXCHANGE_CENSUS = {
     "mm_resize": 0, "mm_scene_segments": 1, "monitor_alert_transitions": 2,
     "monitor_anomaly_zscore": 1, "monitor_case_classify": 0,
     "monitor_cpu_mem_alerts": 1, "monitor_cpu_mem_alerts_bucketed": 0,
-    "monitor_drift_psi": 2, "monitor_error_after_click": 0,
+    "monitor_cusum_shift": 1, "monitor_drift_psi": 2, "monitor_error_after_click": 0,
     "monitor_ewma_level": 1, "monitor_filter_range": 0, "monitor_funnel": 4,
     "monitor_gap_report": 2, "monitor_heavy_hitters": 1,
     "monitor_net_disk_alerts": 1, "monitor_net_disk_alerts_bucketed": 0,
