@@ -360,3 +360,93 @@ def rate_spike_stream_ordered(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+_CUSUM_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("cusum_hi", DoubleType()),
+        StructField("cusum_lo", DoubleType()),
+        StructField("shifted", BooleanType()),
+    ]
+)
+
+
+def _cusum_fold(mu: float, k: float, h: float):
+    def fold(core, ready, user_id):
+        s_hi = float(core[0]) if core[0] is not None else 0.0
+        s_lo = float(core[1]) if core[1] is not None else 0.0
+        rows = []
+        for eid, ts_us, v in ready:
+            # Same IEEE op sequence as the batch fold (greatest(0, acc +
+            # drift)), so the running accumulators agree bitwise with a
+            # batch replay at the same fixed target.
+            s_hi = max(0.0, s_hi + (v - mu - k))
+            s_lo = max(0.0, s_lo + (mu - k - v))
+            rows.append(
+                (
+                    user_id,
+                    eid,
+                    pd.Timestamp(ts_us, unit="us"),
+                    v,
+                    s_hi,
+                    s_lo,
+                    s_hi > h or s_lo > h,
+                )
+            )
+        return rows, [s_hi, s_lo]
+
+    return fold
+
+
+def cusum_stream_ordered(
+    events: DataFrame,
+    mu: float,
+    k: float = 25.0,
+    h: float = 200.0,
+    delay: str = "2 hours",
+) -> DataFrame:
+    """Out-of-order-safe streaming CUSUM: the two-sided level-shift fold
+    of the batch ``monitor_cusum_shift`` query behind the fused
+    watermarked reorder buffer, with TWO scalars of per-key state
+    (s_hi, s_lo) — the smallest stateful core after rate-spike's.
+
+    One deliberate difference from the batch query: the target ``mu`` is
+    a FIXED parameter, not the key's own full-history mean — a streaming
+    monitor cannot know the final mean in advance, and production CUSUM
+    runs against a control-period target anyway (that is what makes the
+    alarm meaningful). Given the same target, the emitted running
+    accumulators are bitwise identical to a batch replay of the fold
+    over the same events (pinned by tests/test_streaming.py::
+    test_cusum_stream_ordered_matches_batch_on_out_of_order_input).
+    Order-sensitivity: the running path (and therefore WHEN the alarm
+    first fires) depends on event order, so out-of-order transports get
+    the same buffer treatment as z-score/EWMA/rate-spike.
+    """
+    _require_utc_session(events)
+    state_schema = StructType(
+        [
+            StructField("s_hi", DoubleType()),
+            StructField("s_lo", DoubleType()),
+            *_BUF_FIELDS,
+        ]
+    )
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _buffered_fn(
+                2,
+                lambda: [0.0, 0.0],
+                _cusum_fold(mu, k, h),
+                [f.name for f in _CUSUM_SCHEMA],
+            ),
+            outputStructType=_CUSUM_SCHEMA,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -3004,3 +3004,63 @@ def test_stateful_legs_under_rocksdb_state_store(spark, tmp_path):
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     assert rocksdb_rows == default_rows and len(rocksdb_rows) > 20
+
+
+def test_cusum_stream_ordered_matches_batch_on_out_of_order_input(spark, tmp_path):
+    """T4/T5: the reorder buffer generalizes to the CUSUM level-shift
+    fold — the running accumulators (and so when the alarm first fires)
+    depend on event order, yet on a deliberately reordering transport
+    every emitted row is bitwise identical to a batch replay of the
+    same fixed-target fold in event order."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.reorder import (
+        cusum_stream_ordered,
+    )
+
+    mu, k, h = 30.0, 25.0, 200.0
+    events = spark.range(240).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 4).alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 60).alias("ts"),
+        (F.round((F.col("id") % 31) * 4.21 + 1, 2)).alias("value"),
+    )
+
+    # Batch replay of the identical fold, per key in (ts, event_id) order.
+    rows = sorted(
+        ((r.user_id, r.ts, r.event_id, r.value) for r in events.collect()),
+        key=lambda t: (t[0], t[1], t[2]),
+    )
+    state = {}
+    want = []
+    for uid, ts, eid, v in rows:
+        s_hi, s_lo = state.get(uid, (0.0, 0.0))
+        s_hi = max(0.0, s_hi + (v - mu - k))
+        s_lo = max(0.0, s_lo + (mu - k - v))
+        state[uid] = (s_hi, s_lo)
+        want.append((uid, eid, v, s_hi, s_lo, s_hi > h or s_lo > h))
+    want.sort()
+    assert any(w[5] for w in want) and not all(w[5] for w in want)
+
+    src = str(tmp_path / "src")
+    sentinel_ts = F.timestamp_seconds(F.lit(1704067200 + 240 * 60 + 20 * 3600))
+    _out_of_order_event_files(spark, events, src, sentinel_ts)
+    stream = (
+        spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        cusum_stream_ordered(stream, mu=mu, k=k, h=h, delay="6 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cusum_ord_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r.user_id, r.event_id, r.value, r.cusum_hi, r.cusum_lo, r.shifted)
+            for r in spark.sql(
+                "SELECT * FROM cusum_ord_out WHERE event_id < 100000"
+            ).collect()
+        )
+    finally:
+        q.stop()
+    assert got == want
