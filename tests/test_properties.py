@@ -773,3 +773,52 @@ def test_embedding_drift_identical_halves_is_zero(spark, tmp_path):
     assert row.mean_cosine == 1.0
     assert row.mean_l2 == 0.0
     assert row.max_dim_drift == 0.0
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40000)),  # (user, value*0.01)
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_cusum_shift_matches_bruteforce_fold(spark, vals):
+    """monitor_cusum_shift == a pure-python replay of the two-sided fold
+    (exact-decimal mean, zero-seeded max(0, acc + drift) in event order)
+    on arbitrary grouped values — including the mu and boundary flags."""
+    import tempfile
+    from datetime import datetime, timedelta
+    from decimal import Decimal
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.monitoring import (
+        monitor_cusum_shift,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + timedelta(seconds=i), v * 0.01, "{}")
+        for i, (u, v) in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        got = {
+            r.user_id: (r.n_events, r.mu, r.cusum_hi, r.cusum_lo, r.shifted)
+            for r in monitor_cusum_shift(spark, d).collect()
+        }
+
+    want = {}
+    for u in {r[1] for r in rows}:
+        hist = [(ts, eid, v) for eid, uu, ts, v, _ in rows if uu == u]
+        hist.sort()
+        # Exact-decimal mean, then the same double fold as the query.
+        mu = float(sum(Decimal(f"{v:.6f}") for _, _, v in hist)) / len(hist)
+        s_hi = s_lo = 0.0
+        for _, _, v in hist:
+            s_hi = max(0.0, s_hi + (v - mu - 25.0))
+            s_lo = max(0.0, s_lo + (mu - 25.0 - v))
+        want[u] = (len(hist), mu, s_hi, s_lo, s_hi > 200.0 or s_lo > 200.0)
+    assert got == want
