@@ -161,6 +161,7 @@ def connected_components(
     vertices: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    small_edge_limit: int = 200_000,
 ) -> DataFrame:
     """Connected components over an undirected pair graph via iterative
     min-label propagation with pointer doubling: every vertex's cluster
@@ -227,9 +228,11 @@ def connected_components(
     # end-to-end query time barely moves there because the pair
     # PIPELINE dominates — the win is the removed per-round job
     # overhead, which scales with rounds, not data.
-    SMALL_EDGE_LIMIT = 200_000
+    # (``small_edge_limit=0`` forces the distributed path — used by the
+    # non-convergence contract test, and the valve if driver memory is
+    # ever tighter than the default gate assumes.)
     n_sym = sym.count()
-    if n_sym <= SMALL_EDGE_LIMIT:
+    if n_sym <= small_edge_limit:
         parent: dict = {}
 
         def find(x):

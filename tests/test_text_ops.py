@@ -207,8 +207,11 @@ def test_connected_components_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(n)], "a_id long, b_id long"
     )
     vertices = spark.createDataFrame([(v,) for v in range(n + 1)], "doc_id long")
+    # small_edge_limit=0 forces the distributed iterative path — the
+    # small-graph union-find fast path always converges and would hide
+    # the contract under test.
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, vertices, max_iter=2)
+        connected_components(edges, vertices, max_iter=2, small_edge_limit=0)
 
 
 def test_repetition_stats_flags_looping_text(spark):
