@@ -3064,3 +3064,46 @@ def test_cusum_stream_ordered_matches_batch_on_out_of_order_input(spark, tmp_pat
     finally:
         q.stop()
     assert got == want
+
+
+def test_drift_ingest_checkpoint_restart(spark, tmp_path):
+    """T4 for the drift store: kill the ingest stream between
+    micro-batches and restart from its checkpoint — no lost and no
+    double-counted partials, so the probe still equals the one-shot
+    batch drift report bitwise."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.similarity import (
+        sim_embedding_drift,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = str(tmp_path / "drr_src")
+    store = str(tmp_path / "drr_store")
+    ckpt = str(tmp_path / "drr_ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/b*")
+        )
+        return jobs.drift_ingest_stream(stream, store, checkpoint_dir=ckpt).start()
+
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/b0")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/b1")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # Each micro-batch landed exactly one partial row.
+    assert spark.read.parquet(store).count() == 2
+    probed = jobs.probe_drift_store(spark, store)
+    want = sim_embedding_drift(spark, "/root/testdata/sf0.001")
+    assert [tuple(r) for r in probed.collect()] == [tuple(r) for r in want.collect()]
