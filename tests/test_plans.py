@@ -368,6 +368,22 @@ EXCHANGE_CENSUS = {
 }
 
 
+# Per-query ArrowEvalPython/MapInPandas stage counts (census r07). Every
+# query NOT listed here is fully JVM-side (whole-stage-codegen territory)
+# and must STAY that way — a Python stage appearing in one is the classic
+# silent 10-100x regression ("UDFs are the slow path"). The listed ones
+# are the justified Arrow-vectorized legs: LSH bucket matmuls, multimodal
+# decode plumbing, SpaceSaving partials, the numpy cosine prefilter.
+PYTHON_STAGE_CENSUS = {
+    "dedup_embedding_cosine": 2, "dedup_embedding_lsh": 6,
+    "mm_audio_rms": 2, "mm_audio_silence_trim": 2, "mm_decode_features": 2,
+    "mm_frame_sample": 2, "mm_image_ahash": 4, "mm_resize": 2,
+    "mm_scene_segments": 4, "monitor_heavy_hitters": 2,
+    "pipeline_multimodal_prep": 6, "sim_ann_ivf": 6, "sim_ann_ivfpq": 6,
+    "sim_ann_lsh": 4, "sim_ann_recall": 4, "sim_knn_join": 2,
+}
+
+
 def test_exchange_census_covers_registry():
     assert set(EXCHANGE_CENSUS) == set(all_queries()), (
         "EXCHANGE_CENSUS out of sync with the registry — re-census "
@@ -395,6 +411,11 @@ def test_registry_query_is_scale_safe(spark, name):
     assert report["exchanges"] == EXCHANGE_CENSUS[name], (
         f"{name}: {report['exchanges']} exchanges, census pins "
         f"{EXCHANGE_CENSUS[name]} — fewer is an improvement, update the pin"
+    )
+    assert report["python_stages"] == PYTHON_STAGE_CENSUS.get(name, 0), (
+        f"{name}: {report['python_stages']} Python stages, census pins "
+        f"{PYTHON_STAGE_CENSUS.get(name, 0)} — a Python stage creeping into "
+        "a JVM-side query is the classic silent 10-100x regression"
     )
 
 
