@@ -3107,3 +3107,87 @@ def test_drift_ingest_checkpoint_restart(spark, tmp_path):
     probed = jobs.probe_drift_store(spark, store)
     want = sim_embedding_drift(spark, "/root/testdata/sf0.001")
     assert [tuple(r) for r in probed.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_cusum_reorder_buffer_survives_restart(spark, tmp_path):
+    """T4 x reorder buffer for the CUSUM twin: stop the ordered stream
+    while rows are still parked in per-key buffers, deliver the rest
+    while down, restart from the checkpoint — the (s_hi, s_lo)
+    accumulators AND the pending buffer round-trip the state store, so
+    the drained output equals the in-order batch replay bitwise with no
+    duplicate emissions."""
+    import time as _time
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.reorder import (
+        cusum_stream_ordered,
+    )
+
+    mu, k, h = 25.0, 25.0, 150.0
+    events = spark.range(180).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 60).alias("ts"),
+        (F.round((F.col("id") % 23) * 3.37 + 1, 2)).alias("value"),
+    )
+    rows = sorted(
+        ((r.user_id, r.ts, r.event_id, r.value) for r in events.collect()),
+        key=lambda t: (t[0], t[1], t[2]),
+    )
+    state, want = {}, []
+    for uid, ts, eid, v in rows:
+        s_hi, s_lo = state.get(uid, (0.0, 0.0))
+        s_hi = max(0.0, s_hi + (v - mu - k))
+        s_lo = max(0.0, s_lo + (mu - k - v))
+        state[uid] = (s_hi, s_lo)
+        want.append((uid, eid, v, s_hi, s_lo, s_hi > h or s_lo > h))
+    want.sort()
+
+    src, ckpt, out = (str(tmp_path / p) for p in ("src", "ckpt", "out"))
+    first = (F.col("event_id") % 2 == 0) & (F.col("event_id") < 120)
+    events.filter(first).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+
+    def start():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            cusum_stream_ordered(stream, mu=mu, k=k, h=h, delay="6 hours")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    events.filter(~first).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    sentinels = (
+        events.select("user_id")
+        .distinct()
+        .select(
+            (F.lit(100000) + F.col("user_id")).alias("event_id"),
+            "user_id",
+            F.timestamp_seconds(F.lit(1704067200 + 180 * 60 + 20 * 3600)).alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+    )
+    sentinels.coalesce(1).write.mode("append").parquet(src)
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = sorted(
+        (r.user_id, r.event_id, r.value, r.cusum_hi, r.cusum_lo, r.shifted)
+        for r in spark.read.parquet(out).filter(F.col("event_id") < 100000).collect()
+    )
+    assert got == want
