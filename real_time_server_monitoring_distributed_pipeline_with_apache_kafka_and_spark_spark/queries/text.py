@@ -516,8 +516,12 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc lexical_diversity (type/token within one doc) cannot see.
 
     Plan shape: one explode feeds both sides — the corpus vocabulary
-    count (Zipf-small, broadcast back) and the per-doc re-aggregation;
-    two hash aggs, one broadcast join, no shuffle of the exploded fact.
+    count and the per-doc re-aggregation; two hash aggs and the
+    vocabulary join. The join deliberately carries NO broadcast hint:
+    at test scale AQE broadcasts the tiny vocabulary at runtime, but a
+    100 TB corpus's vocabulary is Heaps'-law large (10^8-10^9 types —
+    gigabytes), where forcing a broadcast is the OOM bug and the
+    shuffle join on the token is the correct shape.
     """
     from ..functions.numeric import display_round
     from ..operators.text import tokens as tokenize
@@ -525,7 +529,7 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("w"))
     vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
-    joined = toks.join(F.broadcast(vocab), "w")
+    joined = toks.join(vocab, "w")
     n_hapax = F.sum((F.col("cw") == 1).cast("int"))
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
