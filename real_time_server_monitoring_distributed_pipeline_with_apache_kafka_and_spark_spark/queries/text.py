@@ -47,7 +47,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 tf-idf terms per document: explode -> tf counts -> df counts
-    (broadcast: |vocab| << corpus) -> score -> ranking window.
+    (joined without a broadcast hint — see the plan note below) ->
+    score -> ranking window.
 
     tf = term count / doc tokens; idf = ln(N / df). JVM Math.log and libm
     log differ in the last ulp for some inputs, so the displayed score is
@@ -69,7 +70,12 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.withColumn("n_tokens", F.sum("tf_cnt").over(n_tok))
-        .join(F.broadcast(df_cnt), "term")
+        # df_cnt carries NO broadcast hint: document-frequency tables are
+        # vocabulary-sized (Heaps'-law gigabytes at 100 TB) — AQE
+        # broadcasts the tiny test-scale table at runtime and keeps the
+        # shuffle join at real scale. The 1-row n_docs scalar stays an
+        # explicit broadcast.
+        .join(df_cnt, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
@@ -492,11 +498,13 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         bg_counts.join(
-            F.broadcast(unigrams.select(F.col("w").alias("w1"), F.col("cw").alias("cx"))),
+            # Unigram vocab: no broadcast hint for the same
+            # Heaps'-law reason as text_tfidf's df table.
+            unigrams.select(F.col("w").alias("w1"), F.col("cw").alias("cx")),
             "w1",
         )
         .join(
-            F.broadcast(unigrams.select(F.col("w").alias("w2"), F.col("cw").alias("cy"))),
+            unigrams.select(F.col("w").alias("w2"), F.col("cw").alias("cy")),
             "w2",
         )
         .crossJoin(F.broadcast(totals))
