@@ -115,6 +115,42 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-file multimodal ingest via Spark's built-in ``binaryFile``
+    source: one row per file with (path, modificationTime, length,
+    content BINARY) — the real entry point for image/audio/video corpora
+    that arrive as loose files before anything re-packs them as parquet.
+    The operators/multimodal.py decode chain consumes the ``content``
+    column directly (its test-fixture twin, attach_binary_payload,
+    derives payloads from text instead).
+
+    ``glob`` filters by filename pattern (``pathGlobFilter``, e.g.
+    ``*.png``) AT LISTING TIME — skipped files are never opened.
+    ``max_bytes`` refuses files above a size cap (a corrupt 50 GB blob
+    in a crawl of 100 KB images would otherwise OOM the task that draws
+    it): the filter is on the ``length`` METADATA column, which prunes
+    via the source's own file listing before content is read.
+
+    Scale notes: binaryFile is NOT splittable (one file = one task's
+    read — fine for media files, wrong for a single giant tar; unpack
+    archives upstream), and content rows flow whole through the scan —
+    keep ``spark.sql.files.maxPartitionBytes``-sized batches in mind
+    when files are large.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df
+
+
 def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """ORC scan — the other columnar interchange format (Hive/Trino
     warehouses commonly hand data over as ORC). Columnar + footer stats,

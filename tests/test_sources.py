@@ -346,3 +346,46 @@ def test_overwrite_partitions_is_scoped_and_idempotent(spark, tmp_path):
 
     # The conf guard restored the session default (static unless owner-set).
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+
+
+def test_binary_file_source_feeds_multimodal_chain(spark, tmp_path):
+    """binaryFile ingest: loose media files become (path, length,
+    content) rows; glob filters at listing time, the max_bytes cap
+    prunes on the length metadata column, and the content column drives
+    the SAME multimodal decode chain the parquet-payload path uses."""
+    from pyspark.sql import functions as F
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.multimodal import (
+        image_ahash,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.readers import (
+        read_binary_files,
+    )
+
+    media = tmp_path / "media"
+    media.mkdir()
+    payloads = {}
+    for i in range(6):
+        blob = bytes((i * 37 + j * 11) % 256 for j in range(200 + i * 40))
+        (media / f"img_{i}.bin").write_bytes(blob)
+        payloads[f"img_{i}.bin"] = blob
+    (media / "notes.txt").write_text("not a media file")
+    (media / "huge.bin").write_bytes(bytes(4096))
+
+    df = read_binary_files(spark, str(media), glob="*.bin", max_bytes=1000)
+    rows = {r.path.rsplit("/", 1)[-1]: (r.length, bytes(r.content)) for r in df.collect()}
+    # Glob excluded the .txt; the size cap excluded the 4 KB blob.
+    assert set(rows) == set(payloads)
+    for name, blob in payloads.items():
+        assert rows[name] == (len(blob), blob)
+
+    # The content column feeds the decode chain directly: derive the
+    # (doc_id, payload) shape and run the a-hash operator end-to-end.
+    with_payload = df.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    sigs = image_ahash(with_payload)
+    got = sigs.collect()
+    assert len(got) == len(payloads)
+    assert all(r.sig_lo is not None and r.sig_hi is not None for r in got)
