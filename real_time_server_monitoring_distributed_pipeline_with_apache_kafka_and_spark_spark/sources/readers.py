@@ -151,6 +151,42 @@ def read_binary_files(
     return df
 
 
+BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_binary_files_stream(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_binary_files`: watch a directory for
+    newly arriving media files and emit them as (path, modificationTime,
+    length, content) rows — continuous multimodal landing. Feed it to
+    ``streaming.jobs.ingest_store_stream`` with a decode transform and
+    arriving media accretes into an idempotent feature store exactly
+    once (pinned by tests/test_streaming.py::
+    test_binary_file_stream_lands_decoded_features).
+
+    Streaming file sources require an explicit schema; binaryFile's is
+    FIXED (``BINARY_FILE_SCHEMA``), so none is asked of the caller.
+    ``max_files_per_trigger`` bounds micro-batch size — the backpressure
+    knob for a directory that starts with a large backlog.
+    """
+    reader = spark.readStream.format("binaryFile").schema(BINARY_FILE_SCHEMA)
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df
+
+
 def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """ORC scan — the other columnar interchange format (Hive/Trino
     warehouses commonly hand data over as ORC). Columnar + footer stats,

@@ -3191,3 +3191,59 @@ def test_cusum_reorder_buffer_survives_restart(spark, tmp_path):
         for r in spark.read.parquet(out).filter(F.col("event_id") < 100000).collect()
     )
     assert got == want
+
+
+def test_binary_file_stream_lands_decoded_features(spark, tmp_path):
+    """Continuous multimodal landing: media files arriving in a watched
+    directory stream through the decode chain into the idempotent
+    batch_id store; the accreted store equals a one-shot batch decode of
+    the same files, and a restart from checkpoint neither loses nor
+    duplicates files."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.multimodal import (
+        decode_features,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.readers import (
+        read_binary_files,
+        read_binary_files_stream,
+    )
+
+    media = tmp_path / "watched"
+    media.mkdir()
+
+    def write_batch(lo, hi):
+        for i in range(lo, hi):
+            blob = bytes((i * 31 + j * 7) % 256 for j in range(150 + i * 20))
+            (media / f"clip_{i}.bin").write_bytes(blob)
+
+    def transform(batch_df):
+        payload = batch_df.select(
+            F.xxhash64("path").alias("doc_id"), F.col("content").alias("payload")
+        )
+        return decode_features(payload)
+
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+
+    def start():
+        stream = read_binary_files_stream(
+            spark, str(media), glob="*.bin", max_files_per_trigger=2
+        )
+        return jobs.ingest_store_stream(stream, store, ckpt, transform).start()
+
+    write_batch(0, 5)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    write_batch(5, 9)  # arrive while the stream is down
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    landed = jobs.read_ingest_store(spark, store)
+    want = transform(read_binary_files(spark, str(media), glob="*.bin"))
+    got_rows = sorted(map(tuple, landed.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert got_rows == want_rows and len(want_rows) == 9
