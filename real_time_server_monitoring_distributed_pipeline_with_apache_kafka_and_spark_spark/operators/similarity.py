@@ -853,6 +853,7 @@ def lsh_tag_corpus(
     n_tables: int = 12,
     dim: int = 64,
     seed: int = 7,
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Index side of the LSH ANN: explode a corpus into one row per
     (vector, hash table) with its bucket id and precomputed norm.
@@ -864,7 +865,11 @@ def lsh_tag_corpus(
     micro-batch — assign identical buckets, which is what makes an
     incrementally-built store interchangeable with a one-shot build.
 
-    Output: (neighbor_id, corpus_vec, c_nrm, table_idx, bucket).
+    ``extra_keys`` columns are carried through the tag for the filtered
+    tier (:func:`ann_lsh_topk_filtered`): they join the bucket key, so
+    the physical layout IS a per-key partitioned index.
+
+    Output: (neighbor_id, corpus_vec, c_nrm, *extra_keys, table_idx, bucket).
     """
     planes = _hyperplanes(planes_per_table * n_tables, dim, seed)
     buckets = _bucket_udf(planes, planes_per_table, n_tables)
@@ -872,6 +877,7 @@ def lsh_tag_corpus(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("corpus_vec"),
         norm2(F.col(vec_col)).alias("c_nrm"),
+        *[F.col(c) for c in extra_keys],
         F.posexplode(buckets(F.col(vec_col))).alias("table_idx", "bucket"),
     )
 
@@ -886,11 +892,19 @@ def ann_lsh_topk_tagged(
     n_tables: int = 12,
     dim: int = 64,
     seed: int = 7,
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Probe side of the LSH ANN over an already-tagged corpus (the
     :func:`lsh_tag_corpus` layout — inline or read back from the
     streaming ingest store). LSH params must match the tagging call so
     the query side hashes into the same buckets.
+
+    ``extra_keys`` (matching the tagging call) join the bucket key:
+    a corpus vector is a candidate only if it collides in a table AND
+    agrees on every extra key — the pre-filter strategy for filtered
+    vector search (filtering BEFORE ranking, so top-k is computed over
+    the eligible set; post-filtering an unfiltered top-k would silently
+    return < k rows whenever neighbors fail the predicate).
     """
     from pyspark.sql import Window
 
@@ -900,10 +914,11 @@ def ann_lsh_topk_tagged(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
         norm2(F.col(vec_col)).alias("q_nrm"),
+        *[F.col(c) for c in extra_keys],
         F.posexplode(buckets(F.col(vec_col))).alias("table_idx", "bucket"),
     )
     candidates = (
-        tagged_corpus.join(F.broadcast(q), ["table_idx", "bucket"])
+        tagged_corpus.join(F.broadcast(q), ["table_idx", "bucket", *extra_keys])
         .select("query_id", "query_vec", "q_nrm", "neighbor_id", "corpus_vec", "c_nrm")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -952,6 +967,50 @@ def ann_lsh_topk(
     tagged = lsh_tag_corpus(corpus, id_col=id_col, vec_col=vec_col, **lsh_params)
     return ann_lsh_topk_tagged(
         tagged, queries, k=k, id_col=id_col, vec_col=vec_col, **lsh_params
+    )
+
+
+def ann_lsh_topk_filtered(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    filter_keys: tuple[str, ...] = ("label",),
+    planes_per_table: int = 6,
+    n_tables: int = 12,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Metadata-filtered ANN (the vector-DB "filtered search" primitive):
+    each query's top-k is restricted to corpus vectors agreeing with the
+    query on every ``filter_keys`` column (e.g. tenant id, language,
+    label) — semantically a per-key partitioned index probed with the
+    query's own key values.
+
+    Strategy is PRE-filter, not post-filter: the filter columns join the
+    LSH bucket keys, so ineligible vectors never become candidates and
+    the top-k ranks over the eligible set. Post-filtering an unfiltered
+    top-k under-returns whenever the true neighbors fail the predicate —
+    the classic filtered-ANN correctness trap. At scale the extra equi-
+    join keys also SHRINK every bucket (a bucket is per (table, bucket,
+    key), not per (table, bucket)), so selective filters make the probe
+    cheaper, not slower. Same rank-only output contract as ann_topk.
+    """
+    lsh_params = dict(
+        planes_per_table=planes_per_table, n_tables=n_tables, dim=dim, seed=seed
+    )
+    tagged = lsh_tag_corpus(
+        corpus, id_col=id_col, vec_col=vec_col, extra_keys=filter_keys, **lsh_params
+    )
+    return ann_lsh_topk_tagged(
+        tagged,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        extra_keys=filter_keys,
+        **lsh_params,
     )
 
 

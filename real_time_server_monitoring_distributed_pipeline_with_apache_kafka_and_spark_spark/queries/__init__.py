@@ -27,11 +27,12 @@ from . import dedup, extras, monitoring, multimodal, profiling, relational, simi
 # then any never-proven new rows, then fill the remainder with the oldest
 # still-fresh rows so the aging wave stays spread across future windows.
 #
-# r07 window: the 44 r04-green rows (age 3 after this round if skipped),
-# then sim_knn_join (r06 dispatch rework — output-PRESERVING, cap==no-cap
+# r07 window: 40 of the 44 r04-green rows (the other 4 displaced to the
+# r08 head — never-proven rows outrank age-3 re-proofs), then
+# sim_knn_join (r06 dispatch rework — output-PRESERVING, cap==no-cap
 # bitwise-pinned + oracle-green locally, but re-prove under the driver),
-# then the 5 never-proven r07 queries — exactly 50. The 48 r05-green
-# rows lead r08; the 50 r06 rows lead r09.
+# then the 9 never-proven r07 queries — exactly 50. The 4 displaced
+# r04 rows are MANDATORY at r08 (age 4), then the r05-green tail.
 _PRIORITY: tuple[str, ...] = (
     # -- newest driver green is r04: re-prove now --
     "monitor_cpu_mem_alerts",
@@ -59,7 +60,6 @@ _PRIORITY: tuple[str, ...] = (
     "monitor_case_classify",
     "monitor_project_cast",
     "monitor_filter_range",
-    "monitor_rollup_cascade",
     "rel_pivot",
     "rel_cube",
     "rel_agg_stats",
@@ -75,9 +75,6 @@ _PRIORITY: tuple[str, ...] = (
     "rel_conditional_funcs",
     "rel_json_funcs",
     "rel_array_funcs",
-    "rel_join_customer_orders",
-    "rel_topk_per_group",
-    "rel_asof_join",
     # -- r06 code change (output-preserving, re-prove under the driver) --
     "sim_knn_join",
     # -- never driver-proven (new in r07) --
@@ -86,7 +83,19 @@ _PRIORITY: tuple[str, ...] = (
     "sim_embedding_drift",
     "sim_ann_recall",
     "monitor_cusum_shift",
+    "sim_ann_filtered",
+    "monitor_seasonal_baseline",
+    "monitor_window_distinct_users",
+    "rel_merge_into",
     # ---- past the ~50-row cap from here ----
+    # -- displaced from the r07 head to make room for the four new
+    #    never-proven queries above (policy: never-proven rows outrank
+    #    age-3 re-proofs). Their newest green stays r04, so they are
+    #    MANDATORY in the r08 window (age 4 then) — keep them first. --
+    "rel_join_customer_orders",
+    "rel_topk_per_group",
+    "rel_asof_join",
+    "monitor_rollup_cascade",
     # -- rest of the r05-green tail: leads the r08 window. NOTE for the
     #    r08 composition: the connected-components small-graph fast path
     #    (r07, output-preserving, oracle-green locally) touched

@@ -737,6 +737,91 @@ def monitor_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def monitor_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly report: each second-half-of-month reading is
+    scored against the SAME user's SAME-hour-of-day first-half mean — the
+    baseline that catches "3am traffic at 2pm levels" which a global
+    z-score normalizes away. Emits only the anomalies (ratio >= 2x or
+    <= 0.5x of the seasonal baseline) with direction.
+
+    Plan: one filtered scan aggregates the baseline period to a
+    (user x 24) stats table (map-side partial collapse), a second
+    filtered scan of the scoring period joins it on (user_id, hod) —
+    both filters push to the parquet scan. The stats side is
+    user-dimension-sized, so it is deliberately NOT broadcast-hinted
+    (Heaps-the-users at 100 TB; the r07 broadcast-audit rule) — AQE
+    broadcasts it at test scale on its own. Baseline = exact DECIMAL sum
+    / count (one double division); ratio fixed-op-order and 9-dec
+    floor-rounded BEFORE the threshold compare, so the anomaly row set
+    is engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    base = (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy("user_id", F.hour("ts").alias("hod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_base"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("s_base"),
+        )
+        .withColumn("baseline", F.col("s_base").cast("double") / F.col("n_base"))
+        .filter(F.col("baseline") > 0)
+        .select("user_id", "hod", "baseline")
+    )
+    cur = ev.filter(F.col("ts") >= cutoff).select(
+        "event_id", "user_id", F.hour("ts").alias("hod"), "ts", "value"
+    )
+    scored = cur.join(base, ["user_id", "hod"]).withColumn(
+        "ratio", display_round(F.col("value") / F.col("baseline"), 9)
+    )
+    return scored.filter((F.col("ratio") >= 2.0) | (F.col("ratio") <= 0.5)).select(
+        "event_id",
+        "user_id",
+        "hod",
+        "ts",
+        "value",
+        display_round("baseline", 9).alias("baseline"),
+        "ratio",
+        F.when(F.col("ratio") >= 2.0, F.lit("high")).otherwise(F.lit("low")).alias(
+            "direction"
+        ),
+    )
+
+
+def monitor_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct cardinalities: per 30s/10s window, event
+    count, distinct active users, and distinct users with errors — the
+    "how many users does this incident touch" pane (a COUNT of events
+    overweights chatty clients; the distinct count is the blast radius).
+
+    Two exact distinct aggregates under one grouping plan as a single
+    Expand (x3 the window-exploded rows) + two-phase hash agg — no self
+    joins, no second scan. Exact distinct at 100 TB shuffles (window,
+    user) pairs; when the pair space outgrows that,
+    rel_approx_distinct's HLL sketch is the documented degradation path
+    (same plan shape, constant-size state). The conditional distinct
+    (CASE inside COUNT DISTINCT) costs nothing extra — it rides the same
+    Expand."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "30 seconds", "10 seconds").alias("win")
+    return (
+        ev.groupBy(win)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(
+                F.when(F.col("event_type") == "error", F.col("user_id"))
+            ).alias("n_error_users"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_events",
+            "n_users",
+            "n_error_users",
+        )
+    )
+
+
 def monitor_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metric-distribution drift between two halves of the month:
     Population Stability Index over a fixed 10-bucket histogram of
@@ -953,9 +1038,42 @@ QUERIES = {
     "monitor_project_cast": monitor_project_cast,
     "monitor_filter_range": monitor_filter_range,
     "monitor_rollup_cascade": monitor_rollup_cascade,
+    "monitor_seasonal_baseline": monitor_seasonal_baseline,
+    "monitor_window_distinct_users": monitor_window_distinct_users,
 }
 
 ORACLES = {
+    "monitor_seasonal_baseline": """
+WITH base AS (
+  SELECT user_id, EXTRACT(hour FROM ts) AS hod,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS baseline
+  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+  GROUP BY user_id, EXTRACT(hour FROM ts)
+),
+cur AS (
+  SELECT event_id, user_id, EXTRACT(hour FROM ts) AS hod, ts, value
+  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+),
+scored AS (
+  SELECT c.event_id, c.user_id, c.hod, c.ts, c.value, b.baseline,
+         floor((c.value / b.baseline) * 1e9 + 0.5) / 1e9 AS ratio
+  FROM cur c JOIN base b ON c.user_id = b.user_id AND c.hod = b.hod
+  WHERE b.baseline > 0
+)
+SELECT event_id, user_id, CAST(hod AS INTEGER) AS hod, ts, value,
+       floor(baseline * 1e9 + 0.5) / 1e9 AS baseline,
+       ratio,
+       CASE WHEN ratio >= 2.0 THEN 'high' ELSE 'low' END AS direction
+FROM scored WHERE ratio >= 2.0 OR ratio <= 0.5
+""",
+    "monitor_window_distinct_users": f"""
+WITH {_SLIDING_CTE.format(src='events')}
+SELECT window_start, window_end,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT CASE WHEN event_type = 'error' THEN user_id END) AS n_error_users
+FROM win GROUP BY 1, 2
+""",
     "monitor_rate_spike": """
 WITH d AS (
   SELECT user_id, event_id, ts, value,

@@ -1445,7 +1445,66 @@ def rel_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the Delta/Iceberg upsert statement) as plain
+    dataflow: target = BUILDING-segment customers, source = per-customer
+    order totals; WHEN MATCHED AND n_orders >= 8 -> UPDATE balance +=
+    total, WHEN MATCHED AND n_orders <= 5 -> DELETE, WHEN NOT MATCHED ->
+    INSERT a backfilled row; unmatched target rows pass through. Output
+    is the post-merge table plus the per-row action — the audit view a
+    warehouse MERGE emits as its operation metrics.
+
+    Plan is exactly what table formats execute under the statement: one
+    hash agg collapses the source to per-key rows, then ONE full-outer
+    shuffle join on the merge key drives all three WHEN branches as CASE
+    — no per-branch scans, no second pass over the target. Balance math:
+    source totals are exact DECIMAL sums cast once to double; the update
+    is a single double add — deterministic given identical inputs, so
+    the merged table hash-checks unrounded."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    t = cust.select(
+        F.col("c_custkey").alias("key"), "c_name", "c_acctbal", F.lit(True).alias("in_t")
+    )
+    s = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("total_dec"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select("key", F.col("total_dec").cast("double").alias("total"), "n_orders",
+                F.lit(True).alias("in_s"))
+    )
+    j = (
+        t.join(s, "key", "full_outer")
+        .withColumn("in_t", F.coalesce("in_t", F.lit(False)))
+        .withColumn("in_s", F.coalesce("in_s", F.lit(False)))
+    )
+    action = (
+        F.when(F.col("in_t") & F.col("in_s") & (F.col("n_orders") >= 8), F.lit("updated"))
+        .when(F.col("in_t") & F.col("in_s") & (F.col("n_orders") <= 5), F.lit("deleted"))
+        .when(F.col("in_t"), F.lit("kept"))
+        .otherwise(F.lit("inserted"))
+    )
+    return (
+        j.withColumn("action", action)
+        .filter(F.col("action") != "deleted")
+        .select(
+            F.col("key").alias("c_custkey"),
+            F.coalesce("c_name", F.lit("(backfilled)")).alias("c_name"),
+            F.when(F.col("action") == "updated", F.col("c_acctbal") + F.col("total"))
+            .when(F.col("action") == "inserted", F.col("total"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("acctbal"),
+            "action",
+        )
+    )
+
+
 QUERIES = {
+    "rel_merge_into": rel_merge_into,
     "rel_time_range_frame": rel_time_range_frame,
     "rel_skyline": rel_skyline,
     "rel_mode_per_group": rel_mode_per_group,
@@ -1505,6 +1564,38 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_merge_into": """
+WITH t AS (
+  SELECT c_custkey AS key, c_name, c_acctbal, TRUE AS in_t
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+s AS (
+  SELECT o_custkey AS key,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total,
+         count(*) AS n_orders, TRUE AS in_s
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT coalesce(t.key, s.key) AS key, c_name, c_acctbal, total, n_orders,
+         coalesce(in_t, FALSE) AS in_t, coalesce(in_s, FALSE) AS in_s
+  FROM t FULL OUTER JOIN s ON t.key = s.key
+),
+a AS (
+  SELECT *,
+         CASE WHEN in_t AND in_s AND n_orders >= 8 THEN 'updated'
+              WHEN in_t AND in_s AND n_orders <= 5 THEN 'deleted'
+              WHEN in_t THEN 'kept'
+              ELSE 'inserted' END AS action
+  FROM j
+)
+SELECT key AS c_custkey,
+       coalesce(c_name, '(backfilled)') AS c_name,
+       CASE WHEN action = 'updated' THEN c_acctbal + total
+            WHEN action = 'inserted' THEN total
+            ELSE c_acctbal END AS acctbal,
+       action
+FROM a WHERE action <> 'deleted'
+""",
     "rel_skyline": """
 WITH per_size AS (
   SELECT p_size, min(p_retailprice) AS min_price

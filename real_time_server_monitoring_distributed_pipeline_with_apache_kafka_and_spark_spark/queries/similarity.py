@@ -99,6 +99,19 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.ann_ivfpq_topk(corpus, queries, k=TOP_K)
 
 
+def sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN top-5: each query vector searches only the
+    corpus vectors sharing its ``label`` (the vector-DB filtered-search
+    primitive — tenant/language/category-scoped retrieval). PRE-filter
+    strategy: label joins the LSH bucket keys, so the top-k ranks over
+    the eligible set and selective filters shrink the candidate join
+    rather than growing a post-filter miss rate. Same seeded hyperplanes
+    as sim_ann_lsh, replayed by the oracle with the label equality added
+    to the collision join — hash-checked end-to-end."""
+    corpus, queries = _split(spark, sf_dir)
+    return ops.ann_lsh_topk_filtered(corpus, queries, k=TOP_K, filter_keys=("label",))
+
+
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self kNN join over the whole embeddings table (top-5 neighbors per
     vector via LSH bucket candidates + exact fold-cosine ranking — see
@@ -450,6 +463,7 @@ QUERIES = {
     "sim_ann_bruteforce": sim_ann_bruteforce,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
+    "sim_ann_filtered": sim_ann_filtered,
 }
 
 
@@ -683,6 +697,37 @@ scored AS (
          list_dot_product(c.v, q.v)
          / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos
   FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+""",
+    "sim_ann_filtered": f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+bt AS (
+  {_LSH_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bt q
+  JOIN bt c ON q.table_idx = c.table_idx AND q.bucket = c.bucket
+  JOIN embeddings eq ON eq.vec_id = q.vec_id
+  JOIN embeddings ec ON ec.vec_id = c.vec_id
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    AND eq.label = ec.label
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(c.v, q.v)
+         / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos
+  FROM cand
+  JOIN e q ON q.vec_id = cand.query_id
+  JOIN e c ON c.vec_id = cand.neighbor_id
 )
 SELECT query_id, neighbor_id, rank FROM (
   SELECT query_id, neighbor_id,

@@ -317,7 +317,8 @@ EXCHANGE_CENSUS = {
     "monitor_ewma_level": 1, "monitor_filter_range": 0, "monitor_funnel": 4,
     "monitor_gap_report": 2, "monitor_heavy_hitters": 1,
     "monitor_net_disk_alerts": 1, "monitor_net_disk_alerts_bucketed": 0,
-    "monitor_project_cast": 0, "monitor_rate_spike": 1,
+    "monitor_project_cast": 0, "monitor_rate_spike": 1, "monitor_seasonal_baseline": 1,
+    "monitor_window_distinct_users": 2,
     "monitor_resample_locf": 2, "monitor_rollup_cascade": 2,
     "monitor_session_window": 1, "monitor_sessionize": 1,
     "monitor_sla_burn": 2, "monitor_top_movers": 2,
@@ -339,7 +340,7 @@ EXCHANGE_CENSUS = {
     "rel_fuzzy_join": 1, "rel_grouping_sets": 1, "rel_having": 1,
     "rel_hll_daily_users": 3, "rel_join_anti": 0,
     "rel_join_customer_orders": 1, "rel_join_full_outer": 2,
-    "rel_mad_outliers": 4,
+    "rel_mad_outliers": 4, "rel_merge_into": 2,
     "rel_join_left_outer": 1, "rel_join_semi": 0, "rel_json_funcs": 0,
     "rel_key_skew_stats": 3, "rel_map_funcs": 0, "rel_math_funcs": 0,
     "rel_merge_intervals": 1, "rel_mode_per_group": 2, "rel_mom_growth": 2,
@@ -352,7 +353,7 @@ EXCHANGE_CENSUS = {
     "rel_string_funcs": 0, "rel_time_range_frame": 1, "rel_topk_per_group": 1,
     "rel_triangle_count": 11, "rel_unpivot": 0, "rel_validate_constraints": 8,
     "rel_window_frames": 1, "rel_window_running": 1, "rel_winsorize": 2,
-    "sim_ann_bruteforce": 1, "sim_ann_recall": 3, "sim_embedding_drift": 1, "sim_ann_ivf": 1, "sim_ann_ivfpq": 1,
+    "sim_ann_bruteforce": 1, "sim_ann_filtered": 2, "sim_ann_recall": 3, "sim_embedding_drift": 1, "sim_ann_ivf": 1, "sim_ann_ivfpq": 1,
     "sim_ann_lsh": 2, "sim_ann_quantized": 1, "sim_kmeans_iter": 1,
     "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1,
     "text_char_entropy": 2, "text_chunking": 0, "text_decontaminate": 2,
@@ -380,7 +381,7 @@ PYTHON_STAGE_CENSUS = {
     "mm_frame_sample": 2, "mm_image_ahash": 4, "mm_resize": 2,
     "mm_scene_segments": 4, "monitor_heavy_hitters": 2,
     "pipeline_multimodal_prep": 6, "sim_ann_ivf": 6, "sim_ann_ivfpq": 6,
-    "sim_ann_lsh": 4, "sim_ann_recall": 4, "sim_knn_join": 2,
+    "sim_ann_lsh": 4, "sim_ann_filtered": 4, "sim_ann_recall": 4, "sim_knn_join": 2,
 }
 
 
