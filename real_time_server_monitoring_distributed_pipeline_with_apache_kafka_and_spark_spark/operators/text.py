@@ -515,3 +515,89 @@ def source_quality_filter(
         mean_q.alias("mean_quality"),
         (mean_q >= F.lit(threshold)).alias("kept"),
     )
+
+
+BPE_SEP = "\x1f"  # unit separator — cannot appear in [a-z]+ words
+
+
+def bpe_train_merges(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 3
+) -> DataFrame:
+    """BPE tokenizer TRAINING, ``n_merges`` unrolled merge iterations —
+    the loop that turns text_bpe_pair_counts's one statistic into a
+    learned vocabulary (Sennrich 2016). Each iteration: count adjacent
+    symbol pairs corpus-wide (weighted by word frequency), pick the most
+    frequent pair (ties: lexicographically smallest), merge it in every
+    word, repeat on the merged symbols. Output: one row per learned
+    merge (step, left_sym, right_sym, n_pairs).
+
+    Scale shape per iteration — everything runs on the DISTINCT-WORD
+    table (vocabulary-sized, Heaps' law, NOT corpus-sized; the one
+    corpus scan is the initial word count): an adjacent-pair explode +
+    hash agg, a 1-row TakeOrderedAndProject argmax (per-partition heaps,
+    no global sort), and the argmax broadcast back via a 1-row cross
+    join driving a string replace. No driver round-trip: the chosen pair
+    stays a DataFrame, so all ``n_merges`` iterations compile into ONE
+    lazy plan (like rel_pagerank_coparts's unrolled Pregel steps);
+    intermediates persist() so step k's agg doesn't recompute steps 1..k-1.
+
+    Exactness: words are the ``tokens()`` stream restricted to
+    ``^[a-z]+$`` (guarantees the \\x1f separator never collides). A
+    word's symbol state is a separator-framed string (sep+sym+sep per
+    symbol, so every symbol is boundary-anchored); merging is
+    ``replace(sep a sep sep b sep -> sep ab sep)`` whose left-to-right
+    non-overlapping scan IS greedy leftmost BPE merging — and the exact
+    op sequence the SQL oracle replays (verified: '.a..a..a..a.' merges
+    to '.aa..aa.' identically in Spark and DuckDB). Counts are integer,
+    the argmax tiebreak total — every step is engine-exact, so the
+    full training trajectory hash-checks.
+    """
+    s = F.lit(BPE_SEP)
+    cur = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "n",
+            F.concat(
+                s, F.array_join(F.split("word", ""), BPE_SEP * 2), s
+            ).alias("repr"),
+        )
+        .persist()
+    )
+    out: DataFrame | None = None
+    for step in range(1, n_merges + 1):
+        syms = F.filter(F.split(F.col("repr"), BPE_SEP), lambda x: x != "")
+        tail = F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0)))
+        # zip_with pads the shorter side with NULL: the (last, NULL) pair
+        # marks the word end and is dropped below.
+        pairs = F.zip_with(syms, tail, lambda x, y: F.struct(x.alias("a"), y.alias("b")))
+        counts = (
+            cur.select("n", F.explode(pairs).alias("p"))
+            .filter(F.col("p.b").isNotNull())
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("n_pairs"))
+        )
+        top1 = counts.orderBy(F.col("n_pairs").desc(), "a", "b").limit(1).persist()
+        step_row = top1.select(
+            F.lit(step).alias("step"),
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            "n_pairs",
+        )
+        out = step_row if out is None else out.unionByName(step_row)
+        cur = (
+            cur.crossJoin(F.broadcast(top1))
+            .select(
+                "n",
+                F.replace(
+                    F.col("repr"),
+                    F.concat(s, F.col("a"), s, s, F.col("b"), s),
+                    F.concat(s, F.col("a"), F.col("b"), s),
+                ).alias("repr"),
+            )
+            .persist()
+        )
+    assert out is not None
+    return out

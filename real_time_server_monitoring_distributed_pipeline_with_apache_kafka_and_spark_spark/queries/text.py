@@ -548,8 +548,21 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three unrolled BPE tokenizer-training merge steps over the corpus
+    vocabulary — the learned (step, pair, count) trajectory, hash-exact.
+    See operators.text.bpe_train_merges for the scale shape (everything
+    after the initial word count runs on the vocabulary-sized distinct-
+    word table; the argmax is a 1-row TakeOrderedAndProject broadcast
+    back into a string replace, one lazy plan for all steps)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.bpe_train_merges(docs, n_merges=3)
+
+
 QUERIES = {
     "text_bpe_pair_counts": text_bpe_pair_counts,
+    "text_bpe_train": text_bpe_train,
     "text_pmi_bigrams": text_pmi_bigrams,
     "text_length_percentiles": text_length_percentiles,
     "text_fixed_n_per_lang": text_fixed_n_per_lang,
@@ -575,6 +588,54 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bpe_train": """
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents
+),
+w AS (
+  SELECT word, count(*) AS n FROM tok
+  WHERE regexp_full_match(word, '[a-z]+') GROUP BY word
+),
+r0 AS (
+  SELECT n, chr(31) || array_to_string(string_split(word, ''), chr(31)||chr(31)) || chr(31) AS repr FROM w
+),
+p1 AS (
+  SELECT t.n, u.pair[1] AS a, u.pair[2] AS b
+  FROM (SELECT n, list_filter(string_split(repr, chr(31)), x -> x <> '') AS syms FROM r0) t,
+       unnest(list_transform(range(1, len(t.syms)), j -> [t.syms[j], t.syms[j+1]])) AS u(pair)
+),
+c1 AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS n_pairs FROM p1 GROUP BY a, b),
+t1 AS (SELECT a, b, n_pairs FROM c1 ORDER BY n_pairs DESC, a, b LIMIT 1),
+r1 AS (
+  SELECT n, replace(repr, chr(31)||t.a||chr(31)||chr(31)||t.b||chr(31), chr(31)||t.a||t.b||chr(31)) AS repr
+  FROM r0 CROSS JOIN t1 t
+),
+p2 AS (
+  SELECT t.n, u.pair[1] AS a, u.pair[2] AS b
+  FROM (SELECT n, list_filter(string_split(repr, chr(31)), x -> x <> '') AS syms FROM r1) t,
+       unnest(list_transform(range(1, len(t.syms)), j -> [t.syms[j], t.syms[j+1]])) AS u(pair)
+),
+c2 AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS n_pairs FROM p2 GROUP BY a, b),
+t2 AS (SELECT a, b, n_pairs FROM c2 ORDER BY n_pairs DESC, a, b LIMIT 1),
+r2 AS (
+  SELECT n, replace(repr, chr(31)||t.a||chr(31)||chr(31)||t.b||chr(31), chr(31)||t.a||t.b||chr(31)) AS repr
+  FROM r1 CROSS JOIN t2 t
+),
+p3 AS (
+  SELECT t.n, u.pair[1] AS a, u.pair[2] AS b
+  FROM (SELECT n, list_filter(string_split(repr, chr(31)), x -> x <> '') AS syms FROM r2) t,
+       unnest(list_transform(range(1, len(t.syms)), j -> [t.syms[j], t.syms[j+1]])) AS u(pair)
+),
+c3 AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS n_pairs FROM p3 GROUP BY a, b),
+t3 AS (SELECT a, b, n_pairs FROM c3 ORDER BY n_pairs DESC, a, b LIMIT 1),
+r3 AS (
+  SELECT n, replace(repr, chr(31)||t.a||chr(31)||chr(31)||t.b||chr(31), chr(31)||t.a||t.b||chr(31)) AS repr
+  FROM r2 CROSS JOIN t3 t
+)
+SELECT 1 AS step, a AS left_sym, b AS right_sym, n_pairs FROM t1
+UNION ALL SELECT 2 AS step, a AS left_sym, b AS right_sym, n_pairs FROM t2
+UNION ALL SELECT 3 AS step, a AS left_sym, b AS right_sym, n_pairs FROM t3
+""",
     "text_hapax_ratio": f"""
 WITH toks AS (
   SELECT doc_id, w FROM documents, LATERAL unnest({_TOKENS}) t(w)
