@@ -126,10 +126,11 @@ def interval_join_stream(
     if how not in ("inner", "left_outer"):
         # Keeping only the LEFT key copy (below) is correct for inner and
         # left-outer joins; with right_outer/full_outer an unmatched right
-        # row would emit NULL keys. Coalescing both copies is the fix if a
-        # right-preserving mode is ever needed — refuse until then.
+        # row would emit NULL keys. interval_join_stream_full coalesces
+        # both key copies for the full-outer mode — use it instead.
         raise ValueError(
             f"interval_join_stream supports how in ('inner', 'left_outer'); got {how!r}"
+            " — for full_outer use interval_join_stream_full"
         )
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
@@ -175,6 +176,51 @@ def interval_join_stream_outer(
     return interval_join_stream(
         left, right, key_cols, left_ts, right_ts, window_seconds,
         watermark=watermark, how="left_outer",
+    )
+
+
+def interval_join_stream_full(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """FULL-OUTER stream-stream time-interval join — the both-sided
+    audit the inner/left legs can't give: left rows with no right event
+    in their window AND right events with no preceding left row each
+    emit null-extended once the opposing watermark proves absence
+    (clicks that never errored + errors no click explains, in one
+    stream). Completes the interval-join mode matrix next to
+    :func:`interval_join_stream` (inner/left_outer).
+
+    The mode needs its own column contract: an unmatched RIGHT row has
+    NULL in the left side's key copy, so dropping the right copy (the
+    inner/left leg's move) would corrupt its keys — here the two copies
+    COALESCE into one key column, which is total because any emitted row
+    matched on the keys or preserves exactly one side. Same predicate
+    and state-eviction contract as the other modes (time bound in both
+    directions + watermarks); drained-stream == batch full join pinned
+    by tests/test_streaming.py::test_interval_join_stream_full_matches_batch.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        F.col(right_ts) > F.col(left_ts)
+    ) & (
+        F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {int(window_seconds)} SECOND")
+    )
+    for k in key_cols:
+        cond = cond & (lw[k] == rw[k])
+    joined = lw.join(rw, cond, "full_outer")
+    left_rest = [c for c in left.columns if c not in key_cols]
+    right_rest = [c for c in right.columns if c not in key_cols]
+    return joined.select(
+        *[F.coalesce(lw[k], rw[k]).alias(k) for k in key_cols],
+        *[lw[c] for c in left_rest],
+        *[rw[c] for c in right_rest],
     )
 
 

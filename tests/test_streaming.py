@@ -3247,3 +3247,83 @@ def test_binary_file_stream_lands_decoded_features(spark, tmp_path):
     got_rows = sorted(map(tuple, landed.collect()))
     want_rows = sorted(map(tuple, want.collect()))
     assert got_rows == want_rows and len(want_rows) == 9
+
+
+def test_interval_join_stream_full_matches_batch(spark, tmp_path):
+    """T4/J-interval-full: the FULL-OUTER watermarked time-interval join
+    must emit BOTH unmatched sides null-extended — clicks that never
+    errored AND errors with no preceding click — with the key column
+    coalesced (an unmatched right row's key must survive; the dropped-
+    right-copy contract of the inner/left legs would null it), and the
+    drained stream must equal the batch full join row-for-row."""
+    clicks = spark.range(60).select(
+        (F.col("id") % 5).alias("user_id"),
+        F.col("id").alias("click_id"),
+        F.timestamp_seconds(F.lit(1704067200) + (F.col("id") * 131) % 7000).alias("click_ts"),
+    )
+    errors = spark.range(25).select(
+        (F.col("id") % 7).alias("user_id"),  # users 5,6 never click
+        F.col("id").alias("error_id"),
+        F.timestamp_seconds(F.lit(1704067200) + (F.col("id") * 997) % 7000).alias("error_ts"),
+    )
+    cond = (
+        (F.col("error_ts") > F.col("click_ts"))
+        & (F.col("error_ts") <= F.col("click_ts") + F.expr("INTERVAL 600 SECOND"))
+        & (clicks["user_id"] == errors["user_id"])
+    )
+    batch = clicks.join(errors, cond, "full_outer").select(
+        F.coalesce(clicks["user_id"], errors["user_id"]).alias("user_id"),
+        "click_id",
+        "error_id",
+    )
+    key = lambda t: tuple((x is None, x if x is not None else 0) for x in t)
+    want = sorted(
+        ((r.user_id, r.click_id, r.error_id) for r in batch.collect()), key=key
+    )
+    n_null_right = sum(1 for _, _, e in want if e is None)
+    n_null_left = sum(1 for _, c, _ in want if c is None)
+    assert n_null_right > 5 and n_null_left > 5  # both unmatched sides present
+
+    c_src, e_src = str(tmp_path / "clicks"), str(tmp_path / "errors")
+    for cond2 in (F.col("click_id") % 2 == 0, F.col("click_id") % 2 == 1):
+        clicks.filter(cond2).coalesce(1).write.mode("append").parquet(c_src)
+    for cond2 in (F.col("error_id") % 2 == 0, F.col("error_id") % 2 == 1):
+        errors.filter(cond2).coalesce(1).write.mode("append").parquet(e_src)
+    # Sentinels on BOTH sides push both watermarks past every real
+    # window so null rows on either side become provable.
+    far = F.timestamp_seconds(F.lit(1704067200 + 30 * 24 * 3600))
+    spark.range(1).select(
+        F.lit(99).alias("user_id"), F.lit(999999).alias("click_id"), far.alias("click_ts")
+    ).coalesce(1).write.mode("append").parquet(c_src)
+    spark.range(1).select(
+        F.lit(99).alias("user_id"), F.lit(999999).alias("error_id"), far.alias("error_ts")
+    ).coalesce(1).write.mode("append").parquet(e_src)
+
+    c_s = spark.readStream.schema(clicks.schema).option("maxFilesPerTrigger", 1).parquet(c_src)
+    e_s = spark.readStream.schema(errors.schema).option("maxFilesPerTrigger", 1).parquet(e_src)
+    joined = jobs.interval_join_stream_full(
+        c_s, e_s, ["user_id"], "click_ts", "error_ts", window_seconds=600,
+        watermark="10 minutes",
+    )
+    assert set(joined.columns) == {"user_id", "click_id", "click_ts", "error_id", "error_ts"}
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_full_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (
+                (r.user_id, r.click_id, r.error_id)
+                for r in spark.sql(
+                    "SELECT user_id, click_id, error_id FROM ij_full_out"
+                    " WHERE coalesce(click_id, 0) < 999999 AND coalesce(error_id, 0) < 999999"
+                ).collect()
+            ),
+            key=key,
+        )
+    finally:
+        q.stop()
+    assert got == want
