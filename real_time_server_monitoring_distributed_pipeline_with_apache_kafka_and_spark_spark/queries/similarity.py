@@ -112,6 +112,66 @@ def sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.ann_lsh_topk_filtered(corpus, queries, k=TOP_K, filter_keys=("label",))
 
 
+_CENT_DIM = 64
+
+
+def sim_source_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal curation query: join each document's metadata to its
+    embedding (doc_id == vec_id), build per-SOURCE mean-vector centroids,
+    and surface the 3 documents per source farthest (lowest cosine) from
+    their own source's centroid — the embedding-space outliers that flag
+    mislabeled/contaminated domain content before training.
+
+    One metadata⋈vector equi-join, then TWO hash aggs' worth of work in
+    one: the centroid is 64 per-dim sums on a floor(x*1e9+0.5) integer
+    lattice (exact + order-independent at any parallelism, the
+    sim_embedding_drift trick) collapsing map-side to |sources| rows;
+    the centroid table joins back on source (NOT broadcast-forced —
+    sources are a Heaps-like dimension at 100 TB, the r07 audit rule)
+    and the fold-cosine + per-source rank window finish. Rank-only
+    output per the module's float contract; every centroid component is
+    (lattice_sum / n) / 1e9 in fixed op order, so the oracle replays
+    the whole pipeline and the outlier sets hash-match."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    de = docs.join(emb, "doc_id")
+    lat = [
+        F.sum(
+            F.floor(
+                F.col("embedding").getItem(d).cast("double") * 1e9 + F.lit(0.5)
+            ).cast("long")
+        ).alias(f"s{d}")
+        for d in range(_CENT_DIM)
+    ]
+    cent = (
+        de.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), *lat)
+        .select(
+            "source",
+            F.array(
+                *[
+                    (F.col(f"s{d}").cast("double") / F.col("n").cast("double"))
+                    / F.lit(1e9)
+                    for d in range(_CENT_DIM)
+                ]
+            ).alias("centroid"),
+        )
+    )
+    scored = de.join(cent, "source").withColumn(
+        "cos", ops.cosine(F.col("embedding"), F.col("centroid"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("cos").asc(), F.col("doc_id"))
+    return (
+        scored.withColumn("outlier_rank", F.row_number().over(w))
+        .filter(F.col("outlier_rank") <= 3)
+        .select("source", "doc_id", "outlier_rank")
+    )
+
+
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self kNN join over the whole embeddings table (top-5 neighbors per
     vector via LSH bucket candidates + exact fold-cosine ranking — see
@@ -464,6 +524,7 @@ QUERIES = {
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
     "sim_ann_filtered": sim_ann_filtered,
+    "sim_source_centroid_outliers": sim_source_centroid_outliers,
 }
 
 
@@ -703,6 +764,92 @@ SELECT query_id, neighbor_id, rank FROM (
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
   FROM scored
 ) WHERE rank <= {TOP_K}
+""",
+    "sim_source_centroid_outliers": """
+WITH de AS (
+  SELECT d.source, d.doc_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+sums AS (
+  SELECT source, count(*) AS n,
+         CAST(sum(CAST(floor(v[1] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s0,
+         CAST(sum(CAST(floor(v[2] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(CAST(floor(v[3] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s2,
+         CAST(sum(CAST(floor(v[4] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s3,
+         CAST(sum(CAST(floor(v[5] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s4,
+         CAST(sum(CAST(floor(v[6] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s5,
+         CAST(sum(CAST(floor(v[7] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s6,
+         CAST(sum(CAST(floor(v[8] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s7,
+         CAST(sum(CAST(floor(v[9] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s8,
+         CAST(sum(CAST(floor(v[10] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s9,
+         CAST(sum(CAST(floor(v[11] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s10,
+         CAST(sum(CAST(floor(v[12] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s11,
+         CAST(sum(CAST(floor(v[13] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s12,
+         CAST(sum(CAST(floor(v[14] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s13,
+         CAST(sum(CAST(floor(v[15] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s14,
+         CAST(sum(CAST(floor(v[16] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s15,
+         CAST(sum(CAST(floor(v[17] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s16,
+         CAST(sum(CAST(floor(v[18] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s17,
+         CAST(sum(CAST(floor(v[19] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s18,
+         CAST(sum(CAST(floor(v[20] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s19,
+         CAST(sum(CAST(floor(v[21] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s20,
+         CAST(sum(CAST(floor(v[22] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s21,
+         CAST(sum(CAST(floor(v[23] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s22,
+         CAST(sum(CAST(floor(v[24] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s23,
+         CAST(sum(CAST(floor(v[25] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s24,
+         CAST(sum(CAST(floor(v[26] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s25,
+         CAST(sum(CAST(floor(v[27] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s26,
+         CAST(sum(CAST(floor(v[28] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s27,
+         CAST(sum(CAST(floor(v[29] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s28,
+         CAST(sum(CAST(floor(v[30] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s29,
+         CAST(sum(CAST(floor(v[31] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s30,
+         CAST(sum(CAST(floor(v[32] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s31,
+         CAST(sum(CAST(floor(v[33] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s32,
+         CAST(sum(CAST(floor(v[34] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s33,
+         CAST(sum(CAST(floor(v[35] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s34,
+         CAST(sum(CAST(floor(v[36] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s35,
+         CAST(sum(CAST(floor(v[37] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s36,
+         CAST(sum(CAST(floor(v[38] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s37,
+         CAST(sum(CAST(floor(v[39] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s38,
+         CAST(sum(CAST(floor(v[40] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s39,
+         CAST(sum(CAST(floor(v[41] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s40,
+         CAST(sum(CAST(floor(v[42] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s41,
+         CAST(sum(CAST(floor(v[43] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s42,
+         CAST(sum(CAST(floor(v[44] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s43,
+         CAST(sum(CAST(floor(v[45] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s44,
+         CAST(sum(CAST(floor(v[46] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s45,
+         CAST(sum(CAST(floor(v[47] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s46,
+         CAST(sum(CAST(floor(v[48] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s47,
+         CAST(sum(CAST(floor(v[49] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s48,
+         CAST(sum(CAST(floor(v[50] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s49,
+         CAST(sum(CAST(floor(v[51] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s50,
+         CAST(sum(CAST(floor(v[52] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s51,
+         CAST(sum(CAST(floor(v[53] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s52,
+         CAST(sum(CAST(floor(v[54] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s53,
+         CAST(sum(CAST(floor(v[55] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s54,
+         CAST(sum(CAST(floor(v[56] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s55,
+         CAST(sum(CAST(floor(v[57] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s56,
+         CAST(sum(CAST(floor(v[58] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s57,
+         CAST(sum(CAST(floor(v[59] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s58,
+         CAST(sum(CAST(floor(v[60] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s59,
+         CAST(sum(CAST(floor(v[61] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s60,
+         CAST(sum(CAST(floor(v[62] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s61,
+         CAST(sum(CAST(floor(v[63] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s62,
+         CAST(sum(CAST(floor(v[64] * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s63
+  FROM de GROUP BY source
+),
+cent AS (SELECT source, [(CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s5 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s6 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s7 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s8 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s9 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s10 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s11 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s12 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s13 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s14 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s15 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s16 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s17 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s18 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s19 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s20 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s21 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s22 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s23 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s24 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s25 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s26 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s27 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s28 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s29 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s30 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s31 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s32 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s33 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s34 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s35 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s36 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s37 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s38 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s39 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s40 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s41 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s42 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s43 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s44 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s45 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s46 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s47 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s48 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s49 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s50 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s51 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s52 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s53 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s54 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s55 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s56 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s57 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s58 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s59 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s60 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s61 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s62 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9, (CAST(s63 AS DOUBLE) / CAST(n AS DOUBLE)) / 1e9] AS c FROM sums),
+scored AS (
+  SELECT de.source, de.doc_id,
+         list_dot_product(de.v, cent.c)
+         / (sqrt(list_dot_product(de.v, de.v)) * sqrt(list_dot_product(cent.c, cent.c))) AS cos
+  FROM de JOIN cent ON de.source = cent.source
+)
+SELECT source, doc_id, outlier_rank FROM (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY cos ASC, doc_id) AS INTEGER) AS outlier_rank
+  FROM scored
+) WHERE outlier_rank <= 3
 """,
     "sim_ann_filtered": f"""
 WITH e AS (

@@ -354,7 +354,8 @@ EXCHANGE_CENSUS = {
     "rel_string_funcs": 0, "rel_time_range_frame": 1, "rel_topk_per_group": 1,
     "rel_triangle_count": 11, "rel_unpivot": 0, "rel_validate_constraints": 8,
     "rel_window_frames": 1, "rel_window_running": 1, "rel_winsorize": 2,
-    "sim_ann_bruteforce": 1, "sim_ann_filtered": 2, "sim_ann_recall": 3, "sim_embedding_drift": 1, "sim_ann_ivf": 1, "sim_ann_ivfpq": 1,
+    "sim_ann_bruteforce": 1, "sim_ann_filtered": 2,
+    "sim_source_centroid_outliers": 2, "sim_ann_recall": 3, "sim_embedding_drift": 1, "sim_ann_ivf": 1, "sim_ann_ivfpq": 1,
     "sim_ann_lsh": 2, "sim_ann_quantized": 1, "sim_kmeans_iter": 1,
     "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1, "text_bpe_train": 4,
     "text_char_entropy": 2, "text_chunking": 0, "text_decontaminate": 2,
