@@ -27,11 +27,11 @@ from . import dedup, extras, monitoring, multimodal, profiling, relational, simi
 # then any never-proven new rows, then fill the remainder with the oldest
 # still-fresh rows so the aging wave stays spread across future windows.
 #
-# r07 window: 38 of the 44 r04-green rows (the other 6 displaced to the
+# r07 window: 37 of the 44 r04-green rows (the other 7 displaced to the
 # r08 head — never-proven rows outrank age-3 re-proofs), then
 # sim_knn_join (r06 dispatch rework — output-PRESERVING, cap==no-cap
 # bitwise-pinned + oracle-green locally, but re-prove under the driver),
-# then the 11 never-proven r07 queries — exactly 50. The 6 displaced
+# then the 12 never-proven r07 queries — exactly 50. The 7 displaced
 # r04 rows are MANDATORY at r08 (age 4), then the r05-green tail.
 _PRIORITY: tuple[str, ...] = (
     # -- newest driver green is r04: re-prove now --
@@ -54,7 +54,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_repetition",
     "text_unigram_logprob",
     "monitor_alert_transitions",
-    "monitor_funnel",
     "monitor_window_tumbling",
     "monitor_project_cast",
     "monitor_filter_range",
@@ -87,8 +86,9 @@ _PRIORITY: tuple[str, ...] = (
     "rel_merge_into",
     "text_bpe_train",
     "sim_source_centroid_outliers",
+    "text_mixture_sample",
     # ---- past the ~50-row cap from here ----
-    # -- displaced from the r07 head to make room for the six new
+    # -- displaced from the r07 head to make room for the seven new
     #    never-proven queries above (policy: never-proven rows outrank
     #    age-3 re-proofs). Their newest green stays r04, so they are
     #    MANDATORY in the r08 window (age 4 then) — keep them first. --
@@ -98,6 +98,7 @@ _PRIORITY: tuple[str, ...] = (
     "monitor_rollup_cascade",
     "monitor_case_classify",
     "monitor_session_window",
+    "monitor_funnel",
     # -- rest of the r05-green tail: leads the r08 window. NOTE for the
     #    r08 composition: the connected-components small-graph fast path
     #    (r07, output-preserving, oracle-green locally) touched

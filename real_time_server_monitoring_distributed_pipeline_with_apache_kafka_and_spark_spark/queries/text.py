@@ -560,6 +560,60 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.bpe_train_merges(docs, n_merges=3)
 
 
+
+_MIX_WEIGHTS = {"en": 400, "zh": 150, "es": 150, "de": 150, "fr": 150}
+
+
+def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing (the DoReMi/Pile-style static mixture
+    step): given target per-language token SHARES (per-mille weights
+    summing to 1000), find the largest total budget the corpus can serve
+    at those shares — N* = min_l floor(T_l * 1000 / W_l) — and
+    downsample every language to its share of N* (the binding language
+    keeps ~everything). Output is the post-sampling manifest:
+    (lang, pm, n_docs_kept, n_tokens_kept).
+
+    All arithmetic is integers through doubles below 2^53 (exact in any
+    engine) and the keep decision is the salted-md5 per-mille uniform of
+    operators.text.weighted_sample — no RNG, so the SAMPLED corpus (not
+    just its expectation) is deterministic and the manifest hash-checks.
+    Shape: one corpus scan to per-doc token counts, a |langs|-row hash
+    agg, a 1-row min (scalar broadcast), the per-lang rate table
+    broadcast back onto the scan (bounded enum dimension — unlike
+    vocabularies, the lang set does not grow with the corpus), then a
+    stateless scan-speed filter + final manifest agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(ops.tokens(F.col("text"))).alias("n_tokens")
+    )
+    wmap = F.create_map(
+        *[F.lit(x) for kv in _MIX_WEIGHTS.items() for x in kv]
+    )
+    per_lang = (
+        toks.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("t"))
+        .withColumn("w", wmap[F.col("lang")])
+        .filter(F.col("w").isNotNull())
+    )
+    nstar = per_lang.select(
+        F.min(F.floor(F.col("t") * 1000 / F.col("w")).cast("long")).alias("nstar")
+    )
+    rates = (
+        per_lang.crossJoin(F.broadcast(nstar))
+        .select(
+            "lang",
+            F.floor(F.col("w") * F.col("nstar") / F.col("t")).cast("long").alias("pm"),
+        )
+    )
+    tagged = toks.join(F.broadcast(rates), "lang")
+    kept = ops.weighted_sample(tagged, F.col("pm"), id_col="doc_id", salt="#mixture")
+    return kept.groupBy("lang").agg(
+        F.max("pm").alias("pm"),
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("n_tokens_kept"),
+    )
+
+
 QUERIES = {
     "text_bpe_pair_counts": text_bpe_pair_counts,
     "text_bpe_train": text_bpe_train,
@@ -571,6 +625,7 @@ QUERIES = {
     "text_char_entropy": text_char_entropy,
     "text_source_quality_filter": text_source_quality_filter,
     "text_weighted_sample": text_weighted_sample,
+    "text_mixture_sample": text_mixture_sample,
     "text_token_stats": text_token_stats,
     "text_unigram_logprob": text_unigram_logprob,
     "text_stratified_sample": text_stratified_sample,
@@ -588,6 +643,35 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_mixture_sample": """
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+  FROM documents
+),
+per_lang AS (
+  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t,
+         CASE lang WHEN 'en' THEN 400 WHEN 'zh' THEN 150 WHEN 'es' THEN 150
+                   WHEN 'de' THEN 150 WHEN 'fr' THEN 150 END AS w
+  FROM toks GROUP BY lang
+),
+nstar AS (
+  SELECT min(CAST(floor(t * 1000 / w) AS BIGINT)) AS nstar
+  FROM per_lang WHERE w IS NOT NULL
+),
+rates AS (
+  SELECT lang, CAST(floor(w * nstar / t) AS BIGINT) AS pm
+  FROM per_lang CROSS JOIN nstar WHERE w IS NOT NULL
+),
+kept AS (
+  SELECT tk.lang, tk.doc_id, tk.n_tokens, r.pm
+  FROM toks tk JOIN rates r ON tk.lang = r.lang
+  WHERE CAST(concat('0x', substr(md5(CAST(tk.doc_id AS VARCHAR) || '#mixture'), 1, 8)) AS BIGINT) % 1000 < r.pm
+)
+SELECT lang, max(pm) AS pm, count(*) AS n_docs_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
+FROM kept GROUP BY lang
+""",
     "text_bpe_train": """
 WITH tok AS (
   SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents

@@ -292,6 +292,7 @@ INTENTIONAL_NESTED_LOOP = {
     "text_unigram_logprob",  # 1-row n_total scalar broadcast (same)
     "text_pmi_bigrams",     # 1-row corpus-totals scalar broadcast (same)
     "text_bpe_train",       # 3x 1-row argmax-pair scalar broadcast (same)
+    "text_mixture_sample",  # 1-row N* budget scalar broadcast (same)
 }
 
 # Exact Exchange-node count of every registry query's initial physical
@@ -357,7 +358,7 @@ EXCHANGE_CENSUS = {
     "sim_ann_bruteforce": 1, "sim_ann_filtered": 2,
     "sim_source_centroid_outliers": 2, "sim_ann_recall": 3, "sim_embedding_drift": 1, "sim_ann_ivf": 1, "sim_ann_ivfpq": 1,
     "sim_ann_lsh": 2, "sim_ann_quantized": 1, "sim_kmeans_iter": 1,
-    "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1, "text_bpe_train": 4,
+    "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1, "text_bpe_train": 4, "text_mixture_sample": 4,
     "text_char_entropy": 2, "text_chunking": 0, "text_decontaminate": 2,
     "text_dup_spans": 3, "text_fingerprint": 0, "text_fixed_n_per_lang": 1, "text_hapax_ratio": 2,
     "text_hash_split": 1, "text_langid": 0, "text_langid_confusion": 2,
