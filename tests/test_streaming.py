@@ -3327,3 +3327,51 @@ def test_interval_join_stream_full_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+def test_ingest_store_available_now_drains_and_stops(spark, tmp_path):
+    """T6-operational: Trigger.AvailableNow runs the ingest store as a
+    SCHEDULED BATCH DRAIN — process the whole current backlog with
+    streaming semantics (checkpointed offsets, bounded micro-batches via
+    maxFilesPerTrigger), then stop on its own. A second invocation after
+    more files arrive must resume FROM THE CHECKPOINT and land only the
+    new backlog — the cron-driven ingest mode (no always-on cluster)
+    that shares every delivery guarantee with the continuous stream."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.jobs import (
+        ingest_store_stream,
+        read_ingest_store,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.range(40).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    for cond in (F.col("id") < 20, F.col("id") >= 20):
+        base.filter(cond).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            ingest_store_stream(stream, store, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive  # drained the backlog and stopped itself
+
+    drain()
+    got = sorted(r.id for r in read_ingest_store(spark, store).collect())
+    assert got == list(range(40))
+
+    # New backlog arrives; the next scheduled drain lands ONLY it.
+    base2 = spark.range(40, 60).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    base2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got = sorted(r.id for r in read_ingest_store(spark, store).collect())
+    assert got == list(range(60))
