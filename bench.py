@@ -87,6 +87,10 @@ HEADLINE = HEADLINE24 + [
     "pipeline_embedding_prep",    # dedup + near-dup + cluster-rep composite
     "dedup_containment",          # asymmetric prefix-filter containment join
     "text_dup_spans",             # shingle-level duplicate span detection
+    # added r07 second wave: new plan shapes from the wave's query pack
+    "text_bpe_train",             # unrolled argmax-broadcast merge loop
+    "rel_merge_into",             # full-outer MERGE with CASE branches
+    "sim_source_centroid_outliers",  # 64-dim lattice agg + rank window
 ]
 
 
