@@ -3375,3 +3375,101 @@ def test_ingest_store_available_now_drains_and_stops(spark, tmp_path):
     drain()
     got = sorted(r.id for r in read_ingest_store(spark, store).collect())
     assert got == list(range(60))
+
+
+# ---------------------------------------------------------------------------
+# Pipeline self-observability (streaming/metrics.py): the reference consumers
+# print rows with no throughput/lag accounting (consumers/consumer1.py); here
+# Spark's listener bus + observe() expose both without a second scan.
+# ---------------------------------------------------------------------------
+
+
+def test_observe_batch_quality_counters_single_pass(spark):
+    """observe() counters on a batch job equal an explicit re-aggregation,
+    but ride the job's ONE pass (no second scan of the source)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.metrics import (
+        observation_row,
+        observed,
+    )
+
+    wide = metrics_wide_df(spark)
+    cpu, *_ = narrow_splits(wide)
+    df, obs = observed(
+        cpu,
+        "quality",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_value": F.count(F.when(F.col("cpu_pct").isNull(), 1)),
+            "n_out_of_range": F.count(
+                F.when((F.col("cpu_pct") < 0) | (F.col("cpu_pct") > 100), 1)
+            ),
+        },
+    )
+    assert obs is not None
+    n_actioned = df.count()  # the ONE action; metrics materialize with it
+    got = observation_row(obs)
+    want = cpu.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("cpu_pct").isNull(), 1)).alias("n_null_value"),
+        F.count(
+            F.when((F.col("cpu_pct") < 0) | (F.col("cpu_pct") > 100), 1)
+        ).alias("n_out_of_range"),
+    ).collect()[0]
+    assert got["n_rows"] == n_actioned == want["n_rows"]
+    assert got["n_null_value"] == want["n_null_value"]
+    assert got["n_out_of_range"] == want["n_out_of_range"]
+
+
+def test_progress_recorder_captures_microbatch_metrics(spark, tmp_path):
+    """ProgressRecorder sees every micro-batch: input-row totals equal the
+    fixture, observe() metrics arrive per batch, and the history lands as
+    a typed DataFrame."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.metrics import (
+        PROGRESS_SCHEMA,
+        ProgressRecorder,
+        observed,
+    )
+
+    wide = metrics_wide_df(spark)
+    cpu, *_ = narrow_splits(wide)
+    n_fixture = cpu.count()
+    src = str(tmp_path / "obs_src")
+    _write_csv(cpu, src)
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    stream = spark.readStream.schema(schemas.METRICS_CPU).csv(src)
+    df, obs = observed(
+        stream, "quality", {"n_rows": F.count(F.lit(1))}
+    )
+    assert obs is None  # streaming form: values arrive via the listener
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("obs_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        qid = str(q.id)
+        # Listener delivery is async on the bus thread; wait for the totals.
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            mine = [r for r in rec.rows() if r.query_id == qid]
+            if sum(r.num_input_rows for r in mine) >= n_fixture:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        spark.streams.removeListener(rec)
+
+    mine = [r for r in rec.rows() if r.query_id == qid]
+    assert sum(r.num_input_rows for r in mine) == n_fixture
+    fed = [r for r in mine if r.num_input_rows > 0]
+    assert fed, "no data-carrying micro-batch recorded"
+    # observe() metrics ride the progress event, flattened group.metric
+    assert all(r.observed and "quality.n_rows" in r.observed for r in fed)
+    assert sum(int(r.observed["quality.n_rows"]) for r in fed) == n_fixture
+    hist = rec.to_df(spark)
+    assert hist.schema == PROGRESS_SCHEMA
+    assert hist.filter(F.col("query_id") == qid).count() == len(mine)
