@@ -287,6 +287,9 @@ def run_query(spark, args) -> None:
             f"broadcast_joins={report['broadcast_joins']} "
             f"python_stages={report['python_stages']}"
         )
+    if args.explain:
+        df.explain("formatted")
+        return
     if args.out:
         from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.readers import (
             write_partitioned_parquet,
@@ -316,6 +319,12 @@ def main(argv: list[str] | None = None) -> None:
         action="store_true",
         help="query: run plans.guard.assert_scale_safe on the plan before executing "
         "(fails fast on nested-loop joins)",
+    )
+    ap.add_argument(
+        "--explain",
+        action="store_true",
+        help="query: print the formatted physical plan instead of executing "
+        "(pair with --scale-check to also assert it)",
     )
     ap.add_argument(
         "--parquet", action="store_true", help="partitioned parquet output (scale-safe sink)"

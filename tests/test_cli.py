@@ -192,3 +192,13 @@ def test_query_role_scale_check(spark, capsys):
 
     with _pytest.raises(ScaleSafetyError):
         m.main(["query", "--name", "rel_cross_join", "--scale-check"])
+
+
+def test_query_role_explain(spark, capsys):
+    """--explain prints the formatted physical plan (the plan-iteration
+    workflow as a CLI verb) and does NOT execute or write anything."""
+    import main as m
+
+    m.main(["query", "--name", "rel_pricing_summary", "--explain"])
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "PushedFilters" in out
