@@ -59,6 +59,7 @@ ROLES = (
     "stream-job1",
     "stream-job2",
     "query",
+    "sql",
 )
 
 # (metric, topic-attr, landed file stem) per consumer, consumer1.py:30-36 /
@@ -301,11 +302,53 @@ def run_query(spark, args) -> None:
         df.show(args.show_rows, truncate=False)
 
 
+def run_sql(spark, args) -> None:
+    """Ad-hoc SQL over the testdata catalog: every table registered as a
+    temp view, then ONE statement from ``--query`` (or a file via
+    ``--query-file``) runs through the same Catalyst pipeline as the named
+    queries — pushdown, pruning, AQE and the optional scale guard all
+    apply. The escape hatch for queries the registry doesn't name."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.readers import (
+        register_views,
+    )
+
+    sql = args.query or (open(args.query_file).read() if args.query_file else None)
+    if not sql or not sql.strip():
+        raise SystemExit("sql: provide a statement via --query or --query-file")
+    register_views(spark, args.sf_dir)
+    df = spark.sql(sql)
+    if args.scale_check:
+        from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.guard import (
+            assert_scale_safe,
+        )
+
+        report = assert_scale_safe(df)
+        print(
+            f"scale-check ok: exchanges={report['exchanges']} "
+            f"broadcast_joins={report['broadcast_joins']} "
+            f"python_stages={report['python_stages']}"
+        )
+    if args.explain:
+        df.explain("formatted")
+        return
+    if args.out:
+        from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.readers import (
+            write_partitioned_parquet,
+        )
+
+        write_partitioned_parquet(df, args.out)
+        print(f"sql: wrote {args.out}")
+    else:
+        df.show(args.show_rows, truncate=False)
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("role", choices=ROLES)
     ap.add_argument("--config", help="reference-layout config.yaml")
     ap.add_argument("--name", help="query: registered query name to run")
+    ap.add_argument("--query", help="sql: the SQL statement to run over the testdata views")
+    ap.add_argument("--query-file", help="sql: file holding the SQL statement")
     ap.add_argument(
         "--sf-dir",
         default="/root/testdata/sf0.001",
@@ -376,6 +419,8 @@ def main(argv: list[str] | None = None) -> None:
         run_stream_job(spark, config, args.role)
     elif args.role == "query":
         run_query(spark, args)
+    elif args.role == "sql":
+        run_sql(spark, args)
     if owns_session:  # don't stop a session we borrowed (tests, notebooks)
         spark.stop()
 

@@ -51,6 +51,22 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> list[str]:
+    """Register the testdata tables as temp views for ad-hoc ``spark.sql``.
+
+    Views are lazy logical plans over the normalized ``load_table`` scans —
+    registering all ten costs nothing until a query references one, and a
+    query that references two tables scans exactly those two (the catalog
+    lookup resolves to the same pruned/pushed-down parquet scans the named
+    queries compile to). Returns the registered names.
+    """
+    out = []
+    for n in names or TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+        out.append(n)
+    return out
+
+
 def parallelize_if_narrow(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     """Round-robin repartition ONLY when the scan has fewer partitions than
     cores (small/single-file inputs). At real scale the input already has

@@ -202,3 +202,37 @@ def test_query_role_explain(spark, capsys):
     m.main(["query", "--name", "rel_pricing_summary", "--explain"])
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "PushedFilters" in out
+
+
+def test_sql_role_adhoc_statement(spark, capsys):
+    """The sql role registers the testdata views and runs one statement
+    through the same Catalyst pipeline as the named queries."""
+    import main as m
+
+    m.main(
+        [
+            "sql",
+            "--query",
+            "SELECT r_name, count(*) AS n FROM nation "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "AFRICA" in out and "MIDDLE EAST" in out
+
+    # --explain composes: the filter must reach the parquet scan
+    m.main(
+        [
+            "sql",
+            "--query",
+            "SELECT count(*) AS n FROM orders WHERE o_orderdate < DATE'1994-01-01'",
+            "--explain",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "PushedFilters" in out and "o_orderdate" in out
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="--query"):
+        m.main(["sql"])
