@@ -477,3 +477,46 @@ def conform_to_schema(df: DataFrame, schema, strict: bool = False) -> DataFrame:
         else:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))
     return df.select(*cols)
+
+
+def file_layout_report(
+    spark: SparkSession, path: str, small_file_bytes: int = 32 * 1024 * 1024
+) -> DataFrame:
+    """Small-file / layout health report for a landed parquet store.
+
+    The dominant table-maintenance failure at 100 TB is not wrong data
+    but wrong LAYOUT: thousands of KB-sized files per partition (each one
+    a scan task, a NameNode/listing entry, an S3 GET) written by
+    over-parallel or micro-batch jobs. This reads the store's own
+    ``_metadata`` hidden struct — per-FILE facts surfaced by the scan
+    itself, no filesystem walk, no driver-side listing loop — and
+    aggregates one row per directory: file count, bytes, rows,
+    small-file count (< ``small_file_bytes``) and the min/avg/max file
+    size the compaction decision needs. Distributed end-to-end: the
+    per-file collapse happens map-side in the same jobs that would scan
+    the data anyway.
+
+    Pair with ``compact_ingest_store`` / ``overwrite_partitions``: this
+    report says WHERE to compact, those say how.
+    """
+    meta = spark.read.parquet(path).select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.file_size").alias("file_size"),
+    )
+    per_file = meta.groupBy("file_path", "file_size").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    per_dir = per_file.withColumn(
+        "directory", F.regexp_replace("file_path", "/[^/]+$", "")
+    ).groupBy("directory")
+    return per_dir.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("file_size").alias("total_bytes"),
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.when(F.col("file_size") < small_file_bytes, 1)).alias(
+            "n_small_files"
+        ),
+        F.min("file_size").alias("min_file_bytes"),
+        (F.sum("file_size") / F.count(F.lit(1))).cast("long").alias("avg_file_bytes"),
+        F.max("file_size").alias("max_file_bytes"),
+    )

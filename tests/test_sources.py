@@ -389,3 +389,29 @@ def test_binary_file_source_feeds_multimodal_chain(spark, tmp_path):
     got = sigs.collect()
     assert len(got) == len(payloads)
     assert all(r.sig_lo is not None and r.sig_hi is not None for r in got)
+
+
+def test_file_layout_report_flags_small_files(spark, tmp_path):
+    """The _metadata-driven layout report counts files/bytes/rows per
+    directory and flags fragmentation a compaction pass should fix."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.readers import (
+        file_layout_report,
+    )
+
+    frag = str(tmp_path / "frag")
+    spark.range(1000).repartition(20).write.parquet(frag)
+    compact = str(tmp_path / "compact")
+    spark.range(1000).coalesce(1).write.parquet(compact)
+
+    r_frag = file_layout_report(spark, frag).collect()
+    assert len(r_frag) == 1
+    row = r_frag[0]
+    assert row.n_files == 20 and row.total_rows == 1000
+    assert row.n_small_files == 20  # every 50-row file is far below 32 MB
+    assert row.min_file_bytes <= row.avg_file_bytes <= row.max_file_bytes
+    assert row.total_bytes > 0
+
+    r_c = file_layout_report(spark, compact).collect()[0]
+    assert r_c.n_files == 1 and r_c.total_rows == 1000
+    # the report is the compaction trigger: same data, 20x fewer files
+    assert r_c.n_files * 20 == row.n_files
