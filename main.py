@@ -60,6 +60,7 @@ ROLES = (
     "stream-job2",
     "query",
     "sql",
+    "layout",
 )
 
 # (metric, topic-attr, landed file stem) per consumer, consumer1.py:30-36 /
@@ -342,6 +343,21 @@ def run_sql(spark, args) -> None:
         df.show(args.show_rows, truncate=False)
 
 
+def run_layout(spark, args) -> None:
+    """Table-maintenance probe: the small-file/layout health report for a
+    landed parquet store (``--path``), sorted worst-fragmented first."""
+    from pyspark.sql import functions as F
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.readers import (
+        file_layout_report,
+    )
+
+    report = file_layout_report(
+        spark, args.path, small_file_bytes=args.small_bytes
+    ).orderBy(F.col("n_small_files").desc(), F.col("n_files").desc())
+    report.show(args.show_rows, truncate=False)
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("role", choices=ROLES)
@@ -349,6 +365,13 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--name", help="query: registered query name to run")
     ap.add_argument("--query", help="sql: the SQL statement to run over the testdata views")
     ap.add_argument("--query-file", help="sql: file holding the SQL statement")
+    ap.add_argument("--path", help="layout: parquet store directory to report on")
+    ap.add_argument(
+        "--small-bytes",
+        type=int,
+        default=32 * 1024 * 1024,
+        help="layout: files below this size count as small (default 32 MiB)",
+    )
     ap.add_argument(
         "--sf-dir",
         default="/root/testdata/sf0.001",
@@ -421,6 +444,10 @@ def main(argv: list[str] | None = None) -> None:
         run_query(spark, args)
     elif args.role == "sql":
         run_sql(spark, args)
+    elif args.role == "layout":
+        if not args.path:
+            raise SystemExit("layout: provide the store directory via --path")
+        run_layout(spark, args)
     if owns_session:  # don't stop a session we borrowed (tests, notebooks)
         spark.stop()
 

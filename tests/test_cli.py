@@ -236,3 +236,19 @@ def test_sql_role_adhoc_statement(spark, capsys):
 
     with _pytest.raises(SystemExit, match="--query"):
         m.main(["sql"])
+
+
+def test_layout_role_reports_store_health(spark, capsys, tmp_path):
+    """The layout role surfaces the _metadata small-file report as a CLI
+    verb; a missing --path fails fast without a session-dependent error."""
+    import main as m
+    import pytest as _pytest
+
+    store = str(tmp_path / "store")
+    spark.range(100).repartition(4).write.parquet(store)
+    m.main(["layout", "--path", store])
+    out = capsys.readouterr().out
+    assert "n_small_files" in out and "4" in out
+
+    with _pytest.raises(SystemExit, match="--path"):
+        m.main(["layout"])
