@@ -415,3 +415,32 @@ def test_file_layout_report_flags_small_files(spark, tmp_path):
     assert r_c.n_files == 1 and r_c.total_rows == 1000
     # the report is the compaction trigger: same data, 20x fewer files
     assert r_c.n_files * 20 == row.n_files
+
+
+def test_register_views_subset_and_layout_on_partitioned_store(spark, tmp_path):
+    """register_views registers exactly the asked-for subset over the
+    normalized scans; file_layout_report emits one row per partition
+    directory of a partitioned store."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.readers import (
+        file_layout_report,
+        register_views,
+    )
+
+    got = register_views(spark, "/root/testdata/sf0.001", "region", "nation")
+    assert got == ["region", "nation"]
+    joined = spark.sql(
+        "SELECT r_name, count(*) AS n FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    ).collect()
+    assert len(joined) == 5 and all(r.n == 5 for r in joined)
+
+    from pyspark.sql import functions as F
+
+    store = str(tmp_path / "parts")
+    spark.range(200).withColumn("p", (F.col("id") % 2).cast("int")).write.partitionBy(
+        "p"
+    ).parquet(store)
+    rows = file_layout_report(spark, store).collect()
+    dirs = {r.directory.rsplit("/", 1)[-1]: r for r in rows}
+    assert set(dirs) == {"p=0", "p=1"}
+    assert all(r.total_rows == 100 for r in rows)

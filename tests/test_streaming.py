@@ -3473,3 +3473,16 @@ def test_progress_recorder_captures_microbatch_metrics(spark, tmp_path):
     hist = rec.to_df(spark)
     assert hist.schema == PROGRESS_SCHEMA
     assert hist.filter(F.col("query_id") == qid).count() == len(mine)
+
+
+def test_observed_requires_a_metric(spark):
+    """observe() with no aggregates is a caller bug — fail fast with a
+    clear message instead of Spark's deeper AnalysisException."""
+    import pytest as _pytest
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.metrics import (
+        observed,
+    )
+
+    with _pytest.raises(ValueError, match="at least one"):
+        observed(spark.range(1), "empty", {})
