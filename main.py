@@ -313,7 +313,10 @@ def run_sql(spark, args) -> None:
         register_views,
     )
 
-    sql = args.query or (open(args.query_file).read() if args.query_file else None)
+    sql = args.query
+    if not sql and args.query_file:
+        with open(args.query_file) as fh:
+            sql = fh.read()
     if not sql or not sql.strip():
         raise SystemExit("sql: provide a statement via --query or --query-file")
     register_views(spark, args.sf_dir)
