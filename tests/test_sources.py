@@ -444,3 +444,21 @@ def test_register_views_subset_and_layout_on_partitioned_store(spark, tmp_path):
     dirs = {r.directory.rsplit("/", 1)[-1]: r for r in rows}
     assert set(dirs) == {"p=0", "p=1"}
     assert all(r.total_rows == 100 for r in rows)
+
+
+def test_file_layout_report_agrees_with_fs_walk(spark, tmp_path):
+    """Two independent mechanisms — the scan's _metadata column and the
+    Hadoop FileSystem walk — must account for the same bytes."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.readers import (
+        file_layout_report,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.jobs import (
+        _fs_total_bytes,
+    )
+
+    store = str(tmp_path / "xwalk")
+    spark.range(5000).repartition(7).write.parquet(store)
+    report_total = sum(
+        r.total_bytes for r in file_layout_report(spark, store).collect()
+    )
+    assert report_total == _fs_total_bytes(spark, store)
