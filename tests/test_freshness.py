@@ -107,3 +107,20 @@ def test_registry_size_within_rotation_capacity():
         "deliberately (documenting the staleness trade above) or stop "
         "registering new queries"
     )
+
+
+def test_bench_headliners_are_registered_queries():
+    """Every bench.py headliner must name a registered query — a rename
+    or deregistration would otherwise surface only as a driver-side
+    bench crash at round end."""
+    import bench
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries import (
+        _PRIORITY,
+    )
+
+    missing = [q for q in bench.HEADLINE if q not in _PRIORITY]
+    assert not missing, f"bench headliners not in the registry: {missing}"
+    # frozen subtotal sets stay prefixes of the full list
+    assert bench.HEADLINE[: len(bench.LEGACY9)] == bench.LEGACY9
+    assert bench.HEADLINE[: len(bench.HEADLINE17)] == bench.HEADLINE17
