@@ -252,3 +252,59 @@ def test_layout_role_reports_store_health(spark, capsys, tmp_path):
 
     with _pytest.raises(SystemExit, match="--path"):
         m.main(["layout"])
+
+
+def test_wire_path_equals_direct_path_end_to_end(spark, tmp_path):
+    """Broker-free full-chain parity: the producer's SERIALIZED wire bytes,
+    demuxed back through the consumer parser and landed, drive spark-job1
+    to the exact rows the direct (fixture-landed) path produces. This is
+    the strongest S4->S5->S6->J1 pin available without a broker: the only
+    missing hop is Kafka's transport itself."""
+    import main as cli
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming import (
+        parse as wire_parse,
+    )
+
+    wide = metrics_wide_df(spark)
+    data_file = str(tmp_path / "dataset_csv")
+    wide.coalesce(1).write.csv(data_file, header=True)
+
+    def run_job1(subdir: str, land) -> list:
+        sub = tmp_path / subdir
+        sub.mkdir()
+        config_path = _write_config(sub, data_file)
+        config = cfg.from_yaml(config_path)
+        os.makedirs(config.paths.output_dir, exist_ok=True)
+        land(config)
+        cli.main(["spark-job1", "--config", config_path, "--parquet"])
+        out = spark.read.parquet(
+            os.path.join(config.paths.output_dir, "cpu_mem_alerts")
+        )
+        return sorted(tuple(r) for r in out.collect())
+
+    def land_direct(config):
+        cpu, mem, *_ = narrow_splits(wide)
+        for stem, df in [("cpu_data", cpu), ("mem_data", mem)]:
+            df.coalesce(1).write.csv(
+                os.path.join(config.paths.output_dir, stem), header=True
+            )
+
+    def land_via_wire(config):
+        cli.run_producer(spark, config, dry_run=True)
+        msgs = spark.read.parquet(
+            os.path.join(config.paths.output_dir, "wire_messages")
+        )
+        for metric, attr, stem in [
+            ("cpu", "topic_cpu", "cpu_data"),
+            ("mem", "topic_mem", "mem_data"),
+        ]:
+            wire_parse.demux_topic(
+                msgs, getattr(config.kafka, attr), metric
+            ).coalesce(1).write.csv(
+                os.path.join(config.paths.output_dir, stem), header=True
+            )
+
+    direct = run_job1("direct", land_direct)
+    via_wire = run_job1("wire", land_via_wire)
+    assert len(direct) > 0
+    assert via_wire == direct
