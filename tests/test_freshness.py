@@ -124,3 +124,19 @@ def test_bench_headliners_are_registered_queries():
     # frozen subtotal sets stay prefixes of the full list
     assert bench.HEADLINE[: len(bench.LEGACY9)] == bench.LEGACY9
     assert bench.HEADLINE[: len(bench.HEADLINE17)] == bench.HEADLINE17
+
+
+def test_no_shadowed_test_definitions():
+    """Python silently lets a later `def test_x` shadow an earlier one in
+    the same module — the first body then NEVER runs (found live in r07:
+    two test_streaming_session_window_matches_batch definitions). Pin
+    against recurrence across the whole suite."""
+    import collections
+
+    bad = {}
+    for path in glob.glob(os.path.join(REPO, "tests", "test_*.py")):
+        names = re.findall(r"^def (test_\w+)", open(path).read(), re.M)
+        dups = [n for n, c in collections.Counter(names).items() if c > 1]
+        if dups:
+            bad[os.path.basename(path)] = dups
+    assert not bad, f"shadowed test definitions (first body never runs): {bad}"

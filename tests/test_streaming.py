@@ -1249,7 +1249,7 @@ def test_vector_store_compaction(spark, tmp_path):
     assert before == after and len(before) > 0
 
 
-def test_streaming_session_window_matches_batch(spark, tmp_path):
+def test_streaming_session_window_closed_sessions_exact(spark, tmp_path):
     """T2-streaming: gap-based session windows under a watermark; closed
     sessions emitted in append mode equal the batch session aggregation."""
     from datetime import datetime
