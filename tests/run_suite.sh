@@ -3,14 +3,17 @@
 #
 # The suite is ~18 min of CPU across 350+ tests — too slow single-process
 # (each pytest process holds ONE session-scoped local[8] SparkSession).
-# pytest-xdist is not installed in this container, so parallelism is four
+# pytest-xdist is not installed in this container, so parallelism is five
 # plain pytest processes over a fixed file partition, balanced by measured
-# wall time (streaming alone ~= oracle+reference ~= plans+properties ~=
-# everything else). Each process gets its own JVM: 4 x local[8] = 32 cores,
-# 4 x 8g driver heap, well inside the 128 GiB box.
+# wall time (the former long pole, test_streaming.py at 6:40, was split —
+# its ~20 ingest-store legs now live in test_streaming_stores.py, which
+# runs as its own group; measured concurrent group times are 2:30-4:50).
+# Each process gets its own JVM at local[8]; streaming groups spend most
+# wall time waiting on micro-batch triggers, so 5 x 8 threads on 32 cores
+# oversubscribes only nominally. 5 x 8g driver heap fits the 128 GiB box.
 #
 # Usage (from the repo root):   bash tests/run_suite.sh
-# Exit code 0 iff all four groups pass. Logs land in /tmp/rtsm-suite-*.log.
+# Exit code 0 iff all five groups pass. Logs land in /tmp/rtsm-suite-*.log.
 set -u
 cd "$(dirname "$0")/.."
 export SPARK_GRAFT_DRIVER_MEM="${SPARK_GRAFT_DRIVER_MEM:-8g}"
@@ -22,11 +25,12 @@ GROUP4="tests/test_caching.py tests/test_changelog.py tests/test_cli.py \
 tests/test_dedup_similarity.py tests/test_freshness.py tests/test_joins.py \
 tests/test_multimodal.py tests/test_profiling.py tests/test_sources.py \
 tests/test_text_ops.py"
+GROUP5="tests/test_streaming_stores.py"
 
 pids=()
-names=(streaming oracle plans misc)
-groups=("$GROUP1" "$GROUP2" "$GROUP3" "$GROUP4")
-for i in 0 1 2 3; do
+names=(streaming oracle plans misc stores)
+groups=("$GROUP1" "$GROUP2" "$GROUP3" "$GROUP4" "$GROUP5")
+for i in "${!groups[@]}"; do
     # shellcheck disable=SC2086  # word-splitting the file list is the point
     python -m pytest ${groups[$i]} -q --no-header \
         > "/tmp/rtsm-suite-${names[$i]}.log" 2>&1 &
@@ -34,7 +38,7 @@ for i in 0 1 2 3; do
 done
 
 rc=0
-for i in 0 1 2 3; do
+for i in "${!groups[@]}"; do
     if ! wait "${pids[$i]}"; then
         rc=1
         echo "GROUP ${names[$i]} FAILED — tail of /tmp/rtsm-suite-${names[$i]}.log:"

@@ -126,6 +126,24 @@ def test_bench_headliners_are_registered_queries():
     assert bench.HEADLINE[: len(bench.HEADLINE17)] == bench.HEADLINE17
 
 
+def test_suite_runner_covers_every_test_file():
+    """tests/run_suite.sh partitions the suite into parallel pytest groups
+    by EXPLICIT file list — a newly added test file that is not placed in
+    a group would silently never run in the suite lane (found nearly-live
+    in r07: test_streaming_stores.py split out of test_streaming.py had to
+    be added to a group by hand). Pin: every tests/test_*.py appears in
+    the runner exactly once."""
+    script = open(os.path.join(REPO, "tests", "run_suite.sh")).read()
+    listed = re.findall(r"tests/(test_\w+\.py)", script)
+    on_disk = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(REPO, "tests", "test_*.py"))
+    )
+    missing = [f for f in on_disk if f not in listed]
+    dupes = [f for f in set(listed) if listed.count(f) > 1]
+    assert not missing, f"test files absent from run_suite.sh groups: {missing}"
+    assert not dupes, f"test files listed in more than one group: {dupes}"
+
+
 def test_no_shadowed_test_definitions():
     """Python silently lets a later `def test_x` shadow an earlier one in
     the same module — the first body then NEVER runs (found live in r07:
