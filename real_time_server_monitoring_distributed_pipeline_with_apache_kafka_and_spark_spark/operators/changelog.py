@@ -121,3 +121,65 @@ def scd2_intervals(
         F.lead("valid_from").over(w_runs).alias("valid_to"),
         "run_events",
     )
+
+
+def snapshot_diff(
+    snap_a: DataFrame,
+    snap_b: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff of two snapshots of the same keyed table — the data
+    regression test between pipeline runs (did yesterday's rebuild add,
+    drop, or silently mutate rows?) and the audit step before promoting a
+    recomputed table over its predecessor.
+
+    One full-outer shuffle join on the key, then pure row-local
+    classification: ``added`` (key only in B), ``removed`` (key only in
+    A), ``changed`` (key in both, any compare column differs under
+    null-safe equality), ``unchanged``. Column values are compared
+    DIRECTLY (``<=>``), never via a serialized checksum string — rendering
+    doubles/decimals to text is engine- and locale-dependent, so a
+    text-checksum diff can report phantom changes; native comparison
+    cannot. Output: the key columns, ``change_type``, and both sides'
+    compare columns (``<col>_a`` / ``<col>_b``) for changed-row triage.
+
+    Scale: the join shuffles each side once on the key (sort-merge;
+    AQE-skew-splittable); classification is a codegen'd projection. At
+    100 TB prefer snapshots both bucketed/partitioned on the key so the
+    exchange is pruned or co-located — the operator itself adds nothing
+    beyond the one join.
+    """
+    a_key = [F.col(f"A.{k}").alias(f"_ka_{k}") for k in key_cols]
+    b_key = [F.col(f"B.{k}").alias(f"_kb_{k}") for k in key_cols]
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"A.{k}") == F.col(f"B.{k}")
+        cond = eq if cond is None else (cond & eq)
+    joined = snap_a.alias("A").join(snap_b.alias("B"), cond, "full_outer").select(
+        *a_key,
+        *b_key,
+        *[F.col(f"A.{c}").alias(f"{c}_a") for c in compare_cols],
+        *[F.col(f"B.{c}").alias(f"{c}_b") for c in compare_cols],
+    )
+    in_a = F.col(f"_ka_{key_cols[0]}").isNotNull()
+    in_b = F.col(f"_kb_{key_cols[0]}").isNotNull()
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"{c}_a").eqNullSafe(F.col(f"{c}_b"))
+        same = eq if same is None else (same & eq)
+    change_type = (
+        F.when(~in_a, F.lit("added"))
+        .when(~in_b, F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"_ka_{k}"), F.col(f"_kb_{k}")).alias(k)
+            for k in key_cols
+        ],
+        change_type.alias("change_type"),
+        *[F.col(f"{c}_a") for c in compare_cols],
+        *[F.col(f"{c}_b") for c in compare_cols],
+    )

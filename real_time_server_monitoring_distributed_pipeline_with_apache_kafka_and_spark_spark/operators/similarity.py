@@ -66,6 +66,7 @@ def cosine_pairs(
     threshold: float = 0.4,
     n_blocks: int | None = None,
     target_block_rows: int = 2048,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """All-pairs cosine >= threshold (embedding near-dup detection), exact.
 
@@ -86,6 +87,13 @@ def cosine_pairs(
     grid still grows as O((N/target)^2) — this operator is the EXACT
     anchor; for billions of vectors prune with cosine_pairs_lsh /
     ann_lsh_topk bucketing instead.
+
+    ``partition_col`` scopes the pair search: only rows sharing the
+    partition value are compared (the SemDeDup shape — exact all-pairs
+    WITHIN each k-means cluster, never across). The block-pair grid then
+    becomes an EQUI-join on the partition key instead of a cross join,
+    so per-task work is bounded by the largest partition's block count
+    and the scale-killer cartesian disappears from the plan entirely.
     Output: (a_id, b_id) with a_id < b_id.
     """
     from collections.abc import Iterator
@@ -95,23 +103,33 @@ def cosine_pairs(
             vectors.select(id_col).count(), target_block_rows
         )
 
+    part = (
+        F.col(partition_col) if partition_col is not None else F.lit(0)
+    )
     blocked = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        part.alias("p"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("b"),
     )
-    blocks = blocked.groupBy("b").agg(
+    blocks = blocked.groupBy("p", "b").agg(
         F.collect_list(F.struct("id", "v")).alias("items")
     )
-    pairs = (
-        blocks.alias("A")
-        .crossJoin(blocks.alias("B"))
-        .filter(F.col("A.b") <= F.col("B.b"))
-        .select(
-            (F.col("A.b") == F.col("B.b")).alias("same_block"),
-            F.col("A.items").alias("items_a"),
-            F.col("B.items").alias("items_b"),
+    if partition_col is None:
+        grid = (
+            blocks.alias("A")
+            .crossJoin(blocks.alias("B"))
+            .filter(F.col("A.b") <= F.col("B.b"))
         )
+    else:
+        grid = blocks.alias("A").join(
+            blocks.alias("B"),
+            (F.col("A.p") == F.col("B.p")) & (F.col("A.b") <= F.col("B.b")),
+        )
+    pairs = grid.select(
+        (F.col("A.b") == F.col("B.b")).alias("same_block"),
+        F.col("A.items").alias("items_a"),
+        F.col("B.items").alias("items_b"),
     )
     margin = threshold - 1e-6
 

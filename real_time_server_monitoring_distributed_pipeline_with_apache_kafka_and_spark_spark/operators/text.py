@@ -123,6 +123,89 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_stopword_hits: int = 2,
+    max_top_word_pct: int = 15,
+    max_punct_per_10_words: int = 1,
+) -> DataFrame:
+    """Gopher-style quality rule battery [Rae et al. 2021 §A1.1]: the
+    named PASS/FAIL gates (with reasons) that corpus curation applies
+    BEFORE any blended score — a doc is dropped when any gate fails,
+    and the per-rule booleans say why, which the single ``quality``
+    scalar of ``quality_score`` cannot.
+
+    Unlike the blended score, every gate here is decided in INTEGER
+    arithmetic (``3*n <= sum_len`` instead of ``sum_len/n >= 3``), so
+    the pass/fail boundary is bit-exact on any engine — no float
+    threshold can flicker. Rules (defaults adapted to this corpus):
+
+    - ``rule_len``: token count in [min_tokens, max_tokens]
+    - ``rule_word_len``: mean word length in [3, 10]
+    - ``rule_stopwords``: >= 2 stopword hits (the "has glue words" gate)
+    - ``rule_top_word``: most frequent word <= 15% of tokens (the
+      repetition gate; Gopher's top-n-gram family at n=1)
+    - ``rule_symbols``: punctuation chars <= 1 per 10 words (the
+      symbol-to-word gate)
+
+    Plan: one projection computes four of five gates from array folds at
+    scan speed; the top-word gate is the only shuffle (explode ->
+    (doc, word) count -> per-doc max — two partial-agg hash aggs on the
+    doc key). Output adds the 5 booleans + ``passes_gopher``.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_punct = F.length(text_col) - F.length(
+        F.regexp_replace(F.col(text_col), r"[.,!?;:]", "")
+    )
+    base = df.withColumns(
+        {
+            "_n": n,
+            "_sum_len": sum_len,
+            "_stop": _hit_count(toks, STOPWORDS_EN),
+            "_punct": n_punct,
+        }
+    )
+    top = (
+        df.select(F.col(id_col), F.explode(toks).alias("_w"))
+        .groupBy(id_col, "_w")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("_top_cnt"))
+    )
+    rules = {
+        "rule_len": (F.col("_n") >= min_tokens) & (F.col("_n") <= max_tokens),
+        "rule_word_len": (
+            F.col("_sum_len") >= min_mean_word_len * F.col("_n")
+        )
+        & (F.col("_sum_len") <= max_mean_word_len * F.col("_n")),
+        "rule_stopwords": F.col("_stop") >= min_stopword_hits,
+        "rule_top_word": F.lit(100) * F.col("_top_cnt")
+        <= F.lit(max_top_word_pct) * F.col("_n"),
+        "rule_symbols": F.lit(10) * F.col("_punct")
+        <= F.lit(max_punct_per_10_words) * F.col("_n"),
+    }
+    out = base.join(top, id_col)
+    passes = None
+    for expr in rules.values():
+        passes = expr if passes is None else (passes & expr)
+    return (
+        out.withColumns(rules)
+        .withColumn("passes_gopher", passes)
+        .withColumn("n_tokens", F.col("_n"))
+        .drop("_n", "_sum_len", "_stop", "_punct", "_top_cnt")
+    )
+
+
 def hash_bucket_100(id_col: Column) -> Column:
     """Deterministic 0-99 bucket from an id: md5 first-8-hex-digits mod
     100. Engine-portable (DuckDB derives the identical assignment) and

@@ -220,6 +220,65 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup proper [Abbas et al. 2023]: k-means-partition the
+    embedding space (the same seeded 8-centroid assignment step as
+    sim_kmeans_iter — zero joins, centroid literals), then run EXACT
+    all-pairs cosine ONLY within each cluster and drop the higher id of
+    every >= 0.4 pair. Contrast with dedup_embedding_clusters (the
+    LSH-candidate + connected-components variant): here the candidate
+    structure is the clustering itself, so the work is sum(cluster^2)
+    FLOPs — tunable by k — with no hash-table recall question; the cost
+    is that cross-cluster near-dups are out of scope BY DESIGN (the
+    paper's trade).
+
+    Scale shape: assignment at scan speed; the intra-cluster pair search
+    is cosine_pairs with partition_col="cluster_id" — numpy-blocked
+    block-matmul per (cluster, block-pair) task, block grid EQUI-joined
+    on the cluster key (no cartesian anywhere), exact fold re-verify on
+    candidates. At 100 TB, k grows with N (k ~ N/target_cluster) so
+    cluster^2 stays bounded; hot clusters split across block sub-pairs.
+    Output: per-cluster dedup accounting (8 rows, all-integer).
+    """
+    from .similarity import _kmeans_dists_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    darr = emb.select(
+        "vec_id",
+        "embedding",
+        _kmeans_dists_col(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("_dists"),
+    )
+    assigned = darr.select(
+        "vec_id",
+        "embedding",
+        (F.array_position(F.col("_dists"), F.array_min(F.col("_dists"))) - 1).alias(
+            "cluster_id"
+        ),
+    )
+    pairs = cosine_pairs(
+        assigned, threshold=COSINE_THRESHOLD, partition_col="cluster_id"
+    )
+    drops = pairs.select(F.col("b_id").alias("vec_id")).distinct()
+    flagged = assigned.join(
+        drops.withColumn("_dropped", F.lit(1)), "vec_id", "left"
+    )
+    return (
+        flagged.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.coalesce(F.col("_dropped"), F.lit(0))).alias("n_dropped"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            "n_dropped",
+            (F.col("n_members") - F.col("n_dropped")).alias("n_kept"),
+        )
+    )
+
+
 def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation — the composite these operators exist
     for: quality filter -> exact dedup (min-id representative) -> 3-gram
@@ -339,6 +398,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_embedding_clusters": dedup_embedding_clusters,
+    "dedup_semdedup": dedup_semdedup,
 }
 
 ORACLES = {
@@ -691,3 +751,7 @@ WHERE list_dot_product(a.v, b.v)
       >= {COSINE_THRESHOLD}
 """,
 }
+# NOTE: the "dedup_semdedup" oracle is registered from queries/similarity.py
+# (same late-binding spot as "pipeline_embedding_prep") — it needs the
+# seeded k-means centroid SQL, and similarity.py already imports from this
+# module at load time, so the reverse module-level import would be circular.

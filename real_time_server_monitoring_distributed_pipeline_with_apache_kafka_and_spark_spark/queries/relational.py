@@ -1503,7 +1503,65 @@ def rel_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot regression diff — the audit every nightly rebuild runs
+    before promoting a recomputed table over yesterday's: how many rows
+    were added, removed, silently changed, or untouched between two
+    snapshots of the keyed ``orders`` table, with a per-class key
+    checksum so two engines must agree on WHICH rows, not just how many.
+
+    The two snapshots are carved deterministically from the one orders
+    table: A = everything before 1998; B = a retention-purged, refreshed
+    copy (1996-1998 inclusive) where a 5% md5-bucket of keys had a
+    repricing applied — the added/removed classes come from the window
+    shift, the changed class from the repricing, so all four classes are
+    populated and the classification logic is fully exercised.
+
+    Plan: one full-outer sort-merge join on the key
+    (operators.changelog.snapshot_diff — value columns compared natively
+    via ``<=>``, never through serialized checksum strings) + one 4-group
+    hash agg. key_sum is an exact integer checksum of the affected key
+    set. Scale: single key-shuffle per side, AQE-skew-splittable; with
+    key-bucketed snapshot layouts the exchange co-locates for free.
+    """
+    from ..operators.changelog import snapshot_diff
+    from ..operators.text import hash_bucket_100
+
+    orders = load_table(spark, sf_dir, "orders")
+    snap_a = orders.filter(F.col("o_orderdate") < "1998-01-01")
+    repriced = hash_bucket_100(F.col("o_orderkey")) < 5
+    snap_b = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(repriced, F.lit("R")).otherwise(F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.when(repriced, F.col("o_totalprice") + F.lit(1.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    diff = snapshot_diff(
+        snap_a,
+        snap_b,
+        key_cols=["o_orderkey"],
+        compare_cols=["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+    return (
+        diff.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("change_type")
+    )
+
+
 QUERIES = {
+    "rel_snapshot_diff": rel_snapshot_diff,
     "rel_merge_into": rel_merge_into,
     "rel_time_range_frame": rel_time_range_frame,
     "rel_skyline": rel_skyline,
@@ -1564,6 +1622,42 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_snapshot_diff": """
+WITH a AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+),
+b AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN rp THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN rp THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+         o_orderpriority
+  FROM (
+    SELECT *,
+           CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 100 < 5 AS rp
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+  )
+),
+d AS (
+  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         CASE
+           WHEN a.o_orderkey IS NULL THEN 'added'
+           WHEN b.o_orderkey IS NULL THEN 'removed'
+           WHEN a.o_custkey IS NOT DISTINCT FROM b.o_custkey
+            AND a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
+            AND a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice
+            AND a.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority
+           THEN 'unchanged'
+           ELSE 'changed'
+         END AS change_type
+  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+)
+SELECT change_type, count(*) AS n_rows, sum(o_orderkey) AS key_sum
+FROM d GROUP BY change_type ORDER BY change_type
+""",
     "rel_merge_into": """
 WITH t AS (
   SELECT c_custkey AS key, c_name, c_acctbal, TRUE AS in_t

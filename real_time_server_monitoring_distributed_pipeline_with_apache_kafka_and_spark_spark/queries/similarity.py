@@ -1000,6 +1000,42 @@ _KNN_BANDS_SQL = "\n  UNION ALL ".join(
 )
 ORACLES["sim_knn_join"] = ORACLES["sim_knn_join"].format(bands=_KNN_BANDS_SQL)
 ORACLES["pipeline_embedding_prep"] = _embedding_prep_oracle()
+# SemDeDup (query lives in queries/dedup.py — see the note there): the
+# sim_kmeans_iter assignment SQL + the exact-cosine pair SQL, composed —
+# both already hash-verified on their own.
+from .dedup import COSINE_THRESHOLD as _SEMDEDUP_TAU  # noqa: E402
+
+ORACLES["dedup_semdedup"] = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+d AS (
+  SELECT vec_id, v, {_KMEANS_DISTS_SQL} AS dists FROM e
+),
+a AS (
+  SELECT vec_id, v,
+         CAST(list_position(dists, list_aggregate(dists, 'min')) - 1 AS BIGINT)
+           AS cluster_id
+  FROM d
+),
+p AS (
+  SELECT x.vec_id AS a_id, y.vec_id AS b_id
+  FROM a x JOIN a y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+  WHERE list_dot_product(x.v, y.v)
+        / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+        >= {_SEMDEDUP_TAU}
+),
+dr AS (SELECT DISTINCT b_id FROM p)
+SELECT cluster_id,
+       count(*) AS n_members,
+       CAST(sum(CASE WHEN dr.b_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       count(*) - CAST(sum(CASE WHEN dr.b_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM a LEFT JOIN dr ON a.vec_id = dr.b_id
+GROUP BY cluster_id
+"""
 ORACLES["sim_ann_recall"] = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -35,6 +35,28 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named quality GATES with reasons (operators.text.gopher_rules, the
+    Gopher-filter shape): per doc, the five pass/fail rule booleans +
+    the conjunction — the pre-score drop battery, where the blended
+    ``text_quality_score`` is the post-gate ranking signal. Every gate is
+    integer arithmetic, so the oracle agrees bit-exactly by construction
+    rather than by float-policy argument."""
+    from ..operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules(docs).select(
+        "doc_id",
+        "n_tokens",
+        "rule_len",
+        "rule_word_len",
+        "rule_stopwords",
+        "rule_top_word",
+        "rule_symbols",
+        "passes_gopher",
+    )
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ops.lang_id(docs).select("doc_id", "lang", "lang_pred")
@@ -636,6 +658,7 @@ QUERIES = {
     "text_repetition": text_repetition,
     "text_hash_split": text_hash_split,
     "text_quality_score": text_quality_score,
+    "text_gopher_rules": text_gopher_rules,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_tfidf": text_tfidf,
@@ -643,6 +666,41 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_gopher_rules": """
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         len(toks) AS n,
+         list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS sum_len,
+         len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS stop,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct
+  FROM t
+),
+top AS (
+  SELECT doc_id, max(cnt) AS top_cnt FROM (
+    SELECT doc_id, w, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+    GROUP BY doc_id, w
+  ) GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(n AS INTEGER) AS n_tokens,
+       n >= 30 AND n <= 100000 AS rule_len,
+       sum_len >= 3 * n AND sum_len <= 10 * n AS rule_word_len,
+       stop >= 2 AS rule_stopwords,
+       100 * top_cnt <= 15 * n AS rule_top_word,
+       10 * punct <= 1 * n AS rule_symbols,
+       (n >= 30 AND n <= 100000)
+         AND (sum_len >= 3 * n AND sum_len <= 10 * n)
+         AND (stop >= 2)
+         AND (100 * top_cnt <= 15 * n)
+         AND (10 * punct <= 1 * n) AS passes_gopher
+FROM s JOIN top ON s.doc_id = top.doc_id
+""",
     "text_mixture_sample": """
 WITH toks AS (
   SELECT doc_id, lang,

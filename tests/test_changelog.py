@@ -180,3 +180,61 @@ class TestWeightedSample:
         a = {r["doc_id"] for r in weighted_sample(docs, w).collect()}
         b = {r["doc_id"] for r in weighted_sample(docs.repartition(13), w).collect()}
         assert a == b
+
+
+class TestSnapshotDiff:
+    def _frames(self, spark):
+        from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.changelog import (
+            snapshot_diff,
+        )
+
+        a = spark.createDataFrame(
+            [(1, "x", 10.0), (2, "y", 20.0), (3, "z", None), (4, "w", 40.0)],
+            "k long, s string, v double",
+        )
+        b = spark.createDataFrame(
+            [(2, "y", 20.0), (3, "z", None), (4, "W", 40.0), (5, "n", 50.0)],
+            "k long, s string, v double",
+        )
+        return snapshot_diff(a, b, ["k"], ["s", "v"])
+
+    def test_classification(self, spark):
+        got = {r["k"]: r["change_type"] for r in self._frames(spark).collect()}
+        # 1 only in A; 5 only in B; 4 differs on s; 2 identical;
+        # 3 has NULL v on BOTH sides — null-safe compare => unchanged,
+        # the case a naive `=` comparison silently misclassifies.
+        assert got == {
+            1: "removed",
+            5: "added",
+            4: "changed",
+            2: "unchanged",
+            3: "unchanged",
+        }
+
+    def test_changed_rows_carry_both_sides(self, spark):
+        row = self._frames(spark).filter(F.col("k") == 4).collect()[0]
+        assert (row["s_a"], row["s_b"]) == ("w", "W")
+        assert row["v_a"] == row["v_b"] == 40.0
+
+    def test_null_to_value_is_changed(self, spark):
+        from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.changelog import (
+            snapshot_diff,
+        )
+
+        a = spark.createDataFrame([(1, None)], "k long, v string")
+        b = spark.createDataFrame([(1, "now-set")], "k long, v string")
+        row = snapshot_diff(a, b, ["k"], ["v"]).collect()[0]
+        assert row["change_type"] == "changed"
+
+    def test_composite_key(self, spark):
+        from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.changelog import (
+            snapshot_diff,
+        )
+
+        a = spark.createDataFrame([(1, "p", 5), (1, "q", 6)], "k long, sub string, v int")
+        b = spark.createDataFrame([(1, "p", 5), (2, "p", 7)], "k long, sub string, v int")
+        got = {
+            (r["k"], r["sub"]): r["change_type"]
+            for r in snapshot_diff(a, b, ["k", "sub"], ["v"]).collect()
+        }
+        assert got == {(1, "p"): "unchanged", (1, "q"): "removed", (2, "p"): "added"}

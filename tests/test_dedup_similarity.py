@@ -341,3 +341,51 @@ def test_ann_ivfpq_recall_vs_bruteforce(spark):
 
     per_query = Counter(r.query_id for r in rows)
     assert all(v == 5 for v in per_query.values()) and len(per_query) == 20
+
+
+def test_cosine_pairs_partition_scoped_equals_filtered_global(spark):
+    """cosine_pairs(partition_col=...) must return EXACTLY the global
+    pair set restricted to same-partition pairs — the SemDeDup contract
+    (and the proof the equi-join grid loses nothing within a cluster)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.similarity import (
+        cosine_pairs,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").limit(300)
+    withp = emb.withColumn("grp", F.pmod(F.col("vec_id"), F.lit(3)))
+    scoped = {
+        (r.a_id, r.b_id)
+        for r in cosine_pairs(withp, threshold=0.4, partition_col="grp").collect()
+    }
+    glob = {
+        (r.a_id, r.b_id)
+        for r in cosine_pairs(emb, threshold=0.4).collect()
+    }
+    same_grp = {(a, b) for a, b in glob if a % 3 == b % 3}
+    assert scoped == same_grp
+    assert scoped  # non-vacuous: some same-partition pairs exist
+
+
+def test_cosine_pairs_partitioned_blocking_invariant(spark):
+    """Sub-blocking within a partition is score-invariant: 1 block vs 5
+    blocks yield the identical pair set (same invariance the global
+    operator pins, re-proven for the partition-scoped grid)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.similarity import (
+        cosine_pairs,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").limit(200)
+    withp = emb.withColumn("grp", F.pmod(F.col("vec_id"), F.lit(2)))
+    one = {
+        (r.a_id, r.b_id)
+        for r in cosine_pairs(
+            withp, threshold=0.4, partition_col="grp", n_blocks=1
+        ).collect()
+    }
+    five = {
+        (r.a_id, r.b_id)
+        for r in cosine_pairs(
+            withp, threshold=0.4, partition_col="grp", n_blocks=5
+        ).collect()
+    }
+    assert one == five and one

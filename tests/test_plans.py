@@ -309,7 +309,8 @@ EXCHANGE_CENSUS = {
     # respread cosine_pairs_lsh adds on single-file inputs (a no-op —
     # and no exchange — once the corpus has >= cores files).
     "dedup_embedding_lsh": 2, "dedup_exact": 1, "dedup_minhash_lsh": 4,
-    "dedup_ngram_jaccard": 8, "dedup_simhash": 2, "mm_audio_rms": 0,
+    "dedup_ngram_jaccard": 8, "dedup_semdedup": 5, "dedup_simhash": 2,
+    "mm_audio_rms": 0,
     "mm_audio_silence_trim": 1, "mm_binary_meta": 0, "mm_decode_features": 0,
     "mm_frame_sample": 0, "mm_image_ahash": 1, "mm_image_dedup_clusters": 0,
     "mm_resize": 0, "mm_scene_segments": 1, "monitor_alert_transitions": 2,
@@ -351,7 +352,8 @@ EXCHANGE_CENSUS = {
     "rel_pivot": 2, "rel_pricing_summary": 1, "rel_profile_columns": 3,
     "rel_range_join": 1, "rel_rollup": 1, "rel_salted_count_distinct": 2,
     "rel_salted_join": 1, "rel_scd2_asof_lookup": 2, "rel_scd2_intervals": 1,
-    "rel_set_ops": 2, "rel_skyline": 2, "rel_sql_subqueries": 1,
+    "rel_set_ops": 2, "rel_skyline": 2, "rel_snapshot_diff": 4,
+    "rel_sql_subqueries": 1,
     "rel_string_funcs": 0, "rel_time_range_frame": 1, "rel_topk_per_group": 1,
     "rel_triangle_count": 11, "rel_unpivot": 0, "rel_validate_constraints": 8,
     "rel_window_frames": 1, "rel_window_running": 1, "rel_winsorize": 2,
@@ -360,7 +362,8 @@ EXCHANGE_CENSUS = {
     "sim_ann_lsh": 2, "sim_ann_quantized": 1, "sim_kmeans_iter": 1,
     "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1, "text_bpe_train": 4, "text_mixture_sample": 4,
     "text_char_entropy": 2, "text_chunking": 0, "text_decontaminate": 2,
-    "text_dup_spans": 3, "text_fingerprint": 0, "text_fixed_n_per_lang": 1, "text_hapax_ratio": 2,
+    "text_dup_spans": 3, "text_fingerprint": 0, "text_fixed_n_per_lang": 1,
+    "text_gopher_rules": 2, "text_hapax_ratio": 2,
     "text_hash_split": 1, "text_langid": 0, "text_langid_confusion": 2,
     "text_length_percentiles": 1, "text_pii_redact": 0, "text_pmi_bigrams": 4,
     "text_prefix_dup": 1, "text_quality_score": 0, "text_repetition": 0,
@@ -380,6 +383,7 @@ EXCHANGE_CENSUS = {
 # decode plumbing, SpaceSaving partials, the numpy cosine prefilter.
 PYTHON_STAGE_CENSUS = {
     "dedup_embedding_cosine": 2, "dedup_embedding_lsh": 6,
+    "dedup_semdedup": 2,
     "mm_audio_rms": 2, "mm_audio_silence_trim": 2, "mm_decode_features": 2,
     "mm_frame_sample": 2, "mm_image_ahash": 4, "mm_resize": 2,
     "mm_scene_segments": 4, "monitor_heavy_hitters": 2,

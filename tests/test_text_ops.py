@@ -13,6 +13,8 @@ from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spar
     stratified_sample,
 )
 
+from .conftest import SF_SMOKE
+
 
 def test_stratified_sample_deterministic_and_rate_shaped(spark):
     docs = spark.createDataFrame(
@@ -273,3 +275,65 @@ def test_source_quality_filter_mean_is_partitioning_invariant(spark):
         assert a[s].mean_quality == b[s].mean_quality
         assert a[s].n_docs == 20
         assert a[s].kept == (a[s].mean_quality >= 0.4)
+
+
+def test_gopher_rules_gate_boundaries(spark):
+    """Each gate flips EXACTLY at its documented integer boundary — the
+    property the all-integer formulation exists to guarantee (a float
+    threshold could flicker at the edge; 100*top <= 15*n cannot)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.text import (
+        gopher_rules,
+    )
+
+    filler = [f"w{i:03d}" for i in range(200)]  # distinct 4-char words
+
+    def doc(n_words, top_word_reps=1, stop_hits=2, punct=0, word="word"):
+        ws = [word] * top_word_reps + ["the"] * stop_hits
+        ws += filler[: n_words - len(ws)]
+        assert len(ws) == n_words
+        return " ".join(ws) + "." * punct
+
+    rows = [
+        # (doc_id, text, expected dict)
+        (0, doc(30), dict(rule_len=True)),          # exactly min_tokens
+        (1, doc(29), dict(rule_len=False)),         # one under
+        (2, doc(40, top_word_reps=6), dict(rule_top_word=True)),   # 15.0%
+        (3, doc(40, top_word_reps=7), dict(rule_top_word=False)),  # 17.5%
+        (4, doc(40, stop_hits=2), dict(rule_stopwords=True)),
+        (5, doc(40, stop_hits=1), dict(rule_stopwords=False)),
+        (6, doc(40, punct=4), dict(rule_symbols=True)),            # 4 <= 40/10
+        (7, doc(40, punct=5), dict(rule_symbols=False)),           # 5 > 4
+        # mean word length: 40 two-char words => mean 2 < 3 fails; the
+        # trailing punct glues onto the last token under whitespace
+        # tokenization, so build exactly at the boundary with clean words
+        (8, " ".join(["ab"] * 38 + ["the", "the"]), dict(rule_word_len=False)),
+        (9, " ".join(["abc"] * 38 + ["the", "the"]), dict(rule_word_len=True)),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    for doc_id, _, expected in rows:
+        for rule, want in expected.items():
+            assert got[doc_id][rule] is want, (doc_id, rule, got[doc_id])
+    # passes_gopher is the conjunction of all five gates
+    for doc_id, r in got.items():
+        assert r["passes_gopher"] == (
+            r["rule_len"] and r["rule_word_len"] and r["rule_stopwords"]
+            and r["rule_top_word"] and r["rule_symbols"]
+        )
+
+
+def test_gopher_rules_partitioning_invariant(spark):
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.text import (
+        gopher_rules,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    cols = ["doc_id", "passes_gopher", "rule_len", "rule_top_word"]
+    a = {tuple(r) for r in gopher_rules(docs).select(*cols).collect()}
+    b = {
+        tuple(r)
+        for r in gopher_rules(docs.repartition(13)).select(*cols).collect()
+    }
+    assert a == b and len(a) == docs.count()
