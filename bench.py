@@ -91,6 +91,10 @@ HEADLINE = HEADLINE24 + [
     "text_bpe_train",             # unrolled argmax-broadcast merge loop
     "rel_merge_into",             # full-outer MERGE with CASE branches
     "sim_source_centroid_outliers",  # 64-dim lattice agg + rank window
+    # added r07 third wave
+    "dedup_semdedup",             # k-means partition + cluster-scoped block matmul
+    "rel_snapshot_diff",          # full-outer key diff + 4-class agg
+    "text_gopher_rules",          # array-fold gates + dominance agg join
 ]
 
 

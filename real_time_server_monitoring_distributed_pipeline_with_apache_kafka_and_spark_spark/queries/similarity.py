@@ -268,6 +268,99 @@ def sim_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_POWER_SEED, _POWER_ITERS, _DIM = 7, 3, 64
+
+
+def _power_v0() -> list[float]:
+    """Seeded start vector for the power iteration, unit-normalized and
+    3-dec rounded so the literals round-trip exactly through repr()/SQL
+    (same portability contract as _kmeans_centroids)."""
+    import math
+    import random
+
+    rng = random.Random(_POWER_SEED)
+    v = [rng.gauss(0.0, 1.0) for _ in range(_DIM)]
+    n = math.sqrt(sum(x * x for x in v))
+    return [round(x / n, 3) for x in v]
+
+
+def sim_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POWER-ITERATION steps toward the corpus's top principal direction
+    — the update inside the 'all-but-the-top' embedding post-processing
+    [Mu & Viswanath 2018], which subtracts the dominant common direction
+    of an embedding set to improve downstream similarity. Like
+    sim_kmeans_iter (one Lloyd step) and text_bpe_train (three merges),
+    the CONTRACT here is the unrolled iteration operator — three steps of
+    v <- normalize(X'(X v)) — not a converged eigenvector: iterations to
+    convergence scale with the spectral gap (log(eps)/log(l1/l2)), a data
+    property, while this corpus is deliberately near-isotropic. Running
+    more steps is the same plan repeated.
+
+    An ITERATIVE algorithm as ONE declarative plan: each step = a full
+    codegen scan computing s_i = <x_i, v> (pinned left-fold) + one
+    64-column hash agg, with the 1-row result broadcast back via a cross
+    join (the text_bpe_train pattern) — no driver round-trips, no
+    .collect(), the whole thing optimizes and schedules as a single job.
+    At 100 TB each iteration is a map-side-combined agg over 64 longs
+    per partition, so step cost is one scan regardless of row count.
+    (At toy SF, wall time is dominated by the three sequential broadcast
+    barriers between steps — fixed driver latency, measured ~1.5 s/step
+    against ~0.1 s of actual scan+agg; at scale the scans dominate and
+    the barrier count stays constant.)
+
+    Float policy: per-row contributions floor-latticed to integer MICROS
+    and summed as int64 (order-independent, partition-invariant); the
+    normalization runs on the exact integer sums in a pinned fold order,
+    so every iterate — and the final loadings — is the identical double
+    on any engine. Output: (dim, loading) x64, 6-dec display lattice.
+    """
+    from ..functions.numeric import display_round
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    w_df = spark.range(1).select(
+        F.array(*[F.lit(x) for x in _power_v0()]).alias("w")
+    )
+    for _ in range(_POWER_ITERS):
+        joined = emb.crossJoin(F.broadcast(w_df))
+        s = F.aggregate(
+            F.zip_with("v", "w", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+        u_row = joined.select(s.alias("_s"), "v").agg(
+            *[
+                F.sum(
+                    F.floor(F.element_at("v", d + 1) * F.col("_s") * 1e6 + F.lit(0.5))
+                    .cast("long")
+                ).alias(f"u{d}")
+                for d in range(_DIM)
+            ]
+        )
+        raw = F.transform(
+            F.array(*[F.col(f"u{d}") for d in range(_DIM)]),
+            lambda x: x.cast("double") / F.lit(1e6),
+        )
+        w_df = u_row.select(raw.alias("_raw")).select(
+            F.transform(
+                "_raw",
+                lambda x: x
+                / F.sqrt(
+                    F.aggregate(
+                        F.transform("_raw", lambda y: y * y),
+                        F.lit(0.0),
+                        lambda acc, e: acc + e,
+                    )
+                ),
+            ).alias("w")
+        )
+    return w_df.select(F.posexplode("w").alias("dim", "_loading")).select(
+        F.col("dim").cast("int").alias("dim"),
+        display_round(F.col("_loading"), 6).alias("loading"),
+    )
+
+
 def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality as a first-class query: per-query recall@5 of the LSH
     tier against the exact brute-force neighbors — the measurement that
@@ -517,6 +610,7 @@ QUERIES = {
     "sim_ann_ivfpq": sim_ann_ivfpq,
     "sim_knn_join": sim_knn_join,
     "sim_kmeans_iter": sim_kmeans_iter,
+    "sim_top_pc": sim_top_pc,
     "sim_embedding_drift": sim_embedding_drift,
     "sim_ann_recall": sim_ann_recall,
     "pipeline_embedding_prep": pipeline_embedding_prep,
@@ -1000,6 +1094,39 @@ _KNN_BANDS_SQL = "\n  UNION ALL ".join(
 )
 ORACLES["sim_knn_join"] = ORACLES["sim_knn_join"].format(bands=_KNN_BANDS_SQL)
 ORACLES["pipeline_embedding_prep"] = _embedding_prep_oracle()
+
+def _power_iter_oracle() -> str:
+    """Replay the 3 unrolled power iterations: per-iteration CTE triple
+    (dot fold -> 64 integer-micro sums -> pinned-fold normalize), the
+    identical op sequence the Spark plan folds."""
+    v0 = "[" + ", ".join(repr(x) for x in _power_v0()) + "]"
+    parts = ["e AS (\n  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n  FROM embeddings\n)"]
+    prev_w = f"(SELECT {v0} AS w)"
+    for t in range(1, _POWER_ITERS + 1):
+        sums = ", ".join(
+            f"sum(CAST(floor(v[{d}] * s * 1e6 + 0.5) AS BIGINT))" for d in range(1, _DIM + 1)
+        )
+        parts.append(
+            f"r{t} AS (\n  SELECT v,\n    list_reduce(list_transform(range(1, {_DIM + 1}), i -> v[i] * wp.w[i]), (a, b) -> a + b) AS s\n  FROM e, {prev_w} wp\n)"
+        )
+        parts.append(f"u{t} AS (SELECT [{sums}] AS u FROM r{t})")
+        parts.append(
+            f"raw{t} AS (SELECT list_transform(u, x -> CAST(x AS DOUBLE) / 1e6) AS raw FROM u{t})"
+        )
+        parts.append(
+            f"w{t} AS (\n  SELECT list_transform(raw, x -> x / sqrt(list_reduce(list_transform(raw, y -> y * y), (a, b) -> a + b))) AS w\n  FROM raw{t}\n)"
+        )
+        prev_w = f"w{t}"
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT CAST(i - 1 AS INTEGER) AS dim,
+       floor(w[i] * 1000000.0 + 0.5) / 1000000.0 AS loading
+FROM {prev_w}, UNNEST(range(1, {_DIM + 1})) AS t(i)
+"""
+    )
+
+
+ORACLES["sim_top_pc"] = _power_iter_oracle()
 # SemDeDup (query lives in queries/dedup.py — see the note there): the
 # sim_kmeans_iter assignment SQL + the exact-cosine pair SQL, composed —
 # both already hash-verified on their own.

@@ -389,3 +389,86 @@ def test_cosine_pairs_partitioned_blocking_invariant(spark):
         ).collect()
     }
     assert one == five and one
+
+
+def test_sim_top_pc_matches_pure_python_replay(spark):
+    """Third-engine pin for the power-iteration trajectory: a pure-Python
+    replay of the same pinned op sequence (left-fold dots, micro-lattice
+    int sums, fold-ordered normalize — Python floats ARE IEEE binary64,
+    so identical op order means identical doubles) must reproduce the
+    Spark loadings EXACTLY, and the replayed Rayleigh quotient must be
+    non-decreasing across iterates (the power-iteration invariant)."""
+    import math
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.similarity import (
+        _POWER_ITERS,
+        _power_v0,
+        sim_top_pc,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    X = [
+        [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    ]
+    dim = len(X[0])
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for i in range(dim):
+            acc = acc + a[i] * b[i]
+        return acc
+
+    w = [float(x) for x in _power_v0()]
+    rayleighs = []
+    for _ in range(_POWER_ITERS):
+        u = [0] * dim
+        for row in X:
+            s = fold_dot(row, w)
+            for d in range(dim):
+                u[d] += int(math.floor(row[d] * s * 1e6 + 0.5))
+        raw = [x / 1e6 for x in u]
+        acc = 0.0
+        for y in raw:
+            acc = acc + y * y
+        nrm = math.sqrt(acc)
+        w = [x / nrm for x in raw]
+        # Rayleigh quotient w'X'Xw grows monotonically under power iteration
+        rayleighs.append(sum(fold_dot(row, w) ** 2 for row in X))
+    assert rayleighs == sorted(rayleighs)
+
+    got = {
+        r.dim: r.loading for r in sim_top_pc(spark, sf).collect()
+    }
+    expect = {d: math.floor(w[d] * 1e6 + 0.5) / 1e6 for d in range(dim)}
+    assert got == expect
+
+
+def test_sim_top_pc_partitioning_invariant(spark):
+    """The micro-lattice int64 sums make every iterate — not just the
+    output — independent of row order and partitioning."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.similarity import (
+        sim_top_pc,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = {(r.dim, r.loading) for r in sim_top_pc(spark, sf).collect()}
+
+    # same query over a 13-way repartitioned source: identical loadings
+    import real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources as src
+
+    orig = src.load_table
+
+    def shuffled(s, d, t):
+        df = orig(s, d, t)
+        return df.repartition(13) if t == "embeddings" else df
+
+    import real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.similarity as qs
+
+    saved = qs.load_table
+    qs.load_table = shuffled
+    try:
+        alt = {(r.dim, r.loading) for r in sim_top_pc(spark, sf).collect()}
+    finally:
+        qs.load_table = saved
+    assert base == alt

@@ -293,6 +293,7 @@ INTENTIONAL_NESTED_LOOP = {
     "text_pmi_bigrams",     # 1-row corpus-totals scalar broadcast (same)
     "text_bpe_train",       # 3x 1-row argmax-pair scalar broadcast (same)
     "text_mixture_sample",  # 1-row N* budget scalar broadcast (same)
+    "sim_top_pc",           # 3x 1-row iterate-vector broadcast (same)
 }
 
 # Exact Exchange-node count of every registry query's initial physical
@@ -360,6 +361,7 @@ EXCHANGE_CENSUS = {
     "sim_ann_bruteforce": 1, "sim_ann_filtered": 2,
     "sim_source_centroid_outliers": 2, "sim_ann_recall": 3, "sim_embedding_drift": 1, "sim_ann_ivf": 1, "sim_ann_ivfpq": 1,
     "sim_ann_lsh": 2, "sim_ann_quantized": 1, "sim_kmeans_iter": 1,
+    "sim_top_pc": 3,
     "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1, "text_bpe_train": 4, "text_mixture_sample": 4,
     "text_char_entropy": 2, "text_chunking": 0, "text_decontaminate": 2,
     "text_dup_spans": 3, "text_fingerprint": 0, "text_fixed_n_per_lang": 1,
