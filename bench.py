@@ -44,6 +44,15 @@ from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spar
 # sits entirely inside that spread, so subtotal deltas under ~25% are
 # sandbox weather, not regressions; only per-query deltas that replicate
 # across fresh JVMs AND show a plan change warrant chasing.
+#
+# Confirmed again late r07 with an INTERLEAVED A/B (fresh JVM per run,
+# alternating HEAD vs the round-6-end commit in a worktree): r6-end code
+# measured SLOWER (13.0 s) than HEAD (11.2 s) in the same minutes, and a
+# repeat HEAD run hit 18.6 s — the VM's own throughput drifts by 2x+
+# within an hour, swamping any code delta. Cross-round comparisons are
+# only meaningful between runs the driver takes at the same point of its
+# cycle; uniform inflation across ALL queries (scans included) is the
+# machine, not the engine.
 LEGACY9 = [
     "monitor_cpu_mem_alerts",     # spark_job1 shape: join + sliding window + CASE
     "monitor_net_disk_alerts",    # spark_job2 shape
