@@ -12,7 +12,7 @@ epoch-floor window arithmetic, verified exact vs Spark 4.1.2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, AlertThresholds, PipelineConfig
@@ -602,6 +602,75 @@ def monitor_alert_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return track_alert_transitions_batch(alerts, entity_col="user_id", debounce=1)
 
 
+def monitor_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean time to recovery per user: how long HIGH-alert incidents
+    last before the signal returns to OK — the SRE follow-up question to
+    monitor_alert_transitions' "when did state flip". An incident is a
+    maximal run of consecutive observed HIGH windows (same 30 s tumbling
+    windows and 113.0 threshold as the transitions query); its duration
+    is 30 s per window, and only RECOVERED incidents count — a run still
+    HIGH at the user's last observed window is right-censored and must
+    not drag the mean (the classic MTTR bias).
+
+    Plan: one window agg (exchange on user+window), then lag/run-id/
+    user-max all as window functions over ONE user partitioning (single
+    sort reused), a per-(user, run) hash agg, and a per-user agg. All
+    durations are integer window counts x30 — mttr is int/int, exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    alerts = (
+        ev.groupBy("user_id", F.window("ts", "30 seconds"))
+        .agg(F.avg("value").alias("avg_value"))
+        .select(
+            "user_id",
+            F.col("window.start").alias("window_start"),
+            F.when(F.col("avg_value") > 113.0, "HIGH").otherwise("OK").alias("alert"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("window_start")
+    w_all = Window.partitionBy("user_id")
+    seq = alerts.select(
+        "user_id",
+        "window_start",
+        "alert",
+        (
+            (F.col("alert") == "HIGH")
+            & (
+                F.lag("alert").over(w).isNull()
+                | (F.lag("alert").over(w) != "HIGH")
+            )
+        )
+        .cast("int")
+        .alias("_onset"),
+        F.max("window_start").over(w_all).alias("_user_last"),
+    ).withColumn("_run", F.sum("_onset").over(w))
+    runs = (
+        seq.filter(F.col("alert") == "HIGH")
+        .groupBy("user_id", "_run")
+        .agg(
+            F.count(F.lit(1)).alias("_n_windows"),
+            F.max("window_start").alias("_run_last"),
+            F.first("_user_last").alias("_user_last"),
+        )
+        .filter(F.col("_run_last") < F.col("_user_last"))
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_incidents"),
+            (F.sum("_n_windows") * 30).alias("total_high_seconds"),
+        )
+        .select(
+            "user_id",
+            "n_incidents",
+            "total_high_seconds",
+            (
+                F.col("total_high_seconds").cast("double") / F.col("n_incidents")
+            ).alias("mttr_seconds"),
+        )
+    )
+
+
 def monitor_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered event funnel: view -> click -> purchase per user.
 
@@ -1028,6 +1097,7 @@ QUERIES = {
     "monitor_cpu_mem_alerts": monitor_cpu_mem_alerts,
     "monitor_cpu_mem_alerts_bucketed": monitor_cpu_mem_alerts_bucketed,
     "monitor_alert_transitions": monitor_alert_transitions,
+    "monitor_mttr": monitor_mttr,
     "monitor_funnel": monitor_funnel,
     "monitor_net_disk_alerts": monitor_net_disk_alerts,
     "monitor_net_disk_alerts_bucketed": monitor_net_disk_alerts_bucketed,
@@ -1320,6 +1390,41 @@ SELECT count(*) AS n_users,
        count(CASE WHEN t_view IS NOT NULL THEN t_click END) AS n_click,
        count(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL THEN t_purchase END) AS n_purchase
 FROM p
+""",
+    "monitor_mttr": """
+WITH agg AS (
+  SELECT user_id,
+         make_timestamp(CAST(floor(epoch(ts)/30) AS BIGINT)*30*1000000) AS window_start,
+         avg(value) AS avg_value
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT user_id, window_start,
+         CASE WHEN avg_value > 113.0 THEN 'HIGH' ELSE 'OK' END AS alert,
+         max(window_start) OVER (PARTITION BY user_id) AS user_last,
+         CASE WHEN avg_value > 113.0
+               AND coalesce(lag(CASE WHEN avg_value > 113.0 THEN 'HIGH' ELSE 'OK' END)
+                     OVER (PARTITION BY user_id ORDER BY window_start), 'OK') <> 'HIGH'
+              THEN 1 ELSE 0 END AS onset
+  FROM agg
+),
+numbered AS (
+  SELECT *, sum(onset) OVER (PARTITION BY user_id ORDER BY window_start
+                             ROWS UNBOUNDED PRECEDING) AS run
+  FROM seq
+),
+runs AS (
+  SELECT user_id, run, count(*) AS n_windows,
+         max(window_start) AS run_last, max(user_last) AS user_last
+  FROM numbered WHERE alert = 'HIGH'
+  GROUP BY user_id, run
+)
+SELECT user_id,
+       count(*) AS n_incidents,
+       CAST(sum(n_windows) * 30 AS BIGINT) AS total_high_seconds,
+       CAST(sum(n_windows) * 30 AS DOUBLE) / count(*) AS mttr_seconds
+FROM runs WHERE run_last < user_last
+GROUP BY user_id
 """,
     "monitor_alert_transitions": """
 WITH agg AS (

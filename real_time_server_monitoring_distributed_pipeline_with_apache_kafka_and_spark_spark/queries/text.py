@@ -57,6 +57,78 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    3-gram shingles whose FIRST corpus occurrence (min doc_id — the
+    ingest-order stand-in) is this doc. The corpus-freshness measure
+    dedup pressure shows up in: a crawl refresh full of boilerplate
+    re-scrapes has novelty collapsing toward 0, while genuinely new
+    content holds it near 1 — worth tracking per ingest batch BEFORE
+    paying for MinHash.
+
+    Plan: distinct shingles per doc (one explode projection), a
+    min(doc_id)-per-shingle hash agg (map-side partials — shingle
+    frequency skew collapses before the shuffle), an equi-join back on
+    the shingle, and a per-doc count agg. novelty = int/int — exact.
+    """
+    from ..operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, n=3)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles")).alias("novelty"),
+        )
+    )
+
+
+def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish regex tokens per
+    whitespace word — the budgeting ratio that decides how many of a
+    tokenizer's tokens a corpus slice will actually cost (fertility
+    rises on languages the tokenizer segments poorly, which is exactly
+    where token budgets blow up). One narrow scan + one per-lang hash
+    agg; fertility = int/int division — exact.
+    """
+    from ..operators.text import bpe_token_count, tokens as tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            F.size(tokenize(F.col("text"))).alias("_ws"),
+            bpe_token_count(F.col("text")).alias("_bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ws").alias("ws_tokens"),
+            F.sum("_bpe").alias("bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            (F.col("bpe_tokens").cast("double") / F.col("ws_tokens")).alias(
+                "fertility"
+            ),
+        )
+    )
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ops.lang_id(docs).select("doc_id", "lang", "lang_pred")
@@ -659,6 +731,8 @@ QUERIES = {
     "text_hash_split": text_hash_split,
     "text_quality_score": text_quality_score,
     "text_gopher_rules": text_gopher_rules,
+    "text_ngram_novelty": text_ngram_novelty,
+    "text_token_fertility": text_token_fertility,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_tfidf": text_tfidf,
@@ -666,6 +740,37 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_ngram_novelty": """
+WITH sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents) s,
+       UNNEST(range(1, len(w) - 1)) u(i)
+  WHERE len(w) >= 3
+),
+firsts AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+SELECT sh.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS novelty
+FROM sh JOIN firsts USING (shingle)
+GROUP BY sh.doc_id
+""",
+    "text_token_fertility": f"""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+')) ) AS BIGINT)
+         AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '{_BPE_SQL}'))) AS BIGINT)
+         AS bpe_tokens,
+       CAST(sum(len(regexp_extract_all(text, '{_BPE_SQL}'))) AS DOUBLE)
+         / sum(len(string_split_regex(lower(trim(text)), '\\s+')))
+         AS fertility
+FROM documents
+GROUP BY lang
+""",
     "text_gopher_rules": """
 WITH t AS (
   SELECT doc_id, text,

@@ -319,7 +319,7 @@ EXCHANGE_CENSUS = {
     "monitor_cpu_mem_alerts": 1, "monitor_cpu_mem_alerts_bucketed": 0,
     "monitor_cusum_shift": 1, "monitor_drift_psi": 2, "monitor_error_after_click": 0,
     "monitor_ewma_level": 1, "monitor_filter_range": 0, "monitor_funnel": 4,
-    "monitor_gap_report": 2, "monitor_heavy_hitters": 1,
+    "monitor_gap_report": 2, "monitor_heavy_hitters": 1, "monitor_mttr": 2,
     "monitor_net_disk_alerts": 1, "monitor_net_disk_alerts_bucketed": 0,
     "monitor_project_cast": 0, "monitor_rate_spike": 1, "monitor_seasonal_baseline": 1,
     "monitor_window_distinct_users": 2,
@@ -367,12 +367,14 @@ EXCHANGE_CENSUS = {
     "text_dup_spans": 3, "text_fingerprint": 0, "text_fixed_n_per_lang": 1,
     "text_gopher_rules": 2, "text_hapax_ratio": 2,
     "text_hash_split": 1, "text_langid": 0, "text_langid_confusion": 2,
-    "text_length_percentiles": 1, "text_pii_redact": 0, "text_pmi_bigrams": 4,
+    "text_length_percentiles": 1, "text_ngram_novelty": 2,
+    "text_pii_redact": 0, "text_pmi_bigrams": 4,
     "text_prefix_dup": 1, "text_quality_score": 0, "text_repetition": 0,
     "text_sequence_packing": 3, "text_shuffle_order": 3,
     "text_source_quality_filter": 1, "text_stratified_sample": 1,
     "text_stratified_sample_salted": 1, "text_tfidf": 5,
-    "text_token_stats": 0, "text_unigram_logprob": 3, "text_vocab_topk": 1,
+    "text_token_fertility": 1, "text_token_stats": 0,
+    "text_unigram_logprob": 3, "text_vocab_topk": 1,
     "text_weighted_sample": 0, "text_zipf_slope": 1,
 }
 

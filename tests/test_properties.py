@@ -822,3 +822,67 @@ def test_cusum_shift_matches_bruteforce_fold(spark, vals):
             s_lo = max(0.0, s_lo + (mu - 25.0 - v))
         want[u] = (len(hist), mu, s_hi, s_lo, s_hi > 200.0 or s_lo > 200.0)
     assert got == want
+
+
+def test_mttr_counts_only_recovered_incidents(spark, tmp_path):
+    """monitor_mttr: a HIGH run still open at a user's last observed
+    window is right-censored and must NOT enter the mean — including a
+    user whose ONLY incident is censored (no output row at all). Built
+    on a hand-crafted events table where the incident durations are
+    known exactly."""
+    from datetime import datetime, timedelta
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.monitoring import (
+        monitor_mttr,
+    )
+
+    base = datetime(2024, 1, 1)
+
+    def ev(eid, user, win_idx, value):
+        return (eid, base + timedelta(seconds=30 * win_idx), user, "m", value, "{}")
+
+    rows = [
+        # user 1: HIGH@0-1 (2 windows), OK@2, HIGH@3 (1 window), OK@4
+        #   -> two recovered incidents: 60s + 30s, mttr 45.0
+        ev(0, 1, 0, 200.0), ev(1, 1, 1, 200.0), ev(2, 1, 2, 1.0),
+        ev(3, 1, 3, 200.0), ev(4, 1, 4, 1.0),
+        # user 2: OK@0, HIGH@1-2 trailing (censored) -> NO output row
+        ev(5, 2, 0, 1.0), ev(6, 2, 1, 200.0), ev(7, 2, 2, 200.0),
+        # user 3: HIGH@0 recovered, HIGH@2-3 censored -> one incident 30s
+        ev(8, 3, 0, 200.0), ev(9, 3, 1, 1.0),
+        ev(10, 3, 2, 200.0), ev(11, 3, 3, 200.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.user_id: (r.n_incidents, r.total_high_seconds, r.mttr_seconds)
+        for r in monitor_mttr(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (2, 90, 45.0), 3: (1, 30, 30.0)}
+
+
+def test_ngram_novelty_first_doc_convention(spark, tmp_path):
+    """text_ngram_novelty: the doc holding a shingle's min doc_id gets
+    novelty credit; later holders don't. Exact counts on a corpus with
+    fully known shingle overlap (and a <3-token doc yielding no row)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.text import (
+        text_ngram_novelty,
+    )
+
+    rows = [
+        (0, "a b c d", "en", "s", 7),        # shingles: 'a b c', 'b c d'
+        (1, "a b c e", "en", "s", 7),        # 'a b c' seen; 'b c e' novel
+        (2, "a b c d", "en", "s", 7),        # both seen -> novelty 0
+        (3, "x y", "en", "s", 3),            # <3 tokens -> no shingles, no row
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_shingles, r.n_novel, r.novelty)
+        for r in text_ngram_novelty(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: (2, 2, 1.0), 1: (2, 1, 0.5), 2: (2, 0, 0.0)}
