@@ -144,6 +144,13 @@ def snapshot_diff(
     cannot. Output: the key columns, ``change_type``, and both sides'
     compare columns (``<col>_a`` / ``<col>_b``) for changed-row triage.
 
+    NULL join keys never compare equal (ANSI semantics), so a NULL-keyed
+    row can't match its counterpart: it reports as one ``removed`` (the
+    A copy) plus one ``added`` (the B copy), never ``unchanged``. Side
+    presence is tracked with explicit marker columns — NOT key
+    nullability — so those rows still classify by the side they actually
+    came from.
+
     Scale: the join shuffles each side once on the key (sort-merge;
     AQE-skew-splittable); classification is a codegen'd projection. At
     100 TB prefer snapshots both bucketed/partitioned on the key so the
@@ -156,14 +163,18 @@ def snapshot_diff(
     for k in key_cols:
         eq = F.col(f"A.{k}") == F.col(f"B.{k}")
         cond = eq if cond is None else (cond & eq)
+    snap_a = snap_a.withColumn("_in_a", F.lit(True))
+    snap_b = snap_b.withColumn("_in_b", F.lit(True))
     joined = snap_a.alias("A").join(snap_b.alias("B"), cond, "full_outer").select(
         *a_key,
         *b_key,
+        F.col("A._in_a").alias("_in_a"),
+        F.col("B._in_b").alias("_in_b"),
         *[F.col(f"A.{c}").alias(f"{c}_a") for c in compare_cols],
         *[F.col(f"B.{c}").alias(f"{c}_b") for c in compare_cols],
     )
-    in_a = F.col(f"_ka_{key_cols[0]}").isNotNull()
-    in_b = F.col(f"_kb_{key_cols[0]}").isNotNull()
+    in_a = F.col("_in_a").isNotNull()
+    in_b = F.col("_in_b").isNotNull()
     same = None
     for c in compare_cols:
         eq = F.col(f"{c}_a").eqNullSafe(F.col(f"{c}_b"))
@@ -176,7 +187,9 @@ def snapshot_diff(
     )
     return joined.select(
         *[
-            F.coalesce(F.col(f"_ka_{k}"), F.col(f"_kb_{k}")).alias(k)
+            F.when(in_a, F.col(f"_ka_{k}"))
+            .otherwise(F.col(f"_kb_{k}"))
+            .alias(k)
             for k in key_cols
         ],
         change_type.alias("change_type"),

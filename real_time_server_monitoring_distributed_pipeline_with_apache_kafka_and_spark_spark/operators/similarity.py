@@ -122,9 +122,14 @@ def cosine_pairs(
             .filter(F.col("A.b") <= F.col("B.b"))
         )
     else:
+        # Null-safe partition equality: rows with a NULL partition value
+        # form their own comparison group (a plain == would silently
+        # exclude them from EVERY pair, letting NULL-cluster near-dups
+        # through). <=> is still an equi-join key for Catalyst — hash
+        # join, not a nested loop.
         grid = blocks.alias("A").join(
             blocks.alias("B"),
-            (F.col("A.p") == F.col("B.p")) & (F.col("A.b") <= F.col("B.b")),
+            F.col("A.p").eqNullSafe(F.col("B.p")) & (F.col("A.b") <= F.col("B.b")),
         )
     pairs = grid.select(
         (F.col("A.b") == F.col("B.b")).alias("same_block"),

@@ -157,26 +157,29 @@ def gopher_rules(
     Plan: one projection computes four of five gates from array folds at
     scan speed; the top-word gate is the only shuffle (explode ->
     (doc, word) count -> per-doc max — two partial-agg hash aggs on the
-    doc key). Output adds the 5 booleans + ``passes_gopher``.
+    doc key). Output adds the 5 booleans + ``passes_gopher``. The token
+    array is projected ONCE before the fold lambdas (higher-order
+    functions have no subexpression elimination — see word_shingles'
+    measured 13x note). A NULL-text doc stays IN the output with every
+    gate False (a drop battery that silently loses the doc instead of
+    recording why it failed would defeat its own accounting), via a left
+    join on the top-word agg and NULL-to-False coalescing.
     """
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    sum_len = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
-    )
-    n_punct = F.length(text_col) - F.length(
-        F.regexp_replace(F.col(text_col), r"[.,!?;:]", "")
-    )
-    base = df.withColumns(
+    toked = df.withColumn("_toks", tokens(F.col(text_col)))
+    tc = F.col("_toks")
+    base = toked.withColumns(
         {
-            "_n": n,
-            "_sum_len": sum_len,
-            "_stop": _hit_count(toks, STOPWORDS_EN),
-            "_punct": n_punct,
+            "_n": F.size(tc),
+            "_sum_len": F.aggregate(
+                F.transform(tc, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+            ),
+            "_stop": _hit_count(tc, STOPWORDS_EN),
+            "_punct": F.length(text_col)
+            - F.length(F.regexp_replace(F.col(text_col), r"[.,!?;:]", "")),
         }
     )
     top = (
-        df.select(F.col(id_col), F.explode(toks).alias("_w"))
+        toked.select(F.col(id_col), F.explode(tc).alias("_w"))
         .groupBy(id_col, "_w")
         .count()
         .groupBy(id_col)
@@ -194,7 +197,11 @@ def gopher_rules(
         "rule_symbols": F.lit(10) * F.col("_punct")
         <= F.lit(max_punct_per_10_words) * F.col("_n"),
     }
-    out = base.join(top, id_col)
+    # NULL text => NULL token stats => NULL gate comparisons: coalesce
+    # each gate to False so the doc fails with reasons instead of
+    # vanishing through an inner join.
+    rules = {k: F.coalesce(v, F.lit(False)) for k, v in rules.items()}
+    out = base.join(top, id_col, "left")
     passes = None
     for expr in rules.values():
         passes = expr if passes is None else (passes & expr)
@@ -202,7 +209,7 @@ def gopher_rules(
         out.withColumns(rules)
         .withColumn("passes_gopher", passes)
         .withColumn("n_tokens", F.col("_n"))
-        .drop("_n", "_sum_len", "_stop", "_punct", "_top_cnt")
+        .drop("_toks", "_n", "_sum_len", "_stop", "_punct", "_top_cnt")
     )
 
 

@@ -794,17 +794,17 @@ top AS (
 )
 SELECT s.doc_id,
        CAST(n AS INTEGER) AS n_tokens,
-       n >= 30 AND n <= 100000 AS rule_len,
-       sum_len >= 3 * n AND sum_len <= 10 * n AS rule_word_len,
-       stop >= 2 AS rule_stopwords,
-       100 * top_cnt <= 15 * n AS rule_top_word,
-       10 * punct <= 1 * n AS rule_symbols,
-       (n >= 30 AND n <= 100000)
-         AND (sum_len >= 3 * n AND sum_len <= 10 * n)
-         AND (stop >= 2)
-         AND (100 * top_cnt <= 15 * n)
-         AND (10 * punct <= 1 * n) AS passes_gopher
-FROM s JOIN top ON s.doc_id = top.doc_id
+       coalesce(n >= 30 AND n <= 100000, FALSE) AS rule_len,
+       coalesce(sum_len >= 3 * n AND sum_len <= 10 * n, FALSE) AS rule_word_len,
+       coalesce(stop >= 2, FALSE) AS rule_stopwords,
+       coalesce(100 * top_cnt <= 15 * n, FALSE) AS rule_top_word,
+       coalesce(10 * punct <= 1 * n, FALSE) AS rule_symbols,
+       coalesce(n >= 30 AND n <= 100000, FALSE)
+         AND coalesce(sum_len >= 3 * n AND sum_len <= 10 * n, FALSE)
+         AND coalesce(stop >= 2, FALSE)
+         AND coalesce(100 * top_cnt <= 15 * n, FALSE)
+         AND coalesce(10 * punct <= 1 * n, FALSE) AS passes_gopher
+FROM s LEFT JOIN top ON s.doc_id = top.doc_id
 """,
     "text_mixture_sample": """
 WITH toks AS (

@@ -61,3 +61,9 @@ def narrow_splits(wide):
     net = wide.select("ts", "server_id", "net_in", "net_out")
     disk = wide.select("ts", "server_id", "disk_io")
     return cpu, mem, net, disk
+
+
+def write_csv_batch(df, path):
+    """Append a DataFrame as one CSV file into a file-stream source dir
+    (each call = one arriving 'micro-batch' file for readStream tests)."""
+    df.coalesce(1).write.mode("append").csv(path, header=False)

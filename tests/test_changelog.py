@@ -238,3 +238,20 @@ class TestSnapshotDiff:
             for r in snapshot_diff(a, b, ["k", "sub"], ["v"]).collect()
         }
         assert got == {(1, "p"): "unchanged", (1, "q"): "removed", (2, "p"): "added"}
+
+    def test_null_key_rows_classify_by_side(self, spark):
+        """ANSI semantics: NULL keys never join, so a NULL-keyed row
+        reports by the side it CAME FROM (removed for A, added for B) —
+        presence is tracked by marker columns, not key nullability (a
+        key-null test misreported A-side NULL keys as 'added')."""
+        from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.changelog import (
+            snapshot_diff,
+        )
+
+        a = spark.createDataFrame([(None, "old")], "k string, v string")
+        b = spark.createDataFrame([(None, "new")], "k string, v string")
+        got = sorted(
+            (r["change_type"], r["v_a"], r["v_b"])
+            for r in snapshot_diff(a, b, ["k"], ["v"]).collect()
+        )
+        assert got == [("added", None, "new"), ("removed", "old", None)]

@@ -472,3 +472,28 @@ def test_sim_top_pc_partitioning_invariant(spark):
     finally:
         qs.load_table = saved
     assert base == alt
+
+
+def test_cosine_pairs_null_partition_rows_compare_together(spark):
+    """partition_col rows with a NULL value form their own comparison
+    group (null-safe grid join) — a plain == would silently drop their
+    pairs and let NULL-cluster near-dups through."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.similarity import (
+        cosine_pairs,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").limit(40)
+    withp = emb.withColumn(
+        "grp",
+        F.when(F.col("vec_id") % 2 == 0, F.lit(None)).otherwise(F.lit(1)),
+    )
+    scoped = {
+        (r.a_id, r.b_id)
+        for r in cosine_pairs(withp, threshold=0.3, partition_col="grp").collect()
+    }
+    glob = {
+        (r.a_id, r.b_id) for r in cosine_pairs(emb, threshold=0.3).collect()
+    }
+    same_grp = {(a, b) for a, b in glob if a % 2 == b % 2}
+    assert scoped == same_grp
+    assert any(a % 2 == 0 for a, _ in scoped), "no NULL-group pair exercised"

@@ -24,7 +24,7 @@ from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spar
     parse,
 )
 
-from .fixtures import metrics_wide_df, narrow_splits
+from .fixtures import metrics_wide_df, narrow_splits, write_csv_batch
 
 
 def test_parse_and_demux_kafka_shape(spark):
@@ -76,17 +76,13 @@ def stream_dirs(tmp_path):
         shutil.rmtree(p, ignore_errors=True)
 
 
-def _write_csv(df, path):
-    df.coalesce(1).write.mode("append").csv(path, header=False)
-
-
 def test_streaming_window_agg_matches_batch(spark, tmp_path):
     """File-source stream through the SAME operator as batch; complete mode
     output equals the batch aggregation."""
     wide = metrics_wide_df(spark)
     cpu, *_ = narrow_splits(wide)
     src = str(tmp_path / "cpu_src")
-    _write_csv(cpu, src)
+    write_csv_batch(cpu, src)
 
     stream = spark.readStream.schema(schemas.METRICS_CPU).csv(src)
     agg = jobs.streaming_window_alerts(stream, value_col="cpu_pct")
@@ -131,7 +127,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         [("2024-01-01 00:00:07", "s1", 50.0)], ["ts_s", "server_id", "cpu_pct"]
     ).select(F.col("ts_s").cast("timestamp").alias("ts"), "server_id", "cpu_pct")
 
-    _write_csv(on_time, src)
+    write_csv_batch(on_time, src)
     stream = (
         spark.readStream.schema(schemas.METRICS_CPU)
         .option("maxFilesPerTrigger", "1")
@@ -142,7 +138,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     try:
         q.processAllAvailable()  # batch 1: watermark -> 00:09:00
         time.sleep(0.5)
-        _write_csv(late, src)  # 00:00:07 is far below the watermark
+        write_csv_batch(late, src)  # 00:00:07 is far below the watermark
         q.processAllAvailable()
         rows = spark.sql("SELECT * FROM late_out WHERE server_id='s1'").collect()
     finally:
@@ -159,8 +155,8 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     wide = metrics_wide_df(spark)
     cpu, mem, _, _ = narrow_splits(wide)
     cpu_src, mem_src = str(tmp_path / "cpu"), str(tmp_path / "mem")
-    _write_csv(cpu, cpu_src)
-    _write_csv(mem, mem_src)
+    write_csv_batch(cpu, cpu_src)
+    write_csv_batch(mem, mem_src)
     cpu_s = spark.readStream.schema(schemas.METRICS_CPU).csv(cpu_src)
     mem_s = spark.readStream.schema(schemas.METRICS_MEM).csv(mem_src)
     joined = jobs.watermarked(cpu_s).join(
@@ -446,8 +442,8 @@ def test_streaming_net_disk_job_matches_batch(spark, tmp_path):
     wide = metrics_wide_df(spark)
     _, _, net, disk = narrow_splits(wide)
     net_src, disk_src = str(tmp_path / "net"), str(tmp_path / "disk")
-    _write_csv(net, net_src)
-    _write_csv(disk, disk_src)
+    write_csv_batch(net, net_src)
+    write_csv_batch(disk, disk_src)
     net_s = spark.readStream.schema(schemas.METRICS_NET).csv(net_src)
     disk_s = spark.readStream.schema(schemas.METRICS_DISK).csv(disk_src)
     out = jobs.streaming_net_disk_job(net_s, disk_s)
@@ -487,7 +483,7 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     first, second = cpu.filter(F.col("server_id") != "server_1"), cpu.filter(
         F.col("server_id") == "server_1"
     )
-    _write_csv(first, src)
+    write_csv_batch(first, src)
 
     def start():
         stream = spark.readStream.schema(schemas.METRICS_CPU).csv(src)
@@ -508,7 +504,7 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     assert n_first == first.count()
 
     # new data arrives while the query is DOWN; restart from checkpoint
-    _write_csv(second, src)
+    write_csv_batch(second, src)
     q = start()
     try:
         q.processAllAvailable()
@@ -568,7 +564,7 @@ def test_curation_stream_checkpoint_recovery(spark, tmp_path):
         )
 
     # phase 1: first slice of the corpus, then the query dies
-    _write_csv(mk([(0, 0, good_a), (1, 1, good_b), (2, 2, junk)]), f"{src}/b0")
+    write_csv_batch(mk([(0, 0, good_a), (1, 1, good_b), (2, 2, junk)]), f"{src}/b0")
     q = start()
     try:
         q.processAllAvailable()
@@ -577,7 +573,7 @@ def test_curation_stream_checkpoint_recovery(spark, tmp_path):
 
     # phase 2 arrives while the query is DOWN: a duplicate of good_a
     # (exercises the RESTORED dedup state), one new doc, more junk
-    _write_csv(mk([(10, 3, good_a), (11, 4, good_c), (12, 5, junk)]), f"{src}/b1")
+    write_csv_batch(mk([(10, 3, good_a), (11, 4, good_c), (12, 5, junk)]), f"{src}/b1")
     q = start()
     try:
         q.processAllAvailable()
@@ -747,8 +743,8 @@ def test_stream_dedup_drops_redeliveries(spark, tmp_path):
 
     batch1 = mk([(0, "s1", 10.0), (5, "s1", 20.0), (0, "s2", 30.0)])
     batch2 = mk([(0, "s1", 10.0), (5, "s1", 20.0), (10, "s1", 40.0)])  # 2 dups + 1 new
-    _write_csv(batch1, f"{src}/b0")
-    _write_csv(batch2, f"{src}/b1")
+    write_csv_batch(batch1, f"{src}/b0")
+    write_csv_batch(batch2, f"{src}/b1")
     stream = (
         spark.readStream.schema(schemas.METRICS_CPU)
         .option("maxFilesPerTrigger", "1")
@@ -818,7 +814,7 @@ def test_curation_stream_matches_batch_dedup(spark, tmp_path):
 
     base_mtime = time.time()
     for i, b in enumerate((batch1, batch2, batch3)):
-        _write_csv(b, f"{src}/b{i}")
+        write_csv_batch(b, f"{src}/b{i}")
         for f in _glob.glob(f"{src}/b{i}/*"):
             _os.utime(f, (base_mtime + 10 * i, base_mtime + 10 * i))
 
@@ -926,7 +922,7 @@ def test_streaming_session_window_closed_sessions_exact(spark, tmp_path):
         [(datetime(2024, 1, 1, 0, 0, 0).replace(minute=s // 60, second=s % 60), sid, v) for s, sid, v in rows],
         schemas.METRICS_CPU,
     )
-    _write_csv(df, src)
+    write_csv_batch(df, src)
     stream = spark.readStream.schema(schemas.METRICS_CPU).csv(src)
     agged = (
         stream.withWatermark("ts", "1 minute")
@@ -1229,7 +1225,7 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         ["server_id", "region"],
     )
     src = str(tmp_path / "cpu_static")
-    _write_csv(cpu, src)
+    write_csv_batch(cpu, src)
     stream = spark.readStream.schema(schemas.METRICS_CPU).csv(src)
     enriched = stream.join(F.broadcast(dim), "server_id", "left")
     q = (
@@ -2408,7 +2404,7 @@ def test_progress_recorder_captures_microbatch_metrics(spark, tmp_path):
     cpu, *_ = narrow_splits(wide)
     n_fixture = cpu.count()
     src = str(tmp_path / "obs_src")
-    _write_csv(cpu, src)
+    write_csv_batch(cpu, src)
 
     rec = ProgressRecorder()
     spark.streams.addListener(rec)

@@ -19,10 +19,10 @@ from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spar
     jobs,
 )
 
-from .fixtures import metrics_wide_df, narrow_splits
+from .fixtures import metrics_wide_df, narrow_splits, write_csv_batch
 
 
-def _write_csv(df, path):
+def write_csv_batch(df, path):
     df.coalesce(1).write.mode("append").csv(path, header=False)
 
 def test_vector_ingest_stream_matches_batch(spark, tmp_path):
@@ -858,7 +858,7 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
     cpu, *_ = narrow_splits(wide)
     first = cpu.filter(F.col("server_id") != "server_1")
     second = cpu.filter(F.col("server_id") == "server_1")
-    _write_csv(first, src)
+    write_csv_batch(first, src)
 
     def start():
         stream = spark.readStream.schema(schemas.METRICS_CPU).csv(src)
@@ -869,7 +869,7 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    _write_csv(second, src)
+    write_csv_batch(second, src)
     q = start()
     try:
         q.processAllAvailable()
@@ -988,7 +988,7 @@ def test_curation_stream_feeds_minhash_store(spark, tmp_path):
 
     base_mtime = time.time()
     for i, b in enumerate((batch1, batch2)):
-        _write_csv(b, f"{src}/b{i}")
+        write_csv_batch(b, f"{src}/b{i}")
         for f in _glob.glob(f"{src}/b{i}/*"):
             _os.utime(f, (base_mtime + 10 * i, base_mtime + 10 * i))
 

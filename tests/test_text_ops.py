@@ -337,3 +337,23 @@ def test_gopher_rules_partitioning_invariant(spark):
         for r in gopher_rules(docs.repartition(13)).select(*cols).collect()
     }
     assert a == b and len(a) == docs.count()
+
+
+def test_gopher_rules_null_text_fails_with_reasons(spark):
+    """A NULL-text doc must stay IN the output with every gate False —
+    the drop battery's accounting contract (an inner join on the
+    top-word agg used to erase the doc entirely)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.text import (
+        gopher_rules,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None), (1, " ".join(["the", "the"] + [f"word{i}" for i in range(38)]))],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    assert set(got) == {0, 1}
+    for rule in ("rule_len", "rule_word_len", "rule_stopwords",
+                 "rule_top_word", "rule_symbols", "passes_gopher"):
+        assert got[0][rule] is False, rule
+    assert got[1]["passes_gopher"] is True
