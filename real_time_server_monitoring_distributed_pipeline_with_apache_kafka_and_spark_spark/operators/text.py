@@ -126,7 +126,6 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 def gopher_rules(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     min_tokens: int = 30,
     max_tokens: int = 100_000,
     min_mean_word_len: int = 3,
@@ -154,19 +153,38 @@ def gopher_rules(
     - ``rule_symbols``: punctuation chars <= 1 per 10 words (the
       symbol-to-word gate)
 
-    Plan: one projection computes four of five gates from array folds at
-    scan speed; the top-word gate is the only shuffle (explode ->
-    (doc, word) count -> per-doc max — two partial-agg hash aggs on the
-    doc key). Output adds the 5 booleans + ``passes_gopher``. The token
-    array is projected ONCE before the fold lambdas (higher-order
-    functions have no subexpression elimination — see word_shingles'
-    measured 13x note). A NULL-text doc stays IN the output with every
-    gate False (a drop battery that silently loses the doc instead of
-    recording why it failed would defeat its own accounting), via a left
-    join on the top-word agg and NULL-to-False coalescing.
+    Plan: FULLY STATELESS — every gate, including top-word dominance, is
+    a per-row array expression, so the whole battery runs at scan speed
+    with ZERO exchanges and is streaming-safe as-is (stateless exprs run
+    identically under a micro-batch runner; pinned by
+    tests/test_streaming.py::test_gopher_gates_stream_matches_batch).
+    The dominance count is the max run length over the SORTED token
+    array (a fold with a (prev, run, best) struct accumulator — O(n)
+    per row, no explode, no per-doc shuffle). The token array is
+    projected ONCE before the fold lambdas (higher-order functions have
+    no subexpression elimination — see word_shingles' measured 13x
+    note). A NULL-text doc stays IN the output with every gate False (a
+    drop battery that silently loses the doc instead of recording why
+    it failed would defeat its own accounting) via NULL-to-False
+    coalescing.
     """
     toked = df.withColumn("_toks", tokens(F.col(text_col)))
     tc = F.col("_toks")
+
+    def _run_step(acc, x):
+        run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc.best, run).alias("best")
+        )
+
+    top_cnt = F.aggregate(
+        F.array_sort(tc),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        _run_step,
+        lambda acc: acc.best,
+    )
     base = toked.withColumns(
         {
             "_n": F.size(tc),
@@ -176,14 +194,8 @@ def gopher_rules(
             "_stop": _hit_count(tc, STOPWORDS_EN),
             "_punct": F.length(text_col)
             - F.length(F.regexp_replace(F.col(text_col), r"[.,!?;:]", "")),
+            "_top_cnt": top_cnt,
         }
-    )
-    top = (
-        toked.select(F.col(id_col), F.explode(tc).alias("_w"))
-        .groupBy(id_col, "_w")
-        .count()
-        .groupBy(id_col)
-        .agg(F.max("count").alias("_top_cnt"))
     )
     rules = {
         "rule_len": (F.col("_n") >= min_tokens) & (F.col("_n") <= max_tokens),
@@ -199,14 +211,13 @@ def gopher_rules(
     }
     # NULL text => NULL token stats => NULL gate comparisons: coalesce
     # each gate to False so the doc fails with reasons instead of
-    # vanishing through an inner join.
+    # dropping out.
     rules = {k: F.coalesce(v, F.lit(False)) for k, v in rules.items()}
-    out = base.join(top, id_col, "left")
     passes = None
     for expr in rules.values():
         passes = expr if passes is None else (passes & expr)
     return (
-        out.withColumns(rules)
+        base.withColumns(rules)
         .withColumn("passes_gopher", passes)
         .withColumn("n_tokens", F.col("_n"))
         .drop("_toks", "_n", "_sum_len", "_stop", "_punct", "_top_cnt")

@@ -365,7 +365,7 @@ EXCHANGE_CENSUS = {
     "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1, "text_bpe_train": 4, "text_mixture_sample": 4,
     "text_char_entropy": 2, "text_chunking": 0, "text_decontaminate": 2,
     "text_dup_spans": 3, "text_fingerprint": 0, "text_fixed_n_per_lang": 1,
-    "text_gopher_rules": 2, "text_hapax_ratio": 2,
+    "text_gopher_rules": 0, "text_hapax_ratio": 2,
     "text_hash_split": 1, "text_langid": 0, "text_langid_confusion": 2,
     "text_length_percentiles": 1, "text_ngram_novelty": 2,
     "text_pii_redact": 0, "text_pmi_bigrams": 4,

@@ -2456,3 +2456,73 @@ def test_observed_requires_a_metric(spark):
 
     with _pytest.raises(ValueError, match="at least one"):
         observed(spark.range(1), "empty", {})
+
+
+def test_gopher_gates_stream_matches_batch(spark, tmp_path):
+    """gopher_rules is fully stateless (per-row array expressions, zero
+    exchanges), so the SAME operator call runs under the micro-batch
+    runner unchanged — streamed gate decisions across multiple arriving
+    files must equal the batch battery row-for-row."""
+    from datetime import datetime
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.text import (
+        gopher_rules,
+    )
+
+    doc_schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    passing = " ".join(["the", "the"] + [f"word{i}" for i in range(38)])
+    rows1 = [(0, 0, passing), (1, 1, "too short"), (2, 2, "spam " * 40)]
+    rows2 = [(10, 3, passing + " more words here"), (11, 4, "the " * 50)]
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(datetime(2024, 1, 1, 0, 0, s), i, t) for s, i, t in rows], doc_schema
+        )
+
+    src = str(tmp_path / "gopher_src")
+    write_csv_batch(mk(rows1), f"{src}/b0")
+    write_csv_batch(mk(rows2), f"{src}/b1")
+
+    cols = ["doc_id", "rule_len", "rule_word_len", "rule_stopwords",
+            "rule_top_word", "rule_symbols", "passes_gopher"]
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", "1")
+        .csv(f"{src}/b*")
+    )
+    q = (
+        gopher_rules(stream).select(*cols)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gopher_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {tuple(r) for r in spark.sql("SELECT * FROM gopher_out").collect()}
+    finally:
+        q.stop()
+
+    batch = {
+        tuple(r)
+        for r in gopher_rules(mk(rows1).unionByName(mk(rows2))).select(*cols).collect()
+    }
+    assert streamed == batch and len(streamed) == 5
+    by_doc = {t[0]: t[-1] for t in streamed}
+    assert by_doc[0] is True          # the well-formed doc passes
+    assert by_doc[1] is False         # too short
+    assert by_doc[4] is False         # 'the'-looping doc fails dominance
