@@ -886,3 +886,80 @@ def test_ngram_novelty_first_doc_convention(spark, tmp_path):
         for r in text_ngram_novelty(spark, str(tmp_path)).collect()
     }
     assert got == {0: (2, 2, 1.0), 1: (2, 1, 0.5), 2: (2, 0, 0.0)}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    a_rows=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 3), st.sampled_from(["p", "q", None])),
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+    b_rows=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 3), st.sampled_from(["p", "q", None])),
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_snapshot_diff_matches_dict_model(spark, a_rows, b_rows):
+    """snapshot_diff == a python dict-diff model on arbitrary keyed
+    snapshots, including NULL compare values on either side (null-safe
+    equality) and keys present in only one side."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.changelog import (
+        snapshot_diff,
+    )
+
+    schema = "k long, n int, s string"
+    a = spark.createDataFrame(a_rows, schema) if a_rows else spark.createDataFrame([], schema)
+    b = spark.createDataFrame(b_rows, schema) if b_rows else spark.createDataFrame([], schema)
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(a, b, ["k"], ["n", "s"]).collect()
+    }
+    am = {k: (n, s) for k, n, s in a_rows}
+    bm = {k: (n, s) for k, n, s in b_rows}
+    expect = {}
+    for k in set(am) | set(bm):
+        if k not in am:
+            expect[k] = "added"
+        elif k not in bm:
+            expect[k] = "removed"
+        elif am[k] == bm[k]:
+            expect[k] = "unchanged"
+        else:
+            expect[k] = "changed"
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc", "the", "word"]), min_size=1, max_size=30),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_gopher_dominance_fold_matches_counter(spark, docs):
+    """The stateless top-word count (max run length over the sorted
+    token array, struct-accumulator fold) == collections.Counter's
+    most_common on arbitrary token bags — the equivalence that let the
+    explode+groupBy shuffle be dropped from gopher_rules. Checked
+    through the dominance gate at three thresholds against the exact
+    integer inequality 100*top <= pct*n."""
+    from collections import Counter
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.text import (
+        gopher_rules,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tops = {i: Counter(toks).most_common(1)[0][1] for i, toks in enumerate(docs)}
+    ns = {i: len(toks) for i, toks in enumerate(docs)}
+    for pct in (5, 15, 50):
+        got = {
+            r["doc_id"]: r["rule_top_word"]
+            for r in gopher_rules(df, max_top_word_pct=pct).collect()
+        }
+        for i in ns:
+            assert got[i] == (100 * tops[i] <= pct * ns[i]), (i, pct, docs[i])
