@@ -357,6 +357,7 @@ EXCHANGE_CENSUS = {
     "rel_sql_subqueries": 1,
     "rel_string_funcs": 0, "rel_time_range_frame": 1, "rel_topk_per_group": 1,
     "rel_triangle_count": 11, "rel_unpivot": 0, "rel_validate_constraints": 8,
+    "rel_variant_extract": 2,
     "rel_window_frames": 1, "rel_window_running": 1, "rel_winsorize": 2,
     "sim_ann_bruteforce": 1, "sim_ann_filtered": 2,
     "sim_source_centroid_outliers": 2, "sim_ann_recall": 3, "sim_embedding_drift": 1, "sim_ann_ivf": 1, "sim_ann_ivfpq": 1,
