@@ -103,7 +103,7 @@ HEADLINE = HEADLINE24 + [
     # added r07 third wave
     "dedup_semdedup",             # k-means partition + cluster-scoped block matmul
     "rel_snapshot_diff",          # full-outer key diff + 4-class agg
-    "text_gopher_rules",          # array-fold gates + dominance agg join
+    "text_gopher_rules",          # stateless array-fold gates, zero-exchange scan
 ]
 
 
