@@ -104,6 +104,10 @@ HEADLINE = HEADLINE24 + [
     "dedup_semdedup",             # k-means partition + cluster-scoped block matmul
     "rel_snapshot_diff",          # full-outer key diff + 4-class agg
     "text_gopher_rules",          # stateless array-fold gates, zero-exchange scan
+    "monitor_mttr",               # run-length incidents over one user partitioning
+    "text_ngram_novelty",         # min-per-shingle agg + shingle equi-join back
+    "text_token_fertility",       # narrow scan + per-lang hash agg
+    "rel_variant_extract",        # parse_json once + typed variant_get paths
 ]
 
 
