@@ -574,6 +574,104 @@ def minhash_ingest_stream(
     return ingest_store_stream(docs, store_path, checkpoint_dir, transform)
 
 
+def novelty_ingest_stream(
+    docs: DataFrame,
+    store_path: str,
+    audit_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+):
+    """Streaming twin of ``queries.text.text_ngram_novelty``: per ingest
+    BATCH, the fraction of its distinct shingles never seen in any
+    earlier batch — the per-batch corpus-freshness gauge the batch
+    query's docstring promises ('worth tracking per ingest batch BEFORE
+    paying for MinHash'). A crawl refresh full of re-scrapes shows up as
+    novelty collapsing within one micro-batch, not after a corpus-wide
+    near-dup pass.
+
+    Two stores on the :func:`ingest_store_stream` batch_id=N contract,
+    both written by one foreachBatch:
+
+    - shingle store (``store_path``): each batch lands ONLY its
+      first-seen shingles, so the store is the exact first-seen set and
+      a shingle's ``batch_id`` partition IS its first-arrival batch.
+    - audit store (``audit_path``): one row per batch —
+      (n_shingles, n_new, novelty) — read it back with
+      :func:`read_novelty_audit`.
+
+    Idempotence: the 'seen' set is read from the store FILTERED TO
+    ``batch_id < N`` (partition-pruned), so a replayed batch N never
+    sees its own crashed partial output and lands byte-identical
+    results; both writes are per-batch overwrites.
+
+    Scale: the anti-join checks the batch's (small, distinct) shingle
+    set against the full history — an exact first-seen test is a
+    membership probe against ALL prior state, the honest cost. The
+    store side shuffles once per batch; at 100 TB the mitigations are
+    runtime bloom pushdown on the shingle key (pinned for this engine's
+    joins), periodic :func:`compact_ingest_store` re-clustering by
+    shingle, or downgrading to an approximate bloom 'seen' set when
+    exactness can be traded.
+
+    Returns the DataStreamWriter (caller starts it).
+    """
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    from ..operators.dedup import word_shingles
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sh = (
+            word_shingles(batch_df, id_col, text_col, n=shingle_n)
+            .select("shingle")
+            .distinct()
+            .persist()
+        )
+        try:
+            try:
+                seen = (
+                    spark.read.parquet(store_path)
+                    .filter(F.col("batch_id") < batch_id)
+                    .select("shingle")
+                )
+            except AnalysisException:  # first batch: no store yet
+                seen = spark.createDataFrame([], "shingle string")
+            new = sh.join(seen, "shingle", "left_anti").persist()
+            new.write.mode("overwrite").parquet(
+                os.path.join(store_path, f"batch_id={batch_id}")
+            )
+            n_total, n_new = sh.count(), new.count()
+            audit = spark.createDataFrame(
+                [(n_total, n_new, (n_new / n_total) if n_total else None)],
+                "n_shingles long, n_new long, novelty double",
+            )
+            audit.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(audit_path, f"batch_id={batch_id}")
+            )
+            new.unpersist()
+        finally:
+            sh.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
+def read_novelty_audit(spark, audit_path: str) -> DataFrame:
+    """Read the per-batch novelty audit built by
+    :func:`novelty_ingest_stream`: (batch_id, n_shingles, n_new,
+    novelty), ordered by batch_id."""
+    return spark.read.parquet(audit_path).select(
+        "batch_id", "n_shingles", "n_new", "novelty"
+    ).orderBy("batch_id")
+
+
 def bucket_count_stream(
     stream: DataFrame,
     value_col: str = "value",

@@ -1,6 +1,7 @@
 """Streaming ingest-STORE legs (split from test_streaming.py for suite
-balance): the nine idempotent ``batch_id=N`` stores — vector/ANN, MinHash,
-IVF-PQ, changelog/CDC, rollup, profile, heavy-hitter, drift, binary-media —
+balance): the ten idempotent ``batch_id=N`` stores — vector/ANN, MinHash,
+IVF-PQ, changelog/CDC, rollup, profile, heavy-hitter, drift, binary-media,
+first-seen shingle novelty —
 plus compaction invariance, checkpoint-restart exactly-once, foreachBatch
 idempotence, and the Trigger.AvailableNow drain mode."""
 
@@ -1029,3 +1030,111 @@ def test_curation_stream_feeds_minhash_store(spark, tmp_path):
     assert streamed == batch_pairs
     assert streamed == [(0, 3, streamed[0][2])]  # the seeded near-dup pair
     assert streamed[0][2] >= 0.8
+
+def test_novelty_ingest_stream_matches_set_model(spark, tmp_path):
+    """Tenth store on the batch_id contract: per-batch n-gram novelty.
+    Audit rows must equal a python set-replay of the arriving batches,
+    the shingle store must be the exact first-seen set (each shingle in
+    exactly ONE batch partition — its first arrival), and the store's
+    distinct shingles must equal the batch word_shingles of the union."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.dedup import (
+        word_shingles,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    parts = [
+        docs.filter(F.col("doc_id") % 3 == i).select("doc_id", "text")
+        for i in range(3)
+    ]
+    src = str(tmp_path / "nv_src")
+    store = str(tmp_path / "nv_store")
+    audit = str(tmp_path / "nv_audit")
+    ckpt = str(tmp_path / "nv_ckpt")
+    import glob as _glob
+    import os as _os
+
+    base_mtime = time.time()
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(f"{src}/b{i}")
+        for f in _glob.glob(f"{src}/b{i}/*"):
+            _os.utime(f, (base_mtime + 10 * i, base_mtime + 10 * i))
+
+    stream = (
+        spark.readStream.schema(parts[0].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    q = jobs.novelty_ingest_stream(stream, store, audit, ckpt).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = [
+        (r.batch_id, r.n_shingles, r.n_new, r.novelty)
+        for r in jobs.read_novelty_audit(spark, audit).collect()
+    ]
+    # python set-replay model over the same arrival order
+    seen: set = set()
+    expect = []
+    for i, p in enumerate(parts):
+        sh = {r.shingle for r in word_shingles(p).select("shingle").distinct().collect()}
+        new = sh - seen
+        expect.append((i, len(sh), len(new), len(new) / len(sh)))
+        seen |= new
+    assert got == expect
+    assert got[0][3] == 1.0 and got[1][3] < 1.0  # later batches overlap
+
+    # store IS the exact first-seen set: one partition per shingle,
+    # union equals the batch shingle vocabulary
+    per_shingle = spark.read.parquet(store).groupBy("shingle").count()
+    assert per_shingle.filter(F.col("count") > 1).count() == 0
+    store_vocab = {r.shingle for r in per_shingle.select("shingle").collect()}
+    assert store_vocab == seen
+
+
+def test_novelty_ingest_checkpoint_restart(spark, tmp_path):
+    """Kill the novelty ingest between batches and restart from the
+    checkpoint: audit and store must come out identical to an
+    uninterrupted run — the batch_id<N filter on the 'seen' read is what
+    keeps a replayed batch from seeing its own crashed partial output."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "nvr_src")
+    store = str(tmp_path / "nvr_store")
+    audit = str(tmp_path / "nvr_audit")
+    ckpt = str(tmp_path / "nvr_ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(docs.select("doc_id", "text").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/b*")
+        )
+        return jobs.novelty_ingest_stream(stream, store, audit, ckpt).start()
+
+    half1 = docs.filter(F.col("doc_id") < 250).select("doc_id", "text")
+    half2 = docs.filter(F.col("doc_id") >= 250).select("doc_id", "text")
+    half1.coalesce(1).write.parquet(f"{src}/b0")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    half2.coalesce(1).write.parquet(f"{src}/b1")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = [
+        (r.batch_id, r.n_shingles, r.n_new)
+        for r in jobs.read_novelty_audit(spark, audit).collect()
+    ]
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.dedup import (
+        word_shingles,
+    )
+
+    s1 = {r.shingle for r in word_shingles(half1).select("shingle").distinct().collect()}
+    s2 = {r.shingle for r in word_shingles(half2).select("shingle").distinct().collect()}
+    assert got == [(0, len(s1), len(s1)), (1, len(s2), len(s2 - s1))]
