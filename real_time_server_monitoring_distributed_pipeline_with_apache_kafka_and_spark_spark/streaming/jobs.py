@@ -367,21 +367,31 @@ def ingest_store_stream(
     with :func:`read_ingest_store`; re-layout it with
     :func:`compact_ingest_store`.
     """
-    import os
-
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = batch_df if transform is None else transform(batch_df)
         cleanup = None
         if isinstance(out, tuple):
             out, cleanup = out
-        out.write.mode("overwrite").parquet(
-            os.path.join(store_path, f"batch_id={batch_id}")
-        )
+        write_store_partition(out, store_path, batch_id)
         if cleanup is not None:
             cleanup()
 
     return stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir
+    )
+
+
+def write_store_partition(df: DataFrame, store_path: str, batch_id: int) -> None:
+    """Land one micro-batch's rows in its own ``batch_id=N`` directory
+    with mode=overwrite — the single definition of the delivery write
+    that makes a replayed batch overwrite its own partial output. Every
+    store write (the :func:`ingest_store_stream` legs AND multi-sink
+    legs like :func:`novelty_ingest_stream`) goes through here, so a
+    delivery-contract fix lands in all of them at once."""
+    import os
+
+    df.write.mode("overwrite").parquet(
+        os.path.join(store_path, f"batch_id={batch_id}")
     )
 
 
@@ -611,50 +621,58 @@ def novelty_ingest_stream(
     membership probe against ALL prior state, the honest cost. The
     store side shuffles once per batch; at 100 TB the mitigations are
     runtime bloom pushdown on the shingle key (pinned for this engine's
-    joins), periodic :func:`compact_ingest_store` re-clustering by
-    shingle, or downgrading to an approximate bloom 'seen' set when
-    exactness can be traded.
+    joins) or downgrading to an approximate bloom 'seen' set when
+    exactness can be traded. NOTE: generic
+    :func:`compact_ingest_store` is NOT applicable to this store — the
+    ``batch_id`` partitioning IS the first-seen bookkeeping the
+    ``batch_id < N`` filter depends on, and that compactor drops it; a
+    novelty-store compaction would have to re-cluster WITHIN the
+    batch_id partitions.
 
     Returns the DataStreamWriter (caller starts it).
     """
-    import os
-
     from pyspark.errors import AnalysisException
 
     from ..operators.dedup import word_shingles
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # Narrow try: ONLY the path-existence case may fall back to an
+        # empty history. A store with a broken layout (missing batch_id
+        # column, foreign schema) must fail LOUDLY — treating it as
+        # empty would re-land every shingle as 'new' and silently
+        # corrupt the first-seen set.
+        try:
+            store = spark.read.parquet(store_path)
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
+            store = None  # first batch: no store yet
+        seen = (
+            store.filter(F.col("batch_id") < batch_id).select("shingle")
+            if store is not None
+            else spark.createDataFrame([], "shingle string")
+        )
         sh = (
             word_shingles(batch_df, id_col, text_col, n=shingle_n)
             .select("shingle")
             .distinct()
             .persist()
         )
+        new = None
         try:
-            try:
-                seen = (
-                    spark.read.parquet(store_path)
-                    .filter(F.col("batch_id") < batch_id)
-                    .select("shingle")
-                )
-            except AnalysisException:  # first batch: no store yet
-                seen = spark.createDataFrame([], "shingle string")
             new = sh.join(seen, "shingle", "left_anti").persist()
-            new.write.mode("overwrite").parquet(
-                os.path.join(store_path, f"batch_id={batch_id}")
-            )
+            write_store_partition(new, store_path, batch_id)
             n_total, n_new = sh.count(), new.count()
             audit = spark.createDataFrame(
                 [(n_total, n_new, (n_new / n_total) if n_total else None)],
                 "n_shingles long, n_new long, novelty double",
             )
-            audit.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(audit_path, f"batch_id={batch_id}")
-            )
-            new.unpersist()
+            write_store_partition(audit.coalesce(1), audit_path, batch_id)
         finally:
             sh.unpersist()
+            if new is not None:
+                new.unpersist()
 
     return (
         docs.writeStream.foreachBatch(write_batch)

@@ -1121,6 +1121,18 @@ def test_novelty_ingest_checkpoint_restart(spark, tmp_path):
     finally:
         q.stop()
     half2.coalesce(1).write.parquet(f"{src}/b1")
+    # Simulate a CRASHED PARTIAL attempt of batch 1: its half-written
+    # batch_id=1 partition already sits in the store when the restart
+    # replays the batch. The seen-filter (batch_id < N, strictly) must
+    # ignore it — a `<=` regression would count these shingles as seen
+    # and land n_new too small; the overwrite then replaces the partial.
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.dedup import (
+        word_shingles as _ws,
+    )
+
+    _ws(half2).select("shingle").distinct().limit(20).write.mode(
+        "overwrite"
+    ).parquet(f"{store}/batch_id=1")
     q = start()
     try:
         q.processAllAvailable()
