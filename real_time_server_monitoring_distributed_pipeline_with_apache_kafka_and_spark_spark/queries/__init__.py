@@ -27,11 +27,11 @@ from . import dedup, extras, monitoring, multimodal, profiling, relational, simi
 # then any never-proven new rows, then fill the remainder with the oldest
 # still-fresh rows so the aging wave stays spread across future windows.
 #
-# r07 window: 29 of the 44 r04-green rows (the other 15 displaced to the
+# r07 window: 28 of the 44 r04-green rows (the other 16 displaced to the
 # r08 head — never-proven rows outrank age-3 re-proofs), then
 # sim_knn_join (r06 dispatch rework — output-PRESERVING, cap==no-cap
 # bitwise-pinned + oracle-green locally, but re-prove under the driver),
-# then the 20 never-proven r07 queries — exactly 50. The 15 displaced
+# then the 21 never-proven r07 queries — exactly 50. The 16 displaced
 # r04 rows are MANDATORY at r08 (age 4), then the r05-green tail.
 _PRIORITY: tuple[str, ...] = (
     # -- newest driver green is r04: re-prove now --
@@ -63,7 +63,6 @@ _PRIORITY: tuple[str, ...] = (
     "rel_count_distinct",
     "rel_cross_join",
     "rel_set_ops",
-    "rel_distinct",
     # -- r06 code change (output-preserving, re-prove under the driver) --
     "sim_knn_join",
     # -- never driver-proven (new in r07) --
@@ -87,11 +86,13 @@ _PRIORITY: tuple[str, ...] = (
     "text_ngram_novelty",
     "text_token_fertility",
     "rel_variant_extract",
+    "sim_matryoshka_recall",
     # ---- past the ~50-row cap from here ----
-    # -- displaced from the r07 head to make room for the twenty new
+    # -- displaced from the r07 head to make room for the twenty-one new
     #    never-proven queries above (policy: never-proven rows outrank
     #    age-3 re-proofs). Their newest green stays r04, so they are
     #    MANDATORY in the r08 window (age 4 then) — keep them first. --
+    "rel_distinct",
     "rel_orderby_limit",
     "rel_having",
     "rel_string_funcs",

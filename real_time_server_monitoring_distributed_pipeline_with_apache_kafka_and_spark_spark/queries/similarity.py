@@ -391,6 +391,49 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MRL_DIM = 16
+
+
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation quality [Kusupati et al. 2022]: per-query
+    recall@5 of EXACT search over only the first 16 embedding dimensions
+    against exact search over all 64 — the measurement behind the MRL
+    serving trade (store/score a prefix of each vector, cut index bytes
+    and FLOPs 4x, keep most of the quality). For MRL-trained embeddings
+    the prefix recall stays high; for conventional embeddings (like this
+    corpus's) it degrades — WHICH ONE you have is exactly what this
+    query tells you before a truncation rollout.
+
+    Both legs are the proven exact brute-force operator (ann_topk), the
+    truncated leg over F.slice'd vectors — so the quality report is
+    engine-reproducible, a fact not a sample (same design as
+    sim_ann_recall: the oracle composes two already-hash-checked
+    pipelines and intersects). Scale: both legs bounded by the query-set
+    size; the truncated leg's pair scoring is dim/4 the FLOPs.
+    """
+    from ..functions.numeric import display_round
+
+    corpus, queries = _split(spark, sf_dir)
+    exact = ops.ann_topk(corpus, queries, k=TOP_K)
+
+    def trunc(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding")
+        )
+
+    approx = ops.ann_topk(trunc(corpus), trunc(queries), k=TOP_K).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    j = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    n_hits = F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+    return j.groupBy("query_id").agg(
+        n_hits.alias("n_hits"),
+        display_round(
+            n_hits.cast("double") / F.lit(float(TOP_K)), 9
+        ).alias("recall_at_k"),
+    )
+
+
 def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space drift report between two corpus halves: split the
     vectors by deterministic md5 bucket (the stand-in for "last month's
@@ -613,6 +656,7 @@ QUERIES = {
     "sim_top_pc": sim_top_pc,
     "sim_embedding_drift": sim_embedding_drift,
     "sim_ann_recall": sim_ann_recall,
+    "sim_matryoshka_recall": sim_matryoshka_recall,
     "pipeline_embedding_prep": pipeline_embedding_prep,
     "sim_ann_bruteforce": sim_ann_bruteforce,
     "sim_ann_lsh": sim_ann_lsh,
@@ -1162,6 +1206,45 @@ SELECT cluster_id,
          AS n_kept
 FROM a LEFT JOIN dr ON a.vec_id = dr.b_id
 GROUP BY cluster_id
+"""
+ORACLES["sim_matryoshka_recall"] = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_transform(embedding[1:{_MRL_DIM}], x -> CAST(x AS DOUBLE)) AS vt
+  FROM embeddings
+),
+bfs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(c.v, q.v)
+         / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos
+  FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM bfs
+  ) WHERE rank <= {TOP_K}
+),
+tfs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(c.vt, q.vt)
+         / (sqrt(list_dot_product(c.vt, c.vt)) * sqrt(list_dot_product(q.vt, q.vt))) AS cos
+  FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+),
+tf AS (
+  SELECT query_id, neighbor_id, 1 AS hit FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM tfs
+  ) WHERE rank <= {TOP_K}
+)
+SELECT bf.query_id,
+       CAST(sum(coalesce(hit, 0)) AS BIGINT) AS n_hits,
+       floor(CAST(sum(coalesce(hit, 0)) AS DOUBLE) / {TOP_K}.0 * 1e9 + 0.5) / 1e9
+         AS recall_at_k
+FROM bf LEFT JOIN tf USING (query_id, neighbor_id)
+GROUP BY bf.query_id
 """
 ORACLES["sim_ann_recall"] = f"""
 WITH e AS (

@@ -285,6 +285,7 @@ def test_hash_split_single_shuffle_narrow_scan(reports):
 INTENTIONAL_NESTED_LOOP = {
     "sim_ann_bruteforce",   # broadcast-query exact baseline
     "sim_ann_recall",       # contains the brute-force leg as its ground truth
+    "sim_matryoshka_recall",  # two exact brute-force legs (full + truncated)
     "sim_ann_quantized",    # same shape on int8 vectors
     "dedup_embedding_cosine",  # blocked all-pairs oracle anchor
     "rel_cross_join",       # the cross-join surface query itself
@@ -362,7 +363,7 @@ EXCHANGE_CENSUS = {
     "sim_ann_bruteforce": 1, "sim_ann_filtered": 2,
     "sim_source_centroid_outliers": 2, "sim_ann_recall": 3, "sim_embedding_drift": 1, "sim_ann_ivf": 1, "sim_ann_ivfpq": 1,
     "sim_ann_lsh": 2, "sim_ann_quantized": 1, "sim_kmeans_iter": 1,
-    "sim_top_pc": 3,
+    "sim_matryoshka_recall": 2, "sim_top_pc": 3,
     "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1, "text_bpe_train": 4, "text_mixture_sample": 4,
     "text_char_entropy": 2, "text_chunking": 0, "text_decontaminate": 2,
     "text_dup_spans": 3, "text_fingerprint": 0, "text_fixed_n_per_lang": 1,
