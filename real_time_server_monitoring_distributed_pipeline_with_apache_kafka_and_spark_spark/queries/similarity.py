@@ -361,6 +361,26 @@ def sim_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_report(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """THE recall@k contract, defined once for every quality query
+    (sim_ann_recall, sim_matryoshka_recall): mark the approximate leg's
+    pairs, left-join onto the exact ground truth, count hits per query.
+    A contract change (rounding scale, denominator, hit marking) lands
+    in every recall report — and must land in the oracles' shared
+    finishing SQL too (see _RECALL_FINISH_SQL)."""
+    from ..functions.numeric import display_round
+
+    marked = approx.select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    j = exact.join(marked, ["query_id", "neighbor_id"], "left")
+    n_hits = F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+    return j.groupBy("query_id").agg(
+        n_hits.alias("n_hits"),
+        display_round(
+            n_hits.cast("double") / F.lit(float(TOP_K)), 9
+        ).alias("recall_at_k"),
+    )
+
+
 def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality as a first-class query: per-query recall@5 of the LSH
     tier against the exact brute-force neighbors — the measurement that
@@ -374,20 +394,10 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall here is a fact, not a sample. Scale: both legs are bounded by
     the query-set size; the intersection join touches k rows per query.
     """
-    from ..functions.numeric import display_round
-
     corpus, queries = _split(spark, sf_dir)
-    exact = ops.ann_topk(corpus, queries, k=TOP_K)
-    approx = ops.ann_lsh_topk(corpus, queries, k=TOP_K).select(
-        "query_id", "neighbor_id", F.lit(1).alias("_hit")
-    )
-    j = exact.join(approx, ["query_id", "neighbor_id"], "left")
-    n_hits = F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
-    return j.groupBy("query_id").agg(
-        n_hits.alias("n_hits"),
-        display_round(
-            n_hits.cast("double") / F.lit(float(TOP_K)), 9
-        ).alias("recall_at_k"),
+    return _recall_report(
+        ops.ann_topk(corpus, queries, k=TOP_K),
+        ops.ann_lsh_topk(corpus, queries, k=TOP_K),
     )
 
 
@@ -411,26 +421,16 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines and intersects). Scale: both legs bounded by the query-set
     size; the truncated leg's pair scoring is dim/4 the FLOPs.
     """
-    from ..functions.numeric import display_round
-
     corpus, queries = _split(spark, sf_dir)
-    exact = ops.ann_topk(corpus, queries, k=TOP_K)
 
     def trunc(df: DataFrame) -> DataFrame:
         return df.select(
             "vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding")
         )
 
-    approx = ops.ann_topk(trunc(corpus), trunc(queries), k=TOP_K).select(
-        "query_id", "neighbor_id", F.lit(1).alias("_hit")
-    )
-    j = exact.join(approx, ["query_id", "neighbor_id"], "left")
-    n_hits = F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
-    return j.groupBy("query_id").agg(
-        n_hits.alias("n_hits"),
-        display_round(
-            n_hits.cast("double") / F.lit(float(TOP_K)), 9
-        ).alias("recall_at_k"),
+    return _recall_report(
+        ops.ann_topk(corpus, queries, k=TOP_K),
+        ops.ann_topk(trunc(corpus), trunc(queries), k=TOP_K),
     )
 
 
@@ -1207,63 +1207,58 @@ SELECT cluster_id,
 FROM a LEFT JOIN dr ON a.vec_id = dr.b_id
 GROUP BY cluster_id
 """
+# Shared recall-oracle fragments: the exact brute-force leg (bfs/bf CTEs)
+# and the hit-count finishing SELECT, written once so the two recall
+# oracles (sim_ann_recall, sim_matryoshka_recall) cannot drift from each
+# other — the SQL mirror of _recall_report.
+_BF_EXACT_SQL = f"""bfs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(c.v, q.v)
+         / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos
+  FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM bfs
+  ) WHERE rank <= {TOP_K}
+)"""
+_RECALL_FINISH_SQL = f"""SELECT bf.query_id,
+       CAST(sum(coalesce(hit, 0)) AS BIGINT) AS n_hits,
+       floor(CAST(sum(coalesce(hit, 0)) AS DOUBLE) / {TOP_K}.0 * 1e9 + 0.5) / 1e9
+         AS recall_at_k
+FROM bf LEFT JOIN approx USING (query_id, neighbor_id)
+GROUP BY bf.query_id"""
+
 ORACLES["sim_matryoshka_recall"] = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
          list_transform(embedding[1:{_MRL_DIM}], x -> CAST(x AS DOUBLE)) AS vt
   FROM embeddings
 ),
-bfs AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         list_dot_product(c.v, q.v)
-         / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos
-  FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
-),
-bf AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT query_id, neighbor_id,
-           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-    FROM bfs
-  ) WHERE rank <= {TOP_K}
-),
+{_BF_EXACT_SQL},
 tfs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          list_dot_product(c.vt, q.vt)
          / (sqrt(list_dot_product(c.vt, c.vt)) * sqrt(list_dot_product(q.vt, q.vt))) AS cos
   FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
 ),
-tf AS (
+approx AS (
   SELECT query_id, neighbor_id, 1 AS hit FROM (
     SELECT query_id, neighbor_id,
            row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
     FROM tfs
   ) WHERE rank <= {TOP_K}
 )
-SELECT bf.query_id,
-       CAST(sum(coalesce(hit, 0)) AS BIGINT) AS n_hits,
-       floor(CAST(sum(coalesce(hit, 0)) AS DOUBLE) / {TOP_K}.0 * 1e9 + 0.5) / 1e9
-         AS recall_at_k
-FROM bf LEFT JOIN tf USING (query_id, neighbor_id)
-GROUP BY bf.query_id
+{_RECALL_FINISH_SQL}
 """
 ORACLES["sim_ann_recall"] = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
-bfs AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         list_dot_product(c.v, q.v)
-         / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos
-  FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
-),
-bf AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT query_id, neighbor_id,
-           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-    FROM bfs
-  ) WHERE rank <= {TOP_K}
-),
+{_BF_EXACT_SQL},
 bt AS (
   {_LSH_BANDS_SQL}
 ),
@@ -1280,18 +1275,13 @@ lscored AS (
   JOIN e q ON q.vec_id = cand.query_id
   JOIN e c ON c.vec_id = cand.neighbor_id
 ),
-lsh AS (
-  SELECT query_id, neighbor_id FROM (
+approx AS (
+  SELECT query_id, neighbor_id, 1 AS hit FROM (
     SELECT query_id, neighbor_id,
            row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
     FROM lscored
   ) WHERE rank <= {TOP_K}
 )
-SELECT bf.query_id,
-  CAST(sum(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-  floor(CAST(sum(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        / {TOP_K}.0 * 1e9 + 0.5) / 1e9 AS recall_at_k
-FROM bf LEFT JOIN lsh ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
-GROUP BY bf.query_id
+{_RECALL_FINISH_SQL}
 """
 ORACLES["sim_embedding_drift"] = _drift_oracle()
