@@ -27,71 +27,14 @@ from . import dedup, extras, monitoring, multimodal, profiling, relational, simi
 # then any never-proven new rows, then fill the remainder with the oldest
 # still-fresh rows so the aging wave stays spread across future windows.
 #
-# r07 window: 28 of the 44 r04-green rows (the other 16 displaced to the
-# r08 head — never-proven rows outrank age-3 re-proofs), then
-# sim_knn_join (r06 dispatch rework — output-PRESERVING, cap==no-cap
-# bitwise-pinned + oracle-green locally, but re-prove under the driver),
-# then the 21 never-proven r07 queries — exactly 50. The 16 displaced
-# r04 rows are MANDATORY at r08 (age 4), then the r05-green tail.
+# r08 window: the 16 r04-green rows displaced from the r07 head (age 4 now
+# — mandatory), then the five queries touched by the r07 connected-
+# components small-graph fast path (output-preserving, oracle-green
+# locally, but re-prove under the driver), then the 29 oldest r05-green
+# rows — exactly 50. The 16 remaining r05-green rows lead the r09 window
+# (age 4 then), followed by the r06-green block.
 _PRIORITY: tuple[str, ...] = (
-    # -- newest driver green is r04: re-prove now --
-    "monitor_cpu_mem_alerts",
-    "monitor_net_disk_alerts",
-    "monitor_window_sliding_avg",
-    "pipeline_corpus_curation",
-    "text_quality_score",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "sim_ann_bruteforce",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "sim_ann_quantized",
-    "rel_pricing_summary",
-    "rel_multiway_revenue",
-    "text_sequence_packing",
-    "text_repetition",
-    "text_unigram_logprob",
-    "monitor_alert_transitions",
-    "monitor_window_tumbling",
-    "monitor_project_cast",
-    "monitor_filter_range",
-    "rel_pivot",
-    "rel_cube",
-    "rel_agg_stats",
-    "rel_count_distinct",
-    "rel_cross_join",
-    "rel_set_ops",
-    # -- r06 code change (output-preserving, re-prove under the driver) --
-    "sim_knn_join",
-    # -- never driver-proven (new in r07) --
-    "rel_mad_outliers",
-    "text_hapax_ratio",
-    "sim_embedding_drift",
-    "sim_ann_recall",
-    "monitor_cusum_shift",
-    "sim_ann_filtered",
-    "monitor_seasonal_baseline",
-    "monitor_window_distinct_users",
-    "rel_merge_into",
-    "text_bpe_train",
-    "sim_source_centroid_outliers",
-    "text_mixture_sample",
-    "rel_snapshot_diff",
-    "text_gopher_rules",
-    "dedup_semdedup",
-    "sim_top_pc",
-    "monitor_mttr",
-    "text_ngram_novelty",
-    "text_token_fertility",
-    "rel_variant_extract",
-    "sim_matryoshka_recall",
-    # ---- past the ~50-row cap from here ----
-    # -- displaced from the r07 head to make room for the twenty-one new
-    #    never-proven queries above (policy: never-proven rows outrank
-    #    age-3 re-proofs). Their newest green stays r04, so they are
-    #    MANDATORY in the r08 window (age 4 then) — keep them first. --
+    # -- newest driver green is r04 (displaced from the r07 head): mandatory --
     "rel_distinct",
     "rel_orderby_limit",
     "rel_having",
@@ -108,13 +51,17 @@ _PRIORITY: tuple[str, ...] = (
     "monitor_case_classify",
     "monitor_session_window",
     "monitor_funnel",
-    # -- rest of the r05-green tail: leads the r08 window. NOTE for the
-    #    r08 composition: the connected-components small-graph fast path
-    #    (r07, output-preserving, oracle-green locally) touched
-    #    dedup_clusters, dedup_embedding_clusters,
-    #    mm_image_dedup_clusters, pipeline_embedding_prep and
-    #    pipeline_multimodal_prep — schedule the non-window ones early
-    #    in r08 like sim_knn_join was this round. --
+    # -- code changed in r07 (connected-components fast path): re-prove --
+    "dedup_clusters",
+    "dedup_embedding_clusters",
+    "mm_image_dedup_clusters",
+    "pipeline_embedding_prep",
+    "pipeline_multimodal_prep",
+    # -- r07 hash-MISMATCH (rows+schema matched, values did not): fixed
+    #    this round, re-prove under the driver --
+    "sim_embedding_drift",
+    "rel_snapshot_diff",
+    # -- oldest still-fresh (r05-green) fill --
     "rel_profile_columns",
     "rel_key_skew_stats",
     "monitor_error_after_click",
@@ -142,6 +89,8 @@ _PRIORITY: tuple[str, ...] = (
     "rel_time_range_frame",
     "rel_disjunctive_filter",
     "rel_map_funcs",
+    # ---- past the ~50-row cap from here ----
+    # -- remaining r05-green rows: MANDATORY in the r09 window (age 4 then) --
     "monitor_ewma_level",
     "rel_cdc_merge",
     "rel_scd2_intervals",
@@ -153,19 +102,14 @@ _PRIORITY: tuple[str, ...] = (
     "text_stratified_sample_salted",
     "text_dup_spans",
     "text_shuffle_order",
-    "dedup_embedding_clusters",
     "dedup_simhash",
-    "dedup_clusters",
     "dedup_minhash_lsh",
     "monitor_cpu_mem_alerts_bucketed",
     "monitor_net_disk_alerts_bucketed",
     "text_stratified_sample",
     "rel_salted_join",
     "rel_range_join",
-    # -- r06-green rows (newest): lead the r09 window.
-    #    rel_approx_percentile / rel_approx_distinct are the rows-only
-    #    sketches: the driver re-proves rows-sanity whenever they rotate
-    #    back into a window even though they can never hash-match. --
+    # -- r06-green rows: due in the r09/r10 windows --
     "rel_join_full_outer",
     "rel_approx_percentile",
     "rel_approx_distinct",
@@ -200,9 +144,7 @@ _PRIORITY: tuple[str, ...] = (
     "sim_kmeans_iter",
     "rel_triangle_count",
     "rel_merge_intervals",
-    "pipeline_embedding_prep",
     "rel_unpivot",
-    "mm_image_dedup_clusters",
     "monitor_rate_spike",
     "monitor_sla_burn",
     "rel_skyline",
@@ -215,7 +157,55 @@ _PRIORITY: tuple[str, ...] = (
     "mm_audio_silence_trim",
     "monitor_heavy_hitters",
     "sim_ann_ivfpq",
-    "pipeline_multimodal_prep",
+    # -- r07-green rows (newest; includes the 21 first proven in r07) --
+    "monitor_cpu_mem_alerts",
+    "monitor_net_disk_alerts",
+    "monitor_window_sliding_avg",
+    "pipeline_corpus_curation",
+    "text_quality_score",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "sim_ann_bruteforce",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_ann_quantized",
+    "rel_pricing_summary",
+    "rel_multiway_revenue",
+    "text_sequence_packing",
+    "text_repetition",
+    "text_unigram_logprob",
+    "monitor_alert_transitions",
+    "monitor_window_tumbling",
+    "monitor_project_cast",
+    "monitor_filter_range",
+    "rel_pivot",
+    "rel_cube",
+    "rel_agg_stats",
+    "rel_count_distinct",
+    "rel_cross_join",
+    "rel_set_ops",
+    "sim_knn_join",
+    "rel_mad_outliers",
+    "text_hapax_ratio",
+    "sim_ann_recall",
+    "monitor_cusum_shift",
+    "sim_ann_filtered",
+    "monitor_seasonal_baseline",
+    "monitor_window_distinct_users",
+    "rel_merge_into",
+    "text_bpe_train",
+    "sim_source_centroid_outliers",
+    "text_mixture_sample",
+    "text_gopher_rules",
+    "dedup_semdedup",
+    "sim_top_pc",
+    "monitor_mttr",
+    "text_ngram_novelty",
+    "text_token_fertility",
+    "rel_variant_extract",
+    "sim_matryoshka_recall",
 )
 
 _MODULES = (monitoring, text, multimodal, dedup, similarity, relational, extras, profiling)

@@ -1706,7 +1706,7 @@ d AS (
          END AS change_type
   FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
 )
-SELECT change_type, count(*) AS n_rows, sum(o_orderkey) AS key_sum
+SELECT change_type, count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
 FROM d GROUP BY change_type ORDER BY change_type
 """,
     "rel_merge_into": """

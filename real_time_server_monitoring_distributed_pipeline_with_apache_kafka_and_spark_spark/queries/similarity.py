@@ -540,7 +540,7 @@ WITH h AS (
   FROM embeddings
 ),
 s AS (SELECT {", ".join(parts)} FROM h)
-SELECT n_ref, n_cur,
+SELECT CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
   floor(({dot}) / (sqrt({nr}) * sqrt({nc})) * 1e9 + 0.5) / 1e9 AS mean_cosine,
   floor(sqrt({l2}) * 1e9 + 0.5) / 1e9 AS mean_l2,
   floor(greatest({mx}) * 1e9 + 0.5) / 1e9 AS max_dim_drift

@@ -38,6 +38,22 @@ def test_oracle_parity(spark, duck, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_oracle_output_types_are_hashable(duck, name):
+    """No oracle may expose a raw DuckDB ``sum()`` in its output: DuckDB
+    widens integer sums to HUGEINT (int128), which the round driver's
+    Arrow-based value hasher serializes differently from Spark's BIGINT
+    even when every value is equal — rows and schema names match, the
+    hash does not (this exact failure hit sim_embedding_drift and
+    rel_snapshot_diff in r07). DESCRIBE is plan-only, so this audits all
+    oracles without executing them. Wrap sums as CAST(sum(..) AS BIGINT)
+    (or DOUBLE, per the established convention in queries/relational.py).
+    """
+    rows = duck.execute(f"DESCRIBE {_ORACLES[name]}").fetchall()
+    bad = [(r[0], r[1]) for r in rows if "HUGEINT" in str(r[1]).upper()]
+    assert not bad, f"{name}: int128 output columns {bad}"
+
+
 @pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
 def test_rows_only_queries_run(spark, name):
     df = _QUERIES[name](spark, SF_ORACLE)
