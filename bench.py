@@ -108,6 +108,11 @@ HEADLINE = HEADLINE24 + [
     "text_ngram_novelty",         # min-per-shingle agg + shingle equi-join back
     "text_token_fertility",       # narrow scan + per-lang hash agg
     "rel_variant_extract",        # parse_json once + typed variant_get paths
+    # added r08: the round's new operator classes
+    "rel_recursive_cte",          # WITH RECURSIVE -> UnionLoop frontier joins
+    "rel_lateral_topk",           # correlated LATERAL -> WindowGroupLimit
+    "text_bpe_encode",            # vocab-side merges + corpus equi-join encode
+    "monitor_synthetic_source",   # Python data source scan + partial agg
 ]
 
 

@@ -653,13 +653,22 @@ def bpe_train_merges(
     the argmax tiebreak total — every step is engine-exact, so the
     full training trajectory hash-checks.
     """
+    merges, _final = _bpe_merge_steps(_bpe_word_state(docs, text_col), n_merges)
+    return merges
+
+
+def _bpe_word_state(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Initial BPE state: one row per distinct corpus word (Heaps-law
+    sized) with its frequency ``n`` and separator-framed symbol string
+    ``repr`` (sep+sym+sep per symbol; see bpe_train_merges docstring)."""
     s = F.lit(BPE_SEP)
-    cur = (
+    return (
         docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
         .filter(F.col("word").rlike("^[a-z]+$"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
+            "word",
             "n",
             F.concat(
                 s, F.array_join(F.split("word", ""), BPE_SEP * 2), s
@@ -667,6 +676,22 @@ def bpe_train_merges(
         )
         .persist()
     )
+
+
+def _bpe_merge_steps(
+    cur: DataFrame, n_merges: int
+) -> tuple[DataFrame, DataFrame]:
+    """The shared BPE merge loop (training AND encoding run it): per
+    step, count adjacent pairs weighted by ``n``, argmax (ties lexicographic),
+    apply the winning merge to every ``repr``. Returns (the learned
+    (step, left_sym, right_sym, n_pairs) trajectory, the post-merge word
+    state with every non-``repr`` column of ``cur`` carried through).
+    Plan shape per step is unchanged from the original trainer: explode +
+    hash agg on the vocabulary-sized state, a 1-row TakeOrderedAndProject
+    argmax broadcast back into a string replace — ONE lazy plan overall.
+    """
+    s = F.lit(BPE_SEP)
+    carry = [c for c in cur.columns if c != "repr"]
     out: DataFrame | None = None
     for step in range(1, n_merges + 1):
         syms = F.filter(F.split(F.col("repr"), BPE_SEP), lambda x: x != "")
@@ -691,7 +716,7 @@ def bpe_train_merges(
         cur = (
             cur.crossJoin(F.broadcast(top1))
             .select(
-                "n",
+                *carry,
                 F.replace(
                     F.col("repr"),
                     F.concat(s, F.col("a"), s, s, F.col("b"), s),
@@ -701,4 +726,59 @@ def bpe_train_merges(
             .persist()
         )
     assert out is not None
-    return out
+    return out, cur
+
+
+def bpe_encode_counts(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 3
+) -> DataFrame:
+    """BPE tokenizer APPLICATION — train ``n_merges`` merges on the corpus
+    (the exact bpe_train_merges trajectory), then ENCODE every document
+    under the learned vocabulary: per doc, how many whitespace words fed
+    the tokenizer, how many characters they held, and how many BPE tokens
+    they encode to after the merges. n_bpe_tokens/n_words is the fertility
+    of the learned tokenizer on its own training corpus — the number a
+    tokenizer-budget plan is built on.
+
+    Scale shape: encoding does NOT touch the corpus per merge step — the
+    merges apply to the DISTINCT-WORD state (vocabulary-sized), and the
+    corpus is reduced once to (doc_id, word, cnt) by a hash agg, then
+    equi-joined with the encoded vocabulary (a shuffle join on ``word``;
+    both sides are already partitioned by word at 100 TB if the corpus
+    token table is bucketed). Greedy-leftmost merge semantics and their
+    engine-exactness are inherited from _bpe_merge_steps.
+    """
+    s = F.lit(BPE_SEP)
+    # ONE corpus scan: (doc_id, word, cnt), persisted — both the training
+    # state (word totals) and the encode join derive from it.
+    doc_words = (
+        docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    state = (
+        doc_words.groupBy("word")
+        .agg(F.sum("cnt").alias("n"))
+        .select(
+            "word",
+            "n",
+            F.concat(
+                s, F.array_join(F.split("word", ""), BPE_SEP * 2), s
+            ).alias("repr"),
+        )
+        .persist()
+    )
+    _merges, encoded = _bpe_merge_steps(state, n_merges)
+    n_syms = F.size(F.filter(F.split("repr", BPE_SEP), lambda x: x != ""))
+    vocab = encoded.select("word", n_syms.alias("n_syms"))
+    return (
+        doc_words.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.length("word")).alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("n_syms")).alias("n_bpe_tokens"),
+        )
+    )

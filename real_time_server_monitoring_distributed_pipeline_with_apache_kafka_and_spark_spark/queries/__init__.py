@@ -61,6 +61,15 @@ _PRIORITY: tuple[str, ...] = (
     #    this round, re-prove under the driver --
     "sim_embedding_drift",
     "rel_snapshot_diff",
+    # -- never driver-proven (new in r08) --
+    "rel_recursive_cte",
+    "rel_lateral_topk",
+    "text_bpe_encode",
+    "monitor_synthetic_source",
+    # -- r08 code change: the BPE merge loop was factored out to be
+    #    shared with text_bpe_encode (output-preserving, oracle-green
+    #    locally) — re-prove under the driver --
+    "text_bpe_train",
     # -- oldest still-fresh (r05-green) fill --
     "rel_profile_columns",
     "rel_key_skew_stats",
@@ -84,13 +93,13 @@ _PRIORITY: tuple[str, ...] = (
     "text_fixed_n_per_lang",
     "text_length_percentiles",
     "rel_pagerank_coparts",
+    # ---- past the ~50-row cap from here ----
+    # -- remaining r05-green rows: MANDATORY in the r09 window (age 4 then) --
     "pipeline_training_prep",
     "rel_benford_check",
     "rel_time_range_frame",
     "rel_disjunctive_filter",
     "rel_map_funcs",
-    # ---- past the ~50-row cap from here ----
-    # -- remaining r05-green rows: MANDATORY in the r09 window (age 4 then) --
     "monitor_ewma_level",
     "rel_cdc_merge",
     "rel_scd2_intervals",
@@ -195,7 +204,6 @@ _PRIORITY: tuple[str, ...] = (
     "monitor_seasonal_baseline",
     "monitor_window_distinct_users",
     "rel_merge_into",
-    "text_bpe_train",
     "sim_source_centroid_outliers",
     "text_mixture_sample",
     "text_gopher_rules",

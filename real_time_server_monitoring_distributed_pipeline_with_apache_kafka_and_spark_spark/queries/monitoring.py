@@ -1081,8 +1081,46 @@ def monitor_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def monitor_synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python data source end-to-end (Spark 4 DataSource API):
+    read the deterministic server-metrics generator —
+    sources.pysource.ServerMetricsDataSource, the broker-less stand-in
+    for the reference's Kafka producer — and roll it up per server:
+    event count, exact cpu/mem sums, peak cpu, and the count of >90% cpu
+    "alert" rows (the reference's CASE-classifier shape on generated
+    input). ``sf_dir`` is unused: the source generates its rows, which
+    is the point — the oracle replays the generator's LCG formula in SQL
+    over ``range()``, proving the source's partition-parallel generation
+    is exactly the declared function of the row index.
+
+    Scale: generation splits across ``rows_per_partition`` input splits
+    (parallel Python workers, no coordination); the rollup is one hash
+    agg with map-side partials. The Python-worker scan is the documented
+    slow path a custom Python source pays; swapping the JVM Kafka
+    connector keeps everything after ``load()`` identical.
+    """
+    from ..sources.pysource import register_server_metrics
+
+    register_server_metrics(spark)
+    df = (
+        spark.read.format("server_metrics")
+        .option("n_rows", 20_000)
+        .option("n_servers", 50)
+        .load()
+    )
+    money = "decimal(12,2)"
+    return df.groupBy("server_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("cpu_pct").cast(money)).cast("double").alias("sum_cpu"),
+        F.sum(F.col("mem_pct").cast(money)).cast("double").alias("sum_mem"),
+        F.max("cpu_pct").alias("peak_cpu"),
+        F.sum((F.col("cpu_pct") > 90.0).cast("long")).alias("n_cpu_alerts"),
+    )
+
+
 QUERIES = {
     "monitor_error_after_click": monitor_error_after_click,
+    "monitor_synthetic_source": monitor_synthetic_source,
     "monitor_rate_spike": monitor_rate_spike,
     "monitor_sla_burn": monitor_sla_burn,
     "monitor_heavy_hitters": monitor_heavy_hitters,
@@ -1113,6 +1151,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "monitor_synthetic_source": """
+WITH g AS (SELECT i FROM range(0, 20000) t(i)),
+m AS (
+  SELECT CAST(i % 50 AS INTEGER) AS server_id,
+         ((i * 1103515245 + 12345) % 2147483648) AS h
+  FROM g
+),
+r AS (
+  SELECT server_id,
+         (h % 10000) / 100.0 AS cpu_pct,
+         ((h // 10000) % 10000) / 100.0 AS mem_pct
+  FROM m
+)
+SELECT server_id, count(*) AS n_events,
+       CAST(sum(CAST(cpu_pct AS DECIMAL(12,2))) AS DOUBLE) AS sum_cpu,
+       CAST(sum(CAST(mem_pct AS DECIMAL(12,2))) AS DOUBLE) AS sum_mem,
+       max(cpu_pct) AS peak_cpu,
+       CAST(sum(CASE WHEN cpu_pct > 90.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cpu_alerts
+FROM r GROUP BY server_id
+""",
     "monitor_seasonal_baseline": """
 WITH base AS (
   SELECT user_id, EXTRACT(hour FROM ts) AS hod,

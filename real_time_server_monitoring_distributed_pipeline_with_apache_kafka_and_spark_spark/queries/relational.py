@@ -1595,9 +1595,82 @@ def rel_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``, the iterative-plan
+    operator class the reference has no counterpart for): conditional BFS
+    down the customer decimal-digit hierarchy. parent(c) = floor(c/10)
+    turns the key space into a 10-ary tree (the org-chart stand-in);
+    starting from the single-digit roots, the walk follows a child edge
+    only while account balance strictly DECREASES along the path — a
+    data-dependent reachability predicate, so the result is a real graph
+    traversal, not digit arithmetic. Output: per-depth reachable-customer
+    count + exact balance sum.
+
+    Plan: Catalyst compiles the recursion to UnionLoop — one hash
+    equi-join of the (shrinking) frontier against the customer scan per
+    level, O(log10 N) levels, no global state on the driver. At 100 TB
+    that is ~8 bounded self-joins, each AQE-sized; the frontier only
+    shrinks (the descending-balance predicate prunes), so per-level cost
+    falls. depth < 8 is a belt on top of natural termination (the tree
+    has no cycles). Exactness: counts are integers and the balance sum
+    runs in DECIMAL(12,2) before the final double cast (house policy).
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(custkey, acctbal, depth) AS (
+          SELECT c_custkey, c_acctbal, 0
+          FROM customer_v WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, c.c_acctbal, w.depth + 1
+          FROM walk w
+          JOIN customer_v c
+            ON CAST(floor(c.c_custkey / 10) AS BIGINT) = w.custkey
+          WHERE c.c_acctbal < w.acctbal AND w.depth < 8
+        )
+        SELECT depth, count(*) AS n_customers,
+               CAST(sum(CAST(acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+        FROM walk GROUP BY depth ORDER BY depth
+        """
+    )
+
+
+def rel_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table (SQL:1999 lateral join): for each
+    region, the top-3 customers by account balance across that region's
+    nations — the "per-outer-row subquery with ORDER BY .. LIMIT" shape
+    that plain joins cannot express and rel_topk_per_group writes
+    manually as a window.
+
+    Plan: Catalyst DECORRELATES the lateral subquery — the per-region
+    top-3 becomes WindowGroupLimit (per-partition top-k heaps, partial
+    then final, no global sort) + one broadcast hash join back to the
+    5-row region side; the nation dim also broadcasts. No nested loop,
+    no per-outer-row re-execution: at 100 TB the customer side is
+    scanned ONCE. Tie-break on c_custkey makes the limit deterministic.
+    """
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region_v")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT r.r_name, x.c_custkey, x.c_name, x.c_acctbal
+        FROM region_v r,
+        LATERAL (
+          SELECT c.c_custkey, c.c_name, c.c_acctbal
+          FROM customer_v c JOIN nation_v n ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 3
+        ) AS x
+        """
+    )
+
+
 QUERIES = {
     "rel_variant_extract": rel_variant_extract,
     "rel_snapshot_diff": rel_snapshot_diff,
+    "rel_recursive_cte": rel_recursive_cte,
+    "rel_lateral_topk": rel_lateral_topk,
     "rel_merge_into": rel_merge_into,
     "rel_time_range_frame": rel_time_range_frame,
     "rel_skyline": rel_skyline,
@@ -1708,6 +1781,30 @@ d AS (
 )
 SELECT change_type, count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
 FROM d GROUP BY change_type ORDER BY change_type
+""",
+    "rel_recursive_cte": """
+WITH RECURSIVE walk(custkey, acctbal, depth) AS (
+  SELECT c_custkey, c_acctbal, 0
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, c.c_acctbal, w.depth + 1
+  FROM walk w
+  JOIN customer c ON CAST(floor(c.c_custkey / 10) AS BIGINT) = w.custkey
+  WHERE c.c_acctbal < w.acctbal AND w.depth < 8
+)
+SELECT depth, count(*) AS n_customers,
+       CAST(sum(CAST(acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+FROM walk GROUP BY depth ORDER BY depth
+""",
+    "rel_lateral_topk": """
+SELECT r.r_name, x.c_custkey, x.c_name, x.c_acctbal
+FROM region r,
+LATERAL (
+  SELECT c.c_custkey, c.c_name, c.c_acctbal
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 3
+) AS x
 """,
     "rel_merge_into": """
 WITH t AS (

@@ -654,6 +654,18 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.bpe_train_merges(docs, n_merges=3)
 
 
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE under the trained BPE merges — the application side of
+    text_bpe_train: per document, words in / characters in / BPE tokens
+    out after the 3 learned merges (tokenizer fertility on the training
+    corpus). See operators.text.bpe_encode_counts: merges never touch
+    the corpus (they run on the vocabulary-sized distinct-word state);
+    the corpus reduces once to (doc_id, word, cnt) and equi-joins the
+    encoded vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.bpe_encode_counts(docs, n_merges=3)
+
+
 
 _MIX_WEIGHTS = {"en": 400, "zh": 150, "es": 150, "de": 150, "fr": 150}
 
@@ -711,6 +723,7 @@ def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "text_bpe_pair_counts": text_bpe_pair_counts,
     "text_bpe_train": text_bpe_train,
+    "text_bpe_encode": text_bpe_encode,
     "text_pmi_bigrams": text_pmi_bigrams,
     "text_length_percentiles": text_length_percentiles,
     "text_fixed_n_per_lang": text_fixed_n_per_lang,
@@ -834,6 +847,62 @@ kept AS (
 SELECT lang, max(pm) AS pm, count(*) AS n_docs_kept,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
 FROM kept GROUP BY lang
+""",
+    "text_bpe_encode": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents
+),
+w AS (
+  SELECT word, count(*) AS n FROM tok
+  WHERE regexp_full_match(word, '[a-z]+') GROUP BY word
+),
+r0 AS (
+  SELECT word, n, chr(31) || array_to_string(string_split(word, ''), chr(31)||chr(31)) || chr(31) AS repr FROM w
+),
+p1 AS (
+  SELECT t.n, u.pair[1] AS a, u.pair[2] AS b
+  FROM (SELECT n, list_filter(string_split(repr, chr(31)), x -> x <> '') AS syms FROM r0) t,
+       unnest(list_transform(range(1, len(t.syms)), j -> [t.syms[j], t.syms[j+1]])) AS u(pair)
+),
+c1 AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS n_pairs FROM p1 GROUP BY a, b),
+t1 AS (SELECT a, b FROM c1 ORDER BY n_pairs DESC, a, b LIMIT 1),
+r1 AS (
+  SELECT word, n, replace(repr, chr(31)||t1.a||chr(31)||chr(31)||t1.b||chr(31), chr(31)||t1.a||t1.b||chr(31)) AS repr
+  FROM r0 CROSS JOIN t1
+),
+p2 AS (
+  SELECT t.n, u.pair[1] AS a, u.pair[2] AS b
+  FROM (SELECT n, list_filter(string_split(repr, chr(31)), x -> x <> '') AS syms FROM r1) t,
+       unnest(list_transform(range(1, len(t.syms)), j -> [t.syms[j], t.syms[j+1]])) AS u(pair)
+),
+c2 AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS n_pairs FROM p2 GROUP BY a, b),
+t2 AS (SELECT a, b FROM c2 ORDER BY n_pairs DESC, a, b LIMIT 1),
+r2 AS (
+  SELECT word, n, replace(repr, chr(31)||t2.a||chr(31)||chr(31)||t2.b||chr(31), chr(31)||t2.a||t2.b||chr(31)) AS repr
+  FROM r1 CROSS JOIN t2
+),
+p3 AS (
+  SELECT t.n, u.pair[1] AS a, u.pair[2] AS b
+  FROM (SELECT n, list_filter(string_split(repr, chr(31)), x -> x <> '') AS syms FROM r2) t,
+       unnest(list_transform(range(1, len(t.syms)), j -> [t.syms[j], t.syms[j+1]])) AS u(pair)
+),
+c3 AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS n_pairs FROM p3 GROUP BY a, b),
+t3 AS (SELECT a, b FROM c3 ORDER BY n_pairs DESC, a, b LIMIT 1),
+r3 AS (
+  SELECT word, n, replace(repr, chr(31)||t3.a||chr(31)||chr(31)||t3.b||chr(31), chr(31)||t3.a||t3.b||chr(31)) AS repr
+  FROM r2 CROSS JOIN t3
+),
+enc AS (
+  SELECT word, len(list_filter(string_split(repr, chr(31)), x -> x <> '')) AS n_syms FROM r3
+),
+docw AS (
+  SELECT doc_id, word, count(*) AS cnt FROM tok
+  WHERE regexp_full_match(word, '[a-z]+') GROUP BY doc_id, word
+)
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+       CAST(sum(cnt * length(word)) AS BIGINT) AS n_chars,
+       CAST(sum(cnt * n_syms) AS BIGINT) AS n_bpe_tokens
+FROM docw JOIN enc USING (word) GROUP BY doc_id
 """,
     "text_bpe_train": """
 WITH tok AS (

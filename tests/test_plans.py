@@ -293,6 +293,7 @@ INTENTIONAL_NESTED_LOOP = {
     "text_unigram_logprob",  # 1-row n_total scalar broadcast (same)
     "text_pmi_bigrams",     # 1-row corpus-totals scalar broadcast (same)
     "text_bpe_train",       # 3x 1-row argmax-pair scalar broadcast (same)
+    "text_bpe_encode",      # same 3 argmax broadcasts (shared merge loop)
     "text_mixture_sample",  # 1-row N* budget scalar broadcast (same)
     "sim_top_pc",           # 3x 1-row iterate-vector broadcast (same)
 }
@@ -364,7 +365,8 @@ EXCHANGE_CENSUS = {
     "sim_source_centroid_outliers": 2, "sim_ann_recall": 3, "sim_embedding_drift": 1, "sim_ann_ivf": 1, "sim_ann_ivfpq": 1,
     "sim_ann_lsh": 2, "sim_ann_quantized": 1, "sim_kmeans_iter": 1,
     "sim_matryoshka_recall": 2, "sim_top_pc": 3,
-    "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1, "text_bpe_train": 4, "text_mixture_sample": 4,
+    "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1, "text_bpe_train": 4, "text_bpe_encode": 6, "text_mixture_sample": 4,
+    "rel_recursive_cte": 2, "rel_lateral_topk": 1, "monitor_synthetic_source": 1,
     "text_char_entropy": 2, "text_chunking": 0, "text_decontaminate": 2,
     "text_dup_spans": 3, "text_fingerprint": 0, "text_fixed_n_per_lang": 1,
     "text_gopher_rules": 0, "text_hapax_ratio": 2,
@@ -836,3 +838,50 @@ def test_assert_scale_safe_pushed_filter_whole_identifier(spark):
     with _pytest.raises(ScaleSafetyError, match="never reached the scan"):
         assert_scale_safe(li, require_pushed=["l_ship"])
     assert_scale_safe(li, require_pushed=["l_shipdate"])
+
+
+def test_recursive_cte_compiles_to_union_loop(spark):
+    """rel_recursive_cte: the recursion must plan as UnionLoop (bounded
+    per-level hash joins), never a nested loop; exactly the frontier
+    join's exchanges, no more."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    df = all_queries()["rel_recursive_cte"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "UnionLoop" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    """rel_lateral_topk: Catalyst must DECORRELATE the per-region LATERAL
+    subquery — WindowGroupLimit top-k + a broadcast join back to the
+    region side, not a per-outer-row re-execution (which would plan as a
+    nested loop)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    df = all_queries()["rel_lateral_topk"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_synthetic_source_partial_aggregates_before_shuffle(spark):
+    """monitor_synthetic_source: the custom Python source feeds a partial
+    (map-side) HashAggregate BEFORE its single exchange — 20k generated
+    rows collapse to 50 per partition pre-shuffle. The BatchScan itself
+    runs in Python workers by design (a Python data source's documented
+    cost, see sources/pysource.py) which the ArrowEvalPython-style
+    python_stages census does not — and should not — count as a UDF
+    stage creeping into a JVM query."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    df = all_queries()["monitor_synthetic_source"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BatchScan server_metrics" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final

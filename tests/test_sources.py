@@ -462,3 +462,96 @@ def test_file_layout_report_agrees_with_fs_walk(spark, tmp_path):
         r.total_bytes for r in file_layout_report(spark, store).collect()
     )
     assert report_total == _fs_total_bytes(spark, store)
+
+
+# ---------------------------------------------------------------------------
+# Custom Python data source (Spark 4 DataSource API): sources/pysource.py
+# ---------------------------------------------------------------------------
+
+
+def test_server_metrics_row_formula_is_pinned():
+    """The generator's LCG formula is a public contract (the DuckDB
+    oracle replays it as SQL over range()); pin exact rows so a constant
+    change cannot slip through as 'still deterministic'."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.pysource import (
+        metrics_row,
+    )
+
+    assert metrics_row(0, 50) == (0, 0, 0, 23.45, 0.01)
+    assert metrics_row(1, 50) == (1, 1, 0, 75.9, 3.52)
+    assert metrics_row(123456, 50) == (123456, 6, 2469, 35.93, 62.95)
+
+
+def test_server_metrics_batch_partitions_cover_range_disjointly():
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.pysource import (
+        _MetricsBatchReader,
+    )
+
+    r = _MetricsBatchReader({"n_rows": "10000", "rows_per_partition": "3000"})
+    parts = r.partitions()
+    assert [(p.start, p.end) for p in parts] == [
+        (0, 3000), (3000, 6000), (6000, 9000), (9000, 10000)
+    ]
+    seen = [i for p in parts for (i, *_rest) in r.read(p)]
+    assert seen == list(range(10000))
+
+
+def test_server_metrics_batch_read_matches_formula(spark):
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.pysource import (
+        metrics_row,
+        register_server_metrics,
+    )
+
+    register_server_metrics(spark)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.format("server_metrics")
+        .option("n_rows", 500)
+        .option("n_servers", 7)
+        .load()
+        .collect()
+    )
+    assert got == [metrics_row(i, 7) for i in range(500)]
+
+
+def test_server_metrics_stream_equals_batch(spark, tmp_path):
+    """Streaming leg: micro-batches over the same row space must drain to
+    exactly the batch read — same rows, no dupes, no gaps — across
+    multiple triggers (n_rows spans several batch_rows advances)."""
+    from pyspark.sql import functions as F
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.pysource import (
+        register_server_metrics,
+    )
+
+    register_server_metrics(spark)
+    q = (
+        spark.readStream.format("server_metrics")
+        .option("n_rows", 3500)
+        .option("n_servers", 11)
+        .option("batch_rows", 1000)
+        .load()
+        .writeStream.format("memory")
+        .queryName("pysource_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = sorted(tuple(r) for r in spark.table("pysource_stream").collect())
+    batch = sorted(
+        tuple(r)
+        for r in spark.read.format("server_metrics")
+        .option("n_rows", 3500)
+        .option("n_servers", 11)
+        .load()
+        .collect()
+    )
+    assert streamed == batch
+    # progress proves it actually micro-batched (ceil(3500/1000) = 4 batches)
+    n_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    assert n_batches >= 2, [p["numInputRows"] for p in q.recentProgress]
