@@ -138,3 +138,32 @@ def observed(
 def observation_row(obs: Observation) -> dict:
     """The observed metric values (call after exactly one action ran)."""
     return dict(obs.get)
+
+
+def read_state_store(spark, checkpoint_dir: str, **options) -> DataFrame:
+    """The live contents of a streaming query's state store as a
+    DataFrame (Spark's ``statestore`` reader): one row per state key with
+    the operator's typed value struct and its shuffle ``partition_id``.
+
+    This is the at-scale debugging surface the reference's print-rows
+    consumers have no analogue for: when a stateful query misbehaves in
+    production, the state itself (millions of keys across executors) is
+    queryable OFFLINE from the checkpoint — no instrumented rerun, no
+    driver-side dump. Pass reader options through ``options``
+    (``batchId``, ``operatorId``, ``storeName``, ...) to pin a specific
+    snapshot/operator; key-partitioned reads mean inspecting one hot key
+    scans one partition, not the store.
+    """
+    reader = spark.read.format("statestore")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(checkpoint_dir)
+
+
+def read_state_metadata(spark, checkpoint_dir: str) -> DataFrame:
+    """The checkpoint's operator/state-store metadata (Spark's
+    ``state-metadata`` reader): operator ids/names, store names,
+    partition counts, and the min/max retained batch ids — the
+    what-can-I-inspect index for ``read_state_store`` and the first
+    stop when a checkpoint's retention or operator layout is in doubt."""
+    return spark.read.format("state-metadata").load(checkpoint_dir)

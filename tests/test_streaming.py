@@ -2526,3 +2526,59 @@ def test_gopher_gates_stream_matches_batch(spark, tmp_path):
     assert by_doc[0] is True          # the well-formed doc passes
     assert by_doc[1] is False         # too short
     assert by_doc[4] is False         # 'the'-looping doc fails dominance
+
+
+def test_state_store_reader_exposes_live_state(spark, tmp_path):
+    """Offline state inspection (the statestore/state-metadata readers):
+    after a checkpointed stateful aggregation drains, the state read back
+    from the CHECKPOINT — no rerun, no driver dump — must equal the
+    query's own output, and the metadata reader must index the operator
+    and its partition count. This is the production debugging surface for
+    stateful streaming at scale: one hot key = one partition scanned."""
+    from pyspark.sql import functions as F
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.metrics import (
+        read_state_metadata,
+        read_state_store,
+    )
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(f"s{i % 3}", i) for i in range(30)], "server_id string, v long"
+    ).write.parquet(src)
+    q = (
+        spark.readStream.schema("server_id string, v long")
+        .parquet(src)
+        .groupBy("server_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        .writeStream.format("memory")
+        .queryName("state_inspect_demo")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    state = {
+        r.key.server_id: (r.value["count"], r.value["sum"])
+        for r in read_state_store(spark, ckpt).collect()
+    }
+    out = {
+        r.server_id: (r.n, r.sv)
+        for r in spark.table("state_inspect_demo").collect()
+    }
+    assert state == out and len(state) == 3
+
+    meta = read_state_metadata(spark, ckpt).collect()
+    assert any(r.operatorName == "stateStoreSave" for r in meta), meta
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert all(r.numPartitions == n_parts for r in meta), meta
+
+    # partition_id is the key's shuffle partition: inspecting one key
+    # prunes to one partition's store files.
+    pids = {
+        r.key.server_id: r.partition_id
+        for r in read_state_store(spark, ckpt).collect()
+    }
+    assert len(set(pids.values())) >= 2 or n_parts == 1

@@ -1150,3 +1150,53 @@ def test_novelty_ingest_checkpoint_restart(spark, tmp_path):
     s1 = {r.shingle for r in word_shingles(half1).select("shingle").distinct().collect()}
     s2 = {r.shingle for r in word_shingles(half2).select("shingle").distinct().collect()}
     assert got == [(0, len(s1), len(s1)), (1, len(s2), len(s2 - s1))]
+
+
+def test_python_source_feeds_idempotent_store(spark, tmp_path):
+    """Composition pin: the custom Python streaming source
+    (sources/pysource.py, the broker-less producer stand-in) drains
+    through THE ingest-store contract (streaming/jobs.ingest_store_stream)
+    exactly like a Kafka leg would — every generated row lands exactly
+    once across multiple micro-batches, and the store equals the batch
+    read of the same source options."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.pysource import (
+        register_server_metrics,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.jobs import (
+        ingest_store_stream,
+        read_ingest_store,
+    )
+
+    register_server_metrics(spark)
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.format("server_metrics")
+        .option("n_rows", 2500)
+        .option("n_servers", 9)
+        .option("batch_rows", 800)
+        .load()
+    )
+    # NOT availableNow: that trigger snapshots latestOffset() ONCE, and
+    # this source advances its offset incrementally per trigger (the
+    # producer-like pacing under test) — drain it with processAllAvailable.
+    q = ingest_store_stream(stream, store, ckpt).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    landed = sorted(
+        tuple(r) for r in read_ingest_store(spark, store).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in spark.read.format("server_metrics")
+        .option("n_rows", 2500)
+        .option("n_servers", 9)
+        .load()
+        .collect()
+    )
+    assert landed == batch
+    n_batches = (
+        spark.read.parquet(store).select("batch_id").distinct().count()
+    )
+    assert n_batches >= 2, n_batches
