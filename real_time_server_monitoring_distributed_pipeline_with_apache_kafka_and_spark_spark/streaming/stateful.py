@@ -336,3 +336,56 @@ def ewma_stream(events: DataFrame, alpha: float = 0.2) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def track_alert_transitions_v2(
+    alerts: DataFrame, entity_col: str = "server_id", debounce: int = 2
+) -> DataFrame:
+    """:func:`track_alert_transitions` on Spark 4's arbitrary-state API
+    v2 (``transformWithStateInPandas`` + ``StatefulProcessor``) — the
+    SAME ``_advance`` debounce core, so all three implementations (batch,
+    v1 stream, v2 stream) share one state machine and one semantics.
+
+    Why carry both stream APIs: v2 is where stateful streaming is
+    heading — named state variables (value/list/map) instead of one
+    state struct, TTL per variable, timers decoupled from output, and
+    initial-state bootstrap — and it REQUIRES the RocksDB state-store
+    provider, the configuration a 100 TB deployment runs anyway (state
+    on local disk + changelog checkpointing, not executor heap). The
+    per-key state here is the same three scalars as v1; parity across
+    v1/v2/batch is pinned in tests/test_streaming.py.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = _transition_schema(alerts, entity_col)
+    names = [f.name for f in out_schema]
+
+    class _TransitionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("debounce_state", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            st = (
+                tuple(self._state.get())
+                if self._state.exists()
+                else (None, None, 0)
+            )
+            out: list = []
+            for pdf in rows:
+                emitted, st = _advance(
+                    pdf.sort_values("window_start"), st, debounce, key[0]
+                )
+                out.extend(emitted)
+            self._state.update(st)
+            if out:
+                yield pd.DataFrame(out, columns=names)
+
+        def close(self) -> None:
+            pass
+
+    return alerts.groupBy(entity_col).transformWithStateInPandas(
+        statefulProcessor=_TransitionProcessor(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -2582,3 +2582,96 @@ def test_state_store_reader_exposes_live_state(spark, tmp_path):
         for r in read_state_store(spark, ckpt).collect()
     }
     assert len(set(pids.values())) >= 2 or n_parts == 1
+
+
+def test_transform_with_state_v2_matches_v1_and_batch(spark, tmp_path):
+    """T5 on the state API v2: transformWithStateInPandas (RocksDB-backed
+    StatefulProcessor) must emit EXACTLY the v1 applyInPandasWithState
+    leg's transitions and the batch ground truth — one shared _advance
+    core, three execution paths, one semantics — across micro-batch
+    boundaries and a mid-stream flap.
+
+    AUTO-ACTIVATING: the v2 state protocol is protobuf-based and this
+    sandbox lacks google.protobuf (pip installs unavailable) — the test
+    skips itself until the dependency appears, exactly like the Kafka
+    broker e2e. The operator's API usage is complete; this is an
+    environment seam, not a stub."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas state protocol needs protobuf",
+    )
+    from datetime import datetime
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.stateful import (
+        track_alert_transitions,
+        track_alert_transitions_batch,
+        track_alert_transitions_v2,
+    )
+
+    rows = [
+        ("s1", 0, "OK"), ("s1", 10, "OK"),
+        ("s1", 20, "CPU spike suspected"), ("s1", 30, "OK"),
+        ("s1", 40, "CPU spike suspected"), ("s1", 50, "CPU spike suspected"),
+        ("s2", 0, "OK"), ("s2", 10, "OK"),
+        ("s2", 20, "Memory saturation suspected"),
+        ("s2", 30, "Memory saturation suspected"),
+        ("s2", 40, "OK"), ("s2", 50, "Memory saturation suspected"),
+    ]
+    batch_df = spark.createDataFrame(
+        [(s, datetime(2024, 1, 1, 0, 0, sec), a) for s, sec, a in rows],
+        ["server_id", "window_start", "alert"],
+    )
+    expected = sorted(
+        map(tuple, track_alert_transitions_batch(batch_df, debounce=2).collect())
+    )
+
+    src = str(tmp_path / "v2_src")
+    for i in range(3):  # 3 arrival batches of 4 rows each
+        spark.createDataFrame(
+            [
+                (s, datetime(2024, 1, 1, 0, 0, sec), a)
+                for s, sec, a in rows[i * 4 : (i + 1) * 4]
+            ],
+            ["server_id", "window_start", "alert"],
+        ).coalesce(1).write.mode("append").csv(f"{src}/b{i}", header=False)
+    schema = "server_id string, window_start timestamp, alert string"
+
+    def drain(make_query, name, ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .csv(f"{src}/b*")
+        )
+        q = (
+            make_query(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            return sorted(map(tuple, spark.table(name).collect()))
+        finally:
+            q.stop()
+
+    v1 = drain(lambda s: track_alert_transitions(s, debounce=2), "tws_v1", "ck1")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        v2 = drain(
+            lambda s: track_alert_transitions_v2(s, debounce=2), "tws_v2", "ck2"
+        )
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    assert v1 == expected and v2 == expected
+    assert len(expected) == 4
