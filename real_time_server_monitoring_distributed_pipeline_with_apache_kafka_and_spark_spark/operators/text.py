@@ -713,19 +713,44 @@ def _bpe_merge_steps(
             "n_pairs",
         )
         out = step_row if out is None else out.unionByName(step_row)
+        # pick is ALWAYS exactly one row — (NULL, NULL) when the step found
+        # no pair at all (vocabulary already fully merged, possible on tiny
+        # corpora). A bare crossJoin(top1) would be a crossJoin with an
+        # EMPTY frame there and silently wipe the whole word state; the
+        # NULL guard keeps repr unchanged instead. The fallback rides the
+        # same TakeOrderedAndProject shape (nulls last), adding no
+        # exchange — a 1-row agg here would cost one per step.
+        fallback = cur.sparkSession.range(1).select(
+            F.lit(None).cast("string").alias("a"),
+            F.lit(None).cast("string").alias("b"),
+            F.lit(None).cast("long").alias("n_pairs"),
+        )
+        pick = (
+            top1.unionByName(fallback)
+            .orderBy(F.col("n_pairs").desc_nulls_last(), "a", "b")
+            .limit(1)
+            .select("a", "b")
+        )
         cur = (
-            cur.crossJoin(F.broadcast(top1))
+            cur.crossJoin(F.broadcast(pick))
             .select(
                 *carry,
-                F.replace(
-                    F.col("repr"),
-                    F.concat(s, F.col("a"), s, s, F.col("b"), s),
-                    F.concat(s, F.col("a"), F.col("b"), s),
-                ).alias("repr"),
+                F.when(F.col("a").isNull(), F.col("repr"))
+                .otherwise(
+                    F.replace(
+                        F.col("repr"),
+                        F.concat(s, F.col("a"), s, s, F.col("b"), s),
+                        F.concat(s, F.col("a"), F.col("b"), s),
+                    )
+                )
+                .alias("repr"),
             )
             .persist()
         )
-    assert out is not None
+    if out is None:  # n_merges=0: character tokenization, no learned merges
+        out = cur.sparkSession.createDataFrame(
+            [], "step int, left_sym string, right_sym string, n_pairs long"
+        )
     return out, cur
 
 

@@ -963,3 +963,106 @@ def test_gopher_dominance_fold_matches_counter(spark, docs):
         }
         for i in ns:
             assert got[i] == (100 * tops[i] <= pct * ns[i]), (i, pct, docs[i])
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 10_000), st.integers(-500, 500)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_lateral_topk_matches_window_formulation(spark, rows):
+    """Cross-implementation pin for the LATERAL operator class: a
+    correlated LATERAL (ORDER BY .. LIMIT k) over arbitrary grouped data
+    must return exactly the rank<=k window formulation — Catalyst's
+    decorrelation may never change which rows a group's top-k contains
+    (ties broken by id in both)."""
+    df = spark.createDataFrame(rows, "g int, id int, v int")
+    df.createOrReplaceTempView("lat_prop_vals")
+    groups = spark.createDataFrame([(g,) for g in range(5)], "g int")
+    groups.createOrReplaceTempView("lat_prop_groups")
+    lateral = spark.sql(
+        """
+        SELECT o.g, x.id, x.v FROM lat_prop_groups o,
+        LATERAL (
+          SELECT id, v FROM lat_prop_vals t
+          WHERE t.g = o.g ORDER BY v DESC, id LIMIT 3
+        ) AS x
+        """
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), "id")
+    windowed = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("g", "id", "v")
+    )
+    assert sorted(map(tuple, lateral.collect())) == sorted(
+        map(tuple, windowed.collect())
+    )
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=12
+    )
+)
+def test_bpe_encode_counts_invariants(spark, texts):
+    """Structural invariants of the BPE encoder on adversarial tiny
+    corpora: every doc with at least one [a-z]+ word appears exactly
+    once; n_words <= n_bpe_tokens <= n_chars (merges only shorten the
+    symbol stream, never below one token per word); and with 0 merges
+    n_bpe_tokens == n_chars exactly (character tokenization)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.text import (
+        bpe_encode_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    def word_docs():
+        import re
+        out = {}
+        for i, t in enumerate(texts):
+            ws = [w for w in re.split(r"\s+", t.lower().strip()) if re.fullmatch("[a-z]+", w)]
+            if ws:
+                out[i] = ws
+        return out
+
+    want = word_docs()
+    got = {r.doc_id: r for r in bpe_encode_counts(docs, n_merges=3).collect()}
+    assert set(got) == set(want)
+    for i, ws in want.items():
+        r = got[i]
+        assert r.n_words == len(ws)
+        assert r.n_chars == sum(len(w) for w in ws)
+        assert r.n_words <= r.n_bpe_tokens <= r.n_chars
+
+    got0 = {r.doc_id: r for r in bpe_encode_counts(docs, n_merges=0).collect()}
+    for i in want:
+        assert got0[i].n_bpe_tokens == got0[i].n_chars
+
+
+@settings(max_examples=20, deadline=None)
+@given(i=st.integers(0, 2**40), n_servers=st.integers(1, 1000))
+def test_metrics_row_bounds_and_determinism(i, n_servers):
+    """The Python-source generator is a pure function of (i, n_servers)
+    with fields in their documented domains — the contract the DuckDB
+    range() oracle and the streaming replay both depend on."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.pysource import (
+        metrics_row,
+    )
+
+    a = metrics_row(i, n_servers)
+    assert a == metrics_row(i, n_servers)
+    event_id, server_id, ts_offset, cpu, mem = a
+    assert event_id == i
+    assert 0 <= server_id < n_servers and server_id == i % n_servers
+    assert ts_offset == i // n_servers
+    assert 0.0 <= cpu <= 99.99 and 0.0 <= mem <= 99.99
+    assert round(cpu * 100) == cpu * 100 or abs(round(cpu * 100) - cpu * 100) < 1e-9
