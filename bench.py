@@ -113,6 +113,7 @@ HEADLINE = HEADLINE24 + [
     "rel_lateral_topk",           # correlated LATERAL -> WindowGroupLimit
     "text_bpe_encode",            # vocab-side merges + corpus equi-join encode
     "monitor_synthetic_source",   # Python data source scan + partial agg
+    "rel_order_count_histogram",  # Q13: pre-agg rewrite of outer-join histogram
 ]
 
 

@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "rel_lateral_topk",
     "text_bpe_encode",
     "monitor_synthetic_source",
+    "rel_order_count_histogram",
     # -- r08 code change: the BPE merge loop was factored out to be
     #    shared with text_bpe_encode (output-preserving, oracle-green
     #    locally) — re-prove under the driver --
@@ -92,9 +93,9 @@ _PRIORITY: tuple[str, ...] = (
     "text_langid_confusion",
     "text_fixed_n_per_lang",
     "text_length_percentiles",
-    "rel_pagerank_coparts",
     # ---- past the ~50-row cap from here ----
     # -- remaining r05-green rows: MANDATORY in the r09 window (age 4 then) --
+    "rel_pagerank_coparts",
     "pipeline_training_prep",
     "rel_benford_check",
     "rel_time_range_frame",

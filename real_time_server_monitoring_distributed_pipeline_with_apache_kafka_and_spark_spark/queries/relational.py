@@ -1666,11 +1666,45 @@ def rel_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — the customer-distribution query: how many
+    customers placed exactly N qualifying orders, INCLUDING the
+    zero-order customers a plain inner join silently drops (the classic
+    left-outer + double-aggregation pattern; here the qualifying filter
+    is non-urgent priorities, standing in for Q13's comment NOT LIKE).
+
+    Plan: NOT the naive customer⟕orders row join. Orders pre-aggregate
+    to (custkey, n) FIRST — one map-side-combining hash agg collapses
+    the fact table to at most |customers| rows — and only that collapsed
+    table outer-joins customer; zero-order customers surface via
+    coalesce(n, 0). At 100 TB the join's shuffle moves per-customer
+    counts, never order rows, and the final histogram agg is ≤ max-order
+    -count rows. The oracle is the NAIVE left-join formulation, so the
+    rewrite's zero-inclusion semantics are hash-proven equivalent.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    counts = cust.join(per_cust, "c_custkey", "left").select(
+        "c_custkey", F.coalesce(F.col("n"), F.lit(0)).alias("c_count")
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
 QUERIES = {
     "rel_variant_extract": rel_variant_extract,
     "rel_snapshot_diff": rel_snapshot_diff,
     "rel_recursive_cte": rel_recursive_cte,
     "rel_lateral_topk": rel_lateral_topk,
+    "rel_order_count_histogram": rel_order_count_histogram,
     "rel_merge_into": rel_merge_into,
     "rel_time_range_frame": rel_time_range_frame,
     "rel_skyline": rel_skyline,
@@ -1805,6 +1839,18 @@ LATERAL (
   WHERE n.n_regionkey = r.r_regionkey
   ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 3
 ) AS x
+""",
+    "rel_order_count_histogram": """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
 """,
     "rel_merge_into": """
 WITH t AS (

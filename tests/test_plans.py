@@ -367,6 +367,7 @@ EXCHANGE_CENSUS = {
     "sim_matryoshka_recall": 2, "sim_top_pc": 3,
     "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1, "text_bpe_train": 4, "text_bpe_encode": 6, "text_mixture_sample": 4,
     "rel_recursive_cte": 2, "rel_lateral_topk": 1, "monitor_synthetic_source": 1,
+    "rel_order_count_histogram": 3,
     "text_char_entropy": 2, "text_chunking": 0, "text_decontaminate": 2,
     "text_dup_spans": 3, "text_fingerprint": 0, "text_fixed_n_per_lang": 1,
     "text_gopher_rules": 0, "text_hapax_ratio": 2,
