@@ -62,11 +62,20 @@ class _RangePartition(InputPartition):
 
 
 def _opts(options) -> tuple[int, int, int]:
-    return (
-        int(options.get("n_rows", 10_000)),
-        int(options.get("n_servers", 50)),
-        int(options.get("rows_per_partition", 4096)),
-    )
+    n_rows = int(options.get("n_rows", 10_000))
+    n_servers = int(options.get("n_servers", 50))
+    rows_per_part = int(options.get("rows_per_partition", 4096))
+    # Fail at PLANNING time with the option named — a bad option must not
+    # surface as a ZeroDivisionError/ValueError inside a Python worker.
+    if n_rows < 0:
+        raise ValueError(f"server_metrics: n_rows must be >= 0, got {n_rows}")
+    if n_servers < 1:
+        raise ValueError(f"server_metrics: n_servers must be >= 1, got {n_servers}")
+    if rows_per_part < 1:
+        raise ValueError(
+            f"server_metrics: rows_per_partition must be >= 1, got {rows_per_part}"
+        )
+    return n_rows, n_servers, rows_per_part
 
 
 class _MetricsBatchReader(DataSourceReader):

@@ -555,3 +555,27 @@ def test_server_metrics_stream_equals_batch(spark, tmp_path):
         1 for p in q.recentProgress if p["numInputRows"] > 0
     )
     assert n_batches >= 2, [p["numInputRows"] for p in q.recentProgress]
+
+
+def test_server_metrics_rejects_bad_options(spark):
+    """Bad options fail at planning time with the option named, not as a
+    worker-side ZeroDivision/ValueError mid-job."""
+    import pytest as _pytest
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources.pysource import (
+        register_server_metrics,
+    )
+
+    register_server_metrics(spark)
+    for opt, val, frag in [
+        ("n_servers", 0, "n_servers"),
+        ("rows_per_partition", 0, "rows_per_partition"),
+        ("n_rows", -5, "n_rows"),
+    ]:
+        with _pytest.raises(Exception, match=frag):
+            (
+                spark.read.format("server_metrics")
+                .option(opt, val)
+                .load()
+                .collect()
+            )
