@@ -166,21 +166,35 @@ def main() -> None:
     # sample per query while staying cheap. Total = sum of medians.
     samples = {name: [round(run(name), 3) for _ in range(3)] for name in bench_set}
     timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "samples": samples,
-                "legacy9_total": round(sum(timings[n] for n in LEGACY9 if n in timings), 3),
-                "headline17_total": round(sum(timings[n] for n in HEADLINE17 if n in timings), 3),
-                "headline24_total": round(sum(timings[n] for n in HEADLINE24 if n in timings), 3),
-                "sf": sf,
-            }
-        )
+    # The external driver records only the LAST 2000 chars of stdout and
+    # parses the final line as the bench result (BENCH_r07 recorded
+    # ``parsed: null`` because the line — then carrying per-query raw
+    # samples — outgrew that buffer). Keep stdout to the slim contract
+    # shape; the full evidence (raw samples, frozen subtotals) goes to a
+    # committed sidecar instead.
+    sidecar = {
+        "samples": samples,
+        "medians": timings,
+        "legacy9_total": round(sum(timings[n] for n in LEGACY9 if n in timings), 3),
+        "headline17_total": round(sum(timings[n] for n in HEADLINE17 if n in timings), 3),
+        "headline24_total": round(sum(timings[n] for n in HEADLINE24 if n in timings), 3),
+        "bench_set": list(bench_set),
+        "sf": sf,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SAMPLES.json"), "w") as f:
+        json.dump(sidecar, f, indent=1)
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": {name: round(t, 2) for name, t in timings.items()},
+            "sf": sf,
+        }
     )
+    if len(line) > 1900:  # loud, not silent: growth past the buffer breaks the driver parse
+        raise SystemExit(f"bench stdout line {len(line)} chars > 1900: trim the bench set")
+    print(line)
     spark.stop()
 
 
