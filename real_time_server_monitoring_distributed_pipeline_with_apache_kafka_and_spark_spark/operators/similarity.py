@@ -596,45 +596,73 @@ def pq_codebooks(
     return books
 
 
-def _pq_subdists_col(vcol, book: list[list[float]], offset: int, sub: int) -> F.Column:
-    """Array of squared-L2 distances from ``vcol[offset : offset+sub]``
-    to each sub-centroid, as pinned left-to-right Catalyst folds (the
-    sim_kmeans_iter float policy — identical doubles in any engine)."""
-    subvec = F.slice(vcol, offset + 1, sub)
+def _double_sql(x: float) -> str:
+    """Spark SQL double literal with the exact value of ``F.lit(x)``:
+    Python ``repr`` round-trips the nearest double by construction and
+    the ``D`` suffix parses it as DOUBLE, so the literal in the parsed
+    plan is bit-identical to the Column-API one."""
+    return repr(float(x)) + "D"
+
+
+def _vec_double_sql(vec_col: str) -> str:
+    return f"transform(`{vec_col}`, x -> cast(x as double))"
+
+
+def _pq_subdists_sql(vec_sql: str, book: list[list[float]], offset: int, sub: int) -> str:
+    """SQL text for the array of squared-L2 distances from
+    ``vec[offset : offset+sub]`` to each sub-centroid, as pinned
+    left-to-right Catalyst folds (the sim_kmeans_iter float policy —
+    identical doubles in any engine).
+
+    Generated as TEXT rather than stacked Column calls on purpose: the
+    16x16-codebook tree is ~500 fold expressions, and building it
+    through the Python Column API costs ~14 s of py4j round-trips PER
+    QUERY CONSTRUCTION (measured sf-independent — the flat ~18 s rung in
+    SCALING.md). One ``F.expr`` parse of the same operators is
+    milliseconds and yields the identical analyzed plan, so every
+    hash-pinned result is unchanged."""
+    subvec = f"slice({vec_sql}, {offset + 1}, {sub})"
     dists = []
     for cent in book:
-        carr = F.array(*[F.lit(x) for x in cent])
+        carr = "array(" + ", ".join(_double_sql(x) for x in cent) + ")"
         dists.append(
-            F.aggregate(
-                F.zip_with(subvec, carr, lambda x, c: (x - c) * (x - c)),
-                F.lit(0.0),
-                lambda acc, e: acc + e,
-            )
+            f"aggregate(zip_with({subvec}, {carr}, (x, c) -> (x - c) * (x - c)),"
+            " 0.0D, (acc, e) -> acc + e)"
         )
-    return F.array(*dists)
+    return "array(" + ", ".join(dists) + ")"
 
 
-def pq_encode_col(vcol, books: list[list[list[float]]], dim: int) -> F.Column:
+def pq_encode_col(vec_col: str, books: list[list[list[float]]], dim: int) -> F.Column:
     """PQ code array (one argmin sub-centroid index per subspace) as a
     pure Catalyst expression — the codebooks ride in the plan as
     literals, so encoding is a codegen scan with zero joins. Ties break
-    to the lowest code (array_position returns the FIRST minimum)."""
+    to the lowest code (array_position returns the FIRST minimum).
+    Takes the vector COLUMN NAME (float array; cast to double inside)
+    and compiles via one SQL parse — see :func:`_pq_subdists_sql`."""
     sub = dim // len(books)
+    v = _vec_double_sql(vec_col)
     codes = []
     for m, book in enumerate(books):
-        d = _pq_subdists_col(vcol, book, m * sub, sub)
-        codes.append((F.array_position(d, F.array_min(d)) - 1).cast("int"))
-    return F.array(*codes)
+        d = _pq_subdists_sql(v, book, m * sub, sub)
+        codes.append(f"cast(array_position({d}, array_min({d})) - 1 as int)")
+    return F.expr("array(" + ", ".join(codes) + ")")
 
 
-def pq_lut_col(vcol, books: list[list[list[float]]], dim: int) -> F.Column:
+def pq_lut_col(vec_col: str, books: list[list[list[float]]], dim: int) -> F.Column:
     """Per-query ADC lookup table: array of ``m`` arrays of ``n_codes``
     squared-L2 distances between the query's sub-vectors and every
     sub-centroid. Computed ONCE per query row; candidate scoring then
-    costs m array lookups per pair instead of a dim-length fold."""
+    costs m array lookups per pair instead of a dim-length fold.
+    Takes the vector COLUMN NAME and compiles via one SQL parse — see
+    :func:`_pq_subdists_sql`."""
     sub = dim // len(books)
-    return F.array(
-        *[_pq_subdists_col(vcol, book, m * sub, sub) for m, book in enumerate(books)]
+    v = _vec_double_sql(vec_col)
+    return F.expr(
+        "array("
+        + ", ".join(
+            _pq_subdists_sql(v, book, m * sub, sub) for m, book in enumerate(books)
+        )
+        + ")"
     )
 
 
@@ -719,11 +747,10 @@ def ivfpq_encode_corpus(
     codebooks) is built offline, arrival encodes against it, so a store
     built incrementally is row-identical to a single batch encode."""
     c_assign = _centroid_udf(centroids, 1)
-    vdbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return corpus.select(
         F.col(id_col),
         c_assign(F.col(vec_col)).getItem(0).alias("cell"),
-        pq_encode_col(vdbl, books, dim).alias("codes"),
+        pq_encode_col(vec_col, books, dim).alias("codes"),
         F.col(vec_col),
     )
 
@@ -749,7 +776,6 @@ def ivfpq_probe_encoded(
 
     m_subspaces = len(books)
     q_assign = _centroid_udf(centroids, n_probe)
-    vdbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     corpus = encoded.select(F.col(id_col), F.col(vec_col))
     c = encoded.select(
         F.col(id_col).alias("neighbor_id"), "cell", "codes"
@@ -757,7 +783,7 @@ def ivfpq_probe_encoded(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.explode(q_assign(F.col(vec_col))).alias("cell"),
-        pq_lut_col(vdbl, books, dim).alias("lut"),
+        pq_lut_col(vec_col, books, dim).alias("lut"),
     )
     adc = F.aggregate(
         F.expr(

@@ -71,6 +71,11 @@ _PRIORITY: tuple[str, ...] = (
     #    shared with text_bpe_encode (output-preserving, oracle-green
     #    locally) — re-prove under the driver --
     "text_bpe_train",
+    # -- r08 code change: pq_encode_col/pq_lut_col now compile via one
+    #    SQL parse instead of ~500 py4j Column calls (bit-identical plan,
+    #    oracle MATCH at sf0.01 locally; ~18s -> ~7s per execution) —
+    #    re-prove under the driver --
+    "sim_ann_ivfpq",
     # -- oldest still-fresh (r05-green) fill --
     "rel_profile_columns",
     "rel_key_skew_stats",
@@ -92,9 +97,9 @@ _PRIORITY: tuple[str, ...] = (
     "mm_scene_segments",
     "text_langid_confusion",
     "text_fixed_n_per_lang",
-    "text_length_percentiles",
     # ---- past the ~50-row cap from here ----
     # -- remaining r05-green rows: MANDATORY in the r09 window (age 4 then) --
+    "text_length_percentiles",
     "rel_pagerank_coparts",
     "pipeline_training_prep",
     "rel_benford_check",
