@@ -604,11 +604,7 @@ def _double_sql(x: float) -> str:
     return repr(float(x)) + "D"
 
 
-def _vec_double_sql(vec_col: str) -> str:
-    return f"transform(`{vec_col}`, x -> cast(x as double))"
-
-
-def _pq_subdists_sql(vec_sql: str, book: list[list[float]], offset: int, sub: int) -> str:
+def _pq_subdists_sql(vec_col: str, book: list[list[float]], offset: int, sub: int) -> str:
     """SQL text for the array of squared-L2 distances from
     ``vec[offset : offset+sub]`` to each sub-centroid, as pinned
     left-to-right Catalyst folds (the sim_kmeans_iter float policy —
@@ -617,11 +613,19 @@ def _pq_subdists_sql(vec_sql: str, book: list[list[float]], offset: int, sub: in
     Generated as TEXT rather than stacked Column calls on purpose: the
     16x16-codebook tree is ~500 fold expressions, and building it
     through the Python Column API costs ~14 s of py4j round-trips PER
-    QUERY CONSTRUCTION (measured sf-independent — the flat ~18 s rung in
+    QUERY CONSTRUCTION (sf-independent — the flat ~18 s rung in
     SCALING.md). One ``F.expr`` parse of the same operators is
     milliseconds and yields the identical analyzed plan, so every
-    hash-pinned result is unchanged."""
-    subvec = f"slice({vec_sql}, {offset + 1}, {sub})"
+    hash-pinned result is unchanged.
+
+    The folds stay higher-order-function folds DELIBERATELY: expanding
+    them into straight-line ``(((0.0 + (x1-c1)^2) + ...)`` arithmetic
+    was measured and REJECTED — the ~4k inlined double constants blow
+    janino's 64 KB method limit, and Spark then re-attempts the failed
+    whole-stage compile on EVERY execution before falling back to
+    interpreted eval (9.5-11 s/run vs 4 s for the fold form, which skips
+    codegen cleanly since HOFs are never codegen-compiled)."""
+    subvec = f"slice(transform(`{vec_col}`, x -> cast(x as double)), {offset + 1}, {sub})"
     dists = []
     for cent in book:
         carr = "array(" + ", ".join(_double_sql(x) for x in cent) + ")"
@@ -640,10 +644,9 @@ def pq_encode_col(vec_col: str, books: list[list[list[float]]], dim: int) -> F.C
     Takes the vector COLUMN NAME (float array; cast to double inside)
     and compiles via one SQL parse — see :func:`_pq_subdists_sql`."""
     sub = dim // len(books)
-    v = _vec_double_sql(vec_col)
     codes = []
     for m, book in enumerate(books):
-        d = _pq_subdists_sql(v, book, m * sub, sub)
+        d = _pq_subdists_sql(vec_col, book, m * sub, sub)
         codes.append(f"cast(array_position({d}, array_min({d})) - 1 as int)")
     return F.expr("array(" + ", ".join(codes) + ")")
 
@@ -656,11 +659,11 @@ def pq_lut_col(vec_col: str, books: list[list[list[float]]], dim: int) -> F.Colu
     Takes the vector COLUMN NAME and compiles via one SQL parse — see
     :func:`_pq_subdists_sql`."""
     sub = dim // len(books)
-    v = _vec_double_sql(vec_col)
     return F.expr(
         "array("
         + ", ".join(
-            _pq_subdists_sql(v, book, m * sub, sub) for m, book in enumerate(books)
+            _pq_subdists_sql(vec_col, book, m * sub, sub)
+            for m, book in enumerate(books)
         )
         + ")"
     )

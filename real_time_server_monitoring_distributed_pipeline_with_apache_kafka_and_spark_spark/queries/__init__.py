@@ -171,7 +171,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_pmi_bigrams",
     "mm_audio_silence_trim",
     "monitor_heavy_hitters",
-    "sim_ann_ivfpq",
+    # (sim_ann_ivfpq moved to the r08 window head: its construction path
+    #  changed this round and must re-prove)
     # -- r07-green rows (newest; includes the 21 first proven in r07) --
     "monitor_cpu_mem_alerts",
     "monitor_net_disk_alerts",
