@@ -114,6 +114,9 @@ HEADLINE = HEADLINE24 + [
     "text_bpe_encode",            # vocab-side merges + corpus equi-join encode
     "monitor_synthetic_source",   # Python data source scan + partial agg
     "rel_order_count_histogram",  # Q13: pre-agg rewrite of outer-join histogram
+    # added r08: the engine's former largest fixed cost, benched so the
+    # SQL-parse construction path (~18s -> ~7s/run) is tracked per round
+    "sim_ann_ivfpq",              # IVF cells + PQ ADC + exact refine
 ]
 
 

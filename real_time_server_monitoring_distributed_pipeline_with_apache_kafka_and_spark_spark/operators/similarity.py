@@ -204,6 +204,8 @@ def cosine_pairs_lsh(
     n_tables: int = 16,
     dim: int = 64,
     seed: int = 7,
+    hold_occupancy: bool = False,
+    target_bucket_rows: int = 256,
 ) -> DataFrame:
     """Bucketed embedding near-dup: LSH candidates + exact cosine verify.
 
@@ -226,7 +228,29 @@ def cosine_pairs_lsh(
     bit-exactness, is the contract (the standard corpus-dedup trade).
 
     Output: (a_id, b_id) with a_id < b_id, exact-verified >= threshold.
+
+    ``hold_occupancy``: derive the per-table bit width from the corpus
+    size so expected bucket occupancy stays ~``target_bucket_rows``:
+    k = max(planes_per_table, ceil(log2(N / target_bucket_rows))).
+    Candidate pairs per bucket grow with occupancy² — at FIXED k the
+    candidate join is Θ(L·N²/2^k), which the r08 scale ladder measured
+    as slope 1.16 on the embedding-prep composite. Holding occupancy
+    caps per-bucket work; ``planes_per_table`` becomes the FLOOR, so at
+    every oracle-checked SF (where N/2^k ≤ target) the resolved k — and
+    therefore every hash-pinned result — is unchanged. The open trade,
+    stated rather than hidden: each extra plane multiplies per-table
+    recall by p1 = 1 - θ/π; holding recall too requires growing
+    n_tables like N^ρ (ρ = ln p1 / ln ½ ≈ 0.66 at threshold 0.45, ≈0.28
+    at 0.85) — the classic LSH similarity-join law. Near-dup thresholds
+    (≥0.8) are where the bucketed path earns its keep at 100 TB; the
+    0.45-threshold pipelines accept the recall decay or raise n_tables.
     """
+    if hold_occupancy:
+        n_rows = vectors.select(id_col).count()
+        planes_per_table = max(
+            planes_per_table,
+            math.ceil(math.log2(max(1.0, n_rows / target_bucket_rows))),
+        )
     planes = _hyperplanes(planes_per_table * n_tables, dim, seed)
     buckets = _bucket_udf(planes, planes_per_table, n_tables)
     tagged = vectors.select(

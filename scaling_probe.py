@@ -233,8 +233,18 @@ def main() -> None:
         results[name] = {"times": times, "slope": round(slope, 3)}
         print(f"{name:28s} " + "  ".join(f"k{k}={times[k]:7.3f}s" for k in ks) + f"  slope={slope:0.3f}")
 
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json"), "w") as f:
-        json.dump({"base": BASE_SF_DIR, "ks": ks, "samples": args.samples, "results": results}, f, indent=1)
+    # Merge into the committed report so partial re-probes (e.g. after an
+    # optimization of one query) refresh only their own rows.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")
+    merged = {"base": BASE_SF_DIR, "ks": ks, "samples": args.samples, "results": {}}
+    if os.path.exists(out_path):
+        try:
+            merged["results"] = json.load(open(out_path)).get("results", {})
+        except (ValueError, OSError):
+            pass
+    merged["results"].update(results)
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=1)
     spark.stop()
 
 
