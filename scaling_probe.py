@@ -114,6 +114,17 @@ def _replica(df, table: str, r: int):
     if table in _KEYED:
         for c in _KEYED[table]:
             df = df.withColumn(c, F.col(c) + F.lit(off))
+        if table == "customer":
+            # c_name is key-derived text and feeds the edit-distance-1
+            # fuzzy join. Copied verbatim it repeats K x (variant buckets
+            # densify K^2 — measured slope 1.0, a probe artifact); the
+            # per-replica character bijection preserves every
+            # within-replica edit distance exactly (chars equal iff
+            # images equal) while the rotated "Customer#" prefix puts
+            # cross-replica names at distance >= 2, outside the join.
+            df = df.withColumn(
+                "c_name", F.translate("c_name", "aeiou", _VOWEL_ROTATIONS[r % 5])
+            )
         return df
     if table == "documents":
         rot = _VOWEL_ROTATIONS[r % 5]
