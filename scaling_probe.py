@@ -90,6 +90,26 @@ _KEYED = {
 KEY_OFFSET = 100_000_000
 
 _VOWEL_ROTATIONS = ["aeiou", "eioua", "iouae", "ouaei", "uaeio"]
+# Second bijection level for K>5: rotating a second, disjoint character
+# class (applied for replica r // 5) composes with the vowel rotation
+# (r % 5) into 25 distinct bijections — same preservation argument
+# (bijections keep within-replica dup structure and edit distances
+# exact; distinct compositions keep cross-replica overlap ~0). The
+# second class must actually OCCUR in the column's alphabet: 'bcdfg'
+# for document prose, 'strm#' for the key-derived "Customer#..." names
+# (whose lowercase letters never include b/c/d/f/g).
+
+
+def _rot(s: str, k: int) -> str:
+    k %= len(s)
+    return s[k:] + s[:k]
+
+
+def _char_bijection(col, r: int, second_class: str = "bcdfg"):
+    out = F.translate(col, "aeiou", _VOWEL_ROTATIONS[r % 5])
+    if r >= 5:
+        out = F.translate(out, second_class, _rot(second_class, r // 5))
+    return out
 
 # Words the rotation must NOT touch: the engine's quality gate counts
 # STOPWORDS_EN hits and langid counts _LANG_MARKERS hits — rewriting them
@@ -123,11 +143,10 @@ def _replica(df, table: str, r: int):
             # images equal) while the rotated "Customer#" prefix puts
             # cross-replica names at distance >= 2, outside the join.
             df = df.withColumn(
-                "c_name", F.translate("c_name", "aeiou", _VOWEL_ROTATIONS[r % 5])
+                "c_name", _char_bijection(F.col("c_name"), r, second_class="strm#")
             )
         return df
     if table == "documents":
-        rot = _VOWEL_ROTATIONS[r % 5]
         # Per-WORD vowel rotation that leaves stopwords / language-marker
         # words untouched: quality_score's stopword ratio, langid's marker
         # hits, token counts, word lengths and lexical diversity (the
@@ -139,7 +158,7 @@ def _replica(df, table: str, r: int):
         # out of the quality gate — both measured, both wrong).
         rotate = lambda w: F.when(  # noqa: E731
             w.isin(*sorted(_PRESERVED_WORDS)), w
-        ).otherwise(F.translate(w, "aeiou", rot))
+        ).otherwise(_char_bijection(w, r))
         return (
             df.withColumn("doc_id", F.col("doc_id") + F.lit(off))
             .withColumn(
@@ -177,8 +196,8 @@ def _replica(df, table: str, r: int):
 
 def build_rung(spark: SparkSession, k: int) -> str:
     """Materialize the K-replica rung under /tmp (idempotent)."""
-    if k > 5:
-        raise ValueError("ladder supports K<=5 (5 distinct vowel rotations)")
+    if k > 25:
+        raise ValueError("ladder supports K<=25 (5 vowel x 5 second-class rotations)")
     out = os.path.join(LADDER_ROOT, f"k{k}")
     marker = os.path.join(out, "_LADDER_SUCCESS")
     if os.path.exists(marker):
