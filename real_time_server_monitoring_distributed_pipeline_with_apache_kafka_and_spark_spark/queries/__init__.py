@@ -67,6 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_encode",
     "monitor_synthetic_source",
     "rel_order_count_histogram",
+    "sim_cosine_noise_floor",
     # -- r08 code change: the BPE merge loop was factored out to be
     #    shared with text_bpe_encode (output-preserving, oracle-green
     #    locally) — re-prove under the driver --
@@ -100,9 +101,9 @@ _PRIORITY: tuple[str, ...] = (
     "rel_scd2_asof_lookup",
     "rel_hll_daily_users",
     "mm_scene_segments",
-    "text_langid_confusion",
     # ---- past the ~50-row cap from here ----
     # -- remaining r05-green rows: MANDATORY in the r09 window (age 4 then) --
+    "text_langid_confusion",
     "text_fixed_n_per_lang",
     "text_length_percentiles",
     "rel_pagerank_coparts",

@@ -658,6 +658,69 @@ _PQ_DLISTS_SQL = ",\n    ".join(f"{_pq_dists_sql(m)} AS pd{m}" for m in range(_P
 _PQ_LUT_SQL = "[" + ", ".join(f"pd{m}" for m in range(_PQ_M)) + "]"
 
 
+
+def sim_cosine_noise_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-pair cosine noise floor — the measurement to run BEFORE
+    choosing a near-dup threshold. The r08 scale ladder proved why it
+    matters: at dim=64 the random cosine has sd ~ 1/sqrt(64) = 0.125, so
+    a 0.45 threshold sits only ~3.6 sigma out and C(N,2)*tail pairs
+    cross it BY CHANCE — dedup output (and therefore cost, in any
+    engine) goes quadratic (measured: 143/3,256/49,474 verified pairs at
+    N = 2k/10k/50k, SCALING.md). This query estimates the floor from a
+    fixed-size deterministic pair sample: md5-bucket every vector into
+    1024 buckets and pair each bucket's min-id with its max-id — ~1024
+    pairs at ANY corpus size, so the estimator costs one O(N) scan +
+    one 1024-group agg + two broadcast-pair lookups, never a pair join.
+
+    Output (one row): n_pairs, mean_cos, sd_cos, sigma_gap (how many
+    sigmas the 0.45 near-dup threshold clears the floor), and
+    n_above_threshold in the sample. Float policy: per-pair fold cosine
+    is floor-latticed to integer tenth-micros; all stats derive from
+    exact integer sums through a fixed double op sequence, so the row
+    hash-checks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(1024),
+    )
+    pairs = (
+        emb.select(bucket.alias("bk"), "vec_id")
+        .groupBy("bk")
+        .agg(F.min("vec_id").alias("a_id"), F.max("vec_id").alias("b_id"))
+        .filter(F.col("a_id") < F.col("b_id"))
+    )
+    va = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    cos = ops.dot_product(F.col("va"), F.col("vb")) / (
+        ops.norm2(F.col("va")) * ops.norm2(F.col("vb"))
+    )
+    scored = (
+        pairs.join(va, "a_id")
+        .join(vb, "b_id")
+        .select(F.floor(cos * 1e7 + F.lit(0.5)).cast("long").alias("c7"))
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c7").alias("s1"),
+        F.sum(F.col("c7") * F.col("c7")).alias("s2"),
+        F.sum(F.when(F.col("c7") >= 4500000, 1).otherwise(0)).alias("n_above"),
+    )
+    nd = F.col("n").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    mean = s1d / (nd * F.lit(1e7))
+    sd = F.sqrt((nd * s2d - s1d * s1d) / (nd * nd * F.lit(1e14)))
+    return agg.select(
+        F.col("n").alias("n_pairs"),
+        mean.alias("mean_cos"),
+        sd.alias("sd_cos"),
+        ((F.lit(0.45) - mean) / sd).alias("sigma_gap"),
+        F.col("n_above").alias("n_above_threshold"),
+    )
+
+
 QUERIES = {
     "sim_ann_ivfpq": sim_ann_ivfpq,
     "sim_knn_join": sim_knn_join,
@@ -672,6 +735,7 @@ QUERIES = {
     "sim_ann_ivf": sim_ann_ivf,
     "sim_ann_filtered": sim_ann_filtered,
     "sim_source_centroid_outliers": sim_source_centroid_outliers,
+    "sim_cosine_noise_floor": sim_cosine_noise_floor,
 }
 
 
@@ -1294,3 +1358,39 @@ approx AS (
 {_RECALL_FINISH_SQL}
 """
 ORACLES["sim_embedding_drift"] = _drift_oracle()
+
+ORACLES["sim_cosine_noise_floor"] = """
+WITH b AS (
+  SELECT (CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 1024) AS bk, vec_id
+  FROM embeddings
+),
+p AS (
+  SELECT bk, min(vec_id) AS a_id, max(vec_id) AS b_id
+  FROM b GROUP BY bk HAVING min(vec_id) < max(vec_id)
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c AS (
+  SELECT CAST(floor(
+           list_dot_product(ea.v, eb.v)
+           / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+           * 1e7 + 0.5) AS BIGINT) AS c7
+  FROM p JOIN e ea ON ea.vec_id = p.a_id JOIN e eb ON eb.vec_id = p.b_id
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(c7) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e7) AS mean_cos,
+  sqrt((CAST(count(*) AS DOUBLE) * CAST(sum(c7 * c7) AS DOUBLE)
+        - CAST(sum(c7) AS DOUBLE) * CAST(sum(c7) AS DOUBLE))
+       / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) * 1e14)) AS sd_cos,
+  (0.45 - CAST(sum(c7) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e7))
+    / sqrt((CAST(count(*) AS DOUBLE) * CAST(sum(c7 * c7) AS DOUBLE)
+            - CAST(sum(c7) AS DOUBLE) * CAST(sum(c7) AS DOUBLE))
+           / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) * 1e14)) AS sigma_gap,
+  CAST(sum(CASE WHEN c7 >= 4500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_threshold
+FROM c
+"""
+

@@ -363,6 +363,7 @@ EXCHANGE_CENSUS = {
     "rel_window_frames": 1, "rel_window_running": 1, "rel_winsorize": 2,
     "sim_ann_bruteforce": 1, "sim_ann_filtered": 2,
     "sim_source_centroid_outliers": 2, "sim_ann_recall": 3, "sim_embedding_drift": 1, "sim_ann_ivf": 1, "sim_ann_ivfpq": 1,
+    "sim_cosine_noise_floor": 2,
     "sim_ann_lsh": 2, "sim_ann_quantized": 1, "sim_kmeans_iter": 1,
     "sim_matryoshka_recall": 2, "sim_top_pc": 3,
     "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1, "text_bpe_train": 4, "text_bpe_encode": 6, "text_mixture_sample": 4,
