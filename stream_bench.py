@@ -49,7 +49,30 @@ def main() -> None:
     spark = session.get_spark(app_name="rtsm-stream-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    src = K25_EVENTS if os.path.isdir(K25_EVENTS) else SF01_EVENTS
+    rungs = [SF01_EVENTS] + [
+        r
+        for r in ("/tmp/rtsm-scale/k5/events.parquet", K25_EVENTS)
+        if os.path.isdir(r)
+    ]
+    all_results = []
+    for src in rungs:
+        if os.path.isfile(src):
+            # The file streaming source needs a DIRECTORY; the raw
+            # testdata tables are single parquet files — stage a copy.
+            staged = tempfile.mkdtemp(prefix="rtsm-stream-src-")
+            shutil.copy(src, os.path.join(staged, os.path.basename(src)))
+            src = staged
+        all_results.append(_bench_rung(spark, src))
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_STREAMING.json"
+    )
+    with open(out, "w") as f:
+        json.dump({"rungs": all_results}, f, indent=1)
+    print(json.dumps({"rungs": all_results}))
+    spark.stop()
+
+
+def _bench_rung(spark, src: str) -> dict:
     batch = spark.read.parquet(src)
     schema, n_rows = batch.schema, batch.count()
     n_files = len(batch.inputFiles())
@@ -107,14 +130,7 @@ def main() -> None:
         results["window_rows_per_sec"] = int(n_rows / wall)
     finally:
         shutil.rmtree(work, ignore_errors=True)
-
-    out = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_STREAMING.json"
-    )
-    with open(out, "w") as f:
-        json.dump(results, f, indent=1)
-    print(json.dumps(results))
-    spark.stop()
+    return results
 
 
 if __name__ == "__main__":
