@@ -107,6 +107,19 @@ def _rot(s: str, k: int) -> str:
 
 def _char_bijection(col, r: int, second_class: str = "bcdfg"):
     out = F.translate(col, "aeiou", _VOWEL_ROTATIONS[r % 5])
+    # Third always-on class (r % 7): rotating consonants too keeps every
+    # transform a per-word bijection (dup structure, quality gates, edit
+    # distances all preserved within a replica) while replica texts
+    # diverge more at the byte level. (r%5, r%7) is injective for
+    # r < 35, so all 25 replicas stay distinct even before the r//5
+    # class applies. NOTE: this does NOT decorrelate the a-hash stub
+    # images — their 64-bit signature space saturates (~6k distinct
+    # signatures regardless of corpus size on this word-soup byte
+    # stream), so image-pair output grows ~quadratically at K>=5. That
+    # is a measured property of the synthetic data's signature entropy,
+    # recorded in SCALING.md, not a probe artifact a perturbation can
+    # remove without breaking the text-side preservation guarantees.
+    out = F.translate(out, "lmnprst", _rot("lmnprst", r % 7))
     if r >= 5:
         out = F.translate(out, second_class, _rot(second_class, r // 5))
     return out
