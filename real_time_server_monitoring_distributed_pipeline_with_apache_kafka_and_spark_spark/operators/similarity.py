@@ -1100,6 +1100,8 @@ def knn_join(
     dim: int = 64,
     seed: int = 7,
     bucket_cap: int = 2048,
+    hold_occupancy: bool = False,
+    target_bucket_rows: int = 64,
 ) -> DataFrame:
     """Self kNN join: for every vector, its top-k most-cosine-similar
     OTHER vectors — the kNN-graph primitive under SemDeDup-style semantic
@@ -1161,10 +1163,26 @@ def knn_join(
     tables ~ 0.94/0.75 single-neighbor recall at 60/75 degrees).
     Candidates per query scale as L * N / 2^planes — raise
     planes_per_table as the corpus grows to hold the per-query candidate
-    budget, spending the recall back via n_tables.
+    budget, spending the recall back via n_tables. ``hold_occupancy``
+    automates exactly that knob (the cosine_pairs_lsh r08 pattern):
+    k = max(planes_per_table, ceil(log2(N / target_bucket_rows))) from a
+    cheap count, so per-query candidate volume stays ~L·target instead
+    of growing with the corpus (measured slope 0.69 on the K=25 ladder
+    at fixed width). The floor equals the explicit width, so every
+    oracle-checked SF resolves to the same plan and the hash-pinned
+    results are unchanged; the open recall trade (each extra plane
+    multiplies per-table single-neighbor collision by p1) is the same
+    documented LSH law — spend it back via n_tables when recall targets
+    bind.
     """
     from pyspark.sql.window import Window
 
+    if hold_occupancy:
+        n_rows = vectors.select(id_col).count()
+        planes_per_table = max(
+            planes_per_table,
+            math.ceil(math.log2(max(1.0, n_rows / target_bucket_rows))),
+        )
     planes = _hyperplanes(planes_per_table * n_tables, dim, seed)
     buckets = _bucket_udf(planes, planes_per_table, n_tables)
     # Persisted: the bucket UDF pass is the dominant per-row cost, and

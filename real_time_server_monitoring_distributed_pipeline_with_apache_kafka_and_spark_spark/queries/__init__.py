@@ -82,6 +82,10 @@ _PRIORITY: tuple[str, ...] = (
     #    oracle-checked SF; oracle MATCH at sf0.01 locally) — re-prove
     #    the one member not already in this window --
     "dedup_embedding_lsh",
+    # -- r08 code change: knn_join gained the same occupancy-held bit
+    #    width (resolves to the same 5 planes at every oracle-checked
+    #    SF; oracle MATCH at sf0.01 locally) — re-prove --
+    "sim_knn_join",
     # -- oldest still-fresh (r05-green) fill --
     "rel_profile_columns",
     "rel_key_skew_stats",
@@ -100,9 +104,9 @@ _PRIORITY: tuple[str, ...] = (
     "rel_pit_features",
     "rel_scd2_asof_lookup",
     "rel_hll_daily_users",
-    "mm_scene_segments",
     # ---- past the ~50-row cap from here ----
     # -- remaining r05-green rows: MANDATORY in the r09 window (age 4 then) --
+    "mm_scene_segments",
     "text_langid_confusion",
     "text_fixed_n_per_lang",
     "text_length_percentiles",
@@ -209,7 +213,8 @@ _PRIORITY: tuple[str, ...] = (
     "rel_count_distinct",
     "rel_cross_join",
     "rel_set_ops",
-    "sim_knn_join",
+    # (sim_knn_join moved to the r08 window head: occupancy-held
+    #  bit-width change this round, must re-prove)
     "rel_mad_outliers",
     "text_hapax_ratio",
     "sim_ann_recall",

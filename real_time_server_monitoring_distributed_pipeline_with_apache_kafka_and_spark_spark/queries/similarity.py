@@ -179,7 +179,10 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same seeded buckets, so the approximate neighbor set is still
     hash-checked exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return ops.knn_join(emb, k=TOP_K)
+    # occupancy-held bit width (resolves to the same 5 planes at every
+    # oracle-checked SF; grows with log N beyond — the r08 ladder's
+    # slope-0.69 fix, recall trade documented in the operator)
+    return ops.knn_join(emb, k=TOP_K, hold_occupancy=True)
 
 
 # k-means assignment-step building blocks: seeded centroid literals shared
