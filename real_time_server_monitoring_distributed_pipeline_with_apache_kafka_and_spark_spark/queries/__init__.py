@@ -27,12 +27,17 @@ from . import dedup, extras, monitoring, multimodal, profiling, relational, simi
 # then any never-proven new rows, then fill the remainder with the oldest
 # still-fresh rows so the aging wave stays spread across future windows.
 #
-# r08 window: the 16 r04-green rows displaced from the r07 head (age 4 now
-# — mandatory), then the five queries touched by the r07 connected-
-# components small-graph fast path (output-preserving, oracle-green
-# locally, but re-prove under the driver), then the 29 oldest r05-green
-# rows — exactly 50. The 16 remaining r05-green rows lead the r09 window
-# (age 4 then), followed by the r06-green block.
+# r08 window (final composition): the 16 r04-green rows displaced from
+# the r07 head (age 4 now — mandatory), the five queries touched by the
+# r07 connected-components fast path, the two r07 hash-mismatch fixes,
+# the six never-proven r08 queries (incl. sim_cosine_noise_floor), the
+# five r08 code-change re-proofs (text_bpe_train, sim_ann_ivfpq,
+# dedup_embedding_lsh, sim_knn_join — construction/width changes that
+# are plan-identical at gate SFs but re-prove on principle), and the
+# oldest still-fresh r05-green fill — exactly 50. The displaced fill
+# rows (text_fixed_n_per_lang, text_length_percentiles,
+# text_langid_confusion, mm_scene_segments) lead the r09 mandatory
+# block with the other remaining r05-greens, followed by the r06 block.
 _PRIORITY: tuple[str, ...] = (
     # -- newest driver green is r04 (displaced from the r07 head): mandatory --
     "rel_distinct",

@@ -23,8 +23,8 @@ GROUP2="tests/test_oracle_parity.py tests/test_reference_parity.py"
 GROUP3="tests/test_plans.py tests/test_properties.py tests/test_skew.py"
 GROUP4="tests/test_caching.py tests/test_changelog.py tests/test_cli.py \
 tests/test_dedup_similarity.py tests/test_freshness.py tests/test_joins.py \
-tests/test_multimodal.py tests/test_profiling.py tests/test_sources.py \
-tests/test_text_ops.py"
+tests/test_multimodal.py tests/test_profiling.py tests/test_scaling_probe.py \
+tests/test_sources.py tests/test_text_ops.py"
 GROUP5="tests/test_streaming_stores.py"
 
 pids=()
