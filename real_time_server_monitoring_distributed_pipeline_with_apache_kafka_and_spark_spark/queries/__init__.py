@@ -31,13 +31,14 @@ from . import dedup, extras, monitoring, multimodal, profiling, relational, simi
 # the r07 head (age 4 now — mandatory), the five queries touched by the
 # r07 connected-components fast path, the two r07 hash-mismatch fixes,
 # the six never-proven r08 queries (incl. sim_cosine_noise_floor), the
-# five r08 code-change re-proofs (text_bpe_train, sim_ann_ivfpq,
-# dedup_embedding_lsh, sim_knn_join — construction/width changes that
-# are plan-identical at gate SFs but re-prove on principle), and the
-# oldest still-fresh r05-green fill — exactly 50. The displaced fill
-# rows (text_fixed_n_per_lang, text_length_percentiles,
-# text_langid_confusion, mm_scene_segments) lead the r09 mandatory
-# block with the other remaining r05-greens, followed by the r06 block.
+# six r08 code-change re-proofs (text_bpe_train, sim_ann_ivfpq,
+# dedup_embedding_lsh, sim_knn_join, dedup_semdedup — construction/
+# width/cluster-count changes that are plan-identical at gate SFs but
+# re-prove on principle), and the oldest still-fresh r05-green fill —
+# exactly 50. The displaced fill rows (rel_hll_daily_users,
+# mm_scene_segments, text_langid_confusion, text_fixed_n_per_lang,
+# text_length_percentiles) lead the r09 mandatory block with the other
+# remaining r05-greens, followed by the r06 block.
 _PRIORITY: tuple[str, ...] = (
     # -- newest driver green is r04 (displaced from the r07 head): mandatory --
     "rel_distinct",
@@ -91,6 +92,10 @@ _PRIORITY: tuple[str, ...] = (
     #    width (resolves to the same 5 planes at every oracle-checked
     #    SF; oracle MATCH at sf0.01 locally) — re-prove --
     "sim_knn_join",
+    # -- r08 code change: dedup_semdedup's cluster count is now
+    #    corpus-derived (floor 8; gate SFs resolve to the identical
+    #    8-centroid plan, oracle MATCH at sf0.01 AND sf0.1) — re-prove --
+    "dedup_semdedup",
     # -- oldest still-fresh (r05-green) fill --
     "rel_profile_columns",
     "rel_key_skew_stats",
@@ -108,9 +113,9 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_cross_corpus",
     "rel_pit_features",
     "rel_scd2_asof_lookup",
-    "rel_hll_daily_users",
     # ---- past the ~50-row cap from here ----
     # -- remaining r05-green rows: MANDATORY in the r09 window (age 4 then) --
+    "rel_hll_daily_users",
     "mm_scene_segments",
     "text_langid_confusion",
     "text_fixed_n_per_lang",
@@ -231,7 +236,8 @@ _PRIORITY: tuple[str, ...] = (
     "sim_source_centroid_outliers",
     "text_mixture_sample",
     "text_gopher_rules",
-    "dedup_semdedup",
+    # (dedup_semdedup moved to the r08 window head: adaptive cluster
+    #  count this round, must re-prove)
     "sim_top_pc",
     "monitor_mttr",
     "text_ngram_novelty",

@@ -191,13 +191,17 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMEANS_K, _KMEANS_SEED = 8, 23
 
 
-def _kmeans_centroids() -> list[list[float]]:
+def _kmeans_centroids(k: int = _KMEANS_K) -> list[list[float]]:
+    """First ``k`` seeded centroids. Draws are SEQUENTIAL from one RNG,
+    so _kmeans_centroids(k)[:8] == _kmeans_centroids(8) for any k >= 8 —
+    callers that grow k with the corpus (dedup_semdedup) keep the exact
+    oracle-pinned centroids at every gate SF where k resolves to 8."""
     import math
     import random
 
     rng = random.Random(_KMEANS_SEED)
     out = []
-    for _ in range(_KMEANS_K):
+    for _ in range(k):
         v = [rng.gauss(0.0, 1.0) for _ in range(64)]
         # Unit-normalize before rounding: embeddings are ~unit-norm, so a
         # raw gauss centroid (norm ~8) would make ||c||^2 dominate the
@@ -221,6 +225,23 @@ def _kmeans_dists_col(vcol) -> F.Column:
             )
         )
     return F.array(*dists)
+
+
+def _kmeans_dists_expr(vec_sql: str, centroids: list[list[float]]) -> F.Column:
+    """SQL-parsed twin of _kmeans_dists_col — the SAME aggregate/zip_with
+    folds, built as one parsed string instead of stacked Column calls
+    (identical analyzed plan; the operators.similarity._pq_subdists_sql
+    precedent, oracle-hash-proven there). Used where the centroid count
+    is DATA-DERIVED: at k in the hundreds, k x 64 F.lit calls cost
+    seconds of py4j round-trips per query construction."""
+    dists = []
+    for cent in centroids:
+        carr = "array(" + ", ".join(repr(float(x)) + "D" for x in cent) + ")"
+        dists.append(
+            f"aggregate(zip_with({vec_sql}, {carr}, (x, c) -> (x - c) * (x - c)),"
+            " 0.0D, (acc, e) -> acc + e)"
+        )
+    return F.expr("array(" + ", ".join(dists) + ")")
 
 
 def sim_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
