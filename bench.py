@@ -193,6 +193,13 @@ def main() -> None:
             "unit": "sec",
             "queries": {name: round(t, 2) for name, t in timings.items()},
             "sf": sf,
+            # Frozen-subset subtotals IN the parsed line (VERDICT r08 #4:
+            # r08 carried them only in the sidecar and round-over-round
+            # comparability had to be recomputed by hand): ~95 chars,
+            # inside the 1900-char driver buffer budget checked below.
+            "legacy9_total": sidecar["legacy9_total"],
+            "headline17_total": sidecar["headline17_total"],
+            "headline24_total": sidecar["headline24_total"],
         }
     )
     if len(line) > 1900:  # loud, not silent: growth past the buffer breaks the driver parse

@@ -19,11 +19,32 @@ from __future__ import annotations
 
 import math
 import random
+import weakref
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Memoized corpus counts for occupancy-held bit-width derivation
+# (ADVICE r08 #2): ``hold_occupancy`` needs |corpus| at query
+# CONSTRUCTION time, which costs one Spark count job. Composites that
+# build two bucketed operators over the SAME DataFrame (and plan-census
+# tests that construct repeatedly) would otherwise pay the scan each
+# time. Keyed weakly by DataFrame identity, so distinct reads of the
+# same table never cross-contaminate and entries die with their frame.
+_CORPUS_COUNTS: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def corpus_count(vectors: DataFrame, id_col: str) -> int:
+    """Row count of ``vectors``, memoized per (DataFrame object, id_col)."""
+    try:
+        per_df = _CORPUS_COUNTS.setdefault(vectors, {})
+    except TypeError:  # non-weakref-able stand-in (tests)
+        return vectors.select(id_col).count()
+    if id_col not in per_df:
+        per_df[id_col] = vectors.select(id_col).count()
+    return per_df[id_col]
 
 
 def dot_product(a: Column, b: Column) -> Column:
@@ -206,6 +227,7 @@ def cosine_pairs_lsh(
     seed: int = 7,
     hold_occupancy: bool = False,
     target_bucket_rows: int = 256,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Bucketed embedding near-dup: LSH candidates + exact cosine verify.
 
@@ -246,7 +268,8 @@ def cosine_pairs_lsh(
     0.45-threshold pipelines accept the recall decay or raise n_tables.
     """
     if hold_occupancy:
-        n_rows = vectors.select(id_col).count()
+        if n_rows is None:
+            n_rows = corpus_count(vectors, id_col)
         planes_per_table = max(
             planes_per_table,
             math.ceil(math.log2(max(1.0, n_rows / target_bucket_rows))),
@@ -624,8 +647,16 @@ def _double_sql(x: float) -> str:
     """Spark SQL double literal with the exact value of ``F.lit(x)``:
     Python ``repr`` round-trips the nearest double by construction and
     the ``D`` suffix parses it as DOUBLE, so the literal in the parsed
-    plan is bit-identical to the Column-API one."""
-    return repr(float(x)) + "D"
+    plan is bit-identical to the Column-API one.
+
+    Non-finite values would emit ``infD``/``nanD`` — a parse failure (or
+    silent semantic divergence from F.lit) far from the bad centroid
+    that produced them, so fail loudly here instead (ADVICE r08 #4).
+    """
+    x = float(x)
+    if not math.isfinite(x):
+        raise ValueError(f"non-finite codebook/centroid value {x!r} cannot be inlined")
+    return repr(x) + "D"
 
 
 def _pq_subdists_sql(vec_col: str, book: list[list[float]], offset: int, sub: int) -> str:
@@ -1102,6 +1133,7 @@ def knn_join(
     bucket_cap: int = 2048,
     hold_occupancy: bool = False,
     target_bucket_rows: int = 64,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Self kNN join: for every vector, its top-k most-cosine-similar
     OTHER vectors — the kNN-graph primitive under SemDeDup-style semantic
@@ -1178,7 +1210,8 @@ def knn_join(
     from pyspark.sql.window import Window
 
     if hold_occupancy:
-        n_rows = vectors.select(id_col).count()
+        if n_rows is None:
+            n_rows = corpus_count(vectors, id_col)
         planes_per_table = max(
             planes_per_table,
             math.ceil(math.log2(max(1.0, n_rows / target_bucket_rows))),

@@ -8,6 +8,10 @@ get the driver's weaker rows-only check.
 
 from __future__ import annotations
 
+import glob as _glob
+import json as _json
+import os as _os
+import re as _re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -16,31 +20,22 @@ from . import dedup, extras, monitoring, multimodal, profiling, relational, simi
 
 # Order is load-bearing: the correctness driver verifies the first ~50
 # registry entries in iteration order (observed: each round records exactly
-# 50 rows). _PRIORITY makes the window explicit. Rotation history lives in
-# git (r01-r06 summarized: every query driver-proven at least once by r03;
-# as of CORRECTNESS_r06 the newest-green distribution is 44@r04, 48@r05,
-# 50@r06 — a clean 3-round cycle at 142 registered / 50-row window).
+# 50 rows). _PRIORITY makes the window explicit.
 #
 # Standing window policy (enforced by tests/test_freshness.py): lead with
-# every row whose newest driver green is OLDEST (the previous cycle's
-# head), then every row whose query code changed since its last green,
-# then any never-proven new rows, then fill the remainder with the oldest
-# still-fresh rows so the aging wave stays spread across future windows.
+# _FORCE_HEAD (queries whose code changed this round and must re-prove,
+# plus brand-new queries), then every remaining row ordered by its newest
+# driver green, OLDEST FIRST (never-proven rows sort before everything).
 #
-# r08 window (final composition): the 16 r04-green rows displaced from
-# the r07 head (age 4 now — mandatory), the five queries touched by the
-# r07 connected-components fast path, the two r07 hash-mismatch fixes,
-# the six never-proven r08 queries (incl. sim_cosine_noise_floor), the
-# six r08 code-change re-proofs (text_bpe_train, sim_ann_ivfpq,
-# dedup_embedding_lsh, sim_knn_join, dedup_semdedup — construction/
-# width/cluster-count changes that are plan-identical at gate SFs but
-# re-prove on principle), and the oldest still-fresh r05-green fill —
-# exactly 50. The displaced fill rows (rel_hll_daily_users,
-# mm_scene_segments, text_langid_confusion, text_fixed_n_per_lang,
-# text_length_percentiles) lead the r09 mandatory block with the other
-# remaining r05-greens, followed by the r06 block.
-_PRIORITY: tuple[str, ...] = (
-    # -- newest driver green is r04 (displaced from the r07 head): mandatory --
+# Since r09 that ordering is COMPUTED at import time from the recorded
+# CORRECTNESS_r*.json driver artifacts instead of hand-edited each round
+# (VERDICT r08 #1: rotation was hand-maintained three rounds running and
+# went red each time the round rolled over). The computation is
+# deterministic: the history files are committed artifacts, ties keep
+# registration order (stable sort). If no artifacts are present (fresh
+# checkout), the window is simply registration order — every query is
+# then "never proven" and equally urgent.
+_REGISTERED: tuple[str, ...] = (
     "rel_distinct",
     "rel_orderby_limit",
     "rel_having",
@@ -57,46 +52,24 @@ _PRIORITY: tuple[str, ...] = (
     "monitor_case_classify",
     "monitor_session_window",
     "monitor_funnel",
-    # -- code changed in r07 (connected-components fast path): re-prove --
     "dedup_clusters",
     "dedup_embedding_clusters",
     "mm_image_dedup_clusters",
     "pipeline_embedding_prep",
     "pipeline_multimodal_prep",
-    # -- r07 hash-MISMATCH (rows+schema matched, values did not): fixed
-    #    this round, re-prove under the driver --
     "sim_embedding_drift",
     "rel_snapshot_diff",
-    # -- never driver-proven (new in r08) --
     "rel_recursive_cte",
     "rel_lateral_topk",
     "text_bpe_encode",
     "monitor_synthetic_source",
     "rel_order_count_histogram",
     "sim_cosine_noise_floor",
-    # -- r08 code change: the BPE merge loop was factored out to be
-    #    shared with text_bpe_encode (output-preserving, oracle-green
-    #    locally) — re-prove under the driver --
     "text_bpe_train",
-    # -- r08 code change: pq_encode_col/pq_lut_col now compile via one
-    #    SQL parse instead of ~500 py4j Column calls (bit-identical plan,
-    #    oracle MATCH at sf0.01 locally; ~18s -> ~7s per execution) —
-    #    re-prove under the driver --
     "sim_ann_ivfpq",
-    # -- r08 code change: the embedding-LSH trio now derives its bit
-    #    width occupancy-held (resolves to the same 3 planes at every
-    #    oracle-checked SF; oracle MATCH at sf0.01 locally) — re-prove
-    #    the one member not already in this window --
     "dedup_embedding_lsh",
-    # -- r08 code change: knn_join gained the same occupancy-held bit
-    #    width (resolves to the same 5 planes at every oracle-checked
-    #    SF; oracle MATCH at sf0.01 locally) — re-prove --
     "sim_knn_join",
-    # -- r08 code change: dedup_semdedup's cluster count is now
-    #    corpus-derived (floor 8; gate SFs resolve to the identical
-    #    8-centroid plan, oracle MATCH at sf0.01 AND sf0.1) — re-prove --
     "dedup_semdedup",
-    # -- oldest still-fresh (r05-green) fill --
     "rel_profile_columns",
     "rel_key_skew_stats",
     "monitor_error_after_click",
@@ -113,8 +86,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_cross_corpus",
     "rel_pit_features",
     "rel_scd2_asof_lookup",
-    # ---- past the ~50-row cap from here ----
-    # -- remaining r05-green rows: MANDATORY in the r09 window (age 4 then) --
     "rel_hll_daily_users",
     "mm_scene_segments",
     "text_langid_confusion",
@@ -144,7 +115,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_stratified_sample",
     "rel_salted_join",
     "rel_range_join",
-    # -- r06-green rows: due in the r09/r10 windows --
     "rel_join_full_outer",
     "rel_approx_percentile",
     "rel_approx_distinct",
@@ -191,9 +161,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_pmi_bigrams",
     "mm_audio_silence_trim",
     "monitor_heavy_hitters",
-    # (sim_ann_ivfpq moved to the r08 window head: its construction path
-    #  changed this round and must re-prove)
-    # -- r07-green rows (newest; includes the 21 first proven in r07) --
     "monitor_cpu_mem_alerts",
     "monitor_net_disk_alerts",
     "monitor_window_sliding_avg",
@@ -202,8 +169,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
-    # (dedup_embedding_lsh moved to the r08 window head: occupancy-held
-    #  bit-width change this round, must re-prove)
     "sim_ann_bruteforce",
     "sim_ann_lsh",
     "sim_ann_ivf",
@@ -223,8 +188,6 @@ _PRIORITY: tuple[str, ...] = (
     "rel_count_distinct",
     "rel_cross_join",
     "rel_set_ops",
-    # (sim_knn_join moved to the r08 window head: occupancy-held
-    #  bit-width change this round, must re-prove)
     "rel_mad_outliers",
     "text_hapax_ratio",
     "sim_ann_recall",
@@ -236,8 +199,6 @@ _PRIORITY: tuple[str, ...] = (
     "sim_source_centroid_outliers",
     "text_mixture_sample",
     "text_gopher_rules",
-    # (dedup_semdedup moved to the r08 window head: adaptive cluster
-    #  count this round, must re-prove)
     "sim_top_pc",
     "monitor_mttr",
     "text_ngram_novelty",
@@ -245,6 +206,74 @@ _PRIORITY: tuple[str, ...] = (
     "rel_variant_extract",
     "sim_matryoshka_recall",
 )
+
+# Hand-pinned window head: queries whose IMPLEMENTATION changed since their
+# last driver green (must re-prove regardless of age), plus any brand-new
+# queries an author wants verified first. Everything else rotates
+# automatically. Clear this each round after the driver re-proves them.
+#
+# r09 entries — code touched this round:
+#   sim_ann_ivfpq        ivf_centroids computed once and shared across the
+#                        encode/probe legs (VERDICT r08 #6)
+#   dedup_semdedup       adaptive-k argmin dtype unified with the fold path
+#                        (ADVICE r08 #1)
+#   pipeline_embedding_prep / dedup_embedding_lsh / sim_knn_join
+#                        hold_occupancy count memoized (ADVICE r08 #2)
+#   sim_cosine_noise_floor  sd==0 degenerate-corpus guard (ADVICE r08 #3)
+_FORCE_HEAD: tuple[str, ...] = (
+    "sim_ann_ivfpq",
+    "dedup_semdedup",
+    "pipeline_embedding_prep",
+    "dedup_embedding_lsh",
+    "sim_knn_join",
+    "sim_cosine_noise_floor",
+)
+
+
+def _newest_green() -> dict[str, int]:
+    """Newest driver-green round per query, from committed CORRECTNESS_r*.json.
+
+    Green = full hash match, or the rows-only contract for no-oracle
+    sketches (driver ran it and got rows back) — the same predicate
+    tests/test_freshness.py uses.
+    """
+    repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    newest: dict[str, int] = {}
+    for path in _glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            ok = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if ok and rnd > newest.get(name, -1):
+                newest[name] = rnd
+    return newest
+
+
+def _rotated(
+    registered: tuple[str, ...], force_head: tuple[str, ...], newest: dict[str, int]
+) -> tuple[str, ...]:
+    unknown = set(force_head) - set(registered)
+    if unknown:
+        raise ValueError(f"_FORCE_HEAD names not registered: {sorted(unknown)}")
+    pinned = set(force_head)
+    rest = [q for q in registered if q not in pinned]
+    # Stable sort: ties (same newest green, incl. the never-proven -1
+    # bucket) keep registration order, so the output is deterministic
+    # given the committed artifacts.
+    rest.sort(key=lambda q: newest.get(q, -1))
+    return tuple(force_head) + tuple(rest)
+
+
+_PRIORITY: tuple[str, ...] = _rotated(_REGISTERED, _FORCE_HEAD, _newest_green())
 
 _MODULES = (monitoring, text, multimodal, dedup, similarity, relational, extras, profiling)
 

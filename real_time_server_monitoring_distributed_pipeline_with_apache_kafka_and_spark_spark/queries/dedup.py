@@ -302,22 +302,29 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Above the gate SFs, k grows with N and flat assignment via
         # interpreted folds is itself O(N*k*dim) — measured SLOWER than
         # the fixed-k pair blowup it replaces (14.9s vs 6.3s at K=25 on
-        # the ladder). One Arrow-batched numpy argmin does the same
-        # exact L2 assignment at matmul speed; the k x dim centroid
-        # matrix ships in the UDF closure (broadcast-like), argmin ties
-        # break to the lowest index like array_position. At N where
-        # even N*k*dim matmul FLOPs bind (k ~ N/target), production
+        # the ladder). One Arrow-batched numpy argmin does the same L2
+        # assignment at matmul speed — same argmin up to FP rounding,
+        # not bit-equivalent: the fold sums sum((x-c)^2) left-to-right
+        # while the matmul expands ||x||^2+||c||^2-2x.c, so a near-tie
+        # within ~1e-15 relative error could flip (ADVICE r08 #1; this
+        # branch is above every oracle-pinned SF by construction, so no
+        # hash-checked row rides on it). The k x dim centroid matrix
+        # ships in the UDF closure (broadcast-like), argmin ties break
+        # to the lowest index like array_position. At N where even
+        # N*k*dim matmul FLOPs bind (k ~ N/target), production
         # escalates to hierarchical/coarse-quantized assignment — the
         # IVF pattern this engine ships for retrieval.
         cm = np.asarray(_kmeans_centroids(k), dtype=np.float64)
         cm_sq = (cm * cm).sum(axis=1)
 
-        @F.pandas_udf("int")
+        @F.pandas_udf("long")  # match the fold path's array_position-1 dtype
         def _assign(vecs: pd.Series) -> pd.Series:
             m = np.stack(vecs.to_numpy()).astype(np.float64)
-            # argmin ||x-c||^2 == argmin (||c||^2 - 2 x.c): x^2 constant
-            d = cm_sq[None, :] - 2.0 * (m @ cm.T)
-            return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+            # full ||x-c||^2 = ||x||^2 + ||c||^2 - 2 x.c (the x^2 term
+            # is argmin-constant but keeping it preserves the distance
+            # SCALE, so near-tie behavior tracks the fold path closely)
+            d = (m * m).sum(axis=1)[:, None] + cm_sq[None, :] - 2.0 * (m @ cm.T)
+            return pd.Series(np.argmin(d, axis=1).astype(np.int64))
 
         assigned = emb.select(
             "vec_id", "embedding", _assign(F.col("embedding")).alias("cluster_id")

@@ -236,7 +236,10 @@ def _kmeans_dists_expr(vec_sql: str, centroids: list[list[float]]) -> F.Column:
     seconds of py4j round-trips per query construction."""
     dists = []
     for cent in centroids:
-        carr = "array(" + ", ".join(repr(float(x)) + "D" for x in cent) + ")"
+        # ops._double_sql asserts finiteness — a non-finite centroid
+        # would otherwise emit 'infD'/'nanD' and fail the SQL parse far
+        # from its source (ADVICE r08 #4)
+        carr = "array(" + ", ".join(ops._double_sql(x) for x in cent) + ")"
         dists.append(
             f"aggregate(zip_with({vec_sql}, {carr}, (x, c) -> (x - c) * (x - c)),"
             " 0.0D, (acc, e) -> acc + e)"
@@ -740,7 +743,11 @@ def sim_cosine_noise_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         mean.alias("mean_cos"),
         sd.alias("sd_cos"),
-        ((F.lit(0.45) - mean) / sd).alias("sigma_gap"),
+        # sd is exactly 0 when every sampled pair lattices to the same
+        # c7 (degenerate/tiny corpus with few multi-member buckets):
+        # nullif turns the would-be NaN/Inf into NULL, mirrored in the
+        # DuckDB oracle (ADVICE r08 #3)
+        ((F.lit(0.45) - mean) / F.nullif(sd, F.lit(0.0))).alias("sigma_gap"),
         F.col("n_above").alias("n_above_threshold"),
     )
 
@@ -1411,9 +1418,9 @@ SELECT
         - CAST(sum(c7) AS DOUBLE) * CAST(sum(c7) AS DOUBLE))
        / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) * 1e14)) AS sd_cos,
   (0.45 - CAST(sum(c7) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e7))
-    / sqrt((CAST(count(*) AS DOUBLE) * CAST(sum(c7 * c7) AS DOUBLE)
+    / nullif(sqrt((CAST(count(*) AS DOUBLE) * CAST(sum(c7 * c7) AS DOUBLE)
             - CAST(sum(c7) AS DOUBLE) * CAST(sum(c7) AS DOUBLE))
-           / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) * 1e14)) AS sigma_gap,
+           / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) * 1e14)), 0) AS sigma_gap,
   CAST(sum(CASE WHEN c7 >= 4500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_threshold
 FROM c
 """

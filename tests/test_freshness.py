@@ -25,18 +25,19 @@ import re
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
-# Registry-capacity policy (r07, VERDICT r06 #2): MAX_AGE was raised 2 -> 3
-# DELIBERATELY. At 142 registered queries a 50-row window gives a natural
-# 3-round re-proof cycle (ceil(142/50) = 3), which MAX_AGE=2 cannot admit —
-# it left 8 registration slots of headroom and made every new query a
-# freshness liability. MAX_AGE=3 sets capacity at WINDOW*(MAX_AGE+1) = 200;
-# the registry may grow to HEADROOM_CAP = 170 (15% reserved headroom,
-# enforced below) before registration freezes again. The staleness trade:
-# a query's driver green may now be up to 3 rounds old before its
-# mandatory re-proof, but the rotation in queries/__init__.py still leads
-# each window with the OLDEST greens, so practical staleness stays at the
-# natural cycle length (3 rounds at current size), not the cap.
-MAX_AGE = 3  # a green from round N satisfies compositions of rounds N..N+MAX_AGE
+# Registry-capacity policy history: MAX_AGE 2 -> 3 in r07 (VERDICT r06 #2),
+# 3 -> 4 in r09 (VERDICT r08 #2) — both DELIBERATE. At 169 registered
+# queries the 50-row window's natural re-proof cycle is ceil(169/50) = 4
+# rounds, which MAX_AGE=3 admitted with exactly ONE registration slot of
+# headroom (cap 170) — any r09 addition broke the suite. MAX_AGE=4 sets
+# capacity at WINDOW*(MAX_AGE+1) = 250 and HEADROOM_CAP = 212 (15%
+# reserved headroom, enforced below). The staleness trade: a query's
+# driver green may now be up to 4 rounds old before its mandatory
+# re-proof. In practice staleness stays at the natural cycle length, not
+# the cap, because since r09 queries/__init__.py COMPUTES the window
+# oldest-green-first from the committed CORRECTNESS_r*.json history — the
+# rotation can no longer drift from the policy by hand-editing error.
+MAX_AGE = 4  # a green from round N satisfies compositions of rounds N..N+MAX_AGE
 HEADROOM_FRACTION = 0.15
 
 
