@@ -80,6 +80,100 @@ def _derive_n_blocks(n_rows: int, target_block_rows: int) -> int:
     return max(1, -(-n_rows // max(1, target_block_rows)))
 
 
+class NoiseFloorWarning(UserWarning):
+    """A near-dup cosine threshold sits inside the random-pair noise floor
+    — dedup output (and cost) will grow ~quadratically with the corpus."""
+
+
+_NOISE_FLOOR_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def estimate_noise_floor(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 256,
+) -> tuple[float, float]:
+    """(mean, sd) of the random-pair cosine, from a bounded sample.
+
+    The r08 scale ladder's lesson made operational: at dim=64 the random
+    cosine has sd ~ 1/sqrt(64) = 0.125, so a 0.45 threshold sits only
+    ~3.6 sigma out and C(N,2) * tail pairs cross it BY CHANCE — dedup
+    output goes Theta(N^2) in ANY engine. This estimator is the cheap
+    pre-flight twin of the hash-checked ``sim_cosine_noise_floor`` query:
+    one TakeOrdered job collects the md5-order-first ``sample`` vectors
+    (a deterministic pseudo-random draw, the ivf_centroids init pattern;
+    O(N) scan, O(sample x dim) driver bytes at ANY corpus size) and the
+    ~sample^2/2 pair cosines are one driver-side numpy matmul. Monitoring
+    math, not a hash-checked output — the oracle-replayed estimator
+    remains the registry query.
+    """
+    rows = (
+        vectors.orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(sample)
+        .select(vec_col)
+        .collect()
+    )
+    m = np.asarray([r[0] for r in rows], dtype=np.float64)
+    nrm = np.sqrt((m * m).sum(axis=1))
+    nrm[nrm == 0.0] = 1.0
+    u = m / nrm[:, None]
+    cos = u @ u.T
+    iu = np.triu_indices(len(u), k=1)
+    pair_cos = cos[iu]
+    if pair_cos.size == 0:
+        return 0.0, 0.0
+    return float(pair_cos.mean()), float(pair_cos.std())
+
+
+def warn_if_threshold_in_noise_floor(
+    vectors: DataFrame,
+    threshold: float,
+    sigmas: float = 6.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Pre-flight guardrail for near-dup composites (VERDICT r08 #5):
+    estimate the random-pair cosine floor and emit a ``NoiseFloorWarning``
+    when ``threshold`` clears it by fewer than ``sigmas`` standard
+    deviations. Returns the sigma gap (inf when sd is 0 — degenerate or
+    constant corpus, nothing to warn about). Memoized per (DataFrame,
+    vec_col) so composites that gate twice pay the sample job once.
+
+    Six sigma is deliberately conservative: the expected number of
+    random pairs past the threshold is ~C(N,2) * Phi(-gap), and at
+    N = 1e9 (100 TB of documents) C(N,2) ~ 5e17 needs Phi(-gap) << 2e-18
+    — i.e. gap >~ 8.6 — for chance crossings to stay subdominant; gap < 6
+    is firmly in the quadratic-output regime the ladder measured. At
+    dim=768 (production text embeddings) sd ~ 0.036 and a 0.45 threshold
+    clears ~12 sigma, so real corpora pass silently.
+    """
+    try:
+        per_df = _NOISE_FLOOR_CACHE.setdefault(vectors, {})
+    except TypeError:  # non-weakref-able stand-in
+        per_df = {}
+    if vec_col not in per_df:
+        per_df[vec_col] = estimate_noise_floor(vectors, id_col, vec_col)
+    mean, sd = per_df[vec_col]
+    if sd == 0.0:
+        return math.inf
+    gap = (threshold - mean) / sd
+    if gap < sigmas:
+        import warnings
+
+        warnings.warn(
+            f"near-dup threshold {threshold} clears the random-pair cosine "
+            f"noise floor (mean {mean:.4f}, sd {sd:.4f}) by only {gap:.1f} "
+            f"sigma (< {sigmas:g}): expect ~C(N,2)*tail chance pairs — "
+            "dedup output and cost will grow quadratically with the corpus. "
+            "Raise the threshold, use higher-dimensional embeddings, or "
+            "run the sim_cosine_noise_floor query to calibrate.",
+            NoiseFloorWarning,
+            stacklevel=2,
+        )
+    return gap
+
+
 def cosine_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -706,6 +800,55 @@ def pq_encode_col(vec_col: str, books: list[list[list[float]]], dim: int) -> F.C
     return F.expr("array(" + ", ".join(codes) + ")")
 
 
+def pq_encode_udf(books: list[list[list[float]]], dim: int):
+    """Arrow-batched numpy PQ encode — the measured fast path of
+    :func:`pq_encode_col`, bit-identical by construction.
+
+    The fold form is ~1024 interpreted HOF ops per corpus row (16 books x
+    16 codes x 4-term fold; HOFs never enter whole-stage codegen), which
+    made the corpus encode the dominant execution cost of the IVF-PQ
+    tier (~3.7 s of the 8.2 s sf0.1 query, VERDICT r08 #6). This UDF
+    does the same arithmetic as ONE numpy broadcast per Arrow batch.
+
+    Bit-exactness argument (the semdedup adaptive-k lesson applied in
+    reverse — here we PROVE order instead of softening the claim):
+    - each term is (x - c) * (x - c) on float64, the identical IEEE ops
+      as the fold's zip_with lambda (float->double cast included);
+    - the accumulator is built by an explicit python loop over the sub
+      dimension: acc = (((0+t0)+t1)+t2)+t3 — the fold's exact op order,
+      NOT np.sum (whose pairwise blocking changes association at larger
+      sub sizes);
+    - np.argmin returns the FIRST minimum, matching
+      array_position(d, array_min(d)) tie behavior on bit-equal inputs.
+    Equality to the fold path is pinned per-element in
+    tests/test_dedup_similarity.py and the oracle hash-check replays the
+    fold arithmetic end-to-end.
+
+    Caveat: Spark's array_min IGNORES NaN-free ordering differences only
+    when inputs are NaN-free; a NaN distance (impossible for finite
+    vectors and the finite-asserted codebooks) would diverge — finite
+    inputs are the operator's contract.
+    """
+    barr = np.asarray(books, dtype=np.float64)  # (m, codes, sub)
+    m_books, _n_codes, sub = barr.shape
+    if m_books * sub != dim:
+        raise ValueError(f"books {barr.shape} do not tile dim={dim}")
+
+    @F.pandas_udf("array<int>")
+    def _encode(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy()).astype(np.float64)  # (N, dim)
+        v = v.reshape(len(v), m_books, 1, sub)
+        t = v - barr[None, :, :, :]
+        t = t * t  # (N, m, codes, sub)
+        acc = np.zeros(t.shape[:3], dtype=np.float64)
+        for i in range(sub):  # the fold's exact left-to-right order
+            acc = acc + t[..., i]
+        codes = acc.argmin(axis=2).astype(np.int32)
+        return pd.Series(list(codes))
+
+    return _encode
+
+
 def pq_lut_col(vec_col: str, books: list[list[list[float]]], dim: int) -> F.Column:
     """Per-query ADC lookup table: array of ``m`` arrays of ``n_codes``
     squared-L2 distances between the query's sub-vectors and every
@@ -805,10 +948,14 @@ def ivfpq_encode_corpus(
     codebooks) is built offline, arrival encodes against it, so a store
     built incrementally is row-identical to a single batch encode."""
     c_assign = _centroid_udf(centroids, 1)
+    # numpy encode (bit-identical to the pq_encode_col folds — see
+    # pq_encode_udf): the interpreted-HOF encode was the tier's dominant
+    # execution cost; both pandas UDFs fuse into one ArrowEval stage.
+    encode = pq_encode_udf(books, dim)
     return corpus.select(
         F.col(id_col),
         c_assign(F.col(vec_col)).getItem(0).alias("cell"),
-        pq_encode_col(vec_col, books, dim).alias("codes"),
+        encode(F.col(vec_col)).alias("codes"),
         F.col(vec_col),
     )
 

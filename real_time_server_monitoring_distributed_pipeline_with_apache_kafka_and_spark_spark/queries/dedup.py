@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as ops
 from ..operators.dedup import _MERSENNE, _perm_coeffs
-from ..operators.similarity import _hyperplanes, cosine_pairs, cosine_pairs_lsh
+from ..operators.similarity import (
+    _hyperplanes,
+    cosine_pairs,
+    cosine_pairs_lsh,
+    warn_if_threshold_in_noise_floor,
+)
 from ..operators.text import BPE_PATTERN
 from ..sources import load_table
 
@@ -271,6 +276,13 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _KMEANS_K, _kmeans_centroids, _kmeans_dists_expr
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # Pre-flight guardrail (VERDICT r08 #5, the ladder's quadratic-output
+    # lesson as code): warn when the dedup threshold sits inside the
+    # random-pair cosine noise floor — output (and cost) then grows
+    # ~N^2 by CHANCE crossings, in any engine. Warning, not error: the
+    # gate-SF synthetic corpus (dim=64) intentionally trips it, and the
+    # hash-pinned output is unaffected.
+    warn_if_threshold_in_noise_floor(emb, COSINE_THRESHOLD)
     # Adaptive cluster count (the paper's own scale knob, automated the
     # same way as the r08 occupancy-held LSH widths): k grows with the
     # corpus so expected cluster size stays ~target and the exact

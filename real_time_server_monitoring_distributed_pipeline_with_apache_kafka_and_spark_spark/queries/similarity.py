@@ -595,11 +595,17 @@ def pipeline_embedding_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from ..operators.dedup import connected_components
-    from ..operators.similarity import cosine_pairs_lsh
+    from ..operators.similarity import cosine_pairs_lsh, warn_if_threshold_in_noise_floor
     from ..operators.text import hash_bucket_100
     from .dedup import COSINE_LSH_THRESHOLD
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # Pre-flight guardrail (VERDICT r08 #5): a threshold inside the
+    # random-pair noise floor makes the verified pair set — and this
+    # whole composite's cost — grow ~N^2 by chance crossings (the K=25
+    # ladder measured exactly that on this synthetic dim-64 corpus).
+    # Warning only; hash-pinned output unaffected.
+    warn_if_threshold_in_noise_floor(emb, COSINE_LSH_THRESHOLD)
     pairs = cosine_pairs_lsh(
         emb,
         threshold=COSINE_LSH_THRESHOLD,

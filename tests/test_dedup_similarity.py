@@ -497,3 +497,75 @@ def test_cosine_pairs_null_partition_rows_compare_together(spark):
     same_grp = {(a, b) for a, b in glob if a % 2 == b % 2}
     assert scoped == same_grp
     assert any(a % 2 == 0 for a, _ in scoped), "no NULL-group pair exercised"
+
+
+def test_noise_floor_guardrail_warns_on_low_dim_corpus(spark):
+    """VERDICT r08 #5 pin: on the synthetic dim-64 corpus the 0.45
+    near-dup threshold sits ~3.6 sigma above the random-pair cosine floor
+    (sd ~ 1/sqrt(64) = 0.125) — firmly inside the quadratic-output regime
+    the K=25 ladder measured — so the pre-flight guardrail MUST warn."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    with pytest.warns(s.NoiseFloorWarning):
+        gap = s.warn_if_threshold_in_noise_floor(emb, 0.45)
+    assert 1.0 < gap < 6.0, f"dim-64 sigma gap {gap:.2f} outside expected band"
+
+
+def test_noise_floor_guardrail_passes_at_high_dim(spark):
+    """At dim=768 (production text-embedding settings) sd ~ 1/sqrt(768)
+    = 0.036 and the same 0.45 threshold clears ~12 sigma — the guardrail
+    stays silent and dedup output stays ~linear."""
+    import warnings
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(768)]) for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", s.NoiseFloorWarning)
+        gap = s.warn_if_threshold_in_noise_floor(emb, 0.45)
+    assert gap >= 6.0, f"dim-768 sigma gap {gap:.2f} unexpectedly low"
+
+
+def test_noise_floor_estimate_is_memoized(spark):
+    """Composites gate twice on the same frame; the sample job must run
+    once (the ADVICE r08 #2 eager-count lesson applied to the new
+    guardrail)."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", s.NoiseFloorWarning)
+        g1 = s.warn_if_threshold_in_noise_floor(emb, 0.45)
+    assert emb in s._NOISE_FLOOR_CACHE
+    # poison the cache: a second call must READ it, not recompute
+    s._NOISE_FLOOR_CACHE[emb]["embedding"] = (0.0, 0.001)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", s.NoiseFloorWarning)
+        g2 = s.warn_if_threshold_in_noise_floor(emb, 0.45)
+    assert g2 != g1 and g2 == pytest.approx(450.0)
+
+
+def test_pq_encode_udf_bit_identical_to_fold(spark):
+    """The Arrow numpy PQ encode must agree code-for-code with the
+    Catalyst fold form on the whole corpus — the bit-exactness argument
+    in pq_encode_udf's docstring, pinned (r09; the encode swap halved
+    sim_ann_ivfpq's runtime and the oracle replays the FOLD arithmetic,
+    so any divergence would surface as a driver hash mismatch)."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    books = s.pq_codebooks(16, 16, 64, seed=11)
+    fold = {
+        r.vec_id: tuple(r.c)
+        for r in emb.select(
+            "vec_id", s.pq_encode_col("embedding", books, 64).alias("c")
+        ).collect()
+    }
+    udf = {
+        r.vec_id: tuple(r.c)
+        for r in emb.select(
+            "vec_id", s.pq_encode_udf(books, 64)(F.col("embedding")).alias("c")
+        ).collect()
+    }
+    assert fold == udf
