@@ -207,27 +207,30 @@ _REGISTERED: tuple[str, ...] = (
     "sim_matryoshka_recall",
 )
 
-# Hand-pinned window head: queries whose IMPLEMENTATION changed since their
-# last driver green (must re-prove regardless of age), plus any brand-new
-# queries an author wants verified first. Everything else rotates
-# automatically. Clear this each round after the driver re-proves them.
+# Hand-pinned window head: queries whose IMPLEMENTATION changed since
+# their last driver green (must re-prove regardless of age), mapped to
+# the round the change ships in. A pin SELF-EXPIRES once the history
+# records a green from that round or later — no end-of-round cleanup
+# edit to forget. Brand-new queries need no pin (never-proven rows sort
+# to the head automatically).
 #
 # r09 entries — code touched this round:
-#   sim_ann_ivfpq        ivf_centroids computed once and shared across the
-#                        encode/probe legs (VERDICT r08 #6)
-#   dedup_semdedup       adaptive-k argmin dtype unified with the fold path
-#                        (ADVICE r08 #1)
-#   pipeline_embedding_prep / dedup_embedding_lsh / sim_knn_join
+#   sim_ann_ivfpq        corpus PQ encode swapped to the bit-identical
+#                        Arrow numpy path (VERDICT r08 #6)
+#   dedup_semdedup       adaptive-k argmin dtype unified with the fold
+#                        path (ADVICE r08 #1) + noise-floor guardrail
+#   pipeline_embedding_prep  noise-floor guardrail (VERDICT r08 #5)
+#   dedup_embedding_lsh / sim_knn_join
 #                        hold_occupancy count memoized (ADVICE r08 #2)
 #   sim_cosine_noise_floor  sd==0 degenerate-corpus guard (ADVICE r08 #3)
-_FORCE_HEAD: tuple[str, ...] = (
-    "sim_ann_ivfpq",
-    "dedup_semdedup",
-    "pipeline_embedding_prep",
-    "dedup_embedding_lsh",
-    "sim_knn_join",
-    "sim_cosine_noise_floor",
-)
+_FORCE_HEAD: dict[str, int] = {
+    "sim_ann_ivfpq": 9,
+    "dedup_semdedup": 9,
+    "pipeline_embedding_prep": 9,
+    "dedup_embedding_lsh": 9,
+    "sim_knn_join": 9,
+    "sim_cosine_noise_floor": 9,
+}
 
 
 def _newest_green() -> dict[str, int]:
@@ -259,18 +262,20 @@ def _newest_green() -> dict[str, int]:
 
 
 def _rotated(
-    registered: tuple[str, ...], force_head: tuple[str, ...], newest: dict[str, int]
+    registered: tuple[str, ...], force_head: dict[str, int], newest: dict[str, int]
 ) -> tuple[str, ...]:
     unknown = set(force_head) - set(registered)
     if unknown:
         raise ValueError(f"_FORCE_HEAD names not registered: {sorted(unknown)}")
-    pinned = set(force_head)
-    rest = [q for q in registered if q not in pinned]
+    # A pin is live until the driver has re-proven the query at (or
+    # after) the round its code change shipped in.
+    pinned = [q for q, rnd in force_head.items() if newest.get(q, -1) < rnd]
+    rest = [q for q in registered if q not in set(pinned)]
     # Stable sort: ties (same newest green, incl. the never-proven -1
     # bucket) keep registration order, so the output is deterministic
     # given the committed artifacts.
     rest.sort(key=lambda q: newest.get(q, -1))
-    return tuple(force_head) + tuple(rest)
+    return tuple(pinned) + tuple(rest)
 
 
 _PRIORITY: tuple[str, ...] = _rotated(_REGISTERED, _FORCE_HEAD, _newest_green())
