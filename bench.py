@@ -117,6 +117,10 @@ HEADLINE = HEADLINE24 + [
     # added r08: the engine's former largest fixed cost, benched so the
     # SQL-parse construction path (~18s -> ~7s/run) is tracked per round
     "sim_ann_ivfpq",              # IVF cells + PQ ADC + exact refine
+    # added r09: the round's new operator classes
+    "rel_bloom_semi_join",        # hand-built runtime bloom filter + semi join
+    "text_dsir_sample",           # DSIR importance-ranked selection
+    "sim_ann_ivfpq_recall",       # compressed-tier quality report
 ]
 
 

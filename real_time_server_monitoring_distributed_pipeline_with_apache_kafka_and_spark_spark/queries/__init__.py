@@ -205,6 +205,10 @@ _REGISTERED: tuple[str, ...] = (
     "text_token_fertility",
     "rel_variant_extract",
     "sim_matryoshka_recall",
+    # -- r09 additions --
+    "sim_ann_ivfpq_recall",
+    "text_dsir_sample",
+    "rel_bloom_semi_join",
 )
 
 # Hand-pinned window head: queries whose IMPLEMENTATION changed since

@@ -1699,7 +1699,133 @@ def rel_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_WORDS = 64
+_BLOOM_BITS_PER_WORD = 63  # bit 63 never used: DuckDB errors on 1<<63
+_BLOOM_M = _BLOOM_WORDS * _BLOOM_BITS_PER_WORD  # 4032 bits
+
+
+def _bloom_hashes(keycol: F.Column) -> tuple[F.Column, F.Column]:
+    """Two md5-derived bit positions in [0, M) for a key (k=2 Bloom
+    probes via the Kirsch–Mitzenmacher h1 + i*h2 construction). Both
+    halves of one md5 — engine-portable, no xxhash."""
+    s = F.md5(F.concat(keycol.cast("string"), F.lit("#bloom")))
+    h1 = F.conv(F.substring(s, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(s, 9, 8), 16, 10).cast("long")
+    return F.pmod(h1, F.lit(_BLOOM_M)), F.pmod(h1 + h2, F.lit(_BLOOM_M))
+
+
+def _bloom_mask(bcol: str) -> F.Column:
+    """1L << (bit % 63) — the in-word mask for a bit position column."""
+    return F.expr(
+        f"shiftleft(cast(1 as bigint), cast({bcol} % {_BLOOM_BITS_PER_WORD} as int))"
+    )
+
+
+def rel_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter semi-join — the engine-level pattern behind
+    Spark's runtime row-group filtering / dynamic partition pruning,
+    expressed by hand so its cost model is inspectable: build a 4032-bit
+    Bloom filter (64 words x 63 bits, k=2 md5 probes) over the BUILDING-
+    segment customer keys as ONE aggregation row, broadcast it, and
+    pre-filter the orders scan with pure bitwise arithmetic BEFORE the
+    exact semi-join. Output is the one-row effectiveness report:
+    (n_dim_keys, bits_set, n_orders, n_bloom_pass, n_matched,
+    n_false_positives, fp_rate) — the numbers that decide whether a
+    runtime filter is worth shipping for a given dim selectivity.
+
+    Scale story: the filter is O(words) state independent of fact size;
+    the pre-filter is a stateless scan expression (no shuffle, no join)
+    that discards ~(1-fill²) of the fact table BEFORE the shuffle
+    semi-join — at 100 TB that is the difference between shuffling the
+    full fact table and shuffling ~|matches| + FP rows. Bloom guarantees
+    no false negatives (every true match passes), so the prefiltered
+    semi-join equals the direct one; false positives are removed by the
+    exact join and REPORTED here. All hashing is md5-derived and the
+    word arithmetic avoids bit 63, so DuckDB replays the filter build,
+    the bitwise membership test, and the report — hash-checked.
+    """
+    cust_keys = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    b0, b1 = _bloom_hashes(F.col("c_custkey"))
+    dimbits = cust_keys.select(b0.alias("b0"), b1.alias("b1"))
+
+    # The 64 word aggregates compile via ONE SQL parse each instead of
+    # ~8 stacked Column calls each (the sim_ann_ivfpq py4j-construction
+    # lesson: measured ~2.2 s of the query's 3.7 s was building this
+    # expression tree through py4j round-trips).
+    def word_contrib(bcol: str, w: int) -> str:
+        bpw = _BLOOM_BITS_PER_WORD
+        return (
+            f"CASE WHEN cast({bcol} / {bpw} as int) = {w} THEN "
+            f"shiftleft(cast(1 as bigint), cast({bcol} % {bpw} as int)) "
+            f"ELSE cast(0 as bigint) END"
+        )
+
+    filt = dimbits.agg(
+        F.count(F.lit(1)).alias("n_dim_keys"),
+        *[
+            F.expr(
+                f"bit_or({word_contrib('b0', w)} | {word_contrib('b1', w)})"
+            ).alias(f"w{w}")
+            for w in range(_BLOOM_WORDS)
+        ],
+    )
+    all_words = ", ".join(f"w{w}" for w in range(_BLOOM_WORDS))
+    bloom = filt.select(
+        "n_dim_keys",
+        F.expr(f"array({all_words})").alias("bloom"),
+        F.expr(
+            " + ".join(f"cast(bit_count(w{w}) as bigint)" for w in range(_BLOOM_WORDS))
+        ).alias("bits_set"),
+    )
+    q0, q1 = _bloom_hashes(F.col("o_custkey"))
+    probe = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", q0.alias("b0"), q1.alias("b1")
+    )
+
+    def member(bcol: str) -> F.Column:
+        word = F.element_at(
+            F.col("bloom"), (F.col(bcol) / _BLOOM_BITS_PER_WORD).cast("int") + 1
+        )
+        return word.bitwiseAND(_bloom_mask(bcol)) != 0
+
+    tagged = probe.crossJoin(F.broadcast(bloom))  # 1-row filter broadcast
+    passed = tagged.filter(member("b0") & member("b1"))
+    marked = passed.join(
+        cust_keys.select(
+            F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("_in")
+        ),
+        "o_custkey",
+        "left",
+    )
+    n_orders = probe.agg(F.count(F.lit(1)).alias("n_orders"))
+    rep = marked.groupBy("n_dim_keys", "bits_set").agg(
+        F.count(F.lit(1)).alias("n_bloom_pass"),
+        F.sum(F.coalesce(F.col("_in"), F.lit(0))).alias("n_matched"),
+    )
+    n_fp = F.col("n_bloom_pass") - F.col("n_matched")
+    return rep.crossJoin(F.broadcast(n_orders)).select(
+        "n_dim_keys",
+        "bits_set",
+        "n_orders",
+        "n_bloom_pass",
+        "n_matched",
+        n_fp.alias("n_false_positives"),
+        display_round(
+            n_fp.cast("double")
+            / F.nullif(
+                (F.col("n_orders") - F.col("n_matched")).cast("double"), F.lit(0.0)
+            ),
+            9,
+        ).alias("fp_rate"),
+    )
+
+
 QUERIES = {
+    "rel_bloom_semi_join": rel_bloom_semi_join,
     "rel_variant_extract": rel_variant_extract,
     "rel_snapshot_diff": rel_snapshot_diff,
     "rel_recursive_cte": rel_recursive_cte,
@@ -1765,6 +1891,65 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_bloom_semi_join": f"""
+WITH dim AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+dh AS (
+  SELECT
+    CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR) || '#bloom'), 1, 8)) AS BIGINT) AS h1,
+    CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR) || '#bloom'), 9, 8)) AS BIGINT) AS h2
+  FROM dim
+),
+bits AS (
+  SELECT h1 % {_BLOOM_M} AS b FROM dh
+  UNION ALL SELECT (h1 + h2) % {_BLOOM_M} FROM dh
+),
+words AS (
+  SELECT CAST(b // {_BLOOM_BITS_PER_WORD} AS INTEGER) AS wi,
+         bit_or(CAST(1 AS BIGINT) << CAST(b % {_BLOOM_BITS_PER_WORD} AS INTEGER)) AS w
+  FROM bits GROUP BY 1
+),
+bloom AS (
+  SELECT list(coalesce(w.w, CAST(0 AS BIGINT)) ORDER BY r.wi) AS bl,
+         CAST(coalesce(sum(bit_count(w.w)), 0) AS BIGINT) AS bits_set
+  FROM (SELECT unnest(range({_BLOOM_WORDS})) AS wi) r
+  LEFT JOIN words w ON r.wi = w.wi
+),
+oh AS (
+  SELECT o_custkey,
+    CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR) || '#bloom'), 1, 8)) AS BIGINT) AS h1,
+    CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR) || '#bloom'), 9, 8)) AS BIGINT) AS h2
+  FROM orders
+),
+op AS (
+  SELECT o_custkey, h1 % {_BLOOM_M} AS b0, (h1 + h2) % {_BLOOM_M} AS b1 FROM oh
+),
+pass AS (
+  SELECT o_custkey FROM op CROSS JOIN bloom
+  WHERE (bl[CAST(b0 // {_BLOOM_BITS_PER_WORD} AS INTEGER) + 1]
+         & (CAST(1 AS BIGINT) << CAST(b0 % {_BLOOM_BITS_PER_WORD} AS INTEGER))) <> 0
+    AND (bl[CAST(b1 // {_BLOOM_BITS_PER_WORD} AS INTEGER) + 1]
+         & (CAST(1 AS BIGINT) << CAST(b1 % {_BLOOM_BITS_PER_WORD} AS INTEGER))) <> 0
+),
+m AS (
+  SELECT CASE WHEN d.c_custkey IS NULL THEN 0 ELSE 1 END AS hit
+  FROM pass p LEFT JOIN dim d ON p.o_custkey = d.c_custkey
+),
+tot AS (SELECT count(*) AS n_orders FROM orders),
+dimn AS (SELECT count(*) AS n_dim_keys FROM dim)
+SELECT CAST(n_dim_keys AS BIGINT) AS n_dim_keys,
+       bits_set,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_bloom_pass,
+       CAST(sum(hit) AS BIGINT) AS n_matched,
+       CAST(count(*) - sum(hit) AS BIGINT) AS n_false_positives,
+       floor(CAST(count(*) - sum(hit) AS DOUBLE)
+             / nullif(CAST(n_orders - sum(hit) AS DOUBLE), 0) * 1e9 + 0.5) / 1e9
+         AS fp_rate
+FROM m CROSS JOIN tot CROSS JOIN dimn CROSS JOIN bloom
+GROUP BY n_dim_keys, bits_set, n_orders
+""",
     "rel_variant_extract": """
 WITH s AS (
   SELECT CAST(props->>'k' AS BIGINT) AS k_int,

@@ -428,6 +428,31 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the COMPRESSED tier (IVF-PQ + refine)
+    against exact brute force — the quality report that closes the ANN
+    family: sim_ann_recall measures the LSH tier, this measures the
+    16x-shuffle-width PQ tier, so the cost/recall frontier (LSH vs IVF
+    vs IVF-PQ) is entirely hash-checked facts rather than samples. The
+    measurement every FAISS-style rollout makes before swapping a
+    serving index to compressed codes: refine=3 on this
+    uniform-random corpus (the no-cluster adversarial case) sits near
+    the documented ~0.6 band; clustered production embeddings sit far
+    higher.
+
+    Both legs reuse proven operators (ann_topk / ann_ivfpq_topk) and the
+    shared _recall_report contract; the oracle composes the exact
+    brute-force SQL with the IVF-PQ pipeline CTEs VERBATIM
+    (_IVFPQ_CTES_SQL), so a drift in either leg is a hash mismatch.
+    Scale: both legs bounded by the query-set size; the recall join
+    touches k rows per query."""
+    corpus, queries = _split(spark, sf_dir)
+    return _recall_report(
+        ops.ann_topk(corpus, queries, k=TOP_K),
+        ops.ann_ivfpq_topk(corpus, queries, k=TOP_K),
+    )
+
+
 _MRL_DIM = 16
 
 
@@ -765,6 +790,7 @@ QUERIES = {
     "sim_top_pc": sim_top_pc,
     "sim_embedding_drift": sim_embedding_drift,
     "sim_ann_recall": sim_ann_recall,
+    "sim_ann_ivfpq_recall": sim_ann_ivfpq_recall,
     "sim_matryoshka_recall": sim_matryoshka_recall,
     "pipeline_embedding_prep": pipeline_embedding_prep,
     "sim_ann_bruteforce": sim_ann_bruteforce,
@@ -849,13 +875,12 @@ s AS (
 SELECT split, cluster_id, count(*) AS n_vectors FROM s GROUP BY split, cluster_id
 """
 
-ORACLES = {
-    "sim_ann_ivfpq": f"""
-WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
-),
-corpus AS (SELECT * FROM e WHERE vec_id >= {N_QUERIES}),
+# IVF-PQ oracle pipeline (corpus/init/Lloyd/probe/encode/ADC/refine) as a
+# reusable CTE chain ending in `rer` (query_id, neighbor_id, cos) —
+# shared verbatim by the sim_ann_ivfpq oracle and the
+# sim_ann_ivfpq_recall composition so the two cannot drift. Expects an
+# `e` CTE (vec_id, v) in scope.
+_IVFPQ_CTES_SQL = f"""corpus AS (SELECT * FROM e WHERE vec_id >= {N_QUERIES}),
 qs AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
 init AS (
   SELECT vec_id, v, CAST(rn - 1 AS INTEGER) AS cell FROM (
@@ -939,7 +964,15 @@ rer AS (
   FROM shortlist s
   JOIN e c ON c.vec_id = s.neighbor_id
   JOIN e q ON q.vec_id = s.query_id
-)
+)"""
+
+ORACLES = {
+    "sim_ann_ivfpq": f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+{_IVFPQ_CTES_SQL}
 SELECT query_id, neighbor_id, rank FROM (
   SELECT query_id, neighbor_id,
          CAST(row_number() OVER (
@@ -1390,6 +1423,23 @@ approx AS (
     SELECT query_id, neighbor_id,
            row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
     FROM lscored
+  ) WHERE rank <= {TOP_K}
+)
+{_RECALL_FINISH_SQL}
+"""
+ORACLES["sim_ann_ivfpq_recall"] = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+{_IVFPQ_CTES_SQL},
+{_BF_EXACT_SQL},
+approx AS (
+  SELECT query_id, neighbor_id, 1 AS hit FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM rer
   ) WHERE rank <= {TOP_K}
 )
 {_RECALL_FINISH_SQL}

@@ -720,6 +720,85 @@ def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection [Xie et al. 2023, Data Selection for
+    Language Models via Importance Resampling]: score every RAW-pool
+    document by how much its unigram distribution looks like a TARGET
+    corpus, and keep the top-k. Target here is the 'src0' slice (the
+    stand-in for a small curated set — wiki/books in the paper); the
+    candidate pool is every other source. Per-token importance log-ratio
+    ln(p_target(w) / p_raw(w)) with add-one smoothing over the union
+    vocabulary (so unseen-in-target words score finitely negative);
+    per-doc score is the MEAN log-ratio (length-normalized, the same
+    normalization as the engine's other LM quality scores — the paper's
+    sum-of-features variant just multiplies by n_tokens). Selection is
+    the top 100 by score with doc_id tiebreak — deterministic
+    importance RANKING; resampling noise (the paper's Gumbel step) is a
+    seeded-md5 jitter users can add via text_weighted_sample.
+
+    Scale shape: one explode over each slice, two vocabulary-sized hash
+    aggs (the 'training' passes), the union-vocab LM table joined back
+    on term (vocabulary join — Heaps-law sublinear in corpus size), a
+    1-row constants broadcast, one per-doc agg, and a TakeOrdered
+    top-100 (O(N) heap, no global sort). Float policy: the score
+    lattices to integer nano units before ranking and display (JVM log
+    vs libm last-ulp policy, same as text_unigram_logprob).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t_terms = docs.filter(F.col("source") == "src0").select(
+        F.explode(ops.tokens(F.col("text"))).alias("term")
+    )
+    c_terms = docs.filter(F.col("source") != "src0").select(
+        "doc_id", F.explode(ops.tokens(F.col("text"))).alias("term")
+    )
+    t_lm = t_terms.groupBy("term").agg(F.count(F.lit(1)).alias("t_cnt"))
+    r_lm = c_terms.groupBy("term").agg(F.count(F.lit(1)).alias("r_cnt"))
+    vocab = t_lm.select("term").unionByName(r_lm.select("term")).distinct()
+    # Persisted: vocabulary-sized (bounded by Heaps' law, not corpus
+    # rows) and read twice — the constants agg and the scoring join.
+    lm = (
+        vocab.join(t_lm, "term", "left")
+        .join(r_lm, "term", "left")
+        .select(
+            "term",
+            F.coalesce("t_cnt", F.lit(0)).alias("t0"),
+            F.coalesce("r_cnt", F.lit(0)).alias("r0"),
+        )
+        .persist()
+    )
+    consts = lm.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("t0").alias("n_t"),
+        F.sum("r0").alias("n_r"),
+    )
+    lr = F.log(
+        ((F.col("t0") + 1).cast("double") / (F.col("n_t") + F.col("v")).cast("double"))
+        / ((F.col("r0") + 1).cast("double") / (F.col("n_r") + F.col("v")).cast("double"))
+    )
+    scored = (
+        c_terms.join(lm, "term")
+        .crossJoin(F.broadcast(consts))
+        .withColumn("_lr", lr)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.avg("_lr").alias("_w"))
+    )
+    w9 = F.floor(F.col("_w") * 1e9 + F.lit(0.5)).cast("long")
+    sel = (
+        scored.select("doc_id", "n_tokens", w9.alias("_w9"))
+        .orderBy(F.col("_w9").desc(), "doc_id")
+        .limit(100)
+    )
+    win = Window.orderBy(F.col("_w9").desc(), "doc_id")
+    return sel.withColumn("sel_rank", F.row_number().over(win)).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("_w9").cast("double") / F.lit(1e9)).alias("avg_logratio"),
+        "sel_rank",
+    )
+
+
 QUERIES = {
     "text_bpe_pair_counts": text_bpe_pair_counts,
     "text_bpe_train": text_bpe_train,
@@ -733,6 +812,7 @@ QUERIES = {
     "text_source_quality_filter": text_source_quality_filter,
     "text_weighted_sample": text_weighted_sample,
     "text_mixture_sample": text_mixture_sample,
+    "text_dsir_sample": text_dsir_sample,
     "text_token_stats": text_token_stats,
     "text_unigram_logprob": text_unigram_logprob,
     "text_stratified_sample": text_stratified_sample,
@@ -818,6 +898,40 @@ SELECT s.doc_id,
          AND coalesce(100 * top_cnt <= 15 * n, FALSE)
          AND coalesce(10 * punct <= 1 * n, FALSE) AS passes_gopher
 FROM s LEFT JOIN top ON s.doc_id = top.doc_id
+""",
+    "text_dsir_sample": f"""
+WITH t_terms AS (
+  SELECT unnest({_TOKENS}) AS term FROM documents WHERE source = 'src0'
+),
+c_terms AS (
+  SELECT doc_id, unnest({_TOKENS}) AS term FROM documents WHERE source <> 'src0'
+),
+t_lm AS (SELECT term, count(*) AS t_cnt FROM t_terms GROUP BY term),
+r_lm AS (SELECT term, count(*) AS r_cnt FROM c_terms GROUP BY term),
+vocab AS (SELECT term FROM t_lm UNION SELECT term FROM r_lm),
+lm AS (
+  SELECT v.term, coalesce(t_cnt, 0) AS t0, coalesce(r_cnt, 0) AS r0
+  FROM vocab v LEFT JOIN t_lm USING (term) LEFT JOIN r_lm USING (term)
+),
+consts AS (
+  SELECT count(*) AS v, CAST(sum(t0) AS BIGINT) AS n_t,
+         CAST(sum(r0) AS BIGINT) AS n_r
+  FROM lm
+),
+sc AS (
+  SELECT c.doc_id, count(*) AS n_tokens,
+         avg(ln((CAST(t0 + 1 AS DOUBLE) / CAST(n_t + v AS DOUBLE))
+                / (CAST(r0 + 1 AS DOUBLE) / CAST(n_r + v AS DOUBLE)))) AS w
+  FROM c_terms c JOIN lm USING (term) CROSS JOIN consts
+  GROUP BY c.doc_id
+),
+r AS (
+  SELECT doc_id, n_tokens, CAST(floor(w * 1e9 + 0.5) AS BIGINT) AS w9 FROM sc
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(w9 AS DOUBLE) / 1e9 AS avg_logratio,
+       CAST(row_number() OVER (ORDER BY w9 DESC, doc_id) AS INTEGER) AS sel_rank
+FROM r ORDER BY w9 DESC, doc_id LIMIT 100
 """,
     "text_mixture_sample": """
 WITH toks AS (

@@ -296,6 +296,10 @@ INTENTIONAL_NESTED_LOOP = {
     "text_bpe_encode",      # same 3 argmax broadcasts (shared merge loop)
     "text_mixture_sample",  # 1-row N* budget scalar broadcast (same)
     "sim_top_pc",           # 3x 1-row iterate-vector broadcast (same)
+    # r09 additions
+    "sim_ann_ivfpq_recall",  # contains the brute-force leg as ground truth
+    "text_dsir_sample",     # 1-row smoothing-constants scalar broadcast
+    "rel_bloom_semi_join",  # 1-row bloom-filter broadcast (the runtime filter itself)
 }
 
 # Exact Exchange-node count of every registry query's initial physical
@@ -366,6 +370,8 @@ EXCHANGE_CENSUS = {
     "sim_cosine_noise_floor": 2,
     "sim_ann_lsh": 2, "sim_ann_quantized": 1, "sim_kmeans_iter": 1,
     "sim_matryoshka_recall": 2, "sim_top_pc": 3,
+    # r09 additions
+    "sim_ann_ivfpq_recall": 2, "text_dsir_sample": 6, "rel_bloom_semi_join": 3,
     "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1, "text_bpe_train": 4, "text_bpe_encode": 6, "text_mixture_sample": 4,
     "rel_recursive_cte": 2, "rel_lateral_topk": 1, "monitor_synthetic_source": 1,
     "rel_order_count_histogram": 3,
@@ -399,6 +405,7 @@ PYTHON_STAGE_CENSUS = {
     "mm_scene_segments": 4, "monitor_heavy_hitters": 2,
     "pipeline_multimodal_prep": 6, "sim_ann_ivf": 6, "sim_ann_ivfpq": 6,
     "sim_ann_lsh": 4, "sim_ann_filtered": 4, "sim_ann_recall": 4, "sim_knn_join": 2,
+    "sim_ann_ivfpq_recall": 6,
 }
 
 
