@@ -1721,6 +1721,51 @@ def _bloom_mask(bcol: str) -> F.Column:
     )
 
 
+def bloom_build_aggs() -> list:
+    """The Bloom-filter build as aggregate columns over (b0, b1) bit
+    positions: a key count plus 64 per-word ``bit_or`` folds. Every
+    column is a commutative monoid (count: +, words: |), so partials
+    built over ANY slicing of the key stream merge to the exact same
+    filter — the property the streaming twin
+    (streaming.jobs.bloom_ingest_stream) rides. The 64 word aggregates
+    compile via ONE SQL parse each instead of ~8 stacked Column calls
+    each (the sim_ann_ivfpq py4j-construction lesson: measured ~2.2 s
+    of the query's 3.7 s was building this expression tree through
+    py4j round-trips)."""
+
+    def word_contrib(bcol: str, w: int) -> str:
+        bpw = _BLOOM_BITS_PER_WORD
+        return (
+            f"CASE WHEN cast({bcol} / {bpw} as int) = {w} THEN "
+            f"shiftleft(cast(1 as bigint), cast({bcol} % {bpw} as int)) "
+            f"ELSE cast(0 as bigint) END"
+        )
+
+    return [F.count(F.lit(1)).alias("n_dim_keys")] + [
+        F.expr(f"bit_or({word_contrib('b0', w)} | {word_contrib('b1', w)})").alias(
+            f"w{w}"
+        )
+        for w in range(_BLOOM_WORDS)
+    ]
+
+
+def bloom_finish(filt: DataFrame) -> DataFrame:
+    """Fold the (n_dim_keys, w0..w63) filter row into the probe shape:
+    (n_dim_keys, bloom array<long>, bits_set). NULL words (a build over
+    zero keys, or an all-empty-partial merge) coalesce to 0."""
+    all_words = ", ".join(f"coalesce(w{w}, cast(0 as bigint))" for w in range(_BLOOM_WORDS))
+    return filt.select(
+        "n_dim_keys",
+        F.expr(f"array({all_words})").alias("bloom"),
+        F.expr(
+            " + ".join(
+                f"cast(bit_count(coalesce(w{w}, cast(0 as bigint))) as bigint)"
+                for w in range(_BLOOM_WORDS)
+            )
+        ).alias("bits_set"),
+    )
+
+
 def rel_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime Bloom-filter semi-join — the engine-level pattern behind
     Spark's runtime row-group filtering / dynamic partition pruning,
@@ -1752,35 +1797,8 @@ def rel_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     b0, b1 = _bloom_hashes(F.col("c_custkey"))
     dimbits = cust_keys.select(b0.alias("b0"), b1.alias("b1"))
 
-    # The 64 word aggregates compile via ONE SQL parse each instead of
-    # ~8 stacked Column calls each (the sim_ann_ivfpq py4j-construction
-    # lesson: measured ~2.2 s of the query's 3.7 s was building this
-    # expression tree through py4j round-trips).
-    def word_contrib(bcol: str, w: int) -> str:
-        bpw = _BLOOM_BITS_PER_WORD
-        return (
-            f"CASE WHEN cast({bcol} / {bpw} as int) = {w} THEN "
-            f"shiftleft(cast(1 as bigint), cast({bcol} % {bpw} as int)) "
-            f"ELSE cast(0 as bigint) END"
-        )
-
-    filt = dimbits.agg(
-        F.count(F.lit(1)).alias("n_dim_keys"),
-        *[
-            F.expr(
-                f"bit_or({word_contrib('b0', w)} | {word_contrib('b1', w)})"
-            ).alias(f"w{w}")
-            for w in range(_BLOOM_WORDS)
-        ],
-    )
-    all_words = ", ".join(f"w{w}" for w in range(_BLOOM_WORDS))
-    bloom = filt.select(
-        "n_dim_keys",
-        F.expr(f"array({all_words})").alias("bloom"),
-        F.expr(
-            " + ".join(f"cast(bit_count(w{w}) as bigint)" for w in range(_BLOOM_WORDS))
-        ).alias("bits_set"),
-    )
+    filt = dimbits.agg(*bloom_build_aggs())
+    bloom = bloom_finish(filt)
     q0, q1 = _bloom_hashes(F.col("o_custkey"))
     probe = load_table(spark, sf_dir, "orders").select(
         "o_custkey", q0.alias("b0"), q1.alias("b1")

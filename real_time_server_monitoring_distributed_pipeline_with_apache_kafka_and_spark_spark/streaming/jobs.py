@@ -1204,6 +1204,52 @@ def probe_heavy_hitter_store(spark, store_path: str) -> DataFrame:
     )
 
 
+def bloom_ingest_stream(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    key_col: str = "c_custkey",
+    segment: str = "BUILDING",
+):
+    """Streaming twin of the queries.relational.rel_bloom_semi_join
+    FILTER BUILD: each micro-batch of arriving dim rows (e.g. customer
+    upserts) lands its 1-row Bloom partial (key count + 64 ``bit_or``
+    words over the k=2 md5 bit positions) in the idempotent
+    ``batch_id=N`` store. Count is a +-monoid and each word an |-monoid,
+    so the merged probe (:func:`probe_bloom_store`) is WORD-FOR-WORD the
+    batch-built filter on the union input, for ANY micro-batch
+    boundaries — a runtime join filter that accretes with the dimension
+    stream instead of being rebuilt per run (the FAISS
+    train-then-add analogue for join pruning). Store rows are O(1) per
+    micro-batch (one 65-column row); same delivery contract as the
+    other ingest legs (:func:`ingest_store_stream`)."""
+    from ..queries.relational import _bloom_hashes, bloom_build_aggs
+
+    def transform(batch_df: DataFrame) -> DataFrame:
+        b0, b1 = _bloom_hashes(F.col(key_col))
+        dimbits = batch_df.filter(F.col("c_mktsegment") == segment).select(
+            b0.alias("b0"), b1.alias("b1")
+        )
+        return dimbits.agg(*bloom_build_aggs())
+
+    return ingest_store_stream(stream, store_path, checkpoint_dir, transform)
+
+
+def probe_bloom_store(spark, store_path: str) -> DataFrame:
+    """Merged Bloom filter over a :func:`bloom_ingest_stream` store:
+    sum the key counts, ``bit_or`` the words across partials (monoid
+    merge; empty partials contribute NULL words, coalesced to 0), and
+    finish with the shared probe shape — (n_dim_keys, bloom array,
+    bits_set), the exact row the batch build broadcasts."""
+    from ..queries.relational import _BLOOM_WORDS, bloom_finish
+
+    merged = read_ingest_store(spark, store_path).agg(
+        F.coalesce(F.sum("n_dim_keys"), F.lit(0)).alias("n_dim_keys"),
+        *[F.bit_or(f"w{w}").alias(f"w{w}") for w in range(_BLOOM_WORDS)],
+    )
+    return bloom_finish(merged)
+
+
 def drift_ingest_stream(stream: DataFrame, store_path: str, checkpoint_dir: str):
     """Streaming twin of queries.similarity.sim_embedding_drift: each
     micro-batch of arriving vectors lands its 1-row drift PARTIAL (the

@@ -1200,3 +1200,100 @@ def test_python_source_feeds_idempotent_store(spark, tmp_path):
         spark.read.parquet(store).select("batch_id").distinct().count()
     )
     assert n_batches >= 2, n_batches
+
+
+def test_bloom_ingest_stream_matches_batch(spark, tmp_path):
+    """Bloom-filter streaming twin: per-micro-batch 1-row partials
+    (key count + 64 bit_or words) merge WORD-FOR-WORD to the batch-built
+    filter on the union input, for any micro-batch boundaries — count is
+    a +-monoid and each word an |-monoid, so this holds exactly, not
+    approximately. The store stays O(1) rows per batch."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.relational import (
+        _bloom_hashes,
+        bloom_build_aggs,
+        bloom_finish,
+    )
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    src = str(tmp_path / "bl_src")
+    for i in range(3):
+        cust.filter(F.col("c_custkey") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+
+    store = str(tmp_path / "bl_store")
+    stream = (
+        spark.readStream.schema(cust.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    q = jobs.bloom_ingest_stream(
+        stream, store, checkpoint_dir=str(tmp_path / "bl_ckpt")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert spark.read.parquet(store).count() == 3  # one partial per batch
+
+    b0, b1 = _bloom_hashes(F.col("c_custkey"))
+    batch_filt = bloom_finish(
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(b0.alias("b0"), b1.alias("b1"))
+        .agg(*bloom_build_aggs())
+    )
+    probed = jobs.probe_bloom_store(spark, store)
+    assert [tuple(r) for r in probed.collect()] == [
+        tuple(r) for r in batch_filt.collect()
+    ]
+
+
+def test_bloom_ingest_checkpoint_restart(spark, tmp_path):
+    """T4 for the bloom store: kill the ingest stream between
+    micro-batches and restart from its checkpoint — no lost and no
+    double-OR'd partials (idempotent batch_id=N store), so the accreted
+    filter still equals the batch build word-for-word."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.relational import (
+        _bloom_hashes,
+        bloom_build_aggs,
+        bloom_finish,
+    )
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    src = str(tmp_path / "blr_src")
+    store = str(tmp_path / "blr_store")
+    ckpt = str(tmp_path / "blr_ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(cust.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/b*")
+        )
+        return jobs.bloom_ingest_stream(stream, store, checkpoint_dir=ckpt).start()
+
+    cust.filter(F.col("c_custkey") % 2 == 0).coalesce(1).write.parquet(f"{src}/b0")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cust.filter(F.col("c_custkey") % 2 == 1).coalesce(1).write.parquet(f"{src}/b1")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert spark.read.parquet(store).count() == 2
+    b0, b1 = _bloom_hashes(F.col("c_custkey"))
+    want = bloom_finish(
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(b0.alias("b0"), b1.alias("b1"))
+        .agg(*bloom_build_aggs())
+    )
+    assert [tuple(r) for r in jobs.probe_bloom_store(spark, store).collect()] == [
+        tuple(r) for r in want.collect()
+    ]
