@@ -227,6 +227,10 @@ _REGISTERED: tuple[str, ...] = (
 #   dedup_embedding_lsh / sim_knn_join
 #                        hold_occupancy count memoized (ADVICE r08 #2)
 #   sim_cosine_noise_floor  sd==0 degenerate-corpus guard (ADVICE r08 #3)
+#   sim_embedding_drift / sim_top_pc / sim_source_centroid_outliers
+#                        wide lattice aggregates compiled via one SQL
+#                        parse apiece (construction-cost fix; ops
+#                        identical, oracle MATCH re-verified locally)
 _FORCE_HEAD: dict[str, int] = {
     "sim_ann_ivfpq": 9,
     "dedup_semdedup": 9,
@@ -234,6 +238,9 @@ _FORCE_HEAD: dict[str, int] = {
     "dedup_embedding_lsh": 9,
     "sim_knn_join": 9,
     "sim_cosine_noise_floor": 9,
+    "sim_embedding_drift": 9,
+    "sim_top_pc": 9,
+    "sim_source_centroid_outliers": 9,
 }
 
 

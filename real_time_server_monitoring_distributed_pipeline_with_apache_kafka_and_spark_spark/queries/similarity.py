@@ -139,27 +139,22 @@ def sim_source_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), "embedding"
     )
     de = docs.join(emb, "doc_id")
+    # One SQL parse per aggregate / one for the centroid array (r09
+    # construction-cost fix, the drift_sum_exprs pattern): identical
+    # lattice-sum and division ops, so the hash-pinned rows are unchanged.
     lat = [
-        F.sum(
-            F.floor(
-                F.col("embedding").getItem(d).cast("double") * 1e9 + F.lit(0.5)
-            ).cast("long")
+        F.expr(
+            f"sum(cast(floor(cast(embedding[{d}] as double) * 1e9 + 0.5) as bigint))"
         ).alias(f"s{d}")
         for d in range(_CENT_DIM)
     ]
+    cent_arr = ", ".join(
+        f"(cast(s{d} as double) / cast(n as double)) / 1e9" for d in range(_CENT_DIM)
+    )
     cent = (
         de.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n"), *lat)
-        .select(
-            "source",
-            F.array(
-                *[
-                    (F.col(f"s{d}").cast("double") / F.col("n").cast("double"))
-                    / F.lit(1e9)
-                    for d in range(_CENT_DIM)
-                ]
-            ).alias("centroid"),
-        )
+        .select("source", F.expr(f"array({cent_arr})").alias("centroid"))
     )
     scored = de.join(cent, "source").withColumn(
         "cos", ops.cosine(F.col("embedding"), F.col("centroid"))
@@ -349,6 +344,11 @@ def sim_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_df = spark.range(1).select(
         F.array(*[F.lit(x) for x in _power_v0()]).alias("w")
     )
+    # Each iteration's 64 lattice aggregates and the iterate array
+    # compile via one SQL parse apiece (r09 construction-cost fix, the
+    # drift_sum_exprs pattern — the stacked-Column form built ~600 py4j
+    # calls per step): operation-identical exprs, hash-pinned rows
+    # unchanged.
     for _ in range(_POWER_ITERS):
         joined = emb.crossJoin(F.broadcast(w_df))
         s = F.aggregate(
@@ -358,17 +358,15 @@ def sim_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         u_row = joined.select(s.alias("_s"), "v").agg(
             *[
-                F.sum(
-                    F.floor(F.element_at("v", d + 1) * F.col("_s") * 1e6 + F.lit(0.5))
-                    .cast("long")
+                F.expr(
+                    f"sum(cast(floor(element_at(v, {d + 1}) * _s * 1e6 + 0.5)"
+                    " as bigint))"
                 ).alias(f"u{d}")
                 for d in range(_DIM)
             ]
         )
-        raw = F.transform(
-            F.array(*[F.col(f"u{d}") for d in range(_DIM)]),
-            lambda x: x.cast("double") / F.lit(1e6),
-        )
+        all_u = ", ".join(f"u{d}" for d in range(_DIM))
+        raw = F.expr(f"transform(array({all_u}), x -> cast(x as double) / 1e6)")
         w_df = u_row.select(raw.alias("_raw")).select(
             F.transform(
                 "_raw",
@@ -517,23 +515,32 @@ def drift_sum_exprs(dim: int = _DRIFT_DIM) -> list:
     integer tenth-micros BEFORE summing. All outputs are longs — a
     commutative monoid — so partials merge across partitions AND across
     micro-batches by plain addition (the streaming twin's contract,
-    streaming/jobs.py::drift_ingest_stream)."""
-    from ..operators.text import hash_bucket_100
+    streaming/jobs.py::drift_ingest_stream).
 
-    is_ref = hash_bucket_100(F.col("vec_id")) < 50
-
-    def q(i: int) -> F.Column:
-        return F.floor(
-            F.col("embedding")[i].cast("double") * 1e7 + F.lit(0.5)
-        ).cast("long")
-
+    Each aggregate compiles via ONE SQL parse (r09): the stacked-Column
+    form built ~900 py4j calls and measured 4.2 s of pure query
+    CONSTRUCTION per run — the sim_ann_ivfpq lesson, third instance.
+    The parsed expressions are operation-identical (md5-bucket
+    predicate, floor-lattice, conditional long sums), so every value —
+    and the streaming twin's stream==batch pin — is unchanged.
+    """
+    # hash_bucket_100's SQL twin (operators/text.py:227)
+    ref = (
+        "pmod(cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10)"
+        " as bigint), 100) < 50"
+    )
     aggs = [
-        F.sum(is_ref.cast("long")).alias("n_ref"),
-        F.sum((~is_ref).cast("long")).alias("n_cur"),
+        F.expr(f"sum(cast(({ref}) as bigint))").alias("n_ref"),
+        F.expr(f"sum(cast((not ({ref})) as bigint))").alias("n_cur"),
     ]
     for i in range(dim):
-        aggs.append(F.sum(F.when(is_ref, q(i)).otherwise(F.lit(0))).alias(f"r{i}"))
-        aggs.append(F.sum(F.when(~is_ref, q(i)).otherwise(F.lit(0))).alias(f"c{i}"))
+        qi = f"cast(floor(cast(embedding[{i}] as double) * 1e7 + 0.5) as bigint)"
+        aggs.append(
+            F.expr(f"sum(case when {ref} then {qi} else 0 end)").alias(f"r{i}")
+        )
+        aggs.append(
+            F.expr(f"sum(case when not ({ref}) then {qi} else 0 end)").alias(f"c{i}")
+        )
     return aggs
 
 
@@ -541,29 +548,28 @@ def drift_report_from_sums(s: DataFrame, dim: int = _DRIFT_DIM) -> DataFrame:
     """Finish the drift report from a 1-row sums frame (the output of
     ``df.agg(*drift_sum_exprs())`` or the merged streaming store): the
     64-dim mean/cosine/L2 arithmetic, every double op in a pinned
-    left-assoc order so the SQL oracle replays it bitwise."""
-    from functools import reduce
-
+    left-assoc order so the SQL oracle replays it bitwise. Compiled via
+    three SQL parses instead of ~1,000 stacked Column calls (r09, same
+    construction-cost fix as drift_sum_exprs; SQL ``+`` chains are
+    left-associative, so the fold order — and every bit — is unchanged).
+    """
     from ..functions.numeric import display_round
 
-    mr = [
-        (F.col(f"r{i}").cast("double") / 1e7) / F.col("n_ref") for i in range(dim)
-    ]
-    mc = [
-        (F.col(f"c{i}").cast("double") / 1e7) / F.col("n_cur") for i in range(dim)
-    ]
-    add = lambda a, b: a + b  # noqa: E731 — left-assoc fold, mirrored in SQL
-    dot = reduce(add, [mr[i] * mc[i] for i in range(dim)])
-    nr = F.sqrt(reduce(add, [mr[i] * mr[i] for i in range(dim)]))
-    nc = F.sqrt(reduce(add, [mc[i] * mc[i] for i in range(dim)]))
-    l2 = F.sqrt(reduce(add, [(mr[i] - mc[i]) * (mr[i] - mc[i]) for i in range(dim)]))
-    mx = F.greatest(*[F.abs(mr[i] - mc[i]) for i in range(dim)])
+    mr = [f"((cast(r{i} as double) / 1e7) / n_ref)" for i in range(dim)]
+    mc = [f"((cast(c{i} as double) / 1e7) / n_cur)" for i in range(dim)]
+    dot = " + ".join(f"{mr[i]} * {mc[i]}" for i in range(dim))
+    nr = " + ".join(f"{mr[i]} * {mr[i]}" for i in range(dim))
+    nc = " + ".join(f"{mc[i]} * {mc[i]}" for i in range(dim))
+    l2 = " + ".join(f"({mr[i]} - {mc[i]}) * ({mr[i]} - {mc[i]})" for i in range(dim))
+    mx = ", ".join(f"abs({mr[i]} - {mc[i]})" for i in range(dim))
     return s.select(
         "n_ref",
         "n_cur",
-        display_round(dot / (nr * nc), 9).alias("mean_cosine"),
-        display_round(l2, 9).alias("mean_l2"),
-        display_round(mx, 9).alias("max_dim_drift"),
+        display_round(F.expr(f"({dot}) / (sqrt({nr}) * sqrt({nc}))"), 9).alias(
+            "mean_cosine"
+        ),
+        display_round(F.expr(f"sqrt({l2})"), 9).alias("mean_l2"),
+        display_round(F.expr(f"greatest({mx})"), 9).alias("max_dim_drift"),
     )
 
 
