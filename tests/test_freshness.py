@@ -159,3 +159,44 @@ def test_no_shadowed_test_definitions():
         if dups:
             bad[os.path.basename(path)] = dups
     assert not bad, f"shadowed test definitions (first body never runs): {bad}"
+
+
+def test_rotation_orders_oldest_green_first():
+    """The computed window leads with live force-head pins, then
+    never-proven queries, then oldest-green-first with registration
+    order breaking ties (r09: rotation is computed, so the policy is
+    testable as a function instead of audited by hand)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries import (
+        _rotated,
+    )
+
+    registered = ("a", "b", "c", "d", "e", "f")
+    newest = {"a": 8, "b": 5, "c": 6, "e": 5}  # d, f never proven
+    out = _rotated(registered, {}, newest)
+    assert out == ("d", "f", "b", "e", "c", "a")
+
+
+def test_rotation_force_head_pins_and_expires():
+    """A force-head pin leads the window while the query's newest green
+    predates the pinned round, and drops out (rejoining the age order)
+    once a green from that round or later is recorded."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries import (
+        _rotated,
+    )
+
+    registered = ("a", "b", "c")
+    # a changed in round 9, last green r8 -> pinned first
+    assert _rotated(registered, {"a": 9}, {"a": 8, "b": 5, "c": 6}) == ("a", "b", "c")
+    # driver re-proved a in r9 -> pin expires, plain age order resumes
+    assert _rotated(registered, {"a": 9}, {"a": 9, "b": 5, "c": 6}) == ("b", "c", "a")
+
+
+def test_rotation_rejects_unregistered_pins():
+    import pytest as _pytest
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries import (
+        _rotated,
+    )
+
+    with _pytest.raises(ValueError, match="not registered"):
+        _rotated(("a",), {"zz": 9}, {})
