@@ -251,3 +251,29 @@ def test_hll_daily_sketch_union_accuracy(spark):
     for day, n in exact_daily.items():
         assert abs(got[day] - n) / n < 0.05, (day, got[day], n)
     assert got["ALL"] <= sum(v for d, v in got.items() if d != "ALL")
+
+
+def test_bloom_semi_join_has_no_false_negatives(spark):
+    """The Bloom pre-filter may pass extra rows (false positives — the
+    report counts them) but must NEVER drop a true match: the report's
+    n_matched must equal the direct exact semi-join count computed with
+    no filter in the plan. This is the property the one-row report
+    cannot show about itself."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.relational import (
+        rel_bloom_semi_join,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rep = rel_bloom_semi_join(spark, sf).collect()[0]
+    dim = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    direct = load_table(spark, sf, "orders").join(dim, "o_custkey", "semi").count()
+    assert rep.n_matched == direct
+    assert rep.n_bloom_pass == rep.n_matched + rep.n_false_positives
+    assert rep.n_bloom_pass <= rep.n_orders
