@@ -209,6 +209,7 @@ _REGISTERED: tuple[str, ...] = (
     "sim_ann_ivfpq_recall",
     "text_dsir_sample",
     "rel_bloom_semi_join",
+    "dedup_minhash_recall",
 )
 
 # Hand-pinned window head: queries whose IMPLEMENTATION changed since

@@ -180,6 +180,48 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.minhash_lsh_pairs(shingled, threshold=JACCARD_THRESHOLD)
 
 
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH recall as a hash-checked FACT — the dedup mirror of
+    the ANN family's recall reports (sim_ann_recall et al.): one row of
+    (n_exact_pairs, n_lsh_pairs, n_hits, recall) comparing the banded
+    LSH pair set against the exact Jaccard ≥ 0.8 ground truth. The
+    left-join hit marking also proves the subset property in-band
+    (precision 1: every LSH pair is exact-verified, so n_hits ==
+    n_lsh_pairs) — the number every band/perm tuning loop reads, now
+    engine-reproducible instead of a pytest-only pin.
+
+    Plan: the shingle table is computed once (persist) and feeds both
+    legs; the recall join touches only the two pair sets. The oracle
+    nests the two already-hash-checked pipelines verbatim as derived
+    tables, so a drift in either leg is a hash mismatch here too."""
+    from ..functions.numeric import display_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = ops.word_shingles(docs).persist()
+    exact = ops.jaccard_pairs(shingled, threshold=JACCARD_THRESHOLD).select(
+        "a_id", "b_id"
+    )
+    lsh = ops.minhash_lsh_pairs(shingled, threshold=JACCARD_THRESHOLD).select(
+        "a_id", "b_id", F.lit(1).alias("_hit")
+    )
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
+    j = exact.join(lsh, ["a_id", "b_id"], "left")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+    )
+    return agg.crossJoin(F.broadcast(n_lsh)).select(
+        "n_exact_pairs",
+        "n_lsh_pairs",
+        "n_hits",
+        display_round(
+            F.col("n_hits").cast("double")
+            / F.nullif(F.col("n_exact_pairs").cast("double"), F.lit(0.0)),
+            9,
+        ).alias("recall"),
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3 of 64 bits), chunk-join
     candidates. md5-half-hash features => the DuckDB oracle replays the
@@ -478,6 +520,7 @@ QUERIES = {
     "dedup_cross_corpus": dedup_cross_corpus,
     "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_recall": dedup_minhash_recall,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
@@ -839,3 +882,22 @@ WHERE list_dot_product(a.v, b.v)
 # (same late-binding spot as "pipeline_embedding_prep") — it needs the
 # seeded k-means centroid SQL, and similarity.py already imports from this
 # module at load time, so the reverse module-level import would be circular.
+
+# Recall-report composition: nests the two already-hash-checked pair
+# pipelines VERBATIM as derived tables (their CTE names collide, so each
+# runs in its own subquery scope), then marks hits with the same
+# left-join contract as queries/similarity.py::_recall_report.
+ORACLES["dedup_minhash_recall"] = f"""
+WITH exact AS (SELECT a_id, b_id FROM ({ORACLES["dedup_ngram_jaccard"]}) _e),
+lsh AS (SELECT a_id, b_id FROM ({ORACLES["dedup_minhash_lsh"]}) _l),
+h AS (
+  SELECT e.a_id, CASE WHEN l.a_id IS NULL THEN 0 ELSE 1 END AS hit
+  FROM exact e LEFT JOIN lsh l ON e.a_id = l.a_id AND e.b_id = l.b_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh_pairs,
+       CAST(sum(hit) AS BIGINT) AS n_hits,
+       floor(CAST(sum(hit) AS DOUBLE) / nullif(CAST(count(*) AS DOUBLE), 0)
+             * 1e9 + 0.5) / 1e9 AS recall
+FROM h
+"""
