@@ -641,9 +641,15 @@ def simhash_signatures(
         F.conv(F.substring(digest, 1, 8), 16, 10).cast("long").alias("hlo"),
         F.conv(F.substring(digest, 9, 8), 16, 10).cast("long").alias("hhi"),
     )
+    # Each bit-sum aggregate and each 32-term signature fold compiles via
+    # one SQL parse (r09 construction-cost fix, the drift_sum_exprs
+    # pattern — the stacked-Column form was ~770 py4j round-trips per
+    # query construction). Integer CASE/sum arithmetic is
+    # form-independent, so signatures — and every hash-pinned pair — are
+    # unchanged.
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col(col), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(case when (shiftright({col}, {j}) & 1) = 1 then 1 else -1 end)"
         ).alias(f"{pre}{j}")
         for col, pre in (("hlo", "lo"), ("hhi", "hi"))
         for j in range(32)
@@ -651,12 +657,12 @@ def simhash_signatures(
     agg = based.groupBy(id_col).agg(*bit_sums)
 
     def fold(prefix: str):
-        sig = F.lit(0).cast("long")
-        for j in range(32):
-            sig = sig + F.when(F.col(f"{prefix}{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        return sig
+        terms = " + ".join(
+            f"(case when {prefix}{j} > 0 then cast({1 << j} as bigint)"
+            " else cast(0 as bigint) end)"
+            for j in range(32)
+        )
+        return F.expr(terms)
 
     return agg.select(F.col(id_col), fold("lo").alias("sig_lo"), fold("hi").alias("sig_hi"))
 

@@ -242,6 +242,7 @@ _FORCE_HEAD: dict[str, int] = {
     "sim_embedding_drift": 9,
     "sim_top_pc": 9,
     "sim_source_centroid_outliers": 9,
+    "dedup_simhash": 9,
 }
 
 
