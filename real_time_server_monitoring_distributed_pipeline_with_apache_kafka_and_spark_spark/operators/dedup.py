@@ -371,9 +371,11 @@ def minhash_signatures(
             F.lit(_MERSENNE),
         ).alias("_h64"),
     )
-    base = F.col("_h64")
+    # One SQL parse per permutation aggregate (r09 construction-cost
+    # fix, the drift_sum_exprs pattern): integer min/pmod arithmetic is
+    # form-independent, signatures unchanged.
     mins = [
-        F.min(F.pmod(base * F.lit(a_co[i]) + F.lit(b_co[i]), F.lit(_MERSENNE))).alias(f"h{i}")
+        F.expr(f"min(pmod(_h64 * {a_co[i]} + {b_co[i]}, {_MERSENNE}))").alias(f"h{i}")
         for i in range(num_perm)
     ]
     return based.groupBy(id_col).agg(*mins)

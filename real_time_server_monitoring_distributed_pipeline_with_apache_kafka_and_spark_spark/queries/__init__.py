@@ -243,6 +243,8 @@ _FORCE_HEAD: dict[str, int] = {
     "sim_top_pc": 9,
     "sim_source_centroid_outliers": 9,
     "dedup_simhash": 9,
+    "dedup_minhash_lsh": 9,
+    "dedup_cross_corpus": 9,
 }
 
 
