@@ -210,6 +210,7 @@ _REGISTERED: tuple[str, ...] = (
     "text_dsir_sample",
     "rel_bloom_semi_join",
     "dedup_minhash_recall",
+    "rel_join_size_estimate",
 )
 
 # Hand-pinned window head: queries whose IMPLEMENTATION changed since
