@@ -179,12 +179,22 @@ def main() -> None:
     # samples — outgrew that buffer). Keep stdout to the slim contract
     # shape; the full evidence (raw samples, frozen subtotals) goes to a
     # committed sidecar instead.
+    def frozen_subtotal(subset: list[str]) -> float | None:
+        # A frozen subtotal is only meaningful when EVERY member was
+        # timed — a subset run (SPARK_GRAFT_BENCH_SET=legacy9) must not
+        # emit a partial sum labeled as the full headline24_total (a
+        # round-over-round comparison would read it as a 6x phantom
+        # speedup). None -> key omitted from the parsed line.
+        if all(n in timings for n in subset):
+            return round(sum(timings[n] for n in subset), 3)
+        return None
+
     sidecar = {
         "samples": samples,
         "medians": timings,
-        "legacy9_total": round(sum(timings[n] for n in LEGACY9 if n in timings), 3),
-        "headline17_total": round(sum(timings[n] for n in HEADLINE17 if n in timings), 3),
-        "headline24_total": round(sum(timings[n] for n in HEADLINE24 if n in timings), 3),
+        "legacy9_total": frozen_subtotal(LEGACY9),
+        "headline17_total": frozen_subtotal(HEADLINE17),
+        "headline24_total": frozen_subtotal(HEADLINE24),
         "bench_set": list(bench_set),
         "sf": sf,
     }
@@ -201,9 +211,12 @@ def main() -> None:
             # r08 carried them only in the sidecar and round-over-round
             # comparability had to be recomputed by hand): ~95 chars,
             # inside the 1900-char driver buffer budget checked below.
-            "legacy9_total": sidecar["legacy9_total"],
-            "headline17_total": sidecar["headline17_total"],
-            "headline24_total": sidecar["headline24_total"],
+            # Incomplete subtotals (subset runs) are omitted, not lied.
+            **{
+                k: sidecar[k]
+                for k in ("legacy9_total", "headline17_total", "headline24_total")
+                if sidecar[k] is not None
+            },
         }
     )
     if len(line) > 1900:  # loud, not silent: growth past the buffer breaks the driver parse

@@ -114,6 +114,8 @@ def estimate_noise_floor(
         .select(vec_col)
         .collect()
     )
+    if len(rows) < 2:  # empty/1-row corpus: no pairs, nothing to estimate
+        return 0.0, 0.0
     m = np.asarray([r[0] for r in rows], dtype=np.float64)
     nrm = np.sqrt((m * m).sum(axis=1))
     nrm[nrm == 0.0] = 1.0
@@ -132,13 +134,16 @@ def warn_if_threshold_in_noise_floor(
     sigmas: float = 6.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample: int = 256,
 ) -> float:
     """Pre-flight guardrail for near-dup composites (VERDICT r08 #5):
     estimate the random-pair cosine floor and emit a ``NoiseFloorWarning``
     when ``threshold`` clears it by fewer than ``sigmas`` standard
     deviations. Returns the sigma gap (inf when sd is 0 — degenerate or
-    constant corpus, nothing to warn about). Memoized per (DataFrame,
-    vec_col) so composites that gate twice pay the sample job once.
+    constant corpus, nothing to warn about). Memoized per (DataFrame
+    object, vec_col, id_col, sample) so a composite that gates twice on
+    the SAME frame pays the sample job once; a fresh load_table frame is
+    a fresh key (by design — file listings must not be cached away).
 
     Six sigma is deliberately conservative: the expected number of
     random pairs past the threshold is ~C(N,2) * Phi(-gap), and at
@@ -152,9 +157,10 @@ def warn_if_threshold_in_noise_floor(
         per_df = _NOISE_FLOOR_CACHE.setdefault(vectors, {})
     except TypeError:  # non-weakref-able stand-in
         per_df = {}
-    if vec_col not in per_df:
-        per_df[vec_col] = estimate_noise_floor(vectors, id_col, vec_col)
-    mean, sd = per_df[vec_col]
+    key = (vec_col, id_col, sample)
+    if key not in per_df:
+        per_df[key] = estimate_noise_floor(vectors, id_col, vec_col, sample)
+    mean, sd = per_df[key]
     if sd == 0.0:
         return math.inf
     gap = (threshold - mean) / sd

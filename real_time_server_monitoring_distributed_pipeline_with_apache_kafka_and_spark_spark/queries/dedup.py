@@ -23,6 +23,7 @@ from ..operators import dedup as ops
 from ..operators.dedup import _MERSENNE, _perm_coeffs
 from ..operators.similarity import (
     _hyperplanes,
+    corpus_count,
     cosine_pairs,
     cosine_pairs_lsh,
     warn_if_threshold_in_noise_floor,
@@ -332,7 +333,9 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of N^2/k. The floor is the oracle-pinned 8 and centroid
     # draws are sequential, so every gate SF resolves to the identical
     # 8-centroid plan and the hash-checked rows are unchanged.
-    n_vecs = emb.count()
+    # corpus_count: shares the memoized count with any other occupancy-
+    # held operator constructed over this same frame (ADVICE r08 #2)
+    n_vecs = corpus_count(emb, "vec_id")
     k = max(_KMEANS_K, _math.ceil(n_vecs / _SEMDEDUP_TARGET_CLUSTER_ROWS))
     if k == _KMEANS_K:
         # Gate-SF path: the oracle-pinned Catalyst folds, bit-identical

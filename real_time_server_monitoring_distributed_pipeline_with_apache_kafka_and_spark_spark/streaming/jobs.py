@@ -1209,7 +1209,8 @@ def bloom_ingest_stream(
     store_path: str,
     checkpoint_dir: str,
     key_col: str = "c_custkey",
-    segment: str = "BUILDING",
+    segment: str | None = "BUILDING",
+    segment_col: str = "c_mktsegment",
 ):
     """Streaming twin of the queries.relational.rel_bloom_semi_join
     FILTER BUILD: each micro-batch of arriving dim rows (e.g. customer
@@ -1222,14 +1223,17 @@ def bloom_ingest_stream(
     stream instead of being rebuilt per run (the FAISS
     train-then-add analogue for join pruning). Store rows are O(1) per
     micro-batch (one 65-column row); same delivery contract as the
-    other ingest legs (:func:`ingest_store_stream`)."""
+    other ingest legs (:func:`ingest_store_stream`). ``segment``/
+    ``segment_col`` scope the build to one dim slice (the batch query's
+    shape); ``segment=None`` builds over every arriving key — use that
+    for dimension streams without a segment column."""
     from ..queries.relational import _bloom_hashes, bloom_build_aggs
 
     def transform(batch_df: DataFrame) -> DataFrame:
         b0, b1 = _bloom_hashes(F.col(key_col))
-        dimbits = batch_df.filter(F.col("c_mktsegment") == segment).select(
-            b0.alias("b0"), b1.alias("b1")
-        )
+        if segment is not None:
+            batch_df = batch_df.filter(F.col(segment_col) == segment)
+        dimbits = batch_df.select(b0.alias("b0"), b1.alias("b1"))
         return dimbits.agg(*bloom_build_aggs())
 
     return ingest_store_stream(stream, store_path, checkpoint_dir, transform)

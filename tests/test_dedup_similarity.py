@@ -541,7 +541,9 @@ def test_noise_floor_estimate_is_memoized(spark):
         g1 = s.warn_if_threshold_in_noise_floor(emb, 0.45)
     assert emb in s._NOISE_FLOOR_CACHE
     # poison the cache: a second call must READ it, not recompute
-    s._NOISE_FLOOR_CACHE[emb]["embedding"] = (0.0, 0.001)
+    # (key = (vec_col, id_col, sample) — a different sample size or id
+    # column is a different deterministic draw and must NOT hit this)
+    s._NOISE_FLOOR_CACHE[emb][("embedding", "vec_id", 256)] = (0.0, 0.001)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", s.NoiseFloorWarning)
         g2 = s.warn_if_threshold_in_noise_floor(emb, 0.45)
@@ -569,3 +571,17 @@ def test_pq_encode_udf_bit_identical_to_fold(spark):
         ).collect()
     }
     assert fold == udf
+
+
+def test_noise_floor_estimator_handles_empty_corpus(spark):
+    """Review r09: an empty (or 1-row) corpus has no pairs — the
+    estimator must return (0, 0) instead of crashing on a 0-d numpy
+    shape, and the guardrail must let construction proceed (gap inf,
+    no warning)."""
+    import warnings
+
+    empty = spark.createDataFrame([], "vec_id: long, embedding: array<double>")
+    assert s.estimate_noise_floor(empty) == (0.0, 0.0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", s.NoiseFloorWarning)
+        assert s.warn_if_threshold_in_noise_floor(empty, 0.45) == float("inf")
