@@ -238,6 +238,7 @@ _FORCE_HEAD: dict[str, int] = {
     "dedup_semdedup": 9,
     "pipeline_embedding_prep": 9,
     "dedup_embedding_lsh": 9,
+    "dedup_embedding_clusters": 9,
     "sim_knn_join": 9,
     "sim_cosine_noise_floor": 9,
     "sim_embedding_drift": 9,
