@@ -211,6 +211,7 @@ _REGISTERED: tuple[str, ...] = (
     "rel_bloom_semi_join",
     "dedup_minhash_recall",
     "rel_join_size_estimate",
+    "monitor_trace_knn",
 )
 
 # Hand-pinned window head: queries whose IMPLEMENTATION changed since

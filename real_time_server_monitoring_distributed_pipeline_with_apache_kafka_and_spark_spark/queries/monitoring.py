@@ -1118,7 +1118,109 @@ def monitor_synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRACE_HOURS = 24
+_TRACE_QUERIES = 5  # servers 0..4 are the "which servers look like this one" probes
+_TRACE_TOP_K = 3
+
+
+def monitor_trace_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search over server load profiles [the
+    distributed time-series-similarity problem of Time Series Similarity
+    Search for Streaming Data in Distributed Systems, EDBT 2019, on this
+    engine's primitives]: summarize every server (user_id) as its 24-dim
+    hourly mean-value profile, z-normalize each profile (shape match,
+    scale-invariant — the standard z-normalized Euclidean measure), and
+    return the top-3 most-similar servers for each probe server (ids
+    0..4) — "which machines behave like this one", the capacity-planning
+    and incident-blast-radius question the monitoring domain actually
+    asks.
+
+    Scale shape: one events scan -> (server, hour) lattice-mean hash agg
+    (24 rows/server), profile assembly via map lookup (no sort), 1-row-
+    per-server frame; the probe set broadcasts (5 rows) and similarity
+    is one pass over server profiles + a rank window — O(servers) work,
+    with servers a bounded entity dimension, never event-row-squared.
+    Float policy: per-(server,hour) means are integer-lattice sums in
+    fixed op order; profile mean/sd and the pairwise distance are pinned
+    left-to-right folds; ranking keys on floor-latticed distance micros
+    with a server-id tiebreak — rank-only output, hash-checked.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    lat = (
+        ev.select(
+            "user_id",
+            F.hour("ts").alias("h"),
+            F.floor(F.col("value").cast("double") * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("v6"),
+        )
+        .groupBy("user_id", "h")
+        .agg(F.sum("v6").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    prof = (
+        lat.groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.col("h"),
+                        (
+                            (F.col("s").cast("double") / F.col("n").cast("double"))
+                            / F.lit(1e6)
+                        ).alias("t"),
+                    )
+                )
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.expr(
+                f"transform(sequence(0, {_TRACE_HOURS - 1}),"
+                " i -> coalesce(m[i], 0.0d))"
+            ).alias("trace"),
+        )
+        .withColumn(
+            "mu",
+            F.expr(
+                f"aggregate(trace, 0.0d, (acc, x) -> acc + x) / {_TRACE_HOURS}.0d"
+            ),
+        )
+        .withColumn(
+            "sd",
+            F.expr(
+                "sqrt(aggregate(trace, 0.0d, (acc, x) -> acc + (x - mu) * (x - mu))"
+                f" / {_TRACE_HOURS}.0d)"
+            ),
+        )
+        .select(
+            "user_id",
+            F.expr(
+                "transform(trace, x -> case when sd = 0.0d then 0.0d"
+                " else (x - mu) / sd end)"
+            ).alias("z"),
+        )
+    )
+    probes = prof.filter(F.col("user_id") < _TRACE_QUERIES).select(
+        F.col("user_id").alias("query_id"), F.col("z").alias("zq")
+    )
+    corpus = prof.filter(F.col("user_id") >= _TRACE_QUERIES).select(
+        F.col("user_id").alias("neighbor_id"), F.col("z").alias("zc")
+    )
+    d_micro = F.expr(
+        "cast(floor(sqrt(aggregate(zip_with(zq, zc, (a, b) -> (a - b) * (a - b)),"
+        " 0.0d, (acc, x) -> acc + x)) * 1e6 + 0.5) as bigint)"
+    )
+    scored = corpus.crossJoin(F.broadcast(probes)).withColumn("dm", d_micro)
+    w = Window.partitionBy("query_id").orderBy("dm", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TRACE_TOP_K)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+
+
 QUERIES = {
+    "monitor_trace_knn": monitor_trace_knn,
     "monitor_error_after_click": monitor_error_after_click,
     "monitor_synthetic_source": monitor_synthetic_source,
     "monitor_rate_spike": monitor_rate_spike,
@@ -1612,3 +1714,59 @@ WHERE event_type IN ('error', 'purchase') AND value > 50.0
 # physical layout — same oracles by construction.
 ORACLES["monitor_cpu_mem_alerts_bucketed"] = ORACLES["monitor_cpu_mem_alerts"]
 ORACLES["monitor_net_disk_alerts_bucketed"] = ORACLES["monitor_net_disk_alerts"]
+
+# Trace-similarity oracle: DuckDB assembles the 24-slot profile via a
+# dense (server x hour) grid LEFT JOIN (its map type extracts awkwardly)
+# — construction differs from Spark's map lookup, the VALUES are the
+# identical lattice-mean / coalesce-0 / pinned-fold arithmetic.
+ORACLES["monitor_trace_knn"] = f"""
+WITH lat AS (
+  SELECT user_id, CAST(extract(hour FROM ts) AS INTEGER) AS h,
+         CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT u.user_id, CAST(gh.h AS INTEGER) AS h
+  FROM (SELECT DISTINCT user_id FROM events) u,
+       (SELECT unnest(range(0, {_TRACE_HOURS})) AS h) gh
+),
+tr AS (
+  SELECT g.user_id,
+         list(coalesce((CAST(l.s AS DOUBLE) / CAST(l.n AS DOUBLE)) / 1e6, 0.0)
+              ORDER BY g.h) AS trace
+  FROM grid g LEFT JOIN lat l ON l.user_id = g.user_id AND l.h = g.h
+  GROUP BY g.user_id
+),
+zs AS (
+  SELECT user_id, trace,
+         list_reduce(trace, (a, b) -> a + b) / {_TRACE_HOURS}.0 AS mu
+  FROM tr
+),
+zn AS (
+  SELECT user_id,
+         CASE WHEN sqrt(list_reduce(list_transform(trace, x -> (x - mu) * (x - mu)),
+                                    (a, b) -> a + b) / {_TRACE_HOURS}.0) = 0.0
+              THEN list_transform(trace, x -> 0.0)
+              ELSE list_transform(trace, x ->
+                (x - mu) / sqrt(list_reduce(list_transform(trace, y -> (y - mu) * (y - mu)),
+                                            (a, b) -> a + b) / {_TRACE_HOURS}.0))
+         END AS z
+  FROM zs
+),
+scored AS (
+  SELECT q.user_id AS query_id, c.user_id AS neighbor_id,
+         CAST(floor(sqrt(list_reduce(
+                 list_transform(range(1, {_TRACE_HOURS} + 1),
+                                i -> (q.z[i] - c.z[i]) * (q.z[i] - c.z[i])),
+                 (a, b) -> a + b)) * 1e6 + 0.5) AS BIGINT) AS dm
+  FROM zn q JOIN zn c
+    ON q.user_id < {_TRACE_QUERIES} AND c.user_id >= {_TRACE_QUERIES}
+)
+SELECT query_id, neighbor_id, rnk FROM (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY dm, neighbor_id) AS INTEGER) AS rnk
+  FROM scored
+) WHERE rnk <= {_TRACE_TOP_K}
+"""

@@ -302,6 +302,7 @@ INTENTIONAL_NESTED_LOOP = {
     "rel_bloom_semi_join",  # 1-row bloom-filter broadcast (the runtime filter itself)
     "dedup_minhash_recall",  # 1-row n_lsh_pairs scalar broadcast
     "rel_join_size_estimate",  # 3x 1-row count/verification scalar broadcasts
+    "monitor_trace_knn",    # 5-row probe-profile broadcast (bounded query set)
 }
 
 # Exact Exchange-node count of every registry query's initial physical
@@ -375,6 +376,7 @@ EXCHANGE_CENSUS = {
     # r09 additions
     "sim_ann_ivfpq_recall": 2, "text_dsir_sample": 6, "rel_bloom_semi_join": 3,
     "dedup_minhash_recall": 18, "rel_join_size_estimate": 6,
+    "monitor_trace_knn": 5,
     "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1, "text_bpe_train": 4, "text_bpe_encode": 6, "text_mixture_sample": 4,
     "rel_recursive_cte": 2, "rel_lateral_topk": 1, "monitor_synthetic_source": 1,
     "rel_order_count_histogram": 3,
