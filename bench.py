@@ -121,6 +121,7 @@ HEADLINE = HEADLINE24 + [
     "rel_bloom_semi_join",        # hand-built runtime bloom filter + semi join
     "text_dsir_sample",           # DSIR importance-ranked selection
     "sim_ann_ivfpq_recall",       # compressed-tier quality report
+    "monitor_trace_knn",          # hourly-profile z-norm similarity search
 ]
 
 
