@@ -1066,3 +1066,59 @@ def test_metrics_row_bounds_and_determinism(i, n_servers):
     assert ts_offset == i // n_servers
     assert 0.0 <= cpu <= 99.99 and 0.0 <= mem <= 99.99
     assert round(cpu * 100) == cpu * 100 or abs(round(cpu * 100) - cpu * 100) < 1e-9
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=200),
+    st.sets(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=200),
+)
+def test_bloom_bit_math_no_false_negatives(dim_keys, probe_keys):
+    """Third-engine pin for the Bloom word/bit construction (the pure-
+    Python replay of the md5 arithmetic BOTH engines implement in
+    rel_bloom_semi_join): for ANY key sets, every dim key passes its own
+    filter — a false negative is a construction bug (wrong word index,
+    mask off-by-one, bit-63 wraparound), the class of error the one-row
+    effectiveness report cannot distinguish from normal misses. Also
+    pins the claimed bit-63 avoidance: no mask ever sets the sign bit.
+    No Spark involved — this is the fast adversarial complement to the
+    sf0.01/sf0.1 oracle hash checks."""
+    import hashlib
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.relational import (
+        _BLOOM_BITS_PER_WORD,
+        _BLOOM_M,
+        _BLOOM_WORDS,
+    )
+
+    def bits(key: int) -> tuple[int, int]:
+        h = hashlib.md5(f"{key}#bloom".encode()).hexdigest()
+        h1, h2 = int(h[0:8], 16), int(h[8:16], 16)
+        return h1 % _BLOOM_M, (h1 + h2) % _BLOOM_M
+
+    words = [0] * _BLOOM_WORDS
+    for k in dim_keys:
+        for b in bits(k):
+            mask = 1 << (b % _BLOOM_BITS_PER_WORD)
+            assert mask < 2**63, "bit 63 must never be set (DuckDB checked shift)"
+            words[b // _BLOOM_BITS_PER_WORD] |= mask
+
+    def member(k: int) -> bool:
+        return all(
+            words[b // _BLOOM_BITS_PER_WORD] & (1 << (b % _BLOOM_BITS_PER_WORD))
+            for b in bits(k)
+        )
+
+    for k in dim_keys:
+        assert member(k), f"false negative for dim key {k}"
+    # false positives are allowed but must be a filter property, not a
+    # universal pass: an empty filter admits nothing
+    if not dim_keys & probe_keys:
+        empty = [0] * _BLOOM_WORDS
+        assert not any(
+            all(
+                empty[b // _BLOOM_BITS_PER_WORD] & (1 << (b % _BLOOM_BITS_PER_WORD))
+                for b in bits(k)
+            )
+            for k in probe_keys
+        )
