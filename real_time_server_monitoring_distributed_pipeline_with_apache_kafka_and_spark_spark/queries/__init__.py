@@ -221,19 +221,23 @@ _REGISTERED: tuple[str, ...] = (
 # edit to forget. Brand-new queries need no pin (never-proven rows sort
 # to the head automatically).
 #
-# r09 entries — code touched this round:
+# r09 entries — code touched this round (all 13, matching the dict):
 #   sim_ann_ivfpq        corpus PQ encode swapped to the bit-identical
 #                        Arrow numpy path (VERDICT r08 #6)
 #   dedup_semdedup       adaptive-k argmin dtype unified with the fold
 #                        path (ADVICE r08 #1) + noise-floor guardrail
+#                        + shared corpus_count
 #   pipeline_embedding_prep  noise-floor guardrail (VERDICT r08 #5)
-#   dedup_embedding_lsh / sim_knn_join
+#   dedup_embedding_lsh / dedup_embedding_clusters / sim_knn_join
 #                        hold_occupancy count memoized (ADVICE r08 #2)
 #   sim_cosine_noise_floor  sd==0 degenerate-corpus guard (ADVICE r08 #3)
 #   sim_embedding_drift / sim_top_pc / sim_source_centroid_outliers
 #                        wide lattice aggregates compiled via one SQL
 #                        parse apiece (construction-cost fix; ops
 #                        identical, oracle MATCH re-verified locally)
+#   dedup_simhash        one-parse bit-sum aggregates + signature folds
+#   dedup_minhash_lsh / dedup_cross_corpus
+#                        one-parse minhash permutation aggregates
 _FORCE_HEAD: dict[str, int] = {
     "sim_ann_ivfpq": 9,
     "dedup_semdedup": 9,
