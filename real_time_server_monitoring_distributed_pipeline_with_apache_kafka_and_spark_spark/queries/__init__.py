@@ -221,37 +221,15 @@ _REGISTERED: tuple[str, ...] = (
 # edit to forget. Brand-new queries need no pin (never-proven rows sort
 # to the head automatically).
 #
-# r09 entries — code touched this round (all 13, matching the dict):
-#   sim_ann_ivfpq        corpus PQ encode swapped to the bit-identical
-#                        Arrow numpy path (VERDICT r08 #6)
-#   dedup_semdedup       adaptive-k argmin dtype unified with the fold
-#                        path (ADVICE r08 #1) + noise-floor guardrail
-#                        + shared corpus_count
-#   pipeline_embedding_prep  noise-floor guardrail (VERDICT r08 #5)
-#   dedup_embedding_lsh / dedup_embedding_clusters / sim_knn_join
-#                        hold_occupancy count memoized (ADVICE r08 #2)
-#   sim_cosine_noise_floor  sd==0 degenerate-corpus guard (ADVICE r08 #3)
-#   sim_embedding_drift / sim_top_pc / sim_source_centroid_outliers
-#                        wide lattice aggregates compiled via one SQL
-#                        parse apiece (construction-cost fix; ops
-#                        identical, oracle MATCH re-verified locally)
-#   dedup_simhash        one-parse bit-sum aggregates + signature folds
-#   dedup_minhash_lsh / dedup_cross_corpus
-#                        one-parse minhash permutation aggregates
+# r10 entries — code touched this round (matching the dict):
+#   text_dsir_sample     per-token log-ratios now lattice to integer
+#                        nanos BEFORE the per-doc sum (ADVICE r09 #2:
+#                        order-independent long monoid replacing the
+#                        partition-order-sensitive raw-double F.avg);
+#                        oracle SQL updated in lockstep, hash surface
+#                        may shift on near-boundary docs
 _FORCE_HEAD: dict[str, int] = {
-    "sim_ann_ivfpq": 9,
-    "dedup_semdedup": 9,
-    "pipeline_embedding_prep": 9,
-    "dedup_embedding_lsh": 9,
-    "dedup_embedding_clusters": 9,
-    "sim_knn_join": 9,
-    "sim_cosine_noise_floor": 9,
-    "sim_embedding_drift": 9,
-    "sim_top_pc": 9,
-    "sim_source_centroid_outliers": 9,
-    "dedup_simhash": 9,
-    "dedup_minhash_lsh": 9,
-    "dedup_cross_corpus": 9,
+    "text_dsir_sample": 10,
 }
 
 
@@ -274,7 +252,14 @@ def _newest_green() -> dict[str, int]:
                 rows = _json.load(f)
         except (OSError, ValueError):
             continue
+        # A syntactically-valid artifact that isn't {name: row-dict} (e.g. a
+        # top-level list) must degrade to "not green", not crash package
+        # import — the rotation is best-effort over whatever history exists.
+        if not isinstance(rows, dict):
+            continue
         for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
             ok = row.get("hash_match") is True or (
                 row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             )

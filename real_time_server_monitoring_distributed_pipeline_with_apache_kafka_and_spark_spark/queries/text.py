@@ -740,9 +740,14 @@ def text_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs (the 'training' passes), the union-vocab LM table joined back
     on term (vocabulary join — Heaps-law sublinear in corpus size), a
     1-row constants broadcast, one per-doc agg, and a TakeOrdered
-    top-100 (O(N) heap, no global sort). Float policy: the score
-    lattices to integer nano units before ranking and display (JVM log
-    vs libm last-ulp policy, same as text_unigram_logprob).
+    top-100 (O(N) heap, no global sort). Float policy (r10): each
+    per-token log-ratio is latticed to integer NANOS before the per-doc
+    sum, so the aggregate is a commutative long monoid —
+    partition/summation order cannot move a near-boundary doc's score
+    (the drift_sum_exprs / monitor_trace_knn policy, replacing the
+    earlier raw-double F.avg). The per-doc mean is then ONE
+    deterministic double division of that exact long sum by n_tokens,
+    re-floored to nanos for ranking and display.
     """
     from pyspark.sql.window import Window
 
@@ -780,11 +785,13 @@ def text_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         c_terms.join(lm, "term")
         .crossJoin(F.broadcast(consts))
-        .withColumn("_lr", lr)
+        .withColumn("_lr9", F.floor(lr * F.lit(1e9) + F.lit(0.5)).cast("long"))
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_tokens"), F.avg("_lr").alias("_w"))
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("_lr9").alias("_s9"))
     )
-    w9 = F.floor(F.col("_w") * 1e9 + F.lit(0.5)).cast("long")
+    w9 = F.floor(F.col("_s9").cast("double") / F.col("n_tokens") + F.lit(0.5)).cast(
+        "long"
+    )
     sel = (
         scored.select("doc_id", "n_tokens", w9.alias("_w9"))
         .orderBy(F.col("_w9").desc(), "doc_id")
@@ -920,13 +927,17 @@ consts AS (
 ),
 sc AS (
   SELECT c.doc_id, count(*) AS n_tokens,
-         avg(ln((CAST(t0 + 1 AS DOUBLE) / CAST(n_t + v AS DOUBLE))
-                / (CAST(r0 + 1 AS DOUBLE) / CAST(n_r + v AS DOUBLE)))) AS w
+         CAST(sum(CAST(floor(
+             ln((CAST(t0 + 1 AS DOUBLE) / CAST(n_t + v AS DOUBLE))
+                / (CAST(r0 + 1 AS DOUBLE) / CAST(n_r + v AS DOUBLE)))
+             * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s9
   FROM c_terms c JOIN lm USING (term) CROSS JOIN consts
   GROUP BY c.doc_id
 ),
 r AS (
-  SELECT doc_id, n_tokens, CAST(floor(w * 1e9 + 0.5) AS BIGINT) AS w9 FROM sc
+  SELECT doc_id, n_tokens,
+         CAST(floor(CAST(s9 AS DOUBLE) / n_tokens + 0.5) AS BIGINT) AS w9
+  FROM sc
 )
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(w9 AS DOUBLE) / 1e9 AS avg_logratio,
