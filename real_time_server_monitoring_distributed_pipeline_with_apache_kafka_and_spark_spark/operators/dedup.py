@@ -751,6 +751,127 @@ def hamming64_pairs(
     )
 
 
+class SignatureSaturationWarning(UserWarning):
+    """A 64-bit signature space is saturating on this corpus — the
+    hamming<=t pair output (and cost) will grow ~quadratically with the
+    corpus, in ANY engine."""
+
+
+_SIG_SAT_CACHE: "weakref.WeakKeyDictionary" = None  # built lazily below
+
+
+def estimate_signature_collision_rate(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    sample: int = 1024,
+) -> float:
+    """p-hat = P(two random signatures from this corpus land within
+    hamming <= max_hamming), from a bounded sample.
+
+    The r09 scale ladder's a-hash lesson (SCALING.md, slopes 0.94/1.12)
+    made operational: on a low-entropy corpus the 64-bit perceptual-hash
+    space SATURATES (6,015 distinct signatures at 25k docs on the
+    synthetic byte stream), so hamming<=t collision mass — and therefore
+    pair output — grows ~C(N,2)*p-hat = Theta(N^2) no matter how the
+    join is banded. This is the perceptual-hash twin of
+    similarity.estimate_noise_floor: one TakeOrdered job collects the
+    md5-order-first ``sample`` signatures (deterministic pseudo-random
+    draw; O(rows-of-sig) scan, O(sample) driver bytes) and the
+    ~sample^2/2 pair hamming distances are one driver-side numpy XOR +
+    byte-LUT popcount. When computing a signature is expensive (the
+    Arrow image-decode path), pass ``sig`` built over an ALREADY
+    md5-sampled slice of the corpus so the decode stays bounded — the
+    in-function orderBy is then a no-op reorder and determinism holds.
+    """
+    import numpy as np
+
+    rows = (
+        sig.orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(sample)
+        .select("sig_lo", "sig_hi")
+        .collect()
+    )
+    m = len(rows)
+    if m < 2:  # empty/1-row corpus: no pairs, nothing to estimate
+        return 0.0
+    # sig_lo / sig_hi are 32-bit halves carried in longs (hamming64_pairs
+    # contract), so uint64 holds them exactly.
+    lo = np.asarray([r[0] for r in rows], dtype=np.uint64)
+    hi = np.asarray([r[1] for r in rows], dtype=np.uint64)
+    lut = np.asarray(
+        [bin(i).count("1") for i in range(256)], dtype=np.uint16
+    )
+    iu = np.triu_indices(m, k=1)
+    ham = np.zeros(iu[0].shape[0], dtype=np.uint16)
+    for half in (lo, hi):
+        xor = (half[iu[0]] ^ half[iu[1]]).view(np.uint8).reshape(-1, 8)
+        ham += lut[xor].sum(axis=1, dtype=np.uint16)
+    within = int((ham <= max_hamming).sum())
+    return within / (m * (m - 1) / 2)
+
+
+def warn_if_signature_space_saturated(
+    sig: DataFrame,
+    corpus_count: int,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    sample: int = 1024,
+    warn_pairs_per_row: float = 1.0,
+) -> float:
+    """Pre-flight guardrail for hamming64_pairs callers (VERDICT r09 #1,
+    the image twin of similarity.warn_if_threshold_in_noise_floor):
+    estimate the signature collision rate from a bounded sample and emit
+    a ``SignatureSaturationWarning`` when the expected hamming<=t pairs
+    PER ROW at ``corpus_count`` rows exceeds ``warn_pairs_per_row`` —
+    i.e. when pair output is already super-linear at the current corpus.
+    Returns the expected pairs-per-row estimate: p-hat * (N-1)/2, where
+    p-hat comes from :func:`estimate_signature_collision_rate`.
+
+    On a HIGH-entropy 64-bit signature distribution p-hat ~ |hamming<=6
+    ball| / 2^64 ~ 8.7e7 / 1.8e19 ~ 5e-12, so even N = 1e9 (100 TB of
+    documents) expects only ~0.002 pairs/row — real perceptual hashes
+    over real images pass silently at any scale. The synthetic stub-pixel
+    corpus saturates at a few thousand distinct signatures, crossing the
+    1-pair/row line already at sf0.01 — exactly the regime SCALING.md
+    measured. Memoized per (DataFrame object, max_hamming, id_col,
+    sample) so a composite that gates twice on the SAME frame pays the
+    sample job once; a fresh load_table frame is a fresh key (by design —
+    file listings must not be cached away).
+    """
+    global _SIG_SAT_CACHE
+    if _SIG_SAT_CACHE is None:
+        import weakref
+
+        _SIG_SAT_CACHE = weakref.WeakKeyDictionary()
+    try:
+        per_df = _SIG_SAT_CACHE.setdefault(sig, {})
+    except TypeError:  # non-weakref-able stand-in
+        per_df = {}
+    key = (max_hamming, id_col, sample)
+    if key not in per_df:
+        per_df[key] = estimate_signature_collision_rate(
+            sig, id_col, max_hamming, sample
+        )
+    p_hat = per_df[key]
+    expected_per_row = p_hat * max(0, corpus_count - 1) / 2.0
+    if expected_per_row > warn_pairs_per_row:
+        import warnings
+
+        warnings.warn(
+            f"64-bit signature space is saturating on this corpus: sampled "
+            f"hamming<={max_hamming} collision rate {p_hat:.2e} implies "
+            f"~{expected_per_row:.1f} pairs per row at N={corpus_count} "
+            f"(> {warn_pairs_per_row:g}) — near-dup pair output and cost "
+            "will grow quadratically with the corpus. Use a wider/higher-"
+            "entropy signature (e.g. pHash/dHash over real pixels, or more "
+            "grid cells), lower max_hamming, or pre-shard by an exact key.",
+            SignatureSaturationWarning,
+            stacklevel=2,
+        )
+    return expected_per_row
+
+
 def containment_pairs(
     shingled: DataFrame,
     id_col: str = "doc_id",

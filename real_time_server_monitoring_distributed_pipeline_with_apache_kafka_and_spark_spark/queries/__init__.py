@@ -228,8 +228,15 @@ _REGISTERED: tuple[str, ...] = (
 #                        partition-order-sensitive raw-double F.avg);
 #                        oracle SQL updated in lockstep, hash surface
 #                        may shift on near-boundary docs
+#   mm_image_ahash / mm_image_dedup_clusters / pipeline_multimodal_prep
+#                        signature-entropy pre-flight guardrail wired in
+#                        (VERDICT r09 #1; warning only, oracle MATCH
+#                        re-verified locally on all three)
 _FORCE_HEAD: dict[str, int] = {
     "text_dsir_sample": 10,
+    "mm_image_ahash": 10,
+    "mm_image_dedup_clusters": 10,
+    "pipeline_multimodal_prep": 10,
 }
 
 

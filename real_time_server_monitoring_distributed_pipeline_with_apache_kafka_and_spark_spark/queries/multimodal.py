@@ -98,10 +98,23 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk-pigeonhole hamming join SimHash uses
     (operators.dedup.hamming64_pairs). Exact-duplicate payloads hash
     identically (hamming 0); near-identical grids surface up to
-    hamming 6 with zero all-pairs work."""
-    from ..operators.dedup import hamming64_pairs
+    hamming 6 with zero all-pairs work.
+
+    Pre-flight (r10, VERDICT r09 #1): signature-entropy guardrail — a
+    bounded md5-sampled probe (decode stays O(sample)) estimates the
+    hamming<=6 collision rate and warns when pair output is already
+    super-linear at this corpus size (the stub-pixel corpus saturates;
+    real perceptual hashes pass silently). Warning only — the returned
+    plan and its oracle hash are unchanged."""
+    from ..operators.dedup import hamming64_pairs, warn_if_signature_space_saturated
 
     docs = load_table(spark, sf_dir, "documents")
+    probe = docs.orderBy(F.md5(F.col("doc_id").cast("string"))).limit(1024)
+    warn_if_signature_space_saturated(
+        ops.image_ahash(ops.attach_binary_payload(probe)),
+        corpus_count=docs.count(),
+        max_hamming=6,
+    )
     sig = ops.image_ahash(ops.attach_binary_payload(docs))
     return hamming64_pairs(sig, "doc_id", max_hamming=6, n_chunks=8)
 
@@ -157,10 +170,22 @@ def mm_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The vector/text dedup-cluster story (dedup_clusters,
     dedup_embedding_clusters) applied to the image modality: same
     pointer-doubling components operator, same recursive-CTE oracle
-    closure over the replayed pair SQL."""
-    from ..operators.dedup import connected_components, hamming64_pairs
+    closure over the replayed pair SQL. Pre-flight (r10): the same
+    signature-entropy guardrail as mm_image_ahash — warning only, plan
+    and oracle hash unchanged."""
+    from ..operators.dedup import (
+        connected_components,
+        hamming64_pairs,
+        warn_if_signature_space_saturated,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
+    probe = docs.orderBy(F.md5(F.col("doc_id").cast("string"))).limit(1024)
+    warn_if_signature_space_saturated(
+        ops.image_ahash(ops.attach_binary_payload(probe)),
+        corpus_count=docs.count(),
+        max_hamming=6,
+    )
     sig = ops.image_ahash(ops.attach_binary_payload(docs))
     pairs = hamming64_pairs(sig, "doc_id", max_hamming=6, n_chunks=8)
     return connected_components(
@@ -232,10 +257,20 @@ def pipeline_multimodal_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 1 row/doc before any exchange, stateless md5 split — every stage
     hash-exact, so the composite hash-checks end-to-end.
     """
-    from ..operators.dedup import connected_components, hamming64_pairs
+    from ..operators.dedup import (
+        connected_components,
+        hamming64_pairs,
+        warn_if_signature_space_saturated,
+    )
     from ..operators.text import hash_bucket_100
 
     docs = load_table(spark, sf_dir, "documents")
+    probe = docs.orderBy(F.md5(F.col("doc_id").cast("string"))).limit(1024)
+    warn_if_signature_space_saturated(
+        ops.image_ahash(ops.attach_binary_payload(probe)),
+        corpus_count=docs.count(),
+        max_hamming=6,
+    )
     wp = ops.attach_binary_payload(docs)
     sig = ops.image_ahash(wp)
     pairs = hamming64_pairs(sig, "doc_id", max_hamming=6, n_chunks=8)

@@ -109,3 +109,85 @@ def test_image_ahash_known_bits_and_exact_dup(spark):
         image_ahash(attach_binary_payload(docs)), max_hamming=6
     ).collect()
     assert [(p.a_id, p.b_id, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_signature_saturation_guardrail_warns_on_stub_corpus(spark):
+    """VERDICT r09 #1 pin: the stub-pixel synthetic corpus SATURATES the
+    64-bit a-hash space (SCALING.md measured 6,015 distinct signatures at
+    25k docs -> hamming<=6 pair output ~ N^2, ladder slopes 0.94/1.12), so
+    at the ladder's corpus size the pre-flight guardrail MUST warn. The
+    collision rate is estimated from a bounded md5-sampled probe (decode
+    stays O(sample)), exactly as the registry queries wire it."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators import (
+        dedup as d,
+    )
+    from .conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    probe = docs.orderBy(F.md5(F.col("doc_id").cast("string"))).limit(1024)
+    sig = mm.image_ahash(mm.attach_binary_payload(probe))
+    p_hat = d.estimate_signature_collision_rate(sig)
+    assert p_hat > 1e-4, f"stub corpus collision rate {p_hat:.2e} not saturated?"
+    with _pytest.warns(d.SignatureSaturationWarning):
+        exp = d.warn_if_signature_space_saturated(sig, corpus_count=25_000)
+    assert exp > 1.0
+
+
+def test_signature_saturation_guardrail_silent_on_high_entropy(spark):
+    """A HIGH-entropy 64-bit signature distribution (random sigs — what a
+    real perceptual hash over real images produces) has hamming<=6 mass
+    ~5e-12, so even at N=1e9 (100 TB of documents) the guardrail must
+    stay silent: ~0.002 expected pairs/row, output linear."""
+    import warnings
+
+    import numpy as np
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators import (
+        dedup as d,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, int(rng.integers(0, 1 << 32)), int(rng.integers(0, 1 << 32)))
+        for i in range(600)
+    ]
+    hs = spark.createDataFrame(rows, "doc_id: long, sig_lo: long, sig_hi: long")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", d.SignatureSaturationWarning)
+        exp = d.warn_if_signature_space_saturated(hs, corpus_count=10**9)
+    assert exp < 1.0
+
+
+def test_signature_saturation_estimate_is_memoized_and_handles_empty(spark):
+    """Composites gate once per frame: the sample job must run once per
+    (frame, params) key — and an empty/1-row corpus has no pairs, so the
+    estimator returns 0.0 instead of crashing (the noise-floor contract,
+    mirrored)."""
+    import warnings
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators import (
+        dedup as d,
+    )
+    from .conftest import SF_SMOKE as _SF
+
+    docs = load_table(spark, _SF, "documents")
+    sig = mm.image_ahash(mm.attach_binary_payload(docs))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", d.SignatureSaturationWarning)
+        e1 = d.warn_if_signature_space_saturated(sig, corpus_count=100)
+    assert sig in d._SIG_SAT_CACHE
+    # poison the cache: a second call must READ it, not recompute
+    d._SIG_SAT_CACHE[sig][(6, "doc_id", 1024)] = 0.5
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", d.SignatureSaturationWarning)
+        e2 = d.warn_if_signature_space_saturated(sig, corpus_count=100)
+    assert e2 != e1 and e2 == 0.5 * 99 / 2.0
+
+    empty = spark.createDataFrame([], "doc_id: long, sig_lo: long, sig_hi: long")
+    assert d.estimate_signature_collision_rate(empty) == 0.0
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", d.SignatureSaturationWarning)
+        assert d.warn_if_signature_space_saturated(empty, corpus_count=0) == 0.0
