@@ -603,6 +603,26 @@ def _centroid_udf(centroids: "np.ndarray", n_probe: int):
     return assign
 
 
+# Deterministic-build memo (VERDICT r09 #2): the IVF centroid build is a
+# pure function of (corpus BYTES, params), and within one session the ANN
+# family re-derives the exact same k x dim matrix for every tier that
+# shares the index (sim_ann_ivf, sim_ann_ivfpq, sim_ann_ivfpq_recall) —
+# two corpus passes apiece. Entries key on DataFrame.sameSemantics (the
+# canonicalized plan, so a FRESH load_table frame over the same path HITS)
+# plus the build params; values are driver-side k x dim numpy copies, a
+# few KB each. Contract: inputs are immutable for the life of a session
+# (the bench/driver shape); after overwriting an input path in-session,
+# call clear_ivf_build_cache(). Bounded FIFO so held DataFrame handles
+# can't accumulate.
+_IVF_BUILD_CACHE: list = []
+_IVF_BUILD_CACHE_MAX = 32
+
+
+def clear_ivf_build_cache() -> None:
+    """Drop memoized IVF builds (after in-session input mutation)."""
+    _IVF_BUILD_CACHE.clear()
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -616,7 +636,18 @@ def ivf_centroids(
     init sample + ``kmeans_iters`` Lloyd steps whose per-(cell, dim)
     sums are floor(x*1e9 + 0.5)-scaled LONGS (exact, order-independent)
     used UNNORMALIZED as centroid directions. Only the k x dim matrix
-    visits the driver."""
+    visits the driver. Memoized per (semantic plan, params) — see
+    ``_IVF_BUILD_CACHE`` — so the ANN family builds the index once per
+    session instead of once per tier."""
+    params = (n_centroids, kmeans_iters, seed, id_col, vec_col)
+    for cached_df, cached_params, cached_cents in _IVF_BUILD_CACHE:
+        if cached_params != params:
+            continue
+        try:
+            if corpus.sameSemantics(cached_df):
+                return cached_cents.copy()
+        except Exception:  # stale session / Connect: treat as a miss
+            continue
     init = [
         np.asarray(r[0], dtype=np.float64)
         for r in corpus.select(vec_col)
@@ -647,6 +678,9 @@ def ivf_centroids(
             centroids[row["cell"]] = np.asarray(
                 [row[f"d{d}"] for d in range(dim)], dtype=np.float64
             )
+    if len(_IVF_BUILD_CACHE) >= _IVF_BUILD_CACHE_MAX:
+        _IVF_BUILD_CACHE.pop(0)
+    _IVF_BUILD_CACHE.append((corpus, params, centroids.copy()))
     return centroids
 
 

@@ -232,11 +232,19 @@ _REGISTERED: tuple[str, ...] = (
 #                        signature-entropy pre-flight guardrail wired in
 #                        (VERDICT r09 #1; warning only, oracle MATCH
 #                        re-verified locally on all three)
+#   sim_ann_ivf / sim_ann_ivfpq / sim_ann_ivfpq_recall
+#                        shared IVF build memoized per (semantic plan,
+#                        params) (VERDICT r09 #2; build bit-identical by
+#                        pin, oracle MATCH re-verified locally on all
+#                        three plus sim_ann_recall)
 _FORCE_HEAD: dict[str, int] = {
     "text_dsir_sample": 10,
     "mm_image_ahash": 10,
     "mm_image_dedup_clusters": 10,
     "pipeline_multimodal_prep": 10,
+    "sim_ann_ivf": 10,
+    "sim_ann_ivfpq": 10,
+    "sim_ann_ivfpq_recall": 10,
 }
 
 

@@ -585,3 +585,31 @@ def test_noise_floor_estimator_handles_empty_corpus(spark):
     with warnings.catch_warnings():
         warnings.simplefilter("error", s.NoiseFloorWarning)
         assert s.warn_if_threshold_in_noise_floor(empty, 0.45) == float("inf")
+
+
+def test_ivf_build_memo_hits_across_fresh_frames(spark):
+    """VERDICT r09 #2 pin: the deterministic IVF build is memoized per
+    (semantic plan, params) so the ANN family (sim_ann_ivf / sim_ann_ivfpq
+    / sim_ann_ivfpq_recall) builds the index ONCE per session — a fresh
+    load_table frame over the SAME path must HIT (sameSemantics, not
+    object identity), a different path or different params must MISS, and
+    the hit must return the bit-identical matrix (the hash-checked oracle
+    replays the build from literals, so any drift is a driver mismatch)."""
+    import numpy as np
+
+    s.clear_ivf_build_cache()
+    emb1 = load_table(spark, SF_ORACLE, "embeddings")
+    emb2 = load_table(spark, SF_ORACLE, "embeddings")
+    a = s.ivf_centroids(emb1)
+    n = len(s._IVF_BUILD_CACHE)
+    b = s.ivf_centroids(emb2)
+    assert len(s._IVF_BUILD_CACHE) == n, "same-path fresh frame missed the memo"
+    assert np.array_equal(a, b)
+    s.ivf_centroids(emb2, seed=8)
+    assert len(s._IVF_BUILD_CACHE) == n + 1, "different params must be a fresh build"
+    # returned arrays are copies: caller mutation must not poison the memo
+    b[0, 0] += 1.0
+    c = s.ivf_centroids(load_table(spark, SF_ORACLE, "embeddings"))
+    assert np.array_equal(a, c)
+    s.clear_ivf_build_cache()
+    assert len(s._IVF_BUILD_CACHE) == 0
