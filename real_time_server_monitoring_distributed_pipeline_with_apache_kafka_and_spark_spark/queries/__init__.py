@@ -237,6 +237,11 @@ _REGISTERED: tuple[str, ...] = (
 #                        params) (VERDICT r09 #2; build bit-identical by
 #                        pin, oracle MATCH re-verified locally on all
 #                        three plus sim_ann_recall)
+#   rel_approx_distinct / rel_approx_percentile / rel_hll_daily_users
+#                        rows-only sketches became hash-checked accuracy
+#                        reports (VERDICT r09 #6: estimates out of the
+#                        hash surface, exact legs + bound booleans in;
+#                        new oracles verified at sf0.01 AND sf0.1)
 _FORCE_HEAD: dict[str, int] = {
     "text_dsir_sample": 10,
     "mm_image_ahash": 10,
@@ -245,6 +250,9 @@ _FORCE_HEAD: dict[str, int] = {
     "sim_ann_ivf": 10,
     "sim_ann_ivfpq": 10,
     "sim_ann_ivfpq_recall": 10,
+    "rel_approx_distinct": 10,
+    "rel_approx_percentile": 10,
+    "rel_hll_daily_users": 10,
 }
 
 

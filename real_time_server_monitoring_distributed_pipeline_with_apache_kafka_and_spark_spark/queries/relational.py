@@ -441,13 +441,30 @@ def rel_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per group — the 100 TB path
-    for cardinality (mergeable sketch, no exact-distinct shuffle). Sketch
-    estimates are engine-specific => rows-only driver check; relative
-    error vs exact is pinned in tests."""
+    for cardinality (mergeable sketch, no exact-distinct shuffle) — as a
+    hash-checked ACCURACY REPORT (r10, VERDICT r09 #6): both legs run
+    (the sketch and the exact distinct), and what the query emits is the
+    exact cardinality plus a boolean asserting the sketch landed within
+    its documented band (default rsd 0.05, checked at 3x => 15%). The
+    raw estimate is engine-specific and stays OUT of the hash surface
+    (the monitor_heavy_hitters `hi`-column policy); the accuracy
+    CONTRACT is what the driver oracle now checks — TRUE in SQL, so a
+    sketch drifting out of band is a driver hash mismatch, not a silent
+    rows-only pass (the sim_ann_recall "quality is a fact" pattern).
+    At 100 TB the exact leg is the verification harness you drop:
+    ``F.approx_count_distinct`` alone is the production expression, and
+    the pinned tests keep the tighter 5% empirical band."""
     orders = load_table(spark, sf_dir, "orders")
+    est = F.approx_count_distinct("o_custkey")
+    exact = F.count_distinct(F.col("o_custkey"))
+    ok = (
+        F.abs(est.cast("double") - exact.cast("double"))
+        <= F.lit(0.15) * exact.cast("double")
+    )
     return orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
         F.count(F.lit(1)).alias("n_orders"),
+        exact.alias("exact_customers"),
+        ok.alias("hll_within_band"),
     )
 
 
@@ -467,21 +484,61 @@ def rel_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_APPROX_PCT_ACC = 10000
+_APPROX_PCT_QS = (0.25, 0.5, 0.75)
+
+
 def rel_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles: the 100 TB path rel_percentile's docstring
     points at. ``approx_percentile`` builds a bounded-memory mergeable
     sketch per partition (map-side partial agg) instead of materializing a
-    per-group sort — state is O(accuracy), not O(rows). Sketch output is
-    engine-specific => rows-only driver check; the error bound vs the
-    exact percentiles is pinned in tests/test_joins.py."""
-    orders = load_table(spark, sf_dir, "orders")
-    acc = F.lit(10000)
-    return orders.groupBy("o_orderpriority").agg(
-        F.approx_percentile("o_totalprice", F.lit(0.25), acc).alias("p25"),
-        F.approx_percentile("o_totalprice", F.lit(0.5), acc).alias("p50"),
-        F.approx_percentile("o_totalprice", F.lit(0.75), acc).alias("p75"),
+    per-group sort — state is O(accuracy), not O(rows) — as a hash-checked
+    RANK-CONTRACT report (r10, VERDICT r09 #6): the sketch's guarantee is
+    that the returned element's RANK is within n/accuracy of the target
+    rank, so the query joins each group's approx p25/p50/p75 back to the
+    rows and emits booleans checking exactly that (duplicate-safe, both
+    engines agree on counting: count(< v) must not overshoot the target
+    and count(<= v) must reach it, each with n/accuracy + 1 slack). The
+    raw sketch values are engine-specific and stay OUT of the hash
+    surface (monitor_heavy_hitters policy); the rank contract is TRUE in
+    the SQL oracle, so a sketch violating its bound is a driver hash
+    mismatch. The tighter 1%-of-value empirical band stays pinned in
+    tests/test_joins.py. Scale shape: one sketch agg + one group-key
+    join + one conditional agg — the verification legs you drop at
+    100 TB, where the sketch agg alone is the production expression."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    acc = F.lit(_APPROX_PCT_ACC)
+    sk = orders.groupBy("o_orderpriority").agg(
+        *[
+            F.approx_percentile("o_totalprice", F.lit(q), acc).alias(f"_a{int(q*100)}")
+            for q in _APPROX_PCT_QS
+        ],
         F.count(F.lit(1)).alias("n_orders"),
     )
+    j = orders.join(sk, "o_orderpriority")
+    n = F.col("n_orders").cast("double")
+    tol = n / F.lit(float(_APPROX_PCT_ACC)) + F.lit(1.0)
+    aggs = [F.first("n_orders").alias("n_orders")]
+    oks = []
+    for q in _APPROX_PCT_QS:
+        v = F.col(f"_a{int(q*100)}")
+        lt = F.sum(
+            F.when(F.col("o_totalprice") < v, 1).otherwise(0)
+        ).alias(f"_lt{int(q*100)}")
+        le = F.sum(
+            F.when(F.col("o_totalprice") <= v, 1).otherwise(0)
+        ).alias(f"_le{int(q*100)}")
+        aggs.extend([lt, le])
+    g = j.groupBy("o_orderpriority").agg(*aggs)
+    for q in _APPROX_PCT_QS:
+        target = F.lit(1.0) + F.lit(q) * (n - F.lit(1.0))
+        ok = (
+            F.col(f"_lt{int(q*100)}").cast("double") < target + tol
+        ) & (F.col(f"_le{int(q*100)}").cast("double") >= target - tol)
+        oks.append(ok.alias(f"rank_ok_p{int(q*100)}"))
+    return g.select("o_orderpriority", "n_orders", *oks)
 
 
 def rel_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -932,22 +989,51 @@ def rel_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, answer any date-range distinct-count by merging O(days)
     sketch blobs.
 
-    Rows-only driver check by design (DataSketches binary/estimates are
-    not replayable in the SQL oracle engine — same policy as
-    rel_approx_distinct); estimate-vs-exact error bounds are pinned in
-    pytest instead.
+    Hash-checked accuracy report since r10 (VERDICT r09 #6, replacing the
+    original rows-only contract): the DataSketches binary/estimates are
+    not replayable in the SQL oracle engine, so the ESTIMATE stays out of
+    the hash surface (monitor_heavy_hitters policy) and the query instead
+    emits the exact per-day / unioned distinct counts plus a boolean
+    asserting each estimate landed within 5% of exact (default lgK=12 =>
+    rsd ~1.6%, checked at ~3x). TRUE in SQL — a sketch or union drifting
+    out of band is now a driver hash mismatch. The exact legs are the
+    verification harness you drop at 100 TB (sketch-only is the
+    production path: store per-day sketch blobs, merge O(days) of them
+    per range query); the tighter empirical pins stay in pytest.
     """
     events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        F.date_format("ts", "yyyy-MM-dd").alias("day")
-    ).agg(F.hll_sketch_agg("user_id").alias("sk"), F.count(F.lit(1)).alias("n_events"))
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    daily = events.groupBy(day).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+    def banded(est, exact):
+        return F.abs(est.cast("double") - exact.cast("double")) <= F.lit(
+            0.05
+        ) * exact.cast("double")
+
     per_day = daily.select(
-        "day", F.hll_sketch_estimate("sk").alias("est_users"), "n_events"
+        "day",
+        "exact_users",
+        "n_events",
+        banded(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias(
+            "hll_within_band"
+        ),
+    )
+    exact_all = events.agg(
+        F.count_distinct(F.col("user_id")).alias("exact_users")
     )
     total = daily.agg(
         F.lit("ALL").alias("day"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
         F.sum("n_events").alias("n_events"),
+    ).crossJoin(F.broadcast(exact_all)).select(
+        "day",
+        "exact_users",
+        "n_events",
+        banded(F.col("_est"), F.col("exact_users")).alias("hll_within_band"),
     )
     return per_day.unionByName(total)
 
@@ -2715,6 +2801,38 @@ SELECT o_orderpriority,
   quantile_cont(o_totalprice, 0.75) AS p75,
   count(*) AS n_orders
 FROM orders GROUP BY o_orderpriority
+""",
+    # Sketch accuracy reports (r10): the engine-specific estimates stay
+    # out of the hash surface; the oracle replays the exact legs and
+    # asserts the bound booleans are TRUE, so an out-of-band sketch is a
+    # driver hash mismatch rather than a silent rows-only pass.
+    "rel_approx_distinct": """
+SELECT o_orderpriority,
+  count(*) AS n_orders,
+  count(DISTINCT o_custkey) AS exact_customers,
+  TRUE AS hll_within_band
+FROM orders GROUP BY o_orderpriority
+""",
+    "rel_approx_percentile": """
+SELECT o_orderpriority,
+  count(*) AS n_orders,
+  TRUE AS rank_ok_p25,
+  TRUE AS rank_ok_p50,
+  TRUE AS rank_ok_p75
+FROM orders GROUP BY o_orderpriority
+""",
+    "rel_hll_daily_users": """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+  count(DISTINCT user_id) AS exact_users,
+  count(*) AS n_events,
+  TRUE AS hll_within_band
+FROM events GROUP BY 1
+UNION ALL
+SELECT 'ALL' AS day,
+  count(DISTINCT user_id) AS exact_users,
+  count(*) AS n_events,
+  TRUE AS hll_within_band
+FROM events
 """,
     "rel_json_funcs": """
 SELECT event_id,

@@ -295,6 +295,7 @@ INTENTIONAL_NESTED_LOOP = {
     "text_bpe_train",       # 3x 1-row argmax-pair scalar broadcast (same)
     "text_bpe_encode",      # same 3 argmax broadcasts (shared merge loop)
     "text_mixture_sample",  # 1-row N* budget scalar broadcast (same)
+    "rel_hll_daily_users",  # 1-row exact-ALL scalar broadcast (r10 accuracy report)
     "sim_top_pc",           # 3x 1-row iterate-vector broadcast (same)
     # r09 additions
     "sim_ann_ivfpq_recall",  # contains the brute-force leg as ground truth
@@ -344,14 +345,14 @@ EXCHANGE_CENSUS = {
     # the inspected plan is the final broadcast label join only.
     "pipeline_corpus_curation": 17, "pipeline_embedding_prep": 1,
     "pipeline_multimodal_prep": 5, "pipeline_training_prep": 23,
-    "rel_agg_stats": 1, "rel_approx_distinct": 1, "rel_approx_percentile": 1,
+    "rel_agg_stats": 1, "rel_approx_distinct": 2, "rel_approx_percentile": 1,
     "rel_array_funcs": 0, "rel_asof_join": 2, "rel_benford_check": 2,
     "rel_cascade_delete": 3, "rel_cdc_merge": 1, "rel_cohort_retention": 3,
     "rel_conditional_funcs": 0, "rel_corr_matrix": 1, "rel_count_distinct": 2,
     "rel_cross_join": 0, "rel_cube": 1, "rel_date_funcs": 0,
     "rel_decile_lift": 2, "rel_disjunctive_filter": 1, "rel_distinct": 1,
     "rel_fuzzy_join": 1, "rel_grouping_sets": 1, "rel_having": 1,
-    "rel_hll_daily_users": 3, "rel_join_anti": 0,
+    "rel_hll_daily_users": 6, "rel_join_anti": 0,
     "rel_join_customer_orders": 1, "rel_join_full_outer": 2,
     "rel_mad_outliers": 4, "rel_merge_into": 2,
     "rel_join_left_outer": 1, "rel_join_semi": 0, "rel_json_funcs": 0,
