@@ -122,6 +122,10 @@ HEADLINE = HEADLINE24 + [
     "text_dsir_sample",           # DSIR importance-ranked selection
     "sim_ann_ivfpq_recall",       # compressed-tier quality report
     "monitor_trace_knn",          # hourly-profile z-norm similarity search
+    # added r10 (VERDICT r09 #8): the two remaining never-benched heavy
+    # constructors, so regressions there are visible round-over-round
+    "dedup_simhash",              # one-parse bit-sum sigs + pigeonhole join
+    "rel_salted_join",            # skew-salted replicate-build equi-join
 ]
 
 

@@ -37,6 +37,19 @@ WINDOW = 50
 # the cap, because since r09 queries/__init__.py COMPUTES the window
 # oldest-green-first from the committed CORRECTNESS_r*.json history — the
 # rotation can no longer drift from the policy by hand-editing error.
+#
+# FINAL-SIZE POLICY (r10, VERDICT r09 #5): the registry converges to at
+# most HEADROOM_CAP = 212 entries — the cap is the declared final size,
+# not a ceiling to race. At 175 registered after r09 the remaining 37
+# slots are budgeted for genuinely NEW operator classes only (not
+# variants of proven shapes), ~3-4 per round across the remaining
+# rounds. If the cap is ever reached, the named consolidation candidates
+# go first: the *_bucketed flagship twins (fold into a parametrized
+# single slot once the zero-exchange plan pins no longer need separate
+# driver rows) and the text_stratified_sample / _salted pair (same
+# contract, different skew posture). MAX_AGE stays 4; raising it again
+# would trade driver-proof freshness for capacity we do not need under
+# this budget.
 MAX_AGE = 4  # a green from round N satisfies compositions of rounds N..N+MAX_AGE
 HEADROOM_FRACTION = 0.15
 
