@@ -158,6 +158,8 @@ _REGISTERED: tuple[str, ...] = (
     "rel_decile_lift",
     "rel_mom_growth",
     "text_bpe_pair_counts",
+    "text_quality_classifier",
+    "text_bootstrap_stats",
     "text_pmi_bigrams",
     "mm_audio_silence_trim",
     "monitor_heavy_hitters",

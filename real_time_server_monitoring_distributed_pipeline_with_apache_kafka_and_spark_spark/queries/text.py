@@ -806,8 +806,129 @@ def text_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-model quality scoring (fasttext-style linear classifier,
+    the FineWeb/LLaMA curation stage the rule batteries don't cover):
+    every token maps to a weight via the HASHING TRICK — no vocabulary
+    table, no join, the model is a fixed-size function shipped in the
+    plan — the doc's logit is the mean token weight, and the keep
+    decision thresholds it. Here the weights are a seeded md5 derivation
+    (the deterministic stand-in for trained parameters, same posture as
+    the stub image decoder: the INFERENCE plumbing — feature hashing,
+    mean pooling, thresholding — is real and oracle-replayed; plugging a
+    trained table in swaps one expression).
+
+    Scale shape: explode -> scan-local hash math -> ONE per-doc hash agg.
+    Model inference at 100 TB is exactly this: per-token work is a hash +
+    modulo (no weight-table shuffle, the hashing trick's point), and the
+    aggregate is the engine's standard map-side-combine sum. Float
+    policy: per-token weights are integer MILLI units summed as longs
+    (order-independent monoid); the mean is one double division latticed
+    back to millis, so the keep decision has no float boundary.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(ops.tokens(F.col("text"))).alias("term")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("term"), F.lit("#qw"))), 1, 8), 16, 10
+    ).cast("long")
+    mw = F.pmod(h, F.lit(2001)) - F.lit(1000)
+    scored = (
+        toks.withColumn("_mw", mw)
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("_mw").alias("_s"))
+    )
+    score_milli = F.floor(
+        F.col("_s").cast("double") / F.col("n_tokens") + F.lit(0.5)
+    ).cast("long")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        score_milli.alias("score_milli"),
+        (score_milli >= F.lit(0)).alias("keep"),
+    )
+
+
+# Poisson(1) inverse CDF on a 0-999 per-mille lattice (CDF*1000 floored:
+# 367.88 -> 368 boundary etc.) — identical CASE ladder in both engines.
+_POISSON1_PM = (368, 736, 920, 981, 996, 999)
+
+
+def _poisson1(u) -> F.Column:
+    """Replicate count from a per-mille uniform: inverse Poisson(1) CDF."""
+    expr = F.lit(6)
+    for k in reversed(range(len(_POISSON1_PM))):
+        expr = F.when(u < F.lit(_POISSON1_PM[k]), F.lit(k)).otherwise(expr)
+    return expr
+
+
+def text_bootstrap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap over the corpus (sampling WITH replacement — the
+    class none of the engine's other samplers cover): each document draws
+    an independent replicate count ~ Poisson(1) per bootstrap round from
+    a seeded per-mille uniform (the standard distributed bootstrap — no
+    global N needed, so it runs in one scan at any corpus size), and the
+    per-source token totals across R=3 rounds give the uncertainty band
+    on corpus-composition stats that data-ablation decisions read
+    ("is src2's token share 12% +/- 0.1 or +/- 3?").
+
+    Scale shape: ONE scan, R seeded per-doc draws as scan-local CASE
+    ladders (no explode — the replicate count MULTIPLIES the doc's token
+    count into each round's sum), one per-source hash agg. All sums are
+    integer (exact, order-independent); the mean is one double division.
+    Oracle: md5 per-mille uniforms + the same inverse-CDF ladder replay
+    exactly in SQL.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(ops.tokens(F.col("text")))
+    rounds = []
+    for r in range(3):
+        u = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"), F.lit(f"#boot{r}")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(1000),
+        )
+        rounds.append(_poisson1(u))
+    agg = docs.select(
+        "source", n_tok.alias("_n"), *[c.alias(f"_r{r}") for r, c in enumerate(rounds)]
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n").alias("tokens_orig"),
+        *[
+            F.sum(F.col(f"_r{r}") * F.col("_n")).alias(f"_t{r}")
+            for r in range(3)
+        ],
+    )
+    ts = [F.col(f"_t{r}") for r in range(3)]
+    return agg.select(
+        "source",
+        "n_docs",
+        "tokens_orig",
+        ((ts[0] + ts[1] + ts[2]).cast("double") / F.lit(3.0)).alias(
+            "boot_mean_tokens"
+        ),
+        F.least(*ts).alias("boot_min_tokens"),
+        F.greatest(*ts).alias("boot_max_tokens"),
+    )
+
+
 QUERIES = {
     "text_bpe_pair_counts": text_bpe_pair_counts,
+    "text_quality_classifier": text_quality_classifier,
+    "text_bootstrap_stats": text_bootstrap_stats,
     "text_bpe_train": text_bpe_train,
     "text_bpe_encode": text_bpe_encode,
     "text_pmi_bigrams": text_pmi_bigrams,
@@ -839,7 +960,63 @@ QUERIES = {
     "text_hapax_ratio": text_hapax_ratio,
 }
 
+_POISSON1_SQL = (
+    "CASE WHEN {u} < 368 THEN 0 WHEN {u} < 736 THEN 1 WHEN {u} < 920 THEN 2 "
+    "WHEN {u} < 981 THEN 3 WHEN {u} < 996 THEN 4 WHEN {u} < 999 THEN 5 "
+    "ELSE 6 END"
+)
+
+
+def _boot_u_sql(r: int) -> str:
+    return (
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || "
+        f"'#boot{r}'), 1, 8)) AS BIGINT) % 1000"
+    )
+
+
 ORACLES = {
+    "text_quality_classifier": f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_TOKENS}) AS term FROM documents
+),
+w AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(term || '#qw'), 1, 8)) AS BIGINT)
+           % 2001 - 1000 AS mw
+  FROM tok
+),
+s AS (
+  SELECT doc_id, lang, count(*) AS n_tokens,
+         CAST(sum(mw) AS BIGINT) AS s
+  FROM w GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(floor(CAST(s AS DOUBLE) / n_tokens + 0.5) AS BIGINT) AS score_milli,
+       floor(CAST(s AS DOUBLE) / n_tokens + 0.5) >= 0 AS keep
+FROM s
+""",
+    "text_bootstrap_stats": f"""
+WITH d AS (
+  SELECT source, len({_TOKENS}) AS n,
+         {_POISSON1_SQL.format(u=_boot_u_sql(0))} AS r0,
+         {_POISSON1_SQL.format(u=_boot_u_sql(1))} AS r1,
+         {_POISSON1_SQL.format(u=_boot_u_sql(2))} AS r2
+  FROM documents
+),
+a AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS tokens_orig,
+         CAST(sum(r0 * n) AS BIGINT) AS t0,
+         CAST(sum(r1 * n) AS BIGINT) AS t1,
+         CAST(sum(r2 * n) AS BIGINT) AS t2
+  FROM d GROUP BY source
+)
+SELECT source, n_docs, tokens_orig,
+       CAST(t0 + t1 + t2 AS DOUBLE) / 3.0 AS boot_mean_tokens,
+       least(t0, t1, t2) AS boot_min_tokens,
+       greatest(t0, t1, t2) AS boot_max_tokens
+FROM a
+""",
     "text_ngram_novelty": """
 WITH sh AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle

@@ -388,6 +388,7 @@ EXCHANGE_CENSUS = {
     "text_length_percentiles": 1, "text_ngram_novelty": 2,
     "text_pii_redact": 0, "text_pmi_bigrams": 4,
     "text_prefix_dup": 1, "text_quality_score": 0, "text_repetition": 0,
+    "text_quality_classifier": 1, "text_bootstrap_stats": 1,
     "text_sequence_packing": 3, "text_shuffle_order": 3,
     "text_source_quality_filter": 1, "text_stratified_sample": 1,
     "text_stratified_sample_salted": 1, "text_tfidf": 5,
