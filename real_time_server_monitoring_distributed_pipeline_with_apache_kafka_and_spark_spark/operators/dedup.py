@@ -757,9 +757,6 @@ class SignatureSaturationWarning(UserWarning):
     corpus, in ANY engine."""
 
 
-_SIG_SAT_CACHE: "weakref.WeakKeyDictionary" = None  # built lazily below
-
-
 def estimate_signature_collision_rate(
     sig: DataFrame,
     id_col: str = "doc_id",
@@ -833,27 +830,12 @@ def warn_if_signature_space_saturated(
     documents) expects only ~0.002 pairs/row — real perceptual hashes
     over real images pass silently at any scale. The synthetic stub-pixel
     corpus saturates at a few thousand distinct signatures, crossing the
-    1-pair/row line already at sf0.01 — exactly the regime SCALING.md
-    measured. Memoized per (DataFrame object, max_hamming, id_col,
-    sample) so a composite that gates twice on the SAME frame pays the
-    sample job once; a fresh load_table frame is a fresh key (by design —
-    file listings must not be cached away).
+    1-pair/row line at the bench/ladder corpus sizes — exactly the regime
+    SCALING.md measured. Unmemoized by design: every shipped caller gates
+    exactly once per construction on a fresh bounded probe (no composite
+    gates twice on the same frame, unlike the noise-floor twin).
     """
-    global _SIG_SAT_CACHE
-    if _SIG_SAT_CACHE is None:
-        import weakref
-
-        _SIG_SAT_CACHE = weakref.WeakKeyDictionary()
-    try:
-        per_df = _SIG_SAT_CACHE.setdefault(sig, {})
-    except TypeError:  # non-weakref-able stand-in
-        per_df = {}
-    key = (max_hamming, id_col, sample)
-    if key not in per_df:
-        per_df[key] = estimate_signature_collision_rate(
-            sig, id_col, max_hamming, sample
-        )
-    p_hat = per_df[key]
+    p_hat = estimate_signature_collision_rate(sig, id_col, max_hamming, sample)
     expected_per_row = p_hat * max(0, corpus_count - 1) / 2.0
     if expected_per_row > warn_pairs_per_row:
         import warnings

@@ -91,6 +91,30 @@ def mm_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn("kept_windows", kept.cast("int"))
 
 
+_SIG_SAT_SAMPLE = 1024
+
+
+def _preflight_signature_saturation(docs: DataFrame, max_hamming: int = 6) -> None:
+    """Shared pre-flight for the a-hash dedup family (VERDICT r09 #1):
+    build a bounded md5-sampled probe (so the expensive Arrow decode
+    touches only ``_SIG_SAT_SAMPLE`` rows), a-hash it, and warn when the
+    sampled hamming<=t collision rate implies super-linear pair output at
+    this corpus size. The probe size and the estimator's ``sample`` are
+    single-sourced here so they cannot silently diverge. Warning only —
+    callers' plans and oracle hashes are unchanged."""
+    from ..operators.dedup import warn_if_signature_space_saturated
+
+    probe = docs.orderBy(F.md5(F.col("doc_id").cast("string"))).limit(
+        _SIG_SAT_SAMPLE
+    )
+    warn_if_signature_space_saturated(
+        ops.image_ahash(ops.attach_binary_payload(probe)),
+        corpus_count=docs.count(),
+        max_hamming=max_hamming,
+        sample=_SIG_SAT_SAMPLE,
+    )
+
+
 def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup pairs: perceptual average-hash signatures
     (operators.multimodal.image_ahash — Arrow-batched mapInPandas over
@@ -106,15 +130,10 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     super-linear at this corpus size (the stub-pixel corpus saturates;
     real perceptual hashes pass silently). Warning only — the returned
     plan and its oracle hash are unchanged."""
-    from ..operators.dedup import hamming64_pairs, warn_if_signature_space_saturated
+    from ..operators.dedup import hamming64_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    probe = docs.orderBy(F.md5(F.col("doc_id").cast("string"))).limit(1024)
-    warn_if_signature_space_saturated(
-        ops.image_ahash(ops.attach_binary_payload(probe)),
-        corpus_count=docs.count(),
-        max_hamming=6,
-    )
+    _preflight_signature_saturation(docs, max_hamming=6)
     sig = ops.image_ahash(ops.attach_binary_payload(docs))
     return hamming64_pairs(sig, "doc_id", max_hamming=6, n_chunks=8)
 
@@ -173,19 +192,10 @@ def mm_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure over the replayed pair SQL. Pre-flight (r10): the same
     signature-entropy guardrail as mm_image_ahash — warning only, plan
     and oracle hash unchanged."""
-    from ..operators.dedup import (
-        connected_components,
-        hamming64_pairs,
-        warn_if_signature_space_saturated,
-    )
+    from ..operators.dedup import connected_components, hamming64_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    probe = docs.orderBy(F.md5(F.col("doc_id").cast("string"))).limit(1024)
-    warn_if_signature_space_saturated(
-        ops.image_ahash(ops.attach_binary_payload(probe)),
-        corpus_count=docs.count(),
-        max_hamming=6,
-    )
+    _preflight_signature_saturation(docs, max_hamming=6)
     sig = ops.image_ahash(ops.attach_binary_payload(docs))
     pairs = hamming64_pairs(sig, "doc_id", max_hamming=6, n_chunks=8)
     return connected_components(
@@ -257,20 +267,11 @@ def pipeline_multimodal_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 1 row/doc before any exchange, stateless md5 split — every stage
     hash-exact, so the composite hash-checks end-to-end.
     """
-    from ..operators.dedup import (
-        connected_components,
-        hamming64_pairs,
-        warn_if_signature_space_saturated,
-    )
+    from ..operators.dedup import connected_components, hamming64_pairs
     from ..operators.text import hash_bucket_100
 
     docs = load_table(spark, sf_dir, "documents")
-    probe = docs.orderBy(F.md5(F.col("doc_id").cast("string"))).limit(1024)
-    warn_if_signature_space_saturated(
-        ops.image_ahash(ops.attach_binary_payload(probe)),
-        corpus_count=docs.count(),
-        max_hamming=6,
-    )
+    _preflight_signature_saturation(docs, max_hamming=6)
     wp = ops.attach_binary_payload(docs)
     sig = ops.image_ahash(wp)
     pairs = hamming64_pairs(sig, "doc_id", max_hamming=6, n_chunks=8)

@@ -1003,11 +1003,15 @@ def rel_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    # Persisted: |days| rows, read by BOTH branches (per-day report and
+    # the union-of-sketches ALL row) — without it each branch re-scans
+    # events and re-runs the sketch + exact-distinct aggs (the README's
+    # multi-branch persist convention). Release via caching.released().
     daily = events.groupBy(day).agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count_distinct(F.col("user_id")).alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
-    )
+    ).persist()
 
     def banded(est, exact):
         return F.abs(est.cast("double") - exact.cast("double")) <= F.lit(

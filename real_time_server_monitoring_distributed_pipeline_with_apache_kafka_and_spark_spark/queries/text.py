@@ -851,8 +851,9 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Poisson(1) inverse CDF on a 0-999 per-mille lattice (CDF*1000 floored:
-# 367.88 -> 368 boundary etc.) — identical CASE ladder in both engines.
+# Poisson(1) inverse CDF on a 0-999 per-mille lattice (CDF*1000 ROUNDED
+# to nearest: 367.88 -> 368, 919.70 -> 920, 999.41 -> 999) — identical
+# CASE ladder in both engines.
 _POISSON1_PM = (368, 736, 920, 981, 996, 999)
 
 

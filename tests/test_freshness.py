@@ -55,12 +55,20 @@ HEADROOM_FRACTION = 0.15
 
 
 def _history() -> dict[int, dict]:
+    # Same malformed-artifact tolerance as queries/__init__.py::_newest_green
+    # (ADVICE r09 #3): a corrupt or non-dict artifact degrades to "absent",
+    # so the freshness tests report staleness instead of crashing.
     out = {}
     for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
         if not m:
             continue
-        out[int(m.group(1))] = json.load(open(f))
+        try:
+            rows = json.load(open(f))
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            out[int(m.group(1))] = rows
     return out
 
 
@@ -68,6 +76,8 @@ def _newest_green(history: dict[int, dict]) -> dict[str, int]:
     newest: dict[str, int] = {}
     for rnd, rows in history.items():
         for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
             # Green = full hash match, or the rows-only contract for
             # no-oracle sketches (driver ran it and got rows back).
             ok = row.get("hash_match") is True or (

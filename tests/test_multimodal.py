@@ -161,30 +161,15 @@ def test_signature_saturation_guardrail_silent_on_high_entropy(spark):
     assert exp < 1.0
 
 
-def test_signature_saturation_estimate_is_memoized_and_handles_empty(spark):
-    """Composites gate once per frame: the sample job must run once per
-    (frame, params) key — and an empty/1-row corpus has no pairs, so the
-    estimator returns 0.0 instead of crashing (the noise-floor contract,
-    mirrored)."""
+def test_signature_saturation_estimator_handles_empty_corpus(spark):
+    """An empty/1-row corpus has no pairs: the estimator returns 0.0
+    instead of crashing on a 0-d numpy shape, and the guardrail lets
+    construction proceed silently (the noise-floor contract, mirrored)."""
     import warnings
 
     from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators import (
         dedup as d,
     )
-    from .conftest import SF_SMOKE as _SF
-
-    docs = load_table(spark, _SF, "documents")
-    sig = mm.image_ahash(mm.attach_binary_payload(docs))
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", d.SignatureSaturationWarning)
-        e1 = d.warn_if_signature_space_saturated(sig, corpus_count=100)
-    assert sig in d._SIG_SAT_CACHE
-    # poison the cache: a second call must READ it, not recompute
-    d._SIG_SAT_CACHE[sig][(6, "doc_id", 1024)] = 0.5
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", d.SignatureSaturationWarning)
-        e2 = d.warn_if_signature_space_saturated(sig, corpus_count=100)
-    assert e2 != e1 and e2 == 0.5 * 99 / 2.0
 
     empty = spark.createDataFrame([], "doc_id: long, sig_lo: long, sig_hi: long")
     assert d.estimate_signature_collision_rate(empty) == 0.0

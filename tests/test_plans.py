@@ -352,7 +352,7 @@ EXCHANGE_CENSUS = {
     "rel_cross_join": 0, "rel_cube": 1, "rel_date_funcs": 0,
     "rel_decile_lift": 2, "rel_disjunctive_filter": 1, "rel_distinct": 1,
     "rel_fuzzy_join": 1, "rel_grouping_sets": 1, "rel_having": 1,
-    "rel_hll_daily_users": 6, "rel_join_anti": 0,
+    "rel_hll_daily_users": 5, "rel_join_anti": 0,
     "rel_join_customer_orders": 1, "rel_join_full_outer": 2,
     "rel_mad_outliers": 4, "rel_merge_into": 2,
     "rel_join_left_outer": 1, "rel_join_semi": 0, "rel_json_funcs": 0,
