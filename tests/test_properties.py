@@ -1122,3 +1122,42 @@ def test_bloom_bit_math_no_false_negatives(dim_keys, probe_keys):
             )
             for k in probe_keys
         )
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 32) - 1),
+            st.integers(min_value=0, max_value=(1 << 32) - 1),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_signature_collision_rate_matches_python_model(spark, sigs):
+    """estimate_signature_collision_rate's numpy XOR + byte-LUT popcount
+    must equal the obvious Python int.bit_count model for ANY signature
+    multiset (sample >= corpus, so the md5 draw is the whole input) — the
+    driver-side math behind the saturation guardrail, pinned against an
+    independent implementation. Also: rate 1.0 iff all pairs collide
+    (max_hamming=64 degenerate), 0 <= rate <= 1 always."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.dedup import (
+        estimate_signature_collision_rate,
+    )
+
+    rows = [(i, lo, hi) for i, (lo, hi) in enumerate(sigs)]
+    df = spark.createDataFrame(rows, "doc_id: long, sig_lo: long, sig_hi: long")
+    for t in (0, 6):
+        got = estimate_signature_collision_rate(df, max_hamming=t, sample=1000)
+        n = len(sigs)
+        want_pairs = sum(
+            1
+            for i in range(n)
+            for j in range(i + 1, n)
+            if ((sigs[i][0] ^ sigs[j][0]).bit_count()
+                + (sigs[i][1] ^ sigs[j][1]).bit_count()) <= t
+        )
+        assert got == want_pairs / (n * (n - 1) / 2), (t, got, want_pairs)
+        assert 0.0 <= got <= 1.0
+    assert estimate_signature_collision_rate(df, max_hamming=64, sample=1000) == 1.0
