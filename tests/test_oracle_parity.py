@@ -56,6 +56,12 @@ def test_oracle_output_types_are_hashable(duck, name):
 
 @pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
 def test_rows_only_queries_run(spark, name):
+    """Empty-parametrization skip since r10, BY DESIGN: the last three
+    rows-only queries (the sketches) became hash-checked accuracy
+    reports, so every registered query now has an oracle and this test
+    has nothing to cover. It stays as the safety net — a future query
+    registered without an oracle lands here automatically instead of
+    going driver-unchecked."""
     df = _QUERIES[name](spark, SF_ORACLE)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
