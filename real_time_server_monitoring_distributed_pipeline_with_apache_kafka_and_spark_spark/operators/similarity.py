@@ -152,7 +152,16 @@ def warn_if_threshold_in_noise_floor(
     is firmly in the quadratic-output regime the ladder measured. At
     dim=768 (production text embeddings) sd ~ 0.036 and a 0.45 threshold
     clears ~12 sigma, so real corpora pass silently.
+
+    Skipped (returns inf, no Spark job) when ``SPARK_GRAFT_PREFLIGHT=0``
+    — explain-only / dry-run flows must not execute work at query
+    construction time (ADVICE r10 #2). Warning-only: gating never
+    changes a plan or output.
     """
+    from ..config import preflights_enabled
+
+    if not preflights_enabled():
+        return math.inf
     try:
         per_df = _NOISE_FLOOR_CACHE.setdefault(vectors, {})
     except TypeError:  # non-weakref-able stand-in
@@ -640,14 +649,26 @@ def ivf_centroids(
     ``_IVF_BUILD_CACHE`` — so the ANN family builds the index once per
     session instead of once per tier."""
     params = (n_centroids, kmeans_iters, seed, id_col, vec_col)
-    for cached_df, cached_params, cached_cents in _IVF_BUILD_CACHE:
+    dead: list = []
+    hit = None
+    for entry in _IVF_BUILD_CACHE:
+        cached_df, cached_params, cached_cents = entry
         if cached_params != params:
             continue
         try:
             if corpus.sameSemantics(cached_df):
-                return cached_cents.copy()
-        except Exception:  # stale session / Connect: treat as a miss
-            continue
+                hit = cached_cents.copy()
+                break
+        except Exception:
+            # Stale session / Connect: the frame can never hit again, so
+            # evict it rather than let dead entries occupy (and with the
+            # FIFO cap, eventually fill) the 32 slots, re-raising on every
+            # lookup until displaced (ADVICE r10 #1).
+            dead.append(entry)
+    for entry in dead:
+        _IVF_BUILD_CACHE.remove(entry)
+    if hit is not None:
+        return hit
     init = [
         np.asarray(r[0], dtype=np.float64)
         for r in corpus.select(vec_col)

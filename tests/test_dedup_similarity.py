@@ -613,3 +613,54 @@ def test_ivf_build_memo_hits_across_fresh_frames(spark):
     assert np.array_equal(a, c)
     s.clear_ivf_build_cache()
     assert len(s._IVF_BUILD_CACHE) == 0
+
+
+def test_ivf_build_memo_evicts_dead_entries(spark):
+    """ADVICE r10 #1: an entry whose sameSemantics check RAISES (stale
+    session / Connect frame) can never hit again — the lookup must evict
+    it instead of letting dead frames occupy the FIFO slots and re-raise
+    on every call."""
+    import numpy as np
+
+    class _Raises:
+        def sameSemantics(self, other):  # pragma: no cover - signature only
+            raise RuntimeError("dead session")
+
+    s.clear_ivf_build_cache()
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    a = s.ivf_centroids(emb)
+    # plant a dead entry with the SAME params ahead of the live one
+    params = (16, 1, 7, "vec_id", "embedding")
+    s._IVF_BUILD_CACHE.insert(0, (_Raises(), params, np.zeros((16, 64))))
+    n = len(s._IVF_BUILD_CACHE)
+    b = s.ivf_centroids(load_table(spark, SF_ORACLE, "embeddings"))
+    assert np.array_equal(a, b), "live entry must still hit past the dead one"
+    assert len(s._IVF_BUILD_CACHE) == n - 1, "dead entry must be evicted"
+    assert not any(isinstance(e[0], _Raises) for e in s._IVF_BUILD_CACHE)
+    s.clear_ivf_build_cache()
+
+
+def test_preflight_env_gate_keeps_construction_lazy(spark, monkeypatch):
+    """ADVICE r10 #2: with SPARK_GRAFT_PREFLIGHT=0 the warning-only
+    guardrails must not run eager Spark jobs at query-construction time
+    (explain-only flows). The gate never changes a plan or output — only
+    whether the advisory sample job runs."""
+    import warnings
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.config import preflights_enabled
+
+    assert preflights_enabled()
+    monkeypatch.setenv("SPARK_GRAFT_PREFLIGHT", "0")
+    assert not preflights_enabled()
+    # a frame whose evaluation would throw proves no job ran
+    poisoned = spark.createDataFrame(
+        [(1, [0.0])], "vec_id: long, embedding: array<double>"
+    ).filter(F.expr("assert_true(vec_id < 0) IS NULL OR vec_id >= 0"))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", s.NoiseFloorWarning)
+        assert s.warn_if_threshold_in_noise_floor(poisoned, 0.45) == float("inf")
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.multimodal import (
+        _preflight_signature_saturation,
+    )
+
+    _preflight_signature_saturation(poisoned)  # must not touch the frame
