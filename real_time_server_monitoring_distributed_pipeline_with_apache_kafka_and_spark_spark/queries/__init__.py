@@ -223,38 +223,19 @@ _REGISTERED: tuple[str, ...] = (
 # edit to forget. Brand-new queries need no pin (never-proven rows sort
 # to the head automatically).
 #
-# r10 entries — code touched this round (matching the dict):
-#   text_dsir_sample     per-token log-ratios now lattice to integer
-#                        nanos BEFORE the per-doc sum (ADVICE r09 #2:
-#                        order-independent long monoid replacing the
-#                        partition-order-sensitive raw-double F.avg);
-#                        oracle SQL updated in lockstep, hash surface
-#                        may shift on near-boundary docs
-#   mm_image_ahash / mm_image_dedup_clusters / pipeline_multimodal_prep
-#                        signature-entropy pre-flight guardrail wired in
-#                        (VERDICT r09 #1; warning only, oracle MATCH
-#                        re-verified locally on all three)
-#   sim_ann_ivf / sim_ann_ivfpq / sim_ann_ivfpq_recall
-#                        shared IVF build memoized per (semantic plan,
-#                        params) (VERDICT r09 #2; build bit-identical by
-#                        pin, oracle MATCH re-verified locally on all
-#                        three plus sim_ann_recall)
-#   rel_approx_distinct / rel_approx_percentile / rel_hll_daily_users
-#                        rows-only sketches became hash-checked accuracy
-#                        reports (VERDICT r09 #6: estimates out of the
-#                        hash surface, exact legs + bound booleans in;
-#                        new oracles verified at sf0.01 AND sf0.1)
+# (The r10 pins — DSIR lattice, saturation guardrails, IVF memo, the
+# three sketch-report conversions — all re-proved green in
+# CORRECTNESS_r10 and therefore self-expired; removed.)
+#
+# r11 entries — code touched this round (matching the dict):
+#   text_quality_classifier   zero-token (NULL-text) docs now come back
+#                              via a left join with n_tokens=0, keep=false
+#                              (ADVICE r10 #3); oracle mirrors the join.
+#                              No testdata SF contains such docs, so the
+#                              recorded hashes are unchanged — the pin
+#                              re-proves that with the driver.
 _FORCE_HEAD: dict[str, int] = {
-    "text_dsir_sample": 10,
-    "mm_image_ahash": 10,
-    "mm_image_dedup_clusters": 10,
-    "pipeline_multimodal_prep": 10,
-    "sim_ann_ivf": 10,
-    "sim_ann_ivfpq": 10,
-    "sim_ann_ivfpq_recall": 10,
-    "rel_approx_distinct": 10,
-    "rel_approx_percentile": 10,
-    "rel_hll_daily_users": 10,
+    "text_quality_classifier": 11,
 }
 
 

@@ -825,29 +825,37 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     policy: per-token weights are integer MILLI units summed as longs
     (order-independent monoid); the mean is one double division latticed
     back to millis, so the keep decision has no float boundary.
+
+    Zero-token documents (empty/NULL text — explode emits no rows for
+    them) are left-joined back with n_tokens=0, score NULL, keep=false
+    (ADVICE r10 #3): a keep-decision surface must issue a verdict for
+    EVERY document, and an unscorable doc is a drop, not a gap. The
+    oracle mirrors the left join.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "lang", F.explode(ops.tokens(F.col("text"))).alias("term")
-    )
+    toks = docs.select("doc_id", F.explode(ops.tokens(F.col("text"))).alias("term"))
     h = F.conv(
         F.substring(F.md5(F.concat(F.col("term"), F.lit("#qw"))), 1, 8), 16, 10
     ).cast("long")
     mw = F.pmod(h, F.lit(2001)) - F.lit(1000)
     scored = (
         toks.withColumn("_mw", mw)
-        .groupBy("doc_id", "lang")
-        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("_mw").alias("_s"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_mw").alias("_s"))
     )
     score_milli = F.floor(
-        F.col("_s").cast("double") / F.col("n_tokens") + F.lit(0.5)
+        F.col("_s").cast("double") / F.col("_n") + F.lit(0.5)
     ).cast("long")
-    return scored.select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        score_milli.alias("score_milli"),
-        (score_milli >= F.lit(0)).alias("keep"),
+    return (
+        docs.select("doc_id", "lang")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("n_tokens"),
+            score_milli.alias("score_milli"),
+            F.coalesce(score_milli >= F.lit(0), F.lit(False)).alias("keep"),
+        )
     )
 
 
@@ -978,23 +986,24 @@ def _boot_u_sql(r: int) -> str:
 ORACLES = {
     "text_quality_classifier": f"""
 WITH tok AS (
-  SELECT doc_id, lang, unnest({_TOKENS}) AS term FROM documents
+  SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
 ),
 w AS (
-  SELECT doc_id, lang,
+  SELECT doc_id,
          CAST(concat('0x', substr(md5(term || '#qw'), 1, 8)) AS BIGINT)
            % 2001 - 1000 AS mw
   FROM tok
 ),
 s AS (
-  SELECT doc_id, lang, count(*) AS n_tokens,
+  SELECT doc_id, count(*) AS n_tokens,
          CAST(sum(mw) AS BIGINT) AS s
-  FROM w GROUP BY doc_id, lang
+  FROM w GROUP BY doc_id
 )
-SELECT doc_id, lang, n_tokens,
-       CAST(floor(CAST(s AS DOUBLE) / n_tokens + 0.5) AS BIGINT) AS score_milli,
-       floor(CAST(s AS DOUBLE) / n_tokens + 0.5) >= 0 AS keep
-FROM s
+SELECT d.doc_id, d.lang,
+       COALESCE(s.n_tokens, 0) AS n_tokens,
+       CAST(floor(CAST(s.s AS DOUBLE) / s.n_tokens + 0.5) AS BIGINT) AS score_milli,
+       COALESCE(floor(CAST(s.s AS DOUBLE) / s.n_tokens + 0.5) >= 0, FALSE) AS keep
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
 """,
     "text_bootstrap_stats": f"""
 WITH d AS (

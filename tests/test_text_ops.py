@@ -357,3 +357,50 @@ def test_gopher_rules_null_text_fails_with_reasons(spark):
                  "rule_top_word", "rule_symbols", "passes_gopher"):
         assert got[0][rule] is False, rule
     assert got[1]["passes_gopher"] is True
+
+
+def test_quality_classifier_scores_zero_token_docs(spark, tmp_path):
+    """ADVICE r10 #3: a keep-decision surface must issue a verdict for
+    EVERY document — empty/NULL-text docs (explode emits no token rows)
+    come back via the left join with n_tokens=0, score NULL, keep=False,
+    and the DuckDB oracle mirrors the join so parity holds on a corpus
+    that actually CONTAINS such docs (the shipped testdata has none)."""
+    import duckdb
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.text import (
+        ORACLES,
+        text_quality_classifier,
+    )
+
+    # NULL text is the zero-token case (split of NULL is NULL, explode
+    # emits nothing). Whitespace-only text is NOT: split(trim('   ')) is
+    # [''] — one empty-string token — identically in Spark and DuckDB,
+    # so doc 1 pins that consistent quirk rather than papering over it.
+    rows = [
+        (0, None, "en", "src0", 0),
+        (1, "   ", "de", "src1", 3),
+        (2, "plain words here", "en", "src0", 16),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {r.doc_id: r.asDict() for r in text_quality_classifier(spark, sf_dir).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0]["n_tokens"] == 0
+    assert got[0]["score_milli"] is None
+    assert got[0]["keep"] is False
+    assert got[1]["n_tokens"] == 1  # the [''] single-empty-token quirk
+    assert got[2]["n_tokens"] == 3 and got[2]["score_milli"] is not None
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    oracle = {
+        r[0]: r for r in con.execute(ORACLES["text_quality_classifier"]).fetchall()
+    }
+    for i in (0, 1, 2):
+        g = got[i]
+        assert oracle[i] == (i, g["lang"], g["n_tokens"], g["score_milli"], g["keep"])
