@@ -194,14 +194,20 @@ def connected_components(
     ``edges``: (a_id, b_id) pairs. ``vertices``: all ids (isolated
     vertices become singleton clusters). Output: (id_col, cluster_id).
     """
-    # Materialize the symmetrized edge list ONCE: ``edges`` is usually a
-    # live plan (e.g. the whole shingle->prefix->verify pair pipeline),
-    # and without the checkpoint every iteration would re-execute it from
-    # scratch — measured 10.1s -> ~3s for dedup_clusters at sf0.1.
-    sym = (
-        edges.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
-        .unionByName(edges.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
-        .localCheckpoint()
+    # Materialize the edge list ONCE, then symmetrize FROM the
+    # checkpoint: ``edges`` is usually a live plan (e.g. the whole
+    # shingle->prefix->verify pair pipeline), and without the checkpoint
+    # every iteration would re-execute it from scratch — measured 10.1s
+    # -> ~3s for dedup_clusters at sf0.1. Checkpointing BEFORE the union
+    # matters too: a union of two references to the live plan executes
+    # the pair pipeline once per branch (ReusedExchange recovers only
+    # the exchange-rooted subtrees) — measured 159s vs 129s + 0.8s on
+    # an 88M-candidate LSH pipeline at ladder rung K=25 (r11).
+    one_dir = edges.select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    ).localCheckpoint()
+    sym = one_dir.unionByName(
+        one_dir.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     # The loop runs on the edge-TOUCHED subgraph only: a vertex with no
     # edges is its own singleton cluster and can never change, so carrying

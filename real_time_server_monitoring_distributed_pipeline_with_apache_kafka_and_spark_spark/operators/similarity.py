@@ -128,6 +128,84 @@ def estimate_noise_floor(
     return float(pair_cos.mean()), float(pair_cos.std())
 
 
+def _noise_floor_cached(
+    vectors: DataFrame, id_col: str, vec_col: str, sample: int
+) -> tuple[float, float]:
+    """Memoized :func:`estimate_noise_floor` — one sample job per
+    (DataFrame object, vec_col, id_col, sample), shared by the warning
+    guardrail and the load-bearing bounded-mode resolution."""
+    try:
+        per_df = _NOISE_FLOOR_CACHE.setdefault(vectors, {})
+    except TypeError:  # non-weakref-able stand-in
+        per_df = {}
+    key = (vec_col, id_col, sample)
+    if key not in per_df:
+        per_df[key] = estimate_noise_floor(vectors, id_col, vec_col, sample)
+    return per_df[key]
+
+
+def resolve_noise_floor_bound(
+    vectors: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chance_budget_per_doc: float = 0.5,
+    sigmas: float = 6.0,
+    sample: int = 256,
+    n_rows: int | None = None,
+) -> tuple[float, bool]:
+    """Bounded-output resolution for near-dup thresholds inside the
+    random-pair noise floor (VERDICT r10 #1 — the guardrail that ACTS
+    instead of only warning).
+
+    The failure regime, measured by the scale ladder: a threshold only
+    ~3.5 sigma above the random-cosine mean admits ~C(N,2)*Phi(-gap)
+    CHANCE pairs, so the verified pair graph — and with it the verify
+    cost, the component structure, and the keep-list itself — grows
+    quadratically with the corpus in ANY engine. Beyond the size where
+    chance pairs would dominate, a threshold-graph keep-list is not a
+    smaller answer computed cheaper; it is noise. So once the expected
+    chance-pair count exceeds ``chance_budget_per_doc`` per document,
+    the threshold auto-raises to the ``sigmas``-sigma point (ceil'd to
+    2 decimals so the effective threshold is a stable literal), where
+    chance crossings are negligible and output returns to tracking the
+    corpus's true near-dup structure (~linear).
+
+    Deterministic end to end: N is an exact count and (mean, sd) come
+    from :func:`estimate_noise_floor`'s fixed md5-ordered sample, so a
+    given corpus always resolves to the same (threshold, fired) — the
+    keep-list stays replayable. At the oracle-checked SFs the expected
+    chance load sits well under the budget (sf0.01: ~0.04 pairs/doc,
+    sf0.1: ~0.16 vs the 0.5 default), so resolution is INERT there and
+    every hash-pinned result is unchanged; the K>=5 ladder rungs
+    (~0.77 and ~3.9 pairs/doc) are where it fires. Same design as
+    ``hold_occupancy``: the configured value is the floor, the derived
+    value takes over exactly where the configured one stops scaling.
+
+    Returns (effective_threshold, fired). Not gated by
+    ``SPARK_GRAFT_PREFLIGHT`` — when a caller opts in, this is
+    load-bearing plan derivation, not an advisory warning.
+    """
+    if n_rows is None:
+        n_rows = corpus_count(vectors, id_col)
+    if n_rows < 2:
+        return threshold, False
+    mean, sd = _noise_floor_cached(vectors, id_col, vec_col, sample)
+    if sd == 0.0:
+        return threshold, False
+    gap = (threshold - mean) / sd
+    # Phi(-gap), the standard-normal tail above the threshold
+    tail = 0.5 * math.erfc(gap / math.sqrt(2.0))
+    expected_chance_pairs = n_rows * (n_rows - 1) / 2.0 * tail
+    if expected_chance_pairs <= chance_budget_per_doc * n_rows:
+        return threshold, False
+    raised = mean + sigmas * sd
+    # ceil to 2 decimals: the guarantee is ">= sigmas sigma", so round UP
+    effective = math.ceil(raised * 100.0 - 1e-9) / 100.0
+    return max(threshold, effective), True
+
+
 def warn_if_threshold_in_noise_floor(
     vectors: DataFrame,
     threshold: float,
@@ -162,14 +240,7 @@ def warn_if_threshold_in_noise_floor(
 
     if not preflights_enabled():
         return math.inf
-    try:
-        per_df = _NOISE_FLOOR_CACHE.setdefault(vectors, {})
-    except TypeError:  # non-weakref-able stand-in
-        per_df = {}
-    key = (vec_col, id_col, sample)
-    if key not in per_df:
-        per_df[key] = estimate_noise_floor(vectors, id_col, vec_col, sample)
-    mean, sd = per_df[key]
+    mean, sd = _noise_floor_cached(vectors, id_col, vec_col, sample)
     if sd == 0.0:
         return math.inf
     gap = (threshold - mean) / sd
@@ -337,6 +408,8 @@ def cosine_pairs_lsh(
     hold_occupancy: bool = False,
     target_bucket_rows: int = 256,
     n_rows: int | None = None,
+    bound_noise_floor: bool = False,
+    bounded_target_bucket_rows: int = 32,
 ) -> DataFrame:
     """Bucketed embedding near-dup: LSH candidates + exact cosine verify.
 
@@ -375,7 +448,36 @@ def cosine_pairs_lsh(
     at 0.85) — the classic LSH similarity-join law. Near-dup thresholds
     (≥0.8) are where the bucketed path earns its keep at 100 TB; the
     0.45-threshold pipelines accept the recall decay or raise n_tables.
+
+    ``bound_noise_floor``: the bounded-OUTPUT mode for thresholds inside
+    the random-pair noise floor (VERDICT r10 #1) — see
+    :func:`resolve_noise_floor_bound` for the regime and the
+    determinism/inertness contract. When the chance-pair budget is
+    exceeded the threshold auto-raises to the 6-sigma point AND the
+    occupancy target tightens to ``bounded_target_bucket_rows`` (the
+    raised threshold is in the regime where sign-bit LSH actually
+    separates, so narrower buckets buy their candidate cut at tolerable
+    recall: at the 0.75 point p1 = 1 - theta/pi ~ 0.77/plane, ~0.6-0.8
+    recall at the ladder's resolved widths — the stated trade for
+    returning output and cost to ~linear). Below the budget the mode is
+    a no-op except the advisory warning. At every oracle-checked SF the
+    budget is not exceeded, so hash-pinned results are unchanged.
     """
+    if bound_noise_floor:
+        if n_rows is None:
+            n_rows = corpus_count(vectors, id_col)
+        threshold, fired = resolve_noise_floor_bound(
+            vectors, threshold, id_col=id_col, vec_col=vec_col, n_rows=n_rows
+        )
+        if fired:
+            hold_occupancy = True
+            target_bucket_rows = bounded_target_bucket_rows
+        else:
+            # sub-critical: output may still carry some chance pairs —
+            # surface the advisory (no extra job; the estimate is memoized)
+            warn_if_threshold_in_noise_floor(
+                vectors, threshold, id_col=id_col, vec_col=vec_col
+            )
     if hold_occupancy:
         if n_rows is None:
             n_rows = corpus_count(vectors, id_col)

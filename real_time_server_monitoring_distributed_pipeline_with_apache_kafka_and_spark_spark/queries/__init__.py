@@ -234,8 +234,25 @@ _REGISTERED: tuple[str, ...] = (
 #                              No testdata SF contains such docs, so the
 #                              recorded hashes are unchanged — the pin
 #                              re-proves that with the driver.
+#   pipeline_embedding_prep    bounded-output mode for the noise-floor
+#                              regime (VERDICT r10 #1): threshold
+#                              auto-raises past the chance-pair budget;
+#                              INERT at oracle SFs (re-verified MATCH at
+#                              sf0.01 AND sf0.1), K=25 slope 1.24->0.39.
+#   dedup_clusters / dedup_embedding_clusters / mm_image_dedup_clusters /
+#   pipeline_multimodal_prep   connected_components now checkpoints the
+#                              edge list BEFORE symmetrizing (the union
+#                              of two live-plan branches executed the
+#                              pair pipeline per branch); output
+#                              identical, all four re-verified MATCH at
+#                              sf0.01 AND sf0.1 locally.
 _FORCE_HEAD: dict[str, int] = {
     "text_quality_classifier": 11,
+    "pipeline_embedding_prep": 11,
+    "dedup_clusters": 11,
+    "dedup_embedding_clusters": 11,
+    "mm_image_dedup_clusters": 11,
+    "pipeline_multimodal_prep": 11,
 }
 
 

