@@ -214,6 +214,8 @@ _REGISTERED: tuple[str, ...] = (
     "dedup_minhash_recall",
     "rel_join_size_estimate",
     "monitor_trace_knn",
+    # -- r11 additions --
+    "text_chunk_udtf",
 )
 
 # Hand-pinned window head: queries whose IMPLEMENTATION changed since

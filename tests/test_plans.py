@@ -378,6 +378,8 @@ EXCHANGE_CENSUS = {
     "sim_ann_ivfpq_recall": 2, "text_dsir_sample": 6, "rel_bloom_semi_join": 3,
     "dedup_minhash_recall": 18, "rel_join_size_estimate": 6,
     "monitor_trace_knn": 5,
+    # r11 additions
+    "text_chunk_udtf": 0,
     "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1, "text_bpe_train": 4, "text_bpe_encode": 6, "text_mixture_sample": 4,
     "rel_recursive_cte": 2, "rel_lateral_topk": 1, "monitor_synthetic_source": 1,
     "rel_order_count_histogram": 3,
@@ -413,6 +415,9 @@ PYTHON_STAGE_CENSUS = {
     "pipeline_multimodal_prep": 6, "sim_ann_ivf": 6, "sim_ann_ivfpq": 6,
     "sim_ann_lsh": 4, "sim_ann_filtered": 4, "sim_ann_recall": 4, "sim_knn_join": 2,
     "sim_ann_ivfpq_recall": 6,
+    # r11: the Spark 4 arrow-optimized Python UDTF surface — one
+    # ArrowEvalPythonUDTF node (tree + details = 2 matches), deliberate
+    "text_chunk_udtf": 2,
 }
 
 
