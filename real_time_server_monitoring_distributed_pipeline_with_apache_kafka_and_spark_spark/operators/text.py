@@ -35,6 +35,64 @@ def tokens(text_col: Column) -> Column:
     return F.split(F.lower(F.trim(text_col)), r"\s+")
 
 
+def weighted_reservoir(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "#aes",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of exactly ``n`` rows —
+    Efraimidis–Spirakis algorithm A-ES (exponential sort), the sampling
+    class the engine's other samplers don't cover: weighted_sample is
+    Bernoulli (random size), stratified/fixed-N are per-group uniform,
+    the Poisson bootstrap is WITH replacement.
+
+    Each row draws rank = -ln(u)/w — an Exponential(w) variate — and
+    the ``n`` smallest ranks are a weight-proportional
+    without-replacement sample (the exponential race: at every step the
+    minimum of the remaining Exponential(w_i) picks item i with
+    probability w_i / sum(remaining w), which is exactly sequential
+    weighted draws without replacement). This is the standard
+    distributed formulation because it needs NO global state: one scan
+    computes keys, an ordered limit (TakeOrderedAndProject — per-
+    partition top-n heaps, never a global sort) keeps the n smallest at
+    any corpus size.
+
+    Deterministic/engine-portable per the repo's float policy: u is the
+    salted-md5 32-bit uniform (+0.5 offset so u is never 0), the key is
+    floor-latticed to integer nanos before ranking, and ties break on
+    the id — both engines rank the same integers. The JVM-ln vs libm-ln
+    last-ulp floor-boundary exposure is the acknowledged DSIR-class
+    risk, O(rows) here (one log per row, not per token).
+
+    Rows with non-positive weight (e.g. token count of a NULL text) are
+    excluded — zero mass cannot be drawn. Output: the input columns +
+    ``aes_key_nano``, the n sampled rows.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key_nano = F.floor(
+        -F.log(u) / F.col(weight_col).cast("double") * F.lit(1e9)
+    ).cast("long")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("aes_key_nano", key_nano)
+        .orderBy("aes_key_nano", id_col)
+        .limit(n)
+    )
+
+
 def chunk_windows_udtf(chunk_tokens: int = 40, stride: int = 30):
     """Arrow-optimized Python UDTF (Spark 4 table function): explode one
     document row into its overlapping token-window chunks — the

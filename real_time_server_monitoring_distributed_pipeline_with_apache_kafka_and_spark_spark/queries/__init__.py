@@ -216,6 +216,7 @@ _REGISTERED: tuple[str, ...] = (
     "monitor_trace_knn",
     # -- r11 additions --
     "text_chunk_udtf",
+    "text_weighted_reservoir",
 )
 
 # Hand-pinned window head: queries whose IMPLEMENTATION changed since

@@ -720,6 +720,34 @@ def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-200 weighted sample WITHOUT replacement, weight = token
+    count (the "long documents carry more training mass" draw) — the
+    A-ES exponential-sort reservoir (VERDICT r10 #5), completing the
+    sampler family: Bernoulli (text_weighted_sample), per-group uniform
+    (stratified/fixed-N), WITH replacement (bootstrap), and now
+    fixed-size weighted WITHOUT replacement. See
+    operators.text.weighted_reservoir for the algorithm and the
+    exponential-race argument.
+
+    Scale shape: ONE scan (token count + key are scan-local hash/log
+    math) into TakeOrderedAndProject — per-partition top-200 heaps, no
+    global sort, no global weight total (A-ES's point: sequential
+    weighted draws need sum(remaining w), the exponential keys don't).
+    Output: the sampled manifest (doc_id, lang, n_tokens, aes_key_nano),
+    hash-checked — the oracle replays u, ln, the nano lattice, and the
+    (key, id) rank identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(ops.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return ops.weighted_reservoir(toks, "n_tokens", 200).select(
+        "doc_id", "lang", "n_tokens", "aes_key_nano"
+    )
+
+
 def text_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection [Xie et al. 2023, Data Selection for
     Language Models via Importance Resampling]: score every RAW-pool
@@ -948,6 +976,7 @@ QUERIES = {
     "text_char_entropy": text_char_entropy,
     "text_source_quality_filter": text_source_quality_filter,
     "text_weighted_sample": text_weighted_sample,
+    "text_weighted_reservoir": text_weighted_reservoir,
     "text_mixture_sample": text_mixture_sample,
     "text_dsir_sample": text_dsir_sample,
     "text_token_stats": text_token_stats,
@@ -984,6 +1013,22 @@ def _boot_u_sql(r: int) -> str:
 
 
 ORACLES = {
+    "text_weighted_reservoir": f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+k AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(floor(
+      -ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#aes'), 1, 8)) AS BIGINT) + 0.5)
+          / 4294967296.0)
+      / CAST(n_tokens AS DOUBLE) * 1e9) AS BIGINT) AS aes_key_nano
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, lang, n_tokens, aes_key_nano
+FROM k ORDER BY aes_key_nano, doc_id LIMIT 200
+""",
     "text_quality_classifier": f"""
 WITH tok AS (
   SELECT doc_id, unnest({_TOKENS}) AS term FROM documents

@@ -451,3 +451,39 @@ def test_chunk_udtf_matches_jvm_chunker(spark):
     assert [(r.chunk_text, r.n_tokens) for r in by_doc[1]] == [("", 1)]
     got2 = sorted((r.chunk_idx, r.chunk_text, r.n_tokens) for r in by_doc[2])
     assert got2 == [(0, "a b c d", 4), (1, "d e", 2)]
+
+
+def test_weighted_reservoir_is_exact_aes(spark):
+    """A-ES sampler pins: (1) the sample is EXACTLY the n smallest
+    -ln(u)/w keys (replayed driver-side from the same md5 uniforms),
+    without replacement; (2) zero/negative-weight rows can never be
+    drawn; (3) weighting works — heavy rows are overrepresented vs a
+    uniform draw of the same size."""
+    import hashlib
+    import math
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.text import (
+        weighted_reservoir,
+    )
+
+    rows = [(i, (i % 100) + 1 if i % 7 else 0) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, w int")
+    got = [(r.doc_id, r.aes_key_nano) for r in weighted_reservoir(df, "w", 150).collect()]
+    assert len(got) == 150 and len({d for d, _ in got}) == 150  # no replacement
+    assert all(rows[d][1] > 0 for d, _ in got)  # zero-weight never drawn
+
+    def key_nano(doc_id, w):
+        u8 = hashlib.md5(f"{doc_id}#aes".encode()).hexdigest()[:8]
+        u = (int(u8, 16) + 0.5) / 4294967296.0
+        return math.floor(-math.log(u) / float(w) * 1e9)
+
+    replay = sorted(
+        ((key_nano(d, w), d) for d, w in rows if w > 0)
+    )[:150]
+    assert sorted((k, d) for d, k in got) == replay
+
+    # weighting: mean weight in the sample must exceed the corpus mean
+    # (w ranges 1..100; expected sample mean under A-ES is ~2/3 point up)
+    corpus_mean = sum(w for _, w in rows if w > 0) / sum(1 for _, w in rows if w > 0)
+    sample_mean = sum(rows[d][1] for d, _ in got) / 150
+    assert sample_mean > corpus_mean * 1.15, (sample_mean, corpus_mean)
