@@ -10,6 +10,18 @@ Each query is timed end-to-end (plan + execute) with a `noop` sink write so
 the full plan materializes on executors without a driver-side collect —
 the honest analogue of a cluster job writing output. One warmup query runs
 first so JVM/codegen startup is not attributed to the first headline query.
+
+Weather normalization (VERDICT r10 #3, the protocol the round memos use):
+this sandbox's VM throughput drifts 2x+ between runs with zero plan
+changes (measured r07, re-confirmed r10 via the frozen legacy9 control),
+so RAW seconds are not comparable across rounds. The emitted line carries
+a ``normalized_vs_prev`` block computed against the newest committed
+BENCH_r*.json: weather = this_legacy9_total / prev_legacy9_total (nine
+unchanged plain-scan plans — pure machine), and each query's normalized
+ratio = (t_now / t_prev) / weather. Ratios ~1.0 = flat, < 1 = faster.
+The line keeps the compact summary (median + worst/best movers inside
+the driver's 1900-char budget); full per-query ratios live in the
+committed BENCH_SAMPLES.json sidecar.
 """
 
 from __future__ import annotations
@@ -126,6 +138,9 @@ HEADLINE = HEADLINE24 + [
     # constructors, so regressions there are visible round-over-round
     "dedup_simhash",              # one-parse bit-sum sigs + pigeonhole join
     "rel_salted_join",            # skew-salted replicate-build equi-join
+    # added r11: the round's new operator classes
+    "text_chunk_udtf",            # Spark 4 arrow Python UDTF via LATERAL
+    "text_weighted_reservoir",    # A-ES exponential-sort weighted sample
 ]
 
 
@@ -194,6 +209,55 @@ def main() -> None:
             return round(sum(timings[n] for n in subset), 3)
         return None
 
+    def normalized_vs_prev() -> tuple[dict | None, dict | None]:
+        """(compact line block, full sidecar block) of weather-normalized
+        per-query ratios vs the newest committed BENCH_r*.json — see the
+        module docstring for the protocol. None when no comparable prior
+        record exists (fresh checkout, subset run, prior parse failure)."""
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        my_legacy9 = frozen_subtotal(LEGACY9)
+        if my_legacy9 is None:
+            return None, None
+        rounds = []
+        for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+            m = re.search(r"BENCH_r(\d+)\.json$", path)
+            if m:
+                rounds.append((int(m.group(1)), path))
+        for rnd, path in sorted(rounds, reverse=True):
+            try:
+                with open(path) as f:
+                    prev = json.load(f).get("parsed") or {}
+            except (OSError, ValueError):
+                continue
+            prev_q = prev.get("queries") or {}
+            prev_legacy9 = prev.get("legacy9_total")
+            if not prev_q or not prev_legacy9:
+                continue
+            weather = my_legacy9 / prev_legacy9
+            ratios = {
+                n: round((timings[n] / prev_q[n]) / weather, 2)
+                for n in timings
+                if prev_q.get(n)
+            }
+            if not ratios:
+                continue
+            ordered = sorted(ratios.items(), key=lambda kv: kv[1])
+            compact = {
+                "prev_round": rnd,
+                "weather": round(weather, 2),
+                "median": round(statistics.median(ratios.values()), 2),
+                "worst": dict(ordered[-3:]),
+                "best": dict(ordered[:2]),
+            }
+            full = {"prev_round": rnd, "weather": round(weather, 3), "ratios": ratios}
+            return compact, full
+        return None, None
+
+    norm_compact, norm_full = normalized_vs_prev()
+
     sidecar = {
         "samples": samples,
         "medians": timings,
@@ -202,6 +266,7 @@ def main() -> None:
         "headline24_total": frozen_subtotal(HEADLINE24),
         "bench_set": list(bench_set),
         "sf": sf,
+        "normalized_vs_prev": norm_full,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SAMPLES.json"), "w") as f:
         json.dump(sidecar, f, indent=1)
@@ -222,6 +287,9 @@ def main() -> None:
                 for k in ("legacy9_total", "headline17_total", "headline24_total")
                 if sidecar[k] is not None
             },
+            # Weather-normalized round-over-round summary (VERDICT r10 #3)
+            # — full per-query ratios in the BENCH_SAMPLES.json sidecar.
+            **({"normalized_vs_prev": norm_compact} if norm_compact else {}),
         }
     )
     if len(line) > 1900:  # loud, not silent: growth past the buffer breaks the driver parse
