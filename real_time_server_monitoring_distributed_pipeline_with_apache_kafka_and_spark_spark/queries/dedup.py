@@ -261,6 +261,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r08 ladder's slope-1.16 finding) — recall trade documented in
         # the operator
         hold_occupancy=True,
+        # bound_noise_floor stays OFF here by intent: this query's OUTPUT
+        # IS the threshold pair graph, so auto-raising the threshold would
+        # change what the query means. The keep-list composites
+        # (pipeline_embedding_prep) opt in, where past the chance-pair
+        # budget a 0.45-graph is noise anyway (r11, VERDICT r10 #1).
     )
 
 
@@ -285,6 +290,11 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r08 ladder's slope-1.16 finding) — recall trade documented in
         # the operator
         hold_occupancy=True,
+        # bound_noise_floor stays OFF here by intent: this query's OUTPUT
+        # IS the threshold pair graph, so auto-raising the threshold would
+        # change what the query means. The keep-list composites
+        # (pipeline_embedding_prep) opt in, where past the chance-pair
+        # budget a 0.45-graph is noise anyway (r11, VERDICT r10 #1).
     )
     return ops.connected_components(
         pairs.select("a_id", "b_id"), emb.select("vec_id"), id_col="vec_id"
