@@ -141,6 +141,7 @@ HEADLINE = HEADLINE24 + [
     # added r11: the round's new operator classes
     "text_chunk_udtf",            # Spark 4 arrow Python UDTF via LATERAL
     "text_weighted_reservoir",    # A-ES exponential-sort weighted sample
+    "sim_coreset_kcenter",        # greedy k-center coreset + assignment
 ]
 
 

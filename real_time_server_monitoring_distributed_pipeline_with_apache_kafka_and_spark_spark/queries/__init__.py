@@ -217,6 +217,7 @@ _REGISTERED: tuple[str, ...] = (
     # -- r11 additions --
     "text_chunk_udtf",
     "text_weighted_reservoir",
+    "sim_coreset_kcenter",
 )
 
 # Hand-pinned window head: queries whose IMPLEMENTATION changed since

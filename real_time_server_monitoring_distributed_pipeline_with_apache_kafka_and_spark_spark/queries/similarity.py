@@ -795,8 +795,141 @@ def sim_cosine_noise_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KCENTER_K = 8
+
+
+def sim_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection + full-corpus assignment: the
+    diversity-based data-selection class (DSIR/quality/mixture select by
+    importance or quality; nothing before this selects for COVERAGE) —
+    farthest-point traversal [Gonzalez 1985], the coreset strategy of
+    active-learning / data-pruning pipelines [Sener & Savarese 2018].
+
+    Two legs. SELECTION runs at query construction (the data-derived-
+    literals pattern of the IVF build, memoized in the same cache):
+    k-1 corpus scans, each one codegen pass ending in
+    TakeOrderedAndProject(1). ASSIGNMENT is the returned plan: ONE scan
+    computing 8 latticed squared-L2 folds per row against the selected
+    centers as plan literals (zero joins, the sim_kmeans_iter shape),
+    argmin with first-occurrence = earliest-round tie-break, then an
+    8-group hash agg — at 100 TB this is full scan speed with an 8-row
+    exchange. Output per center: selection round, center id, members
+    assigned, and the coverage radius (max member distance, the k-center
+    objective) as exact integer nanos plus a display double.
+
+    Float policy: every cross-engine comparison happens on floor-latticed
+    integer NANOS (selection argmax, assignment argmin, radius max), so
+    the greedy trajectory and the output replay exactly in the unrolled
+    DuckDB oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sel = ops.kcenter_select(emb, k=_KCENTER_K)
+    dists = F.expr(
+        "array("
+        + ", ".join(ops._lat_sqdist_sql("v", vec) for _, _, vec in sel)
+        + ")"
+    )
+    assigned = (
+        emb.select(
+            F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        .select(dists.alias("_d"))
+        .select(
+            F.array_position(F.col("_d"), F.array_min(F.col("_d")))
+            .cast("int")
+            .alias("round"),
+            F.array_min(F.col("_d")).alias("_dmin"),
+        )
+    )
+    cent_ids = F.array(*[F.lit(int(cid)).cast("long") for _, cid, _ in sel])
+    return (
+        assigned.groupBy("round")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.max("_dmin").alias("radius_nanos"),
+        )
+        .select(
+            "round",
+            F.element_at(cent_ids, F.col("round")).alias("center_id"),
+            "n_assigned",
+            "radius_nanos",
+            (F.col("radius_nanos").cast("double") / F.lit(1e9)).alias(
+                "coverage_radius"
+            ),
+        )
+    )
+
+
+def _kcenter_oracle(k: int = _KCENTER_K) -> str:
+    """Unrolled greedy k-center in DuckDB SQL: s_t = round-t pick
+    (1-row CTE), d_t = running latticed nearest-center distance. The
+    lattice/least/tie-break pins mirror kcenter_select exactly — see its
+    docstring for why the trajectory is integer-determined.
+
+    Every chain CTE is MATERIALIZED: each d_t is referenced twice (by
+    s_{t+1} and d_{t+1}) and each s_t by up to k+2 consumers — inlined,
+    the optimizer replays the chain per reference and the plan tree
+    grows 2^k (the exact live-plan-double-execution failure the Spark
+    side's connected_components checkpoint fixed this round, in SQL
+    form; the un-materialized oracle hung at k=8 on 500 rows)."""
+
+    def lat(v: str, c: str) -> str:
+        return (
+            "CAST(floor(list_reduce(list_transform(range(1, 65), "
+            f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), "
+            "(a, b) -> a + b) * 1e9 + 0.5) AS BIGINT)"
+        )
+
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "s1 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+        f"d1 AS MATERIALIZED (SELECT e.vec_id, e.v, {lat('e.v', 's1.v')}"
+        " AS dmin FROM e, s1)",
+    ]
+    for t in range(2, k + 1):
+        prev = f"d{t - 1}"
+        sel_union = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, t)
+        )
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT vec_id, v FROM {prev} "
+            f"WHERE vec_id NOT IN ({sel_union}) "
+            f"ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+        if t < k:
+            step = lat(f"{prev}.v", f"s{t}.v")
+            ctes.append(
+                f"d{t} AS MATERIALIZED (SELECT {prev}.vec_id, {prev}.v, "
+                f"CASE WHEN {step} < {prev}.dmin THEN {step} "
+                f"ELSE {prev}.dmin END AS dmin FROM {prev}, s{t})"
+            )
+    dlist = "[" + ", ".join(lat("e.v", f"s{t}.v") for t in range(1, k + 1)) + "]"
+    froms = "e, " + ", ".join(f"s{t}" for t in range(1, k + 1))
+    ctes.append(f"fin AS (SELECT e.vec_id, {dlist} AS dists FROM {froms})")
+    ctes.append(
+        "a AS (SELECT vec_id, "
+        "CAST(list_position(dists, list_aggregate(dists, 'min')) AS INTEGER)"
+        " AS round, list_aggregate(dists, 'min') AS dmin FROM fin)"
+    )
+    cents = " UNION ALL ".join(
+        f"SELECT {t} AS rnd, vec_id AS center_id FROM s{t}" for t in range(1, k + 1)
+    )
+    ctes.append(f"cents AS ({cents})")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT a.round, c.center_id, count(*) AS n_assigned, "
+        "max(a.dmin) AS radius_nanos, "
+        "CAST(max(a.dmin) AS DOUBLE) / 1e9 AS coverage_radius "
+        "FROM a JOIN cents c ON c.rnd = a.round "
+        "GROUP BY a.round, c.center_id"
+    )
+
+
 QUERIES = {
     "sim_ann_ivfpq": sim_ann_ivfpq,
+    "sim_coreset_kcenter": sim_coreset_kcenter,
     "sim_knn_join": sim_knn_join,
     "sim_kmeans_iter": sim_kmeans_iter,
     "sim_top_pc": sim_top_pc,
@@ -1457,6 +1590,7 @@ approx AS (
 {_RECALL_FINISH_SQL}
 """
 ORACLES["sim_embedding_drift"] = _drift_oracle()
+ORACLES["sim_coreset_kcenter"] = _kcenter_oracle()
 
 ORACLES["sim_cosine_noise_floor"] = """
 WITH b AS (

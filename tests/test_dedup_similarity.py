@@ -730,3 +730,72 @@ def test_noise_floor_bound_fires_deterministically_past_budget(spark):
         return float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
 
     assert all(cos(r.a_id, r.b_id) >= t1 - 1e-12 for r in got)
+
+
+def test_kcenter_select_matches_numpy_replay(spark):
+    """r11: the greedy k-center trajectory (seed = lowest id, then
+    argmax of the latticed nearest-center distance, ties to lowest id)
+    must replay exactly in a driver-side numpy greedy — same rounds,
+    same ids, same float64 vectors. The replay accumulates per-dim
+    squared diffs SEQUENTIALLY (one vectorized add per dim) so its fold
+    order is the engine's pinned left fold, and compares on the same
+    integer-nanos lattice."""
+    import numpy as np
+
+    s.clear_ivf_build_cache()
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    sel = s.kcenter_select(emb, k=8)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    order = sorted(range(len(rows)), key=lambda i: rows[i]["vec_id"])
+    ids = [rows[i]["vec_id"] for i in order]
+    V = np.array(
+        [[float(x) for x in rows[i]["embedding"]] for i in order],
+        dtype=np.float64,
+    )
+
+    def lat_dists(center: np.ndarray) -> np.ndarray:
+        sq = (V - center) * (V - center)
+        acc = np.zeros(len(V), dtype=np.float64)
+        for d in range(V.shape[1]):  # engine's left fold, one term at a time
+            acc = acc + sq[:, d]
+        return np.floor(acc * 1e9 + 0.5).astype(np.int64)
+
+    expect = [(1, ids[0], [float(x) for x in V[0]])]
+    taken = {0}
+    dmin = lat_dists(V[0])
+    for t in range(2, 9):
+        best = max(
+            (i for i in range(len(ids)) if i not in taken),
+            key=lambda i: (dmin[i], -ids[i]),
+        )
+        taken.add(best)
+        expect.append((t, ids[best], [float(x) for x in V[best]]))
+        dmin = np.minimum(dmin, lat_dists(V[best]))
+
+    assert [(r, i) for r, i, _ in sel] == [(r, i) for r, i, _ in expect]
+    for (_, _, va), (_, _, vb) in zip(sel, expect):
+        assert va == vb  # exact float64 equality — literals feed the oracle
+
+
+def test_kcenter_select_is_memoized_and_guards_small_corpus(spark):
+    """The selection shares the IVF build cache ('kcenter'-tagged key):
+    a fresh frame over the same path must HIT (no extra entry, equal
+    trajectory), and a corpus with fewer than k distinct ids must raise
+    rather than loop or re-select a center."""
+    import pytest as _pytest
+
+    s.clear_ivf_build_cache()
+    a = s.kcenter_select(load_table(spark, SF_ORACLE, "embeddings"), k=8)
+    n = len(s._IVF_BUILD_CACHE)
+    b = s.kcenter_select(load_table(spark, SF_ORACLE, "embeddings"), k=8)
+    assert len(s._IVF_BUILD_CACHE) == n, "same-path fresh frame missed the memo"
+    assert a == b
+
+    tiny = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0]), (2, [1.0, 1.0])],
+        "vec_id: long, embedding: array<double>",
+    )
+    with _pytest.raises(ValueError, match="fewer than k"):
+        s.kcenter_select(tiny, k=8)
+    s.clear_ivf_build_cache()

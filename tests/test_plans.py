@@ -381,6 +381,7 @@ EXCHANGE_CENSUS = {
     # r11 additions
     "text_chunk_udtf": 0,
     "text_weighted_reservoir": 0,
+    "sim_coreset_kcenter": 1,
     "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1, "text_bpe_train": 4, "text_bpe_encode": 6, "text_mixture_sample": 4,
     "rel_recursive_cte": 2, "rel_lateral_topk": 1, "monitor_synthetic_source": 1,
     "rel_order_count_histogram": 3,
