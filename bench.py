@@ -142,6 +142,7 @@ HEADLINE = HEADLINE24 + [
     "text_chunk_udtf",            # Spark 4 arrow Python UDTF via LATERAL
     "text_weighted_reservoir",    # A-ES exponential-sort weighted sample
     "sim_coreset_kcenter",        # greedy k-center coreset + assignment
+    "sim_mmr_rerank",             # MMR diversified top-k rerank
 ]
 
 

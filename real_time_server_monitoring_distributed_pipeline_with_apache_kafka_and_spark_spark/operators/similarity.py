@@ -695,6 +695,113 @@ def ann_topk(
     )
 
 
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_candidates: int = 25,
+    k: int = 5,
+    w_rel: int = 3,
+    w_div: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k [Carbonell &
+    Goldstein, SIGIR 1998]: fetch ``n_candidates`` per query by cosine,
+    then greedily pick ``k`` — round 1 the most relevant, each later
+    round the candidate maximizing w_rel*sim(q,c) − w_div*max sim(c,
+    selected) — the standard retrieval-diversification rerank (RAG
+    context dedup, "don't return 5 near-identical neighbors").
+
+    Two stages, both bounded. CANDIDATES: the broadcast-query exact scan
+    (the ann_topk shape — an opted-in exactness anchor; production
+    composes the same rerank onto the LSH/IVF tier's output instead),
+    ranked per query on the floor-latticed integer-nanos cosine (tie →
+    lowest id). RERANK: one Arrow-batched ``applyInPandas`` per
+    query_id group — n_candidates² pair cosines + the k-round greedy,
+    O(n²·dim + k·n²) work on a ≤n_candidates-row group, distributed on
+    the query dimension; at 100 TB of corpus the per-group work never
+    grows (only the candidate fetch does, and that's the ANN tier's
+    problem).
+
+    Determinism / oracle replay: sim(q,c) is the JVM pinned-fold lattice
+    computed BEFORE the Python stage; the pair cosines inside the stage
+    accumulate dim-at-a-time (one vectorized add per dim = the same
+    left fold), lattice to integer nanos, and all MMR scores are pure
+    int64 arithmetic (w_rel/w_div integer weights — ordering-equivalent
+    to lambda = w_rel/(w_rel+w_div)); ties break to the lowest id. The
+    DuckDB oracle unrolls the identical k rounds (MATERIALIZED chain
+    CTEs, the _kcenter_oracle lesson). Output: (query_id, neighbor_id,
+    round) — rank-only, scores stay internal.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("cv"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "cand_id",
+        "cv",
+        F.floor(cosine(F.col("cv"), F.col("qv")) * 1e9 + F.lit(0.5))
+        .cast("long")
+        .alias("latq"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("latq").desc(), F.col("cand_id")
+    )
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_candidates)
+        .drop("_rn")
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["latq", "cand_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        n = len(pdf)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
+        dot = np.zeros((n, n), dtype=np.float64)
+        sq = np.zeros(n, dtype=np.float64)
+        for d in range(V.shape[1]):  # engine's left fold: one add per dim
+            col = V[:, d]
+            dot = dot + np.outer(col, col)
+            sq = sq + col * col
+        nrm = np.sqrt(sq)
+        latp = np.floor(dot / np.outer(nrm, nrm) * 1e9 + 0.5).astype(np.int64)
+        latq = pdf["latq"].to_numpy(dtype=np.int64)
+        ids = pdf["cand_id"].to_numpy(dtype=np.int64)
+        sel = [0]  # row 0 = rank 1 (latq desc, id asc)
+        rounds = [1]
+        for t in range(2, min(k, n) + 1):
+            best_i, best_key = -1, None
+            for i in range(n):
+                if i in sel:
+                    continue
+                score = w_rel * latq[i] - w_div * max(latp[i, j] for j in sel)
+                key = (score, -ids[i])
+                if best_key is None or key > best_key:
+                    best_i, best_key = i, key
+            sel.append(best_i)
+            rounds.append(t)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "neighbor_id": ids[sel],
+                "round": np.asarray(rounds, dtype=np.int32),
+            }
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        _greedy, schema="query_id long, neighbor_id long, round int"
+    )
+
+
 def _centroid_udf(centroids: "np.ndarray", n_probe: int):
     """Arrow-batched coarse-quantizer assignment: one numpy matmul per
     batch against the (normalized) centroid matrix, returning the

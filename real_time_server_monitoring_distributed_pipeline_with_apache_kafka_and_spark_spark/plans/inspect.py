@@ -102,5 +102,15 @@ def plan_report(df: DataFrame) -> dict:
         "sort_merge_joins": len(re.findall(r"SortMergeJoin", plan)),
         "nested_loop_joins": len(re.findall(r"BroadcastNestedLoopJoin|CartesianProduct", plan)),
         "codegen_stages": codegen_stage_count(df),
-        "python_stages": len(re.findall(r"ArrowEvalPython|BatchEvalPython|MapInPandas", plan)),
+        # FlatMapGroupsInPandas = applyInPandas; FlatMapCoGroupsInPandas =
+        # applyInPandas over a cogroup — both are Python stages the census
+        # must see (found r11: the MMR rerank planned with python_stages=0
+        # because applyInPandas matched none of the original three tokens)
+        "python_stages": len(
+            re.findall(
+                r"ArrowEvalPython|BatchEvalPython|MapInPandas"
+                r"|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas",
+                plan,
+            )
+        ),
     }

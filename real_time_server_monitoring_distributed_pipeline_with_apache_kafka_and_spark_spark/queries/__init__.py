@@ -218,6 +218,7 @@ _REGISTERED: tuple[str, ...] = (
     "text_chunk_udtf",
     "text_weighted_reservoir",
     "sim_coreset_kcenter",
+    "sim_mmr_rerank",
 )
 
 # Hand-pinned window head: queries whose IMPLEMENTATION changed since

@@ -795,6 +795,100 @@ def sim_cosine_noise_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MMR_CANDS, _MMR_K, _MMR_WREL, _MMR_WDIV = 25, 5, 3, 2
+
+
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 for the first 20 query vectors: 25 exact
+    candidates per query, then the Carbonell-Goldstein greedy with
+    integer weights 3/2 (lambda = 0.6) on latticed cosines — the
+    retrieval-diversification stage the ANN family lacked (every prior
+    sim query returns raw nearest neighbors; RAG serving dedups them).
+    See operators.similarity.mmr_rerank for the two-stage shape, the
+    100 TB posture (per-group work is bounded; candidate fetch is the
+    ANN tier's), and the integer-lattice determinism contract the
+    unrolled DuckDB oracle replays."""
+    corpus, queries = _split(spark, sf_dir)
+    return ops.mmr_rerank(
+        corpus,
+        queries,
+        n_candidates=_MMR_CANDS,
+        k=_MMR_K,
+        w_rel=_MMR_WREL,
+        w_div=_MMR_WDIV,
+    )
+
+
+def _mmr_oracle(
+    n_cands: int = _MMR_CANDS,
+    k: int = _MMR_K,
+    w_rel: int = _MMR_WREL,
+    w_div: int = _MMR_WDIV,
+) -> str:
+    """Unrolled MMR greedy in DuckDB SQL. p_t = round-t picks (one row
+    per query), sel_t = accumulated picks. Chain CTEs MATERIALIZED (the
+    _kcenter_oracle lesson: inlined, sel_t re-executes per reference)."""
+    lat = (
+        "CAST(floor(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+        " * 1e9 + 0.5) AS BIGINT)"
+    )
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e"
+        f" WHERE vec_id < {N_QUERIES})",
+        f"c AS MATERIALIZED (SELECT vec_id AS cand_id, v AS cv FROM e"
+        f" WHERE vec_id >= {N_QUERIES})",
+        "scored AS MATERIALIZED (SELECT q.query_id, c.cand_id, "
+        + lat.format(a="c.cv", b="q.qv")
+        + " AS latq FROM c, q)",
+        "cand AS MATERIALIZED (SELECT query_id, cand_id, latq FROM ("
+        "SELECT query_id, cand_id, latq, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY latq DESC, cand_id) AS rn FROM scored"
+        f") WHERE rn <= {n_cands})",
+        "pairs AS MATERIALIZED (SELECT a.query_id, a.cand_id AS a_id, "
+        "b.cand_id AS b_id, "
+        + lat.format(a="ca.cv", b="cb.cv")
+        + " AS latp FROM cand a JOIN cand b ON a.query_id = b.query_id"
+        " AND a.cand_id <> b.cand_id"
+        " JOIN c ca ON ca.cand_id = a.cand_id"
+        " JOIN c cb ON cb.cand_id = b.cand_id)",
+        "p1 AS MATERIALIZED (SELECT query_id, cand_id AS neighbor_id, "
+        "1 AS round FROM (SELECT query_id, cand_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY latq DESC, cand_id) AS rn FROM cand"
+        ") WHERE rn = 1)",
+        "sel1 AS MATERIALIZED (SELECT * FROM p1)",
+    ]
+    for t in range(2, k + 1):
+        prev = f"sel{t - 1}"
+        ctes.append(
+            f"p{t} AS MATERIALIZED (SELECT query_id, cand_id AS neighbor_id,"
+            f" {t} AS round FROM (SELECT query_id, cand_id, row_number()"
+            " OVER (PARTITION BY query_id ORDER BY score DESC, cand_id)"
+            " AS rn FROM ("
+            f"SELECT cd.query_id, cd.cand_id,"
+            f" {w_rel} * cd.latq - {w_div} * max(ps.latp) AS score"
+            f" FROM cand cd"
+            f" JOIN {prev} sl ON sl.query_id = cd.query_id"
+            f" JOIN pairs ps ON ps.query_id = cd.query_id"
+            f" AND ps.a_id = cd.cand_id AND ps.b_id = sl.neighbor_id"
+            f" WHERE NOT EXISTS (SELECT 1 FROM {prev} x"
+            f" WHERE x.query_id = cd.query_id AND x.neighbor_id = cd.cand_id)"
+            f" GROUP BY cd.query_id, cd.cand_id, cd.latq"
+            ")) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"sel{t} AS MATERIALIZED (SELECT * FROM {prev}"
+            f" UNION ALL SELECT * FROM p{t})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT query_id, neighbor_id, round FROM sel{k}"
+    )
+
+
 _KCENTER_K = 8
 
 
@@ -930,6 +1024,7 @@ def _kcenter_oracle(k: int = _KCENTER_K) -> str:
 QUERIES = {
     "sim_ann_ivfpq": sim_ann_ivfpq,
     "sim_coreset_kcenter": sim_coreset_kcenter,
+    "sim_mmr_rerank": sim_mmr_rerank,
     "sim_knn_join": sim_knn_join,
     "sim_kmeans_iter": sim_kmeans_iter,
     "sim_top_pc": sim_top_pc,
@@ -1591,6 +1686,7 @@ approx AS (
 """
 ORACLES["sim_embedding_drift"] = _drift_oracle()
 ORACLES["sim_coreset_kcenter"] = _kcenter_oracle()
+ORACLES["sim_mmr_rerank"] = _mmr_oracle()
 
 ORACLES["sim_cosine_noise_floor"] = """
 WITH b AS (

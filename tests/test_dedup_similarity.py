@@ -799,3 +799,38 @@ def test_kcenter_select_is_memoized_and_guards_small_corpus(spark):
     with _pytest.raises(ValueError, match="fewer than k"):
         s.kcenter_select(tiny, k=8)
     s.clear_ivf_build_cache()
+
+
+def test_mmr_rerank_diversifies_and_is_deterministic(spark):
+    """r11: MMR picks must (a) keep round 1 == the plain cosine top-1,
+    (b) stay inside the top-25 candidate set, (c) actually DIVERSIFY —
+    differ from the plain top-5 for at least one query (w_div pulls a
+    redundant neighbor out), and (d) be bit-stable across runs (the
+    greedy is integer arithmetic on latticed cosines; a flaky pick
+    would hash-mismatch at the driver)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.similarity import (
+        sim_mmr_rerank,
+        sim_ann_bruteforce,
+    )
+
+    got = sim_mmr_rerank(spark, SF_ORACLE).collect()
+    again = sim_mmr_rerank(spark, SF_ORACLE).collect()
+    key = lambda r: (r.query_id, r.round)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, {})[r.round] = r.neighbor_id
+    assert len(by_q) == 20 and all(len(v) == 5 for v in by_q.values())
+
+    top5 = {}
+    for r in sim_ann_bruteforce(spark, SF_ORACLE).collect():
+        top5.setdefault(r.query_id, {})[r.rank] = r.neighbor_id
+    # round 1 is pure relevance == brute-force rank 1 (identical lattice
+    # ordering at rank 1; deeper ranks may differ only on latticed ties)
+    assert all(by_q[q][1] == top5[q][1] for q in by_q)
+    # diversification engages somewhere: the 5 MMR picks are not the
+    # plain top-5 for every query
+    assert any(
+        set(by_q[q].values()) != set(top5[q].values()) for q in by_q
+    ), "MMR never diverged from plain top-5 — w_div is inert"

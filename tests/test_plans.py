@@ -304,6 +304,9 @@ INTENTIONAL_NESTED_LOOP = {
     "dedup_minhash_recall",  # 1-row n_lsh_pairs scalar broadcast
     "rel_join_size_estimate",  # 3x 1-row count/verification scalar broadcasts
     "monitor_trace_knn",    # 5-row probe-profile broadcast (bounded query set)
+    # r11
+    "sim_mmr_rerank",       # exact candidate fetch = the brute-force anchor;
+                            # production composes the rerank onto the ANN tier
 }
 
 # Exact Exchange-node count of every registry query's initial physical
@@ -382,6 +385,7 @@ EXCHANGE_CENSUS = {
     "text_chunk_udtf": 0,
     "text_weighted_reservoir": 0,
     "sim_coreset_kcenter": 1,
+    "sim_mmr_rerank": 1,
     "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1, "text_bpe_train": 4, "text_bpe_encode": 6, "text_mixture_sample": 4,
     "rel_recursive_cte": 2, "rel_lateral_topk": 1, "monitor_synthetic_source": 1,
     "rel_order_count_histogram": 3,
@@ -415,11 +419,21 @@ PYTHON_STAGE_CENSUS = {
     "mm_frame_sample": 2, "mm_image_ahash": 4, "mm_resize": 2,
     "mm_scene_segments": 4, "monitor_heavy_hitters": 2,
     "pipeline_multimodal_prep": 6, "sim_ann_ivf": 6, "sim_ann_ivfpq": 6,
-    "sim_ann_lsh": 4, "sim_ann_filtered": 4, "sim_ann_recall": 4, "sim_knn_join": 2,
+    # sim_knn_join 2 -> 4 and monitor_alert_transitions 0 -> 2 under the
+    # r11 census-regex fix: their applyInPandas (FlatMapGroupsInPandas)
+    # stages — the knn hot-bucket block matmul, the debounce batch twin —
+    # were invisible to the census before. No plan change; the CENSUS saw
+    # more, and 0-pinned queries are now proven free of applyInPandas too.
+    "sim_ann_lsh": 4, "sim_ann_filtered": 4, "sim_ann_recall": 4, "sim_knn_join": 4,
+    "monitor_alert_transitions": 2,
     "sim_ann_ivfpq_recall": 6,
     # r11: the Spark 4 arrow-optimized Python UDTF surface — one
     # ArrowEvalPythonUDTF node (tree + details = 2 matches), deliberate
     "text_chunk_udtf": 2,
+    # r11: MMR greedy over bounded per-query candidate groups — one
+    # FlatMapGroupsInPandas node (counted since the r11 census-regex fix:
+    # applyInPandas stages were previously INVISIBLE to the census)
+    "sim_mmr_rerank": 2,
 }
 
 
