@@ -1,0 +1,55 @@
+"""Wholesale single-session oracle sweep (the round-final record): every
+registry query at $SPARK_GRAFT_SF_DIR (default sf0.1) — strict
+driver-style value compare (sorted stringified rows, the hash surface)
++ assert_scale_safe on every plan (nested-loop check honors the
+documented INTENTIONAL_NESTED_LOOP anchors). ~16 min for the full
+registry on local[16]. Usage: python tools/oracle_sweep.py"""
+import os
+import sys, time, warnings
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from pyspark.sql import SparkSession
+import duckdb
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+spark = (SparkSession.builder.master("local[16]")
+         .config("spark.sql.shuffle.partitions", "32")
+         .config("spark.driver.memory", "12g")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as e
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.guard import assert_scale_safe
+from tests.test_plans import INTENTIONAL_NESTED_LOOP
+
+q, o = e.queries(), e.oracle_sql()
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+ok = bad = err = 0
+t_all = time.time()
+for name in q:
+    t0 = time.time()
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            sdf = q[name](spark, SF)
+            assert_scale_safe(sdf, allow_nested_loop=name in INTENTIONAL_NESTED_LOOP)
+            scols = sorted(sdf.columns)
+            srows = sorted(tuple(str(r[c]) for c in scols) for r in sdf.collect())
+        res = con.execute(o[name]); dcols = [d[0] for d in res.description]
+        if sorted(dcols) != scols:
+            print(f"{name}: SCHEMA MISMATCH {scols} vs {sorted(dcols)}", flush=True)
+            bad += 1; continue
+        idx = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        drows = sorted(tuple(str(row[i]) for i in idx) for row in res.fetchall())
+        if srows == drows:
+            ok += 1
+            print(f"{name}: MATCH ({len(srows)} rows, {time.time()-t0:.1f}s)", flush=True)
+        else:
+            bad += 1
+            print(f"{name}: VALUE MISMATCH ({len(srows)} vs {len(drows)} rows)", flush=True)
+    except Exception as ex:
+        err += 1
+        print(f"{name}: ERROR {type(ex).__name__}: {str(ex).splitlines()[0][:120]}", flush=True)
+print(f"SWEEP DONE: {ok} match, {bad} mismatch, {err} error of {len(q)} in {time.time()-t_all:.0f}s", flush=True)
