@@ -834,3 +834,98 @@ def test_mmr_rerank_diversifies_and_is_deterministic(spark):
     assert any(
         set(by_q[q].values()) != set(top5[q].values()) for q in by_q
     ), "MMR never diverged from plain top-5 — w_div is inert"
+
+
+def test_mmr_reduces_to_plain_topk_when_diversity_off(spark):
+    """Semantic pin: with w_div=0 the MMR greedy degenerates to plain
+    relevance order — picks 1..k must equal the latticed top-k ranking
+    (ties to lowest id). Exercises the operator off the registry
+    defaults, so a weight-plumbing bug can't hide behind the oracle."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    queries = emb.filter(F.col("vec_id") < 20)
+    got = s.mmr_rerank(
+        corpus, queries, n_candidates=10, k=4, w_rel=1, w_div=0
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, {})[r.round] = r.neighbor_id
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.similarity import (
+        cosine,
+    )
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("cand_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("latq").desc(), F.col("cand_id")
+    )
+    ranked = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "cand_id",
+            F.floor(cosine(F.col("cv"), F.col("qv")) * 1e9 + F.lit(0.5))
+            .cast("long")
+            .alias("latq"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .collect()
+    )
+    expect = {}
+    for r in ranked:
+        expect.setdefault(r.query_id, {})[r.rn] = r.cand_id
+    assert by_q == expect
+
+
+def test_kcenter_and_mmr_handle_duplicate_vectors(spark):
+    """Degenerate corpora: exact-duplicate vectors drive every remaining
+    lattice distance to 0 (k-center) / every pair cosine to 1e9 nanos
+    (MMR). k-center must still select k DISTINCT ids (the explicit
+    exclusion, lowest-id ties) and MMR must still emit k distinct picks
+    per query."""
+    dup = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(6)]
+        + [(6, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id: long, embedding: array<double>",
+    )
+    s.clear_ivf_build_cache()
+    sel = s.kcenter_select(dup, k=4)
+    assert [cid for _, cid, _ in sel] == [0, 6, 1, 2], (
+        "seed=lowest id, round 2 = the one distant point, then "
+        "zero-distance ties resolve to the lowest remaining ids"
+    )
+
+    # MMR fixture where diversity genuinely wins round 2 (a zero-relevance
+    # outlier would correctly LOSE to a relevant duplicate at lambda=0.6):
+    # A-dups (ids 1-3) and B (id 6) are equally relevant to q (cos 0.8,
+    # round-1 tie resolves to id 1), but sim(A,B)=0.28 << sim(A,A)=1, so
+    # round 2 scores 3*0.8 - 2*0.28 = 1.84 (B) vs 3*0.8 - 2*1 = 0.4 (A-dup).
+    mset = spark.createDataFrame(
+        [(0, [1.0, 0.0])]
+        + [(i, [0.8, 0.6]) for i in (1, 2, 3)]
+        + [(6, [0.8, -0.6])],
+        "vec_id: long, embedding: array<double>",
+    )
+    got = s.mmr_rerank(
+        mset.filter("vec_id >= 1"),
+        mset.filter("vec_id = 0"),
+        n_candidates=4,
+        k=3,
+    ).collect()
+    picks = sorted((r.round, r.neighbor_id) for r in got)
+    assert len({n for _, n in picks}) == 3, picks
+    # round 1 = lowest-id A-dup; round 2 = B (diversity beats redundancy
+    # at equal relevance); round 3 = lowest remaining A-dup
+    assert picks == [(1, 1), (2, 6), (3, 2)], picks
+    s.clear_ivf_build_cache()
