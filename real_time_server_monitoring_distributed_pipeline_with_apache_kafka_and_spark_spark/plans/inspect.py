@@ -102,14 +102,18 @@ def plan_report(df: DataFrame) -> dict:
         "sort_merge_joins": len(re.findall(r"SortMergeJoin", plan)),
         "nested_loop_joins": len(re.findall(r"BroadcastNestedLoopJoin|CartesianProduct", plan)),
         "codegen_stages": codegen_stage_count(df),
-        # FlatMapGroupsInPandas = applyInPandas; FlatMapCoGroupsInPandas =
-        # applyInPandas over a cogroup — both are Python stages the census
-        # must see (found r11: the MMR rerank planned with python_stages=0
-        # because applyInPandas matched none of the original three tokens)
+        # Every Python-stage physical node Spark 4 can plan, so none is
+        # invisible to the census (found r11: the MMR rerank planned with
+        # python_stages=0 because applyInPandas/FlatMapGroupsInPandas
+        # matched none of the original three tokens): ArrowEvalPython(+UDTF),
+        # BatchEvalPython(+UDTF), MapInPandas, applyInPandas (+cogroup
+        # variant), pandas window/grouped-agg UDFs, and mapInArrow.
         "python_stages": len(
             re.findall(
                 r"ArrowEvalPython|BatchEvalPython|MapInPandas"
-                r"|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas",
+                r"|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas"
+                r"|WindowInPandas|AggregateInPandas|MapInArrow"
+                r"|FlatMapGroupsInArrow|FlatMapCoGroupsInArrow",
                 plan,
             )
         ),
