@@ -2675,3 +2675,53 @@ def test_transform_with_state_v2_matches_v1_and_batch(spark, tmp_path):
 
     assert v1 == expected and v2 == expected
     assert len(expected) == 4
+
+
+def test_state_store_reader_inspects_window_state(spark, tmp_path):
+    """Ops surface (SURVEY §5.10b): a checkpointed streaming window agg's
+    state is INSPECTABLE as a batch DataFrame via the state-metadata /
+    statestore reader formats — the debugging tool for every stateful
+    leg. Pins: the metadata names the stateful operator and its store;
+    the state rows' (server_id, window) keys equal the emitted output's
+    keys; per-key event counts match. Value layout beyond count is agg
+    internals and deliberately unpinned."""
+    wide = metrics_wide_df(spark)
+    cpu, *_ = narrow_splits(wide)
+    src = str(tmp_path / "cpu_src")
+    ckpt = str(tmp_path / "ckpt")
+    write_csv_batch(cpu, src)
+
+    stream = spark.readStream.schema(schemas.METRICS_CPU).csv(src)
+    agg = jobs.streaming_window_alerts(stream, value_col="cpu_pct")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("state_probe_out")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql(
+            "SELECT server_id, window_start, n_events FROM state_probe_out"
+        ).collect()
+    finally:
+        q.stop()
+
+    meta = spark.read.format("state-metadata").load(ckpt).collect()
+    assert any(r.operatorName == "stateStoreSave" for r in meta), meta
+    assert all(r.stateStoreName == "default" for r in meta)
+
+    st = spark.read.format("statestore").load(ckpt)
+    srows = st.collect()
+    assert len(srows) == len(out) > 0
+    state_keys = {(r.key.server_id, r.key.window.start) for r in srows}
+    out_keys = {(r.server_id, r.window_start) for r in out}
+    assert state_keys == out_keys
+    # r.value["count"], not r.value.count — attribute access collides
+    # with Row.count() the method
+    state_counts = {
+        (r.key.server_id, r.key.window.start): r.value["count"] for r in srows
+    }
+    for r in out:
+        assert state_counts[(r.server_id, r.window_start)] == r.n_events
