@@ -929,3 +929,18 @@ def test_kcenter_and_mmr_handle_duplicate_vectors(spark):
     # at equal relevance); round 3 = lowest remaining A-dup
     assert picks == [(1, 1), (2, 6), (3, 2)], picks
     s.clear_ivf_build_cache()
+
+
+def test_mmr_truncates_when_corpus_smaller_than_k(spark):
+    """A query whose candidate pool is smaller than k must emit exactly
+    n picks (rounds 1..n), not pad or crash — the greedy loop bounds at
+    min(k, n)."""
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id: long, embedding: array<double>",
+    )
+    got = s.mmr_rerank(
+        tiny.filter("vec_id >= 1"), tiny.filter("vec_id = 0"),
+        n_candidates=25, k=5,
+    ).collect()
+    assert sorted((r.round, r.neighbor_id) for r in got) == [(1, 1), (2, 2)]
