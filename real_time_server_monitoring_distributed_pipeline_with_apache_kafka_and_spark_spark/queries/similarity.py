@@ -824,15 +824,29 @@ def _mmr_oracle(
     k: int = _MMR_K,
     w_rel: int = _MMR_WREL,
     w_div: int = _MMR_WDIV,
+    scored_ctes: list[str] | None = None,
 ) -> str:
     """Unrolled MMR greedy in DuckDB SQL. p_t = round-t picks (one row
     per query), sel_t = accumulated picks. Chain CTEs MATERIALIZED (the
-    _kcenter_oracle lesson: inlined, sel_t re-executes per reference)."""
+    _kcenter_oracle lesson: inlined, sel_t re-executes per reference).
+
+    ``scored_ctes`` swaps the candidate-scoring stage (must end in a
+    CTE named ``scored`` with columns query_id, cand_id, latq): default
+    is the brute-force cross scan; the ANN variant passes the LSH
+    collision join instead. Everything downstream — lattice rank, pair
+    cosines, the unrolled greedy — is shared verbatim, mirroring the
+    Spark side's shared ``_mmr_greedy_tail``."""
     lat = (
         "CAST(floor(list_dot_product({a}, {b}) / "
         "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
         " * 1e9 + 0.5) AS BIGINT)"
     )
+    if scored_ctes is None:
+        scored_ctes = [
+            "scored AS MATERIALIZED (SELECT q.query_id, c.cand_id, "
+            + lat.format(a="c.cv", b="q.qv")
+            + " AS latq FROM c, q)"
+        ]
     ctes = [
         "e AS MATERIALIZED (SELECT vec_id, "
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
@@ -840,9 +854,7 @@ def _mmr_oracle(
         f" WHERE vec_id < {N_QUERIES})",
         f"c AS MATERIALIZED (SELECT vec_id AS cand_id, v AS cv FROM e"
         f" WHERE vec_id >= {N_QUERIES})",
-        "scored AS MATERIALIZED (SELECT q.query_id, c.cand_id, "
-        + lat.format(a="c.cv", b="q.qv")
-        + " AS latq FROM c, q)",
+        *scored_ctes,
         "cand AS MATERIALIZED (SELECT query_id, cand_id, latq FROM ("
         "SELECT query_id, cand_id, latq, row_number() OVER ("
         "PARTITION BY query_id ORDER BY latq DESC, cand_id) AS rn FROM scored"
@@ -887,6 +899,56 @@ def _mmr_oracle(
         + ",\n".join(ctes)
         + f"\nSELECT query_id, neighbor_id, round FROM sel{k}"
     )
+
+
+def sim_mmr_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 with candidates from the LSH ANN tier — the
+    production composition of the rerank (sim_mmr_rerank's candidate
+    stage is the brute-force exactness anchor; this one probes the same
+    12x6 seeded-hyperplane index as sim_ann_lsh and reranks the
+    collision set). Same integer-greedy tail, same rank-only output
+    contract; recall < 1 by design, yet still hash-checked end-to-end —
+    the oracle replays bucket assignment, the collision join, the
+    lattice rank, and the unrolled greedy rounds."""
+    corpus, queries = _split(spark, sf_dir)
+    return ops.mmr_rerank_ann(
+        corpus,
+        queries,
+        n_candidates=_MMR_CANDS,
+        k=_MMR_K,
+        w_rel=_MMR_WREL,
+        w_div=_MMR_WDIV,
+        planes_per_table=_LSH_PLANES_PER,
+        n_tables=_LSH_TABLES,
+        dim=64,
+        seed=7,
+    )
+
+
+def _mmr_ann_scored_ctes() -> list[str]:
+    """LSH candidate-stage CTEs for the ANN-composed MMR oracle: the
+    same seeded hyperplane sign-bit bucketing `sim_ann_lsh`'s oracle
+    inlines (`_LSH_BANDS_SQL` over the shared `e` CTE), the per-table
+    collision join deduped to (query, candidate), then the latticed
+    fold cosine — producing the `scored` contract `_mmr_oracle`'s
+    shared tail consumes."""
+    lat = (
+        "CAST(floor(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+        " * 1e9 + 0.5) AS BIGINT)"
+    )
+    return [
+        f"bt AS MATERIALIZED ({_LSH_BANDS_SQL})",
+        "coll AS MATERIALIZED (SELECT DISTINCT bq.vec_id AS query_id, "
+        "bc.vec_id AS cand_id FROM bt bq JOIN bt bc"
+        " ON bq.table_idx = bc.table_idx AND bq.bucket = bc.bucket"
+        f" WHERE bq.vec_id < {N_QUERIES} AND bc.vec_id >= {N_QUERIES})",
+        "scored AS MATERIALIZED (SELECT coll.query_id, coll.cand_id, "
+        + lat.format(a="c.cv", b="q.qv")
+        + " AS latq FROM coll"
+        " JOIN q ON q.query_id = coll.query_id"
+        " JOIN c ON c.cand_id = coll.cand_id)",
+    ]
 
 
 _KCENTER_K = 8
@@ -1025,6 +1087,7 @@ QUERIES = {
     "sim_ann_ivfpq": sim_ann_ivfpq,
     "sim_coreset_kcenter": sim_coreset_kcenter,
     "sim_mmr_rerank": sim_mmr_rerank,
+    "sim_mmr_ann": sim_mmr_ann,
     "sim_knn_join": sim_knn_join,
     "sim_kmeans_iter": sim_kmeans_iter,
     "sim_top_pc": sim_top_pc,
@@ -1687,6 +1750,7 @@ approx AS (
 ORACLES["sim_embedding_drift"] = _drift_oracle()
 ORACLES["sim_coreset_kcenter"] = _kcenter_oracle()
 ORACLES["sim_mmr_rerank"] = _mmr_oracle()
+ORACLES["sim_mmr_ann"] = _mmr_oracle(scored_ctes=_mmr_ann_scored_ctes())
 
 ORACLES["sim_cosine_noise_floor"] = """
 WITH b AS (

@@ -286,6 +286,13 @@ def main() -> None:
         except (ValueError, OSError):
             pass
     merged["results"].update(results)
+    # The header must describe the merged file, not just this run: partial
+    # re-probes with a shorter --replicas list would otherwise shrink "ks"
+    # while entries keep their longer ladders (ADVICE r11 #3). Record the
+    # union of rungs actually present across all merged entries.
+    merged["ks"] = sorted(
+        {int(k) for row in merged["results"].values() for k in row.get("times", {})}
+    ) or ks
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=1)
     spark.stop()

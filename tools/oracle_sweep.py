@@ -35,13 +35,22 @@ for name in q:
             warnings.simplefilter("ignore")
             sdf = q[name](spark, SF)
             assert_scale_safe(sdf, allow_nested_loop=name in INTENTIONAL_NESTED_LOOP)
-            scols = sorted(sdf.columns)
+            # Duplicate column names would make name-based alignment
+            # arbitrary (ADVICE r11 #5) — refuse instead of guessing.
+            scols = list(sdf.columns)
+            if len(set(scols)) != len(scols):
+                print(f"{name}: DUPLICATE SPARK COLUMNS {scols}", flush=True)
+                bad += 1; continue
             srows = sorted(tuple(str(r[c]) for c in scols) for r in sdf.collect())
         res = con.execute(o[name]); dcols = [d[0] for d in res.description]
-        if sorted(dcols) != scols:
-            print(f"{name}: SCHEMA MISMATCH {scols} vs {sorted(dcols)}", flush=True)
+        if len(set(dcols)) != len(dcols) or set(dcols) != set(scols):
+            print(f"{name}: SCHEMA MISMATCH {sorted(scols)} vs {sorted(dcols)}", flush=True)
             bad += 1; continue
-        idx = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        # Align DuckDB columns to the Spark column ORDER explicitly (not
+        # an independent sort of each side), so a transposition between
+        # same-typed columns cannot silently line up.
+        pos = {c: i for i, c in enumerate(dcols)}
+        idx = [pos[c] for c in scols]
         drows = sorted(tuple(str(row[i]) for i in idx) for row in res.fetchall())
         if srows == drows:
             ok += 1
