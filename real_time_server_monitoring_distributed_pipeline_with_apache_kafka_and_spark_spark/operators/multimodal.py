@@ -236,6 +236,12 @@ def image_ahash(with_payload: DataFrame, grid: int = 64) -> DataFrame:
         for pdf in batches:
             lo, hi = [], []
             for payload in pdf["payload"]:
+                # NULL payload (e.g. NULL source text) hashes like an
+                # empty one: all-zero signature — what the SQL oracle's
+                # NULL-propagating CASE already yields, and what the
+                # mapInArrow twin does.
+                if payload is None:
+                    payload = b""
                 n = max(len(payload), 1)
                 pixels = [payload[j % n] if len(payload) else 0 for j in range(grid)]
                 mean = sum(pixels) / float(grid)
@@ -258,6 +264,50 @@ def image_ahash(with_payload: DataFrame, grid: int = 64) -> DataFrame:
             )
 
     return with_payload.select("doc_id", "payload").mapInPandas(run, AHASH_SCHEMA)
+
+
+def image_ahash_arrow(with_payload: DataFrame, grid: int = 64) -> DataFrame:
+    """``mapInArrow`` twin of :func:`image_ahash` — defined
+    output-identical (same stub pixel model, same strict > mean
+    threshold, same two-halves bit packing), existing to exercise the
+    Spark 4 raw-Arrow map surface the census watches (`MapInArrow`),
+    exactly as ``text_chunk_udtf`` does for arrow-optimized UDTFs. The
+    batch arrives as a ``pyarrow.RecordBatch`` — no pandas conversion
+    on either side of the exchange, the one thing ``mapInPandas`` always
+    pays — and the signature ints go back as a RecordBatch built from
+    ``pa.array`` columns. The mapInPandas twin stays the production
+    path (it shares code shape with every other multimodal leg); both
+    share one DuckDB oracle. Same narrow 1:1 contract: no shuffle,
+    (doc_id, payload) only."""
+    import pyarrow as pa
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            payloads = batch.column(1)
+            lo: list[int] = []
+            hi: list[int] = []
+            for scalar in payloads:
+                raw = scalar.as_py()
+                b = raw if raw is not None else b""
+                n = max(len(b), 1)
+                pixels = [b[j % n] if len(b) else 0 for j in range(grid)]
+                mean = sum(pixels) / float(grid)
+                lo_bits = 0
+                hi_bits = 0
+                for j, p in enumerate(pixels):
+                    if p > mean:
+                        if j < 32:
+                            lo_bits |= 1 << j
+                        else:
+                            hi_bits |= 1 << (j - 32)
+                lo.append(lo_bits)
+                hi.append(hi_bits)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(lo, pa.int64()), pa.array(hi, pa.int64())],
+                names=["doc_id", "sig_lo", "sig_hi"],
+            )
+
+    return with_payload.select("doc_id", "payload").mapInArrow(run, AHASH_SCHEMA)
 
 
 FRAME_FEATURE_SCHEMA = (

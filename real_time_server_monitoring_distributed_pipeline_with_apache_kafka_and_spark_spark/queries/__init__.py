@@ -221,6 +221,7 @@ _REGISTERED: tuple[str, ...] = (
     "sim_mmr_rerank",
     # -- r12 additions --
     "sim_mmr_ann",
+    "mm_ahash_arrow",
 )
 
 # Hand-pinned window head: queries whose IMPLEMENTATION changed since
@@ -261,16 +262,24 @@ _FORCE_HEAD: dict[str, int] = {
     "pipeline_embedding_prep": 11,
     "dedup_clusters": 11,
     "dedup_embedding_clusters": 11,
-    "mm_image_dedup_clusters": 11,
-    "pipeline_multimodal_prep": 11,
+    # (mm_image_dedup_clusters / pipeline_multimodal_prep moved to the
+    # r12 block below — their operator changed again this round.)
     # r12 entries — code touched this round:
     #   sim_mmr_rerank   candidate stage refactored into the shared
     #                    _mmr_greedy_tail + NULL-latq (zero-norm) filter
     #                    (ADVICE r11 #2); output identical on all SFs.
     #   sim_coreset_kcenter  memo deep-copy on put/get (ADVICE r11 #1);
     #                    output identical.
+    #   mm_image_ahash / mm_image_dedup_clusters / pipeline_multimodal_prep
+    #                    image_ahash now hashes NULL payloads like empty
+    #                    ones (all-zero signature — the oracle's existing
+    #                    NULL-propagating behavior) instead of crashing;
+    #                    no testdata SF has NULL text, output identical.
     "sim_mmr_rerank": 12,
     "sim_coreset_kcenter": 12,
+    "mm_image_ahash": 12,
+    "mm_image_dedup_clusters": 12,
+    "pipeline_multimodal_prep": 12,
 }
 
 

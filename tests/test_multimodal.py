@@ -111,6 +111,29 @@ def test_image_ahash_known_bits_and_exact_dup(spark):
     assert [(p.a_id, p.b_id, p.hamming) for p in pairs] == [(1, 2, 0)]
 
 
+def test_image_ahash_arrow_twin_is_output_identical(spark):
+    """r12 (VERDICT r11 #2): the mapInArrow a-hash twin must be
+    bit-identical to the mapInPandas production path on the same
+    corpus — including NULL/empty payload degenerate rows — and its
+    plan must carry a MapInArrow node (the raw-Arrow map surface the
+    census watches), never a pandas conversion node."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab" * 40), (2, "ab" * 50), (3, "zzzz"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    wp = mm.attach_binary_payload(docs)
+    arrow = mm.image_ahash_arrow(wp)
+    plan = formatted_plan(arrow)
+    assert "MapInArrow" in plan and "MapInPandas" not in plan
+    got = sorted(map(tuple, arrow.collect()))
+    twin = sorted(map(tuple, mm.image_ahash(wp).collect()))
+    assert got == twin
+
+
 def test_signature_saturation_guardrail_warns_on_stub_corpus(spark):
     """VERDICT r09 #1 pin: the stub-pixel synthetic corpus SATURATES the
     64-bit a-hash space (SCALING.md measured 6,015 distinct signatures at

@@ -388,6 +388,7 @@ EXCHANGE_CENSUS = {
     "sim_mmr_rerank": 1,
     # r12 additions
     "sim_mmr_ann": 2,
+    "mm_ahash_arrow": 0,
     "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1, "text_bpe_train": 4, "text_bpe_encode": 6, "text_mixture_sample": 4,
     "rel_recursive_cte": 2, "rel_lateral_topk": 1, "monitor_synthetic_source": 1,
     "rel_order_count_histogram": 3,
@@ -440,6 +441,9 @@ PYTHON_STAGE_CENSUS = {
     # legs (query + corpus side, the sim_ann_lsh shape) plus the same
     # bounded greedy FlatMapGroupsInPandas tail
     "sim_mmr_ann": 6,
+    # r12: the raw-Arrow map surface — one MapInArrow node (tree +
+    # details = 2 matches), deliberate; mapInPandas twin is production
+    "mm_ahash_arrow": 2,
 }
 
 
