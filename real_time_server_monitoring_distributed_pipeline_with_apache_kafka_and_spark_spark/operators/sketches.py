@@ -1,0 +1,152 @@
+"""KMV (k-minimum-values / theta) distinct-count sketches with SET
+ALGEBRA — union AND intersection estimates from two bounded sketches
+[Beyer et al., SIGMOD 2007; the DataSketches theta-sketch model].
+
+This is the capability the HLL leg (rel_hll_daily_users) deliberately
+lacks: HLL sketches union cleanly but cannot intersect; theta/KMV
+sketches support the full set algebra, which is what audience-overlap /
+cross-segment distinct questions need ("how many user-minutes saw BOTH
+a click and a view").
+
+Unlike the engine-specific DataSketches binaries, this KMV is built
+from md5 — fully deterministic and replayable in the SQL oracle — so
+the ESTIMATES themselves are on the hash surface (no accuracy-report
+indirection needed): both engines keep the k smallest 60-bit hashes per
+set, read the same k-th minimum, and divide the same exact integers.
+
+Estimator: with h uniform on [0, 2^60) and the sketch full,
+``est = (k-1) * 2^60 / h_(k)``; a sketch holding fewer than k values IS
+the exact distinct set (est = count, exact by construction). Union =
+the k smallest over both sets (any union-sketch member from A is
+necessarily in A's own sketch, so flags survive the merge). Jaccard =
+|union-sketch members in both sets| / |union sketch|; intersection =
+jaccard * est_union — all integer counts and two pinned IEEE divisions,
+identical in both engines.
+
+Scale: each sketch is a TakeOrderedAndProject(k) — per-partition top-k,
+no corpus shuffle beyond the one distinct-key aggregation the EXACT
+companion legs need anyway. At 100 TB you drop the exact legs (they are
+the verification harness, the rel_hll_daily_users policy) and the whole
+query is one distinct agg + three k-row heaps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kmv_hash(col: F.Column) -> F.Column:
+    """Deterministic 60-bit uniform hash: first 15 hex chars of md5,
+    as a positive BIGINT — portable to the DuckDB oracle verbatim
+    (the dedup/minhash family's hash idiom)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def kmv_setops(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str = "key",
+    k: int = 256,
+    a_name: str = "a",
+    b_name: str = "b",
+) -> DataFrame:
+    """Distinct-count set algebra over two key sets: KMV estimates and
+    exact companions for |A|, |B|, |A∪B|, |A∩B|.
+
+    Output (4 rows): measure ∈ {a_name, b_name, 'union', 'intersect'},
+    est_distinct (double — the KMV estimate, deterministic), and
+    exact_distinct (long — the exact verification leg).
+
+    Membership flags ride the distinct-key aggregation, so one pass
+    yields the exact counts AND the hash input; the three sketches are
+    ordered LIMIT k heaps over the persisted flag table (multi-branch
+    persist convention — the distinct agg would otherwise re-run per
+    sketch). h_(k) = 0 would divide by zero; that needs an md5 prefix
+    of 15 zero nibbles (p ≈ 2^-60 per corpus) and is accepted.
+    """
+    sides = a.select(
+        F.lit(1).alias("in_a"),
+        F.lit(0).alias("in_b"),
+        F.col(key_col).cast("string").alias("key"),
+    ).unionByName(
+        b.select(
+            F.lit(0).alias("in_a"),
+            F.lit(1).alias("in_b"),
+            F.col(key_col).cast("string").alias("key"),
+        )
+    )
+    hashed = (
+        sides.groupBy("key")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .select("in_a", "in_b", "key", kmv_hash(F.col("key")).alias("h"))
+        .persist()
+    )
+
+    exact4 = hashed.agg(
+        F.sum("in_a").alias("na"),
+        F.sum("in_b").alias("nb"),
+        F.count(F.lit(1)).alias("nu"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("ni"),
+    ).select(
+        F.expr(
+            f"stack(4, '{a_name}', na, '{b_name}', nb, "
+            "'union', nu, 'intersect', ni) as (measure, exact_distinct)"
+        )
+    )
+
+    # (k-1) * 2^60: significand k-1 << 2^53, so the double literal is
+    # exact and both engines parse the same value.
+    scale = F.lit(float((k - 1) * (1 << 60)))
+
+    def est(cnt: F.Column, hk: F.Column) -> F.Column:
+        # cnt < k ⇒ the sketch IS the set (exact); the CASE also shields
+        # the NULL max(h) of an empty sketch from the division.
+        return F.when(cnt < k, cnt.cast("double")).otherwise(
+            scale / hk.cast("double")
+        )
+
+    def side_est(flag: str, name: str) -> DataFrame:
+        # Deterministic heap: ties on h (only possible via md5 collision)
+        # break on the key itself, in both engines.
+        sk = hashed.filter(F.col(flag) == 1).orderBy("h", "key").limit(k)
+        return sk.agg(
+            F.count(F.lit(1)).alias("cnt"), F.max("h").alias("hk")
+        ).select(
+            F.lit(name).alias("measure"),
+            est(F.col("cnt"), F.col("hk")).alias("est_distinct"),
+        )
+
+    # Union sketch = k smallest over ALL distinct keys; a member that
+    # belongs to A is among the k smallest of A too, so the persisted
+    # in_a/in_b flags are exactly "is in that side's sketch".
+    u_agg = (
+        hashed.orderBy("h", "key")
+        .limit(k)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("h").alias("hk"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"),
+        )
+    )
+    u_est = u_agg.select(
+        F.lit("union").alias("measure"),
+        est(F.col("cnt"), F.col("hk")).alias("est_distinct"),
+    )
+    i_est = u_agg.select(
+        F.lit("intersect").alias("measure"),
+        F.when(F.col("cnt") == 0, F.lit(0.0))
+        .otherwise(
+            (F.col("n_common").cast("double") / F.col("cnt").cast("double"))
+            * est(F.col("cnt"), F.col("hk"))
+        )
+        .alias("est_distinct"),
+    )
+
+    ests = (
+        side_est("in_a", a_name)
+        .unionByName(side_est("in_b", b_name))
+        .unionByName(u_est)
+        .unionByName(i_est)
+    )
+    return ests.join(F.broadcast(exact4), "measure")

@@ -222,6 +222,7 @@ _REGISTERED: tuple[str, ...] = (
     # -- r12 additions --
     "sim_mmr_ann",
     "mm_ahash_arrow",
+    "rel_theta_sketch_setops",
 )
 
 # Hand-pinned window head: queries whose IMPLEMENTATION changed since

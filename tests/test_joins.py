@@ -293,6 +293,65 @@ def test_hll_daily_sketch_union_accuracy(spark):
     assert all(r.hll_within_band for r in report.values())
 
 
+def test_kmv_theta_sketch_setops_accuracy_and_exactness(spark):
+    """r12: theta/KMV set algebra. On a synthetic pair of sets SMALLER
+    than k, every estimate must be EXACT (the sketch is the set); on the
+    real query at sf0.01 the estimates must sit inside generous KMV
+    bands (rse ≈ 1/sqrt(k-2) ≈ 6.3% at k=256; intersection inherits
+    union + Jaccard variance, checked at ~4x) and the exact companions
+    must equal independently-computed truths."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.sketches import (
+        kmv_setops,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.relational import (
+        rel_theta_sketch_setops,
+    )
+
+    a = spark.createDataFrame([(f"k{i}",) for i in range(40)], ["key"])
+    b = spark.createDataFrame([(f"k{i}",) for i in range(25, 85)], ["key"])
+    rep = {r.measure: r for r in kmv_setops(a, b, k=256, a_name="A", b_name="B").collect()}
+    assert (rep["A"].est_distinct, rep["A"].exact_distinct) == (40.0, 40)
+    assert (rep["B"].est_distinct, rep["B"].exact_distinct) == (60.0, 60)
+    assert (rep["union"].est_distinct, rep["union"].exact_distinct) == (85.0, 85)
+    # intersect est = (15/85)*85 — two IEEE ops, off by one ulp from 15.0
+    # (identically in both engines; the oracle replays the same ops)
+    assert abs(rep["intersect"].est_distinct - 15.0) < 1e-9
+    assert rep["intersect"].exact_distinct == 15
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.measure: r for r in rel_theta_sketch_setops(spark, sf).collect()}
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("_"),
+        F.date_trunc("day", F.col("ts")).cast("long").cast("string"),
+    )
+    flags = ev.select("event_type", key.alias("key")).groupBy("key").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("a"),
+        F.max((F.col("event_type") == "view").cast("int")).alias("b"),
+    )
+    truth = flags.agg(
+        F.sum("a").alias("na"),
+        F.sum("b").alias("nb"),
+        F.count(F.lit(1)).alias("nu"),
+        F.sum(F.col("a") * F.col("b")).alias("ni"),
+    ).collect()[0]
+    assert got["click"].exact_distinct == truth.na
+    assert got["view"].exact_distinct == truth.nb
+    assert got["union"].exact_distinct == truth.nu
+    assert got["intersect"].exact_distinct == truth.ni
+    for m, band in [("click", 0.2), ("view", 0.2), ("union", 0.2), ("intersect", 0.3)]:
+        r = got[m]
+        assert abs(r.est_distinct - r.exact_distinct) <= band * r.exact_distinct, (
+            m, r.est_distinct, r.exact_distinct)
+
+
 def test_bloom_semi_join_has_no_false_negatives(spark):
     """The Bloom pre-filter may pass extra rows (false positives — the
     report counts them) but must NEVER drop a true match: the report's

@@ -389,6 +389,9 @@ EXCHANGE_CENSUS = {
     # r12 additions
     "sim_mmr_ann": 2,
     "mm_ahash_arrow": 0,
+    # theta-sketch: the distinct-key agg (1 shuffle feeding the persisted
+    # flag table) + the 4-row est/exact broadcast-join assembly
+    "rel_theta_sketch_setops": 2,
     "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1, "text_bpe_train": 4, "text_bpe_encode": 6, "text_mixture_sample": 4,
     "rel_recursive_cte": 2, "rel_lateral_topk": 1, "monitor_synthetic_source": 1,
     "rel_order_count_histogram": 3,
