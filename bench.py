@@ -22,6 +22,16 @@ ratio = (t_now / t_prev) / weather. Ratios ~1.0 = flat, < 1 = faster.
 The line keeps the compact summary (median + worst/best movers inside
 the driver's 1900-char budget); full per-query ratios live in the
 committed BENCH_SAMPLES.json sidecar.
+
+Within-session contention recheck (VERDICT r11 #3): BENCH_r11 recorded
+three 2-4x per-query spikes that a same-day fresh-JVM A/B refuted —
+the bench session itself hit contention mid-run. The bench now defends
+itself: any query whose median lands > 1.5x its COMMITTED
+BENCH_SAMPLES.json median (read before this run overwrites the file)
+is re-timed with one extra median-of-3 pass at the END of the run, and
+both numbers land in a ``recheck`` block (line + sidecar; empty dict =
+clean run). A spike that melts on the end-of-run retime was session
+contention; one that persists is real and worth a fresh-JVM A/B.
 """
 
 from __future__ import annotations
@@ -143,6 +153,10 @@ HEADLINE = HEADLINE24 + [
     "text_weighted_reservoir",    # A-ES exponential-sort weighted sample
     "sim_coreset_kcenter",        # greedy k-center coreset + assignment
     "sim_mmr_rerank",             # MMR diversified top-k rerank
+    # added r12: the round's new operator classes
+    "sim_mmr_ann",                # MMR rerank on the LSH candidate tier
+    "mm_ahash_arrow",             # raw-Arrow mapInArrow signature stage
+    "rel_theta_sketch_setops",    # KMV distinct-count set algebra
 ]
 
 
@@ -189,12 +203,45 @@ def main() -> None:
     for name in bench_set:
         run(name)
 
+    # Committed medians from the PREVIOUS round's sidecar, read before
+    # this run overwrites the file — the recheck baseline (module
+    # docstring, VERDICT r11 #3).
+    sidecar_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SAMPLES.json"
+    )
+    try:
+        with open(sidecar_path) as f:
+            prev_medians = json.load(f).get("medians") or {}
+    except (OSError, ValueError):
+        prev_medians = {}
+
     # Median of 3 timed runs per query: a single timed run is hostage to
     # sandbox weather (one loaded-machine run recorded a 1.35x phantom
     # regression in round 3); the median discards one arbitrarily bad
     # sample per query while staying cheap. Total = sum of medians.
     samples = {name: [round(run(name), 3) for _ in range(3)] for name in bench_set}
     timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
+
+    # Contention recheck: re-time >1.5x-vs-committed movers once more at
+    # the end of the run, when whatever contended mid-run has (usually)
+    # passed. Worst 5 by ratio only — the block must fit the line budget,
+    # and more than 5 simultaneous "spikes" IS the machine, not the code.
+    flagged = sorted(
+        (
+            (timings[n] / prev_medians[n], n)
+            for n in timings
+            if prev_medians.get(n) and timings[n] > 1.5 * prev_medians[n]
+        ),
+        reverse=True,
+    )[:5]
+    recheck = {
+        n: {
+            "median": timings[n],
+            "retime": round(statistics.median([run(n) for _ in range(3)]), 3),
+            "prev": prev_medians[n],
+        }
+        for _, n in flagged
+    }
     # The external driver records only the LAST 2000 chars of stdout and
     # parses the final line as the bench result (BENCH_r07 recorded
     # ``parsed: null`` because the line — then carrying per-query raw
@@ -276,8 +323,9 @@ def main() -> None:
         "bench_set": list(bench_set),
         "sf": sf,
         "normalized_vs_prev": norm_full,
+        "recheck": recheck,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SAMPLES.json"), "w") as f:
+    with open(sidecar_path, "w") as f:
         json.dump(sidecar, f, indent=1)
     def emit(with_norm: bool) -> str:
         return json.dumps(
@@ -302,6 +350,9 @@ def main() -> None:
                 # #3) — full per-query ratios in the BENCH_SAMPLES.json
                 # sidecar.
                 **({"normalized_vs_prev": norm_compact} if with_norm and norm_compact else {}),
+                # Contention recheck (VERDICT r11 #3): end-of-run retimes
+                # of >1.5x-vs-committed movers; {} = clean run.
+                "recheck": recheck,
             }
         )
 
@@ -309,6 +360,11 @@ def main() -> None:
     if len(line) > 1900 and norm_compact:
         # The normalized block is derivable from the committed sidecar;
         # dropping it beats breaking the driver's 2000-char tail parse.
+        line = emit(False)
+    while len(line) > 1900 and recheck:
+        # Same for recheck overflow (full block stays in the sidecar):
+        # shed the SMALLEST-ratio entry first, keep the worst movers.
+        recheck.pop(min(recheck, key=lambda n: recheck[n]["median"] / recheck[n]["prev"]))
         line = emit(False)
     if len(line) > 1900:  # loud, not silent: growth past the buffer breaks the driver parse
         raise SystemExit(f"bench stdout line {len(line)} chars > 1900: trim the bench set")
