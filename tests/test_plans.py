@@ -323,10 +323,14 @@ EXCHANGE_CENSUS = {
     # respread cosine_pairs_lsh adds on single-file inputs (a no-op —
     # and no exchange — once the corpus has >= cores files).
     "dedup_embedding_lsh": 2, "dedup_exact": 1, "dedup_minhash_lsh": 4,
-    "dedup_ngram_jaccard": 8, "dedup_semdedup": 5, "dedup_simhash": 2,
+    # dedup_simhash 2 -> 3 (r12): hamming64_pairs bands over the DISTINCT
+    # signature table (one extra bounded agg exchange) then expands the
+    # qualifying sig pairs to member pairs — candidate volume now tracks
+    # distinct signatures, not id-level bucket occupancy^2.
+    "dedup_ngram_jaccard": 8, "dedup_semdedup": 5, "dedup_simhash": 3,
     "mm_audio_rms": 0,
     "mm_audio_silence_trim": 1, "mm_binary_meta": 0, "mm_decode_features": 0,
-    "mm_frame_sample": 0, "mm_image_ahash": 1, "mm_image_dedup_clusters": 0,
+    "mm_frame_sample": 0, "mm_image_ahash": 2, "mm_image_dedup_clusters": 0,
     "mm_resize": 0, "mm_scene_segments": 1, "monitor_alert_transitions": 2,
     "monitor_anomaly_zscore": 1, "monitor_case_classify": 0,
     "monitor_cpu_mem_alerts": 1, "monitor_cpu_mem_alerts_bucketed": 0,
@@ -422,7 +426,10 @@ PYTHON_STAGE_CENSUS = {
     "dedup_embedding_cosine": 2, "dedup_embedding_lsh": 6,
     "dedup_semdedup": 2,
     "mm_audio_rms": 2, "mm_audio_silence_trim": 2, "mm_decode_features": 2,
-    "mm_frame_sample": 2, "mm_image_ahash": 4, "mm_resize": 2,
+    # mm_image_ahash 4 -> 5 (r12): hamming64_pairs persists the signature
+    # input; the cached MapInPandas subtree renders once in-memory plus
+    # the two expansion-side references
+    "mm_frame_sample": 2, "mm_image_ahash": 5, "mm_resize": 2,
     "mm_scene_segments": 4, "monitor_heavy_hitters": 2,
     "pipeline_multimodal_prep": 6, "sim_ann_ivf": 6, "sim_ann_ivfpq": 6,
     # sim_knn_join 2 -> 4 and monitor_alert_transitions 0 -> 2 under the
