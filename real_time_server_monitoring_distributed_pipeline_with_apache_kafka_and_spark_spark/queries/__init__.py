@@ -276,11 +276,16 @@ _FORCE_HEAD: dict[str, int] = {
     #                    ones (all-zero signature — the oracle's existing
     #                    NULL-propagating behavior) instead of crashing;
     #                    no testdata SF has NULL text, output identical.
+    #   dedup_simhash (+ the three above again)
+    #                    hamming64_pairs rebanded over DISTINCT signatures
+    #                    with member expansion (K=25 pair stage 25.6->5.1s);
+    #                    output set identical, oracles replay unchanged.
     "sim_mmr_rerank": 12,
     "sim_coreset_kcenter": 12,
     "mm_image_ahash": 12,
     "mm_image_dedup_clusters": 12,
     "pipeline_multimodal_prep": 12,
+    "dedup_simhash": 12,
 }
 
 
