@@ -694,6 +694,7 @@ def hamming64_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 6,
     n_chunks: int = 8,
+    group_signatures: bool = False,
 ) -> DataFrame:
     """Pairs within hamming distance <= max_hamming over ANY 64-bit
     signature table ``(id_col, sig_lo, sig_hi)`` — shared by SimHash text
@@ -708,31 +709,33 @@ def hamming64_pairs(
     sum of the two halves' popcounts of XOR — all arithmetic on positive
     longs, portable to the SQL oracle.
 
-    SIGNATURE-GROUPED banding (r12, VERDICT r11 #4 — the occupancy-held
-    treatment): the band join runs over the DISTINCT signature table,
-    not the id table, then the qualifying signature pairs expand back to
-    member pairs through two equi-joins. On a saturating signature space
-    (the a-hash stub corpus: 125k docs → ~7k distinct sigs at K=25) the
-    id-level join churned ~occupancy²-worth of duplicate-signature
-    candidates per bucket — measured 8×256 buckets × C(488,2) ≈ 244M
-    candidate rows to emit 3.6M true pairs; signature-level banding is
-    bounded by the DISTINCT-signature count (which saturation freezes),
-    and the member expansion materializes exactly the true pair mass,
-    which is the irreducible output. Output identical (same (a_id <
-    b_id, hamming) set), so every caller's oracle replays unchanged.
+    ``group_signatures`` — SIGNATURE-GROUPED banding (r12, VERDICT r11
+    #4, the occupancy-held treatment): the band join runs over the
+    DISTINCT signature table, then qualifying signature pairs expand
+    back to member pairs through two equi-joins. This is a REGIME
+    choice, declared by the caller, measured both ways at the K=25
+    ladder rung:
+
+    - SATURATING signature space (the a-hash family: 125k docs collapse
+      to ~8.3k distinct sigs) → grouped wins big: the id-level join
+      churned 8×256 buckets × C(488,2) ≈ 244M duplicate-signature
+      candidates to emit 3.6M true pairs (25.6 s); grouped banding is
+      bounded by the frozen distinct-sig count and the expansion
+      materializes exactly the true pair mass (5.1 s, ~flat per rung).
+    - HIGH-ENTROPY signatures (md5-derived SimHash: distinct sigs ≈ N)
+      → grouped LOSES ~3×: the distinct table is the id table, so the
+      band join shrinks not at all while the extra distinct agg, the
+      persist materialization, and two expansion joins are pure
+      overhead (measured 4.5 → 13 s at K=5).
+
+    Output is identical either way (same (a_id < b_id, hamming) set),
+    so callers' oracles replay unchanged whichever path they pick.
     """
     assert max_hamming < n_chunks, "pigeonhole guarantee needs max_hamming < n_chunks"
     assert n_chunks % 2 == 0, "chunks split evenly across the two halves"
     per_half = n_chunks // 2
     chunk_bits = 32 // per_half
     mask = (1 << chunk_bits) - 1
-
-    # The signature table is read by THREE branches below (distinct-sig
-    # band join + both member-expansion sides); unpersisted, each branch
-    # re-executes the upstream signature computation — the simhash agg or
-    # a (real) image decode (the connected_components live-plan lesson).
-    # Multi-branch persist convention; release via caching.released().
-    sig = sig.persist()
 
     def chunk_expr(c: int):
         src = F.col("sig_lo") if c < per_half else F.col("sig_hi")
@@ -741,6 +744,51 @@ def hamming64_pairs(
             F.lit(c).alias("chunk_idx"),
             F.shiftright(src, off).bitwiseAND(F.lit(mask)).alias("chunk"),
         )
+
+    if not group_signatures:
+        # id-level banding: one pass over (id, sig) × n_chunks, per-chunk
+        # self equi-join, dedup, popcount filter. Right when duplicate-
+        # signature mass is low (distinct sigs ≈ N).
+        chunks = sig.select(
+            F.col(id_col),
+            F.col("sig_lo"),
+            F.col("sig_hi"),
+            F.explode(F.array(*[chunk_expr(c) for c in range(n_chunks)])).alias("ch"),
+        ).select(id_col, "sig_lo", "sig_hi", "ch.chunk_idx", "ch.chunk")
+        a = chunks.select(
+            F.col(id_col).alias("a_id"),
+            F.col("sig_lo").alias("alo"),
+            F.col("sig_hi").alias("ahi"),
+            "chunk_idx",
+            "chunk",
+        )
+        b = chunks.select(
+            F.col(id_col).alias("b_id"),
+            F.col("sig_lo").alias("blo"),
+            F.col("sig_hi").alias("bhi"),
+            "chunk_idx",
+            "chunk",
+        )
+        return (
+            a.join(b, ["chunk_idx", "chunk"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", "alo", "ahi", "blo", "bhi")
+            .distinct()
+            .withColumn(
+                "hamming",
+                F.bit_count(F.col("alo").bitwiseXOR(F.col("blo")))
+                + F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi"))),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a_id", "b_id", "hamming")
+        )
+
+    # The signature table is read by THREE branches below (distinct-sig
+    # band join + both member-expansion sides); unpersisted, each branch
+    # re-executes the upstream signature computation — a (real) image
+    # decode (the connected_components live-plan lesson). Multi-branch
+    # persist convention; release via caching.released().
+    sig = sig.persist()
 
     distinct_sigs = sig.select("sig_lo", "sig_hi").distinct()
     chunks = distinct_sigs.select(

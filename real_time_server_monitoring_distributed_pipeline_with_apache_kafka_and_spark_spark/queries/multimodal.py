@@ -141,7 +141,9 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     _preflight_signature_saturation(docs, max_hamming=6)
     sig = ops.image_ahash(ops.attach_binary_payload(docs))
-    return hamming64_pairs(sig, "doc_id", max_hamming=6, n_chunks=8)
+    return hamming64_pairs(
+        sig, "doc_id", max_hamming=6, n_chunks=8, group_signatures=True
+    )
 
 
 # aHash oracle building blocks: the stub pixel model in SQL (byte j of the
@@ -226,7 +228,9 @@ def mm_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     _preflight_signature_saturation(docs, max_hamming=6)
     sig = ops.image_ahash(ops.attach_binary_payload(docs))
-    pairs = hamming64_pairs(sig, "doc_id", max_hamming=6, n_chunks=8)
+    pairs = hamming64_pairs(
+        sig, "doc_id", max_hamming=6, n_chunks=8, group_signatures=True
+    )
     return connected_components(
         pairs.select("a_id", "b_id"), docs.select("doc_id"), id_col="doc_id"
     )
@@ -303,7 +307,9 @@ def pipeline_multimodal_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     _preflight_signature_saturation(docs, max_hamming=6)
     wp = ops.attach_binary_payload(docs)
     sig = ops.image_ahash(wp)
-    pairs = hamming64_pairs(sig, "doc_id", max_hamming=6, n_chunks=8)
+    pairs = hamming64_pairs(
+        sig, "doc_id", max_hamming=6, n_chunks=8, group_signatures=True
+    )
     clusters = connected_components(
         pairs.select("a_id", "b_id"), docs.select("doc_id"), id_col="doc_id"
     )

@@ -323,11 +323,11 @@ EXCHANGE_CENSUS = {
     # respread cosine_pairs_lsh adds on single-file inputs (a no-op —
     # and no exchange — once the corpus has >= cores files).
     "dedup_embedding_lsh": 2, "dedup_exact": 1, "dedup_minhash_lsh": 4,
-    # dedup_simhash 2 -> 3 (r12): hamming64_pairs bands over the DISTINCT
-    # signature table (one extra bounded agg exchange) then expands the
-    # qualifying sig pairs to member pairs — candidate volume now tracks
-    # distinct signatures, not id-level bucket occupancy^2.
-    "dedup_ngram_jaccard": 8, "dedup_semdedup": 5, "dedup_simhash": 3,
+    # dedup_simhash stays on id-level banding (group_signatures=False):
+    # md5 SimHash is high-entropy (distinct sigs ~ N), where grouped
+    # banding measured ~3x SLOWER — the r12 regime split in
+    # hamming64_pairs; only the saturating a-hash family groups.
+    "dedup_ngram_jaccard": 8, "dedup_semdedup": 5, "dedup_simhash": 2,
     "mm_audio_rms": 0,
     "mm_audio_silence_trim": 1, "mm_binary_meta": 0, "mm_decode_features": 0,
     "mm_frame_sample": 0, "mm_image_ahash": 2, "mm_image_dedup_clusters": 0,
