@@ -31,7 +31,16 @@ BENCH_SAMPLES.json median (read before this run overwrites the file)
 is re-timed with one extra median-of-3 pass at the END of the run, and
 both numbers land in a ``recheck`` block (line + sidecar; empty dict =
 clean run). A spike that melts on the end-of-run retime was session
-contention; one that persists is real and worth a fresh-JVM A/B.
+contention; one that persists is real and worth a fresh-JVM A/B. A
+melted spike's sidecar median is min(median, retime), not the contended
+number (ADVICE r12 #2) — committing a phantom would inflate next
+round's baseline so a real regression could pass unflagged.
+
+Sidecar hygiene (VERDICT r12 #5): the recheck protocol reads the
+COMMITTED BENCH_SAMPLES.json medians, so every bench run that
+overwrites the sidecar must be followed by a commit (or a checkout
+restore) before the next in-session run — a dirty working-tree sidecar
+silently weakens the contention defense.
 """
 
 from __future__ import annotations
@@ -242,6 +251,14 @@ def main() -> None:
         }
         for _, n in flagged
     }
+    # A spike that MELTS on the end-of-run retime was session contention
+    # (ADVICE r12 #2): committing the contended median would inflate the
+    # baseline the NEXT round's recheck and normalized ratios key off,
+    # letting a real regression up to the phantom's size pass unflagged.
+    # Record min(median, retime) as the going-forward number — both raw
+    # values stay in the recheck block for adjudication.
+    for n, row in recheck.items():
+        timings[n] = min(row["median"], row["retime"])
     # The external driver records only the LAST 2000 chars of stdout and
     # parses the final line as the bench result (BENCH_r07 recorded
     # ``parsed: null`` because the line — then carrying per-query raw

@@ -280,12 +280,22 @@ _FORCE_HEAD: dict[str, int] = {
     #                    hamming64_pairs rebanded over DISTINCT signatures
     #                    with member expansion (K=25 pair stage 25.6->5.1s);
     #                    output set identical, oracles replay unchanged.
-    "sim_mmr_rerank": 12,
     "sim_coreset_kcenter": 12,
     "mm_image_ahash": 12,
     "mm_image_dedup_clusters": 12,
     "pipeline_multimodal_prep": 12,
     "dedup_simhash": 12,
+    # r13 entries — code touched this round:
+    #   sim_mmr_rerank / sim_mmr_ann  oracle e-CTE now mirrors the Spark
+    #                    side's zero-norm + NULL-element candidate clamp
+    #                    (ADVICE r12 #1); no testdata SF contains such
+    #                    vectors, so the recorded hashes are unchanged —
+    #                    both re-verified MATCH at sf0.01 locally; the
+    #                    pins re-prove with the driver. (sim_mmr_rerank's
+    #                    r12 pin self-expired on the CORRECTNESS_r12
+    #                    green; its entry moves here at 13.)
+    "sim_mmr_rerank": 13,
+    "sim_mmr_ann": 13,
 }
 
 

@@ -848,8 +848,20 @@ def _mmr_oracle(
             + " AS latq FROM c, q)"
         ]
     ctes = [
+        # Candidate-universe clamp mirroring the Spark side (ADVICE r12
+        # #1): mmr_rerank/mmr_rerank_ann filter zero-norm vectors with
+        # _nonzero_vec BEFORE any cosine (ANSI div-by-zero raises) and
+        # NULL-element vectors via the tail's latq IS NOT NULL filter. A
+        # dropped vector affects only its own candidacy (bucketing is
+        # per-vector, the collision join pairwise), so filtering the
+        # shared e CTE is output-equivalent — and keeps the oracle from
+        # ranking (or div-by-zero-ing on) a vector Spark drops, should a
+        # future testdata SF ever ship one. Both conditions explicit:
+        # list_dot_product's NULL-element behavior is not relied on.
         "e AS MATERIALIZED (SELECT vec_id, "
-        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
+        " WHERE list_dot_product(embedding, embedding) > 0"
+        " AND len(list_filter(embedding, x -> x IS NULL)) = 0)",
         f"q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e"
         f" WHERE vec_id < {N_QUERIES})",
         f"c AS MATERIALIZED (SELECT vec_id AS cand_id, v AS cv FROM e"

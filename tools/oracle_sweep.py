@@ -3,7 +3,10 @@ registry query at $SPARK_GRAFT_SF_DIR (default sf0.1) — strict
 driver-style value compare (sorted stringified rows, the hash surface)
 + assert_scale_safe on every plan (nested-loop check honors the
 documented INTENTIONAL_NESTED_LOOP anchors). ~16 min for the full
-registry on local[16]. Usage: python tools/oracle_sweep.py"""
+registry on local[16]. Usage: python tools/oracle_sweep.py
+[--queries name1,name2] (default: the whole registry — targeted
+re-proofs reuse the same comparator instead of ad-hoc scripts)."""
+import argparse
 import os
 import sys, time, warnings
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -21,6 +24,14 @@ from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spar
 from tests.test_plans import INTENTIONAL_NESTED_LOOP
 
 q, o = e.queries(), e.oracle_sql()
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--queries", default="")
+_names = [n for n in _ap.parse_args().queries.split(",") if n]
+if _names:
+    unknown = [n for n in _names if n not in q]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+    q = {n: q[n] for n in _names}
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
