@@ -166,6 +166,9 @@ HEADLINE = HEADLINE24 + [
     "sim_mmr_ann",                # MMR rerank on the LSH candidate tier
     "mm_ahash_arrow",             # raw-Arrow mapInArrow signature stage
     "rel_theta_sketch_setops",    # KMV distinct-count set algebra
+    # added r13
+    "sim_mmr_arrow",              # applyInArrow (FlatMapGroupsInArrow) MMR twin
+    "rel_sketch_rollup",          # mergeable KMV sketch rollup per segment
 ]
 
 

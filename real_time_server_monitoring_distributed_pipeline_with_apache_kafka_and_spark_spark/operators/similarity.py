@@ -23,6 +23,7 @@ import weakref
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -704,6 +705,7 @@ def mmr_rerank(
     w_div: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow_tail: bool = False,
 ) -> DataFrame:
     """Maximal-marginal-relevance diversified top-k [Carbonell &
     Goldstein, SIGIR 1998]: fetch ``n_candidates`` per query by cosine,
@@ -716,7 +718,10 @@ def mmr_rerank(
     (the ann_topk shape — an opted-in exactness anchor; production
     composes the same rerank onto the LSH/IVF tier's output instead),
     ranked per query on the floor-latticed integer-nanos cosine (tie →
-    lowest id). RERANK: one Arrow-batched ``applyInPandas`` per
+    lowest id). RERANK: one Arrow-batched ``applyInPandas`` (or, with
+    ``arrow_tail=True``, raw-``pyarrow.Table`` ``applyInArrow`` — the
+    r13 FlatMapGroupsInArrow twin, output-identical via the shared
+    :func:`_mmr_greedy_core`) per
     query_id group — n_candidates² pair cosines + the k-round greedy,
     O(n²·dim + k·n²) work on a ≤n_candidates-row group, distributed on
     the query dimension; at 100 TB of corpus the per-group work never
@@ -751,7 +756,9 @@ def mmr_rerank(
         .cast("long")
         .alias("latq"),
     )
-    return _mmr_greedy_tail(scored, n_candidates, k, w_rel, w_div)
+    return _mmr_greedy_tail(
+        scored, n_candidates, k, w_rel, w_div, arrow=arrow_tail
+    )
 
 
 def _nonzero_vec(vec_col: str):
@@ -765,17 +772,73 @@ def _nonzero_vec(vec_col: str):
     return F.exists(F.col(vec_col), lambda x: x != F.lit(0.0))
 
 
+def _mmr_greedy_core(
+    ids: "np.ndarray",
+    latq: "np.ndarray",
+    V: "np.ndarray",
+    k: int,
+    w_rel: int,
+    w_div: int,
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """The MMR k-round integer greedy over ONE query's candidate block,
+    shared verbatim by the applyInPandas and applyInArrow tails (the
+    twin contract: only the batch format differs, never the math).
+    Inputs are PRE-SORTED by (latq desc, id asc); returns (neighbor_ids,
+    rounds). All cross-engine comparisons happen on floor-latticed
+    integer nanos — see :func:`mmr_rerank` for the determinism pins."""
+    n = len(ids)
+    dot = np.zeros((n, n), dtype=np.float64)
+    sq = np.zeros(n, dtype=np.float64)
+    for d in range(V.shape[1]):  # engine's left fold: one add per dim
+        col = V[:, d]
+        dot = dot + np.outer(col, col)
+        sq = sq + col * col
+    nrm = np.sqrt(sq)
+    latp = np.floor(dot / np.outer(nrm, nrm) * 1e9 + 0.5).astype(np.int64)
+    sel = [0]  # row 0 = rank 1 (latq desc, id asc)
+    rounds = [1]
+    for t in range(2, min(k, n) + 1):
+        best_i, best_key = -1, None
+        for i in range(n):
+            if i in sel:
+                continue
+            score = w_rel * latq[i] - w_div * max(latp[i, j] for j in sel)
+            key = (score, -ids[i])
+            if best_key is None or key > best_key:
+                best_i, best_key = i, key
+        sel.append(best_i)
+        rounds.append(t)
+    return ids[sel], np.asarray(rounds, dtype=np.int32)
+
+
+_MMR_TAIL_SCHEMA = "query_id long, neighbor_id long, round int"
+
+
 def _mmr_greedy_tail(
-    scored: DataFrame, n_candidates: int, k: int, w_rel: int, w_div: int
+    scored: DataFrame,
+    n_candidates: int,
+    k: int,
+    w_rel: int,
+    w_div: int,
+    arrow: bool = False,
 ) -> DataFrame:
     """Shared MMR tail over a scored candidate frame (query_id, cand_id,
     cv: array<double>, latq: bigint — the floor-latticed integer-nanos
     query cosine): rank per query (latq desc, id asc), keep the top
     ``n_candidates``, then run the k-round integer-arithmetic greedy in
-    one Arrow-batched ``applyInPandas`` per query group. The candidate
-    STAGE is the caller's — exact broadcast scan (:func:`mmr_rerank`) or
-    the LSH collision tier (:func:`mmr_rerank_ann`); the tail's per-group
-    work is bounded by n_candidates regardless of corpus size."""
+    one grouped Python stage per query group. The candidate STAGE is the
+    caller's — exact broadcast scan (:func:`mmr_rerank`) or the LSH
+    collision tier (:func:`mmr_rerank_ann`); the tail's per-group work
+    is bounded by n_candidates regardless of corpus size.
+
+    ``arrow`` picks the batch transport for the grouped stage:
+    ``applyInPandas`` (FlatMapGroupsInPandas, the production leg) or
+    ``applyInArrow`` (FlatMapGroupsInArrow, r13 — the raw
+    ``pyarrow.Table`` surface, which skips the pandas materialization
+    on either side of the exchange exactly as the ``mapInArrow`` twin
+    does for the 1:1 map shape). Both legs sort, lattice, and greedy
+    through the SAME :func:`_mmr_greedy_core` — output-identical by
+    construction, pinned by test and by the shared DuckDB oracle."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -793,45 +856,57 @@ def _mmr_greedy_tail(
         .drop("_rn")
     )
 
+    if arrow:
+
+        def _greedy_arrow(table: "pa.Table") -> "pa.Table":
+            table = table.sort_by(
+                [("latq", "descending"), ("cand_id", "ascending")]
+            )
+            ids = table.column("cand_id").to_numpy(zero_copy_only=False)
+            latq = table.column("latq").to_numpy(zero_copy_only=False)
+            cv = table.column("cv").combine_chunks()
+            # Fixed-dim list column: flatten() honors offsets, so the
+            # values buffer reshapes to (n, dim) without a Python loop.
+            V = cv.flatten().to_numpy(zero_copy_only=False).reshape(len(table), -1)
+            sel_ids, rounds = _mmr_greedy_core(
+                ids.astype(np.int64), latq.astype(np.int64), V, k, w_rel, w_div
+            )
+            qid = table.column("query_id")[0].as_py()
+            return pa.table(
+                {
+                    "query_id": pa.array([qid] * len(sel_ids), pa.int64()),
+                    "neighbor_id": pa.array(sel_ids, pa.int64()),
+                    "round": pa.array(rounds, pa.int32()),
+                }
+            )
+
+        return cand.groupBy("query_id").applyInArrow(
+            _greedy_arrow, schema=_MMR_TAIL_SCHEMA
+        )
+
     def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
             ["latq", "cand_id"], ascending=[False, True]
         ).reset_index(drop=True)
-        n = len(pdf)
         V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
-        dot = np.zeros((n, n), dtype=np.float64)
-        sq = np.zeros(n, dtype=np.float64)
-        for d in range(V.shape[1]):  # engine's left fold: one add per dim
-            col = V[:, d]
-            dot = dot + np.outer(col, col)
-            sq = sq + col * col
-        nrm = np.sqrt(sq)
-        latp = np.floor(dot / np.outer(nrm, nrm) * 1e9 + 0.5).astype(np.int64)
-        latq = pdf["latq"].to_numpy(dtype=np.int64)
-        ids = pdf["cand_id"].to_numpy(dtype=np.int64)
-        sel = [0]  # row 0 = rank 1 (latq desc, id asc)
-        rounds = [1]
-        for t in range(2, min(k, n) + 1):
-            best_i, best_key = -1, None
-            for i in range(n):
-                if i in sel:
-                    continue
-                score = w_rel * latq[i] - w_div * max(latp[i, j] for j in sel)
-                key = (score, -ids[i])
-                if best_key is None or key > best_key:
-                    best_i, best_key = i, key
-            sel.append(best_i)
-            rounds.append(t)
+        sel_ids, rounds = _mmr_greedy_core(
+            pdf["cand_id"].to_numpy(dtype=np.int64),
+            pdf["latq"].to_numpy(dtype=np.int64),
+            V,
+            k,
+            w_rel,
+            w_div,
+        )
         return pd.DataFrame(
             {
                 "query_id": pdf["query_id"].iloc[0],
-                "neighbor_id": ids[sel],
-                "round": np.asarray(rounds, dtype=np.int32),
+                "neighbor_id": sel_ids,
+                "round": rounds,
             }
         )
 
     return cand.groupBy("query_id").applyInPandas(
-        _greedy, schema="query_id long, neighbor_id long, round int"
+        _greedy, schema=_MMR_TAIL_SCHEMA
     )
 
 

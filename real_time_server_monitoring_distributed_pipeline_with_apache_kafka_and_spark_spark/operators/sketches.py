@@ -32,7 +32,7 @@ query is one distinct agg + three k-row heaps.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -150,3 +150,138 @@ def kmv_setops(
         .unionByName(i_est)
     )
     return ests.join(F.broadcast(exact4), "measure")
+
+
+def kmv_rollup(
+    df: DataFrame,
+    key_col: str,
+    seg_cols: list[str],
+    k: int = 48,
+) -> DataFrame:
+    """Grouped MERGEABLE KMV sketches rolled up a segment hierarchy —
+    the partitioned form of :func:`kmv_setops` (VERDICT r12 #3a): one
+    sketch per leaf segment, parent-level sketches built by MERGING
+    child sketches (never rescanning the corpus), plus exact companion
+    legs per level. This is what real audience-overlap dashboards run:
+    distinct counts are NOT additive across segments (the same key
+    appears in many), so rolling up requires mergeable sketches — the
+    property HLL unions share but that here stays on the deterministic
+    md5/KMV surface, so the estimates themselves are hash-checked.
+
+    MERGE CORRECTNESS (the standard KMV property): if key x is among a
+    parent's k smallest distinct-key hashes and child C contains x,
+    then the hashes smaller than h(x) within C are a subset of those
+    smaller than h(x) in the parent (≤ k-1), so x ranks ≤ k in C's own
+    sketch — every parent-sketch member survives in some child sketch,
+    hence top-k over the union of child sketch rows IS the parent
+    sketch. Each merge level therefore reads only bounded sketch rows
+    (k × n_child_groups), which is the 100 TB posture: the corpus is
+    touched once by the distinct-key aggregation; every rollup level
+    above it is arithmetic on k-row heaps (exact legs are the
+    verification harness you drop at scale, the kmv_setops policy).
+
+    Output: one row per group per level — ``level`` (comma-joined
+    grouping columns, or 'total'), the ``seg_cols`` (NULL where rolled
+    up, the SQL ROLLUP convention), ``est_distinct`` (double, the
+    deterministic KMV estimate; sub-k sketches degrade to exact), and
+    ``exact_distinct`` (long). Estimator and tie-break pins are
+    :func:`kmv_setops`'s: est = (k-1)·2^60 / h_(k) with (h, key)
+    ordering, both engines reading the same k-th minimum.
+    """
+    segs = list(seg_cols)
+    # One distinct-key aggregation — the only corpus-width shuffle.
+    hashed = (
+        df.select(
+            *[F.col(c).cast("string").alias(c) for c in segs],
+            F.col(key_col).cast("string").alias("_key"),
+        )
+        .distinct()
+        .select(*segs, "_key", kmv_hash(F.col("_key")).alias("_h"))
+        .persist()
+    )
+
+    scale = F.lit(float((k - 1) * (1 << 60)))
+
+    def est(cnt: F.Column, hk: F.Column) -> F.Column:
+        return F.when(cnt < k, cnt.cast("double")).otherwise(
+            scale / hk.cast("double")
+        )
+
+    def topk(src: DataFrame, gcols: list[str]) -> DataFrame:
+        # Deterministic k-minimum heap per group; the constant-keyed
+        # window at the total level runs over bounded sketch rows only
+        # (k × n_child_groups), never the corpus.
+        parts = [F.col(c) for c in gcols] or [F.lit(1)]
+        w = Window.partitionBy(*parts).orderBy("_h", "_key")
+        return (
+            src.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
+    # Per-level group key for the single est⋈exact combine below:
+    # comma-label + unit-separator-joined group values. A constant key
+    # per level would constant-fold the join condition into a nested
+    # loop; unioning ALL levels first makes (level, _grp) a real
+    # data-dependent key, so the combine stays one broadcast hash join.
+    def grp(gcols: list[str]) -> F.Column:
+        return (
+            F.concat_ws("\x1f", *[F.col(c) for c in gcols])
+            if gcols
+            else F.lit("")
+        )
+
+    est_legs: list[DataFrame] = []
+    exact_legs: list[DataFrame] = []
+    sketch = None
+    for i in range(len(segs), -1, -1):
+        gcols = segs[:i]
+        label = ",".join(gcols) if gcols else "total"
+        if sketch is None:
+            src = hashed  # leaf level: sketch the distinct-key table
+        else:
+            # Merge level: distinct (group, key, hash) over the CHILD
+            # sketch rows — the same key can sit in several child
+            # sketches of one parent.
+            src = sketch.select(*gcols, "_key", "_h").distinct()
+        # Each sketch feeds two branches (its own estimate leg and the
+        # next merge level) — persist so the window runs once, not per
+        # live-plan branch (the connected_components lesson; bounded
+        # k × n_groups rows, so the cache is trivial).
+        sketch = topk(src, gcols).persist()
+        est_legs.append(
+            sketch.groupBy(*gcols)
+            .agg(F.count(F.lit(1)).alias("_cnt"), F.max("_h").alias("_hk"))
+            .select(
+                F.lit(label).alias("level"),
+                grp(gcols).alias("_grp"),
+                *[
+                    (F.col(c) if c in gcols else F.lit(None).cast("string")).alias(c)
+                    for c in segs
+                ],
+                est(F.col("_cnt"), F.col("_hk")).alias("est_distinct"),
+            )
+        )
+        exact_legs.append(
+            hashed.select(*gcols, "_key")
+            .distinct()
+            .groupBy(*gcols)
+            .agg(F.count(F.lit(1)).alias("exact_distinct"))
+            .select(
+                F.lit(label).alias("level"),
+                grp(gcols).alias("_grp"),
+                "exact_distinct",
+            )
+        )
+
+    def stack(legs: list[DataFrame]) -> DataFrame:
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.unionByName(leg)
+        return out
+
+    return (
+        stack(est_legs)
+        .join(F.broadcast(stack(exact_legs)), ["level", "_grp"])
+        .drop("_grp")
+    )

@@ -1142,6 +1142,115 @@ FROM ests JOIN exact USING (measure)
 """
 
 
+_KMV_ROLLUP_K = 48
+
+
+def rel_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped MERGEABLE KMV sketch rollup (r13, VERDICT r12 #3a — the
+    partitioned form of rel_theta_sketch_setops): distinct users per
+    (event_type, day) leaf segment, rolled up to per-event_type and the
+    grand total by MERGING child sketches — the corpus is touched once
+    by the distinct-key aggregation; every level above is a k-row-heap
+    merge (operators.sketches.kmv_rollup documents the standard KMV
+    merge property that makes parent-from-children exact). Distinct
+    counts are NOT additive across segments (the same user appears in
+    many), which is exactly why real audience dashboards need mergeable
+    sketches rather than summed leaf counts.
+
+    k=48 so the oracle SF exercises BOTH estimator branches: sf0.01
+    leaves hold 42-67 distinct users, so some degrade to exact (cnt<k)
+    while others estimate from the k-th minimum — and every rollup
+    level estimates. Exact companions per level ride the same distinct
+    table (the kmv_setops policy: drop them at 100 TB; the sketches
+    survive any scale). Estimates are md5-deterministic and therefore
+    on the hash surface, replayed end-to-end by the DuckDB oracle."""
+    from ..operators.sketches import kmv_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").cast("string").alias("day"),
+        F.col("user_id").alias("user_key"),
+    )
+    return kmv_rollup(
+        base, key_col="user_key", seg_cols=["event_type", "day"], k=_KMV_ROLLUP_K
+    )
+
+
+def _sketch_rollup_oracle(k: int = _KMV_ROLLUP_K) -> str:
+    """DuckDB replay of the mergeable-KMV rollup: same distinct-key
+    table, same 60-bit md5 hash, same per-level (h, key)-ordered
+    row_number heaps, and — the merge contract — each parent level's
+    sketch built from the CHILD level's sketch rows, exactly like the
+    Spark side."""
+    scale = f"{float((k - 1) * (1 << 60))!r}"
+
+    def est(cnt: str = "cnt", hk: str = "hk") -> str:
+        return (
+            f"CASE WHEN {cnt} < {k} THEN CAST({cnt} AS DOUBLE)"
+            f" ELSE {scale} / CAST({hk} AS DOUBLE) END"
+        )
+
+    return f"""
+WITH dk AS (
+  SELECT DISTINCT event_type,
+         CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+         CAST(user_id AS VARCHAR) AS ukey
+  FROM events
+),
+hashed AS (
+  SELECT event_type, day, ukey,
+         CAST(concat('0x', substr(md5(ukey), 1, 15)) AS BIGINT) AS h
+  FROM dk
+),
+leaf_sk AS (
+  SELECT event_type, day, ukey, h FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type, day ORDER BY h, ukey) AS rn
+    FROM hashed) WHERE rn <= {k}
+),
+leaf_est AS (
+  SELECT event_type, day, count(*) AS cnt, max(h) AS hk
+  FROM leaf_sk GROUP BY 1, 2
+),
+leaf_exact AS (
+  SELECT event_type, day, count(*) AS exact_distinct FROM dk GROUP BY 1, 2
+),
+mid_src AS (SELECT DISTINCT event_type, ukey, h FROM leaf_sk),
+mid_sk AS (
+  SELECT event_type, ukey, h FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type ORDER BY h, ukey) AS rn
+    FROM mid_src) WHERE rn <= {k}
+),
+mid_est AS (
+  SELECT event_type, count(*) AS cnt, max(h) AS hk FROM mid_sk GROUP BY 1
+),
+mid_exact AS (
+  SELECT event_type, count(DISTINCT ukey) AS exact_distinct FROM dk GROUP BY 1
+),
+tot_src AS (SELECT DISTINCT ukey, h FROM mid_sk),
+tot_sk AS (
+  SELECT ukey, h FROM (
+    SELECT *, row_number() OVER (ORDER BY h, ukey) AS rn
+    FROM tot_src) WHERE rn <= {k}
+),
+tot_est AS (SELECT count(*) AS cnt, max(h) AS hk FROM tot_sk),
+tot_exact AS (SELECT count(DISTINCT ukey) AS exact_distinct FROM dk)
+SELECT 'event_type,day' AS level, e.event_type, e.day,
+       {est('e.cnt', 'e.hk')} AS est_distinct, x.exact_distinct
+FROM leaf_est e JOIN leaf_exact x USING (event_type, day)
+UNION ALL
+SELECT 'event_type', e.event_type, CAST(NULL AS VARCHAR),
+       {est('e.cnt', 'e.hk')}, x.exact_distinct
+FROM mid_est e JOIN mid_exact x USING (event_type)
+UNION ALL
+SELECT 'total', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       {est()}, exact_distinct
+FROM tot_est, tot_exact
+"""
+
+
 def rel_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query leg of the SCD2 story: which attribute version was valid for
     each user at each probe date ("what was this dimension row on the
@@ -2101,6 +2210,7 @@ QUERIES = {
     "rel_merge_intervals": rel_merge_intervals,
     "rel_hll_daily_users": rel_hll_daily_users,
     "rel_theta_sketch_setops": rel_theta_sketch_setops,
+    "rel_sketch_rollup": rel_sketch_rollup,
     "rel_scd2_asof_lookup": rel_scd2_asof_lookup,
     "rel_pit_features": rel_pit_features,
     "rel_cohort_retention": rel_cohort_retention,
@@ -3002,3 +3112,4 @@ FROM embeddings
 }
 
 ORACLES["rel_theta_sketch_setops"] = _theta_setops_oracle()
+ORACLES["rel_sketch_rollup"] = _sketch_rollup_oracle()

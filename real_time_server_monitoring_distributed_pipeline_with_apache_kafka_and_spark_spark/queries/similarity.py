@@ -819,6 +819,29 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_mmr_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInArrow`` twin of sim_mmr_rerank (r13, SURVEY §5.10a —
+    the last census-visible-but-unexercised Python-stage node): the
+    identical broadcast candidate scan and the identical k-round integer
+    greedy, but the grouped tail runs as FlatMapGroupsInArrow over raw
+    ``pyarrow.Table``s instead of FlatMapGroupsInPandas — no pandas
+    materialization on either side of the exchange, the grouped analogue
+    of the ``mm_ahash_arrow``/``mapInArrow`` twin. Both legs call the
+    shared ``_mmr_greedy_core`` (operators.similarity), are pinned
+    output-identical by test, and replay the SAME unrolled DuckDB
+    oracle; the applyInPandas leg stays the production default."""
+    corpus, queries = _split(spark, sf_dir)
+    return ops.mmr_rerank(
+        corpus,
+        queries,
+        n_candidates=_MMR_CANDS,
+        k=_MMR_K,
+        w_rel=_MMR_WREL,
+        w_div=_MMR_WDIV,
+        arrow_tail=True,
+    )
+
+
 def _mmr_oracle(
     n_cands: int = _MMR_CANDS,
     k: int = _MMR_K,
@@ -1100,6 +1123,7 @@ QUERIES = {
     "sim_coreset_kcenter": sim_coreset_kcenter,
     "sim_mmr_rerank": sim_mmr_rerank,
     "sim_mmr_ann": sim_mmr_ann,
+    "sim_mmr_arrow": sim_mmr_arrow,
     "sim_knn_join": sim_knn_join,
     "sim_kmeans_iter": sim_kmeans_iter,
     "sim_top_pc": sim_top_pc,
@@ -1763,6 +1787,9 @@ ORACLES["sim_embedding_drift"] = _drift_oracle()
 ORACLES["sim_coreset_kcenter"] = _kcenter_oracle()
 ORACLES["sim_mmr_rerank"] = _mmr_oracle()
 ORACLES["sim_mmr_ann"] = _mmr_oracle(scored_ctes=_mmr_ann_scored_ctes())
+# The arrow twin replays the SAME oracle — the twin contract: only the
+# grouped stage's batch transport differs, never the math.
+ORACLES["sim_mmr_arrow"] = _mmr_oracle()
 
 ORACLES["sim_cosine_noise_floor"] = """
 WITH b AS (

@@ -999,3 +999,49 @@ def test_mmr_truncates_when_corpus_smaller_than_k(spark):
         n_candidates=25, k=5,
     ).collect()
     assert sorted((r.round, r.neighbor_id) for r in got) == [(1, 1), (2, 2)]
+
+
+def test_mmr_arrow_twin_is_output_identical(spark):
+    """r13 (VERDICT r12 #2): the applyInArrow MMR tail must be
+    bit-identical to the applyInPandas production path on the registry
+    inputs, and its plan must carry a FlatMapGroupsInArrow node — the
+    last census-visible Python-stage node to be exercised (SURVEY
+    §5.10a) — never the pandas grouped node. Both legs share
+    _mmr_greedy_core, so a divergence means the batch transports
+    disagree on sort/lattice, which would hash-mismatch at the driver."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.inspect import (
+        formatted_plan,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.similarity import (
+        sim_mmr_arrow,
+        sim_mmr_rerank,
+    )
+
+    arrow = sim_mmr_arrow(spark, SF_ORACLE)
+    plan = formatted_plan(arrow)
+    assert "FlatMapGroupsInArrow" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    got = sorted(map(tuple, arrow.collect()))
+    twin = sorted(map(tuple, sim_mmr_rerank(spark, SF_ORACLE).collect()))
+    assert got == twin
+
+
+def test_mmr_arrow_tail_handles_degenerate_groups(spark):
+    """The arrow tail's flatten/reshape path must survive the same
+    degenerate shapes the pandas leg is pinned on: a single-candidate
+    group (1-row table), a pool smaller than k (truncated rounds), and
+    zero-norm vectors dropped before the stage."""
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [0.0, 0.0])],
+        "vec_id: long, embedding: array<double>",
+    )
+    got = s.mmr_rerank(
+        tiny.filter("vec_id >= 1"), tiny.filter("vec_id = 0"),
+        n_candidates=25, k=5, arrow_tail=True,
+    ).collect()
+    assert sorted((r.round, r.neighbor_id) for r in got) == [(1, 1), (2, 2)]
+    one = s.mmr_rerank(
+        tiny.filter("vec_id = 1"), tiny.filter("vec_id = 0"),
+        n_candidates=25, k=5, arrow_tail=True,
+    ).collect()
+    assert [(r.round, r.neighbor_id) for r in one] == [(1, 1)]

@@ -376,3 +376,85 @@ def test_bloom_semi_join_has_no_false_negatives(spark):
     assert rep.n_matched == direct
     assert rep.n_bloom_pass == rep.n_matched + rep.n_false_positives
     assert rep.n_bloom_pass <= rep.n_orders
+
+
+def test_kmv_rollup_merge_equals_direct_and_mixes_branches(spark):
+    """r13 (VERDICT r12 #3a): the mergeable-KMV rollup. Three pins:
+
+    1. MERGE PROPERTY — the total-level estimate, built by merging leaf
+       sketches twice (leaf -> group -> total), must EQUAL the sketch
+       built directly from the distinct key set (independent Python md5
+       replay): top-k over child sketch unions IS the parent sketch.
+    2. Sub-k groups degrade to exact (est == exact, double == long).
+    3. On the registry query at sf0.01 BOTH estimator branches fire
+       (some leaves sub-k exact, others k-th-minimum estimates), exact
+       companions equal independent count-distincts, and estimates sit
+       inside generous KMV bands.
+    """
+    import hashlib
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.sketches import (
+        kmv_rollup,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.relational import (
+        _KMV_ROLLUP_K,
+        rel_sketch_rollup,
+    )
+
+    # Synthetic: 3 groups x 2 subgroups over 50 distinct keys, keys
+    # shared across groups (non-additive rollup), k=8 so every level
+    # estimates from the k-th minimum.
+    rows = []
+    for g in range(3):
+        for sub in range(2):
+            for i in range(30):
+                rows.append((f"g{g}", f"s{sub}", f"key{i + 10 * g}"))
+    df = spark.createDataFrame(rows, "g string, s string, key string")
+    out = kmv_rollup(df, key_col="key", seg_cols=["g", "s"], k=8)
+    got = {(r.level, r.g, r.s): r for r in out.collect()}
+
+    # Exact legs against plain distinct counts.
+    for (lvl, gv, sv), r in got.items():
+        if lvl == "g,s":
+            truth = df.filter((F.col("g") == gv) & (F.col("s") == sv))
+        elif lvl == "g":
+            truth = df.filter(F.col("g") == gv)
+        else:
+            truth = df
+        assert r.exact_distinct == truth.select("key").distinct().count()
+
+    # Merge property: total est == direct top-8 over the distinct key
+    # set, replayed in pure Python md5 (independent of Spark).
+    def h60(key: str) -> int:
+        return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+    hs = sorted(h60(key) for key in {r[2] for r in rows})
+    expect_total = float(7 * (1 << 60)) / float(hs[7])
+    assert got[("total", None, None)].est_distinct == expect_total
+
+    # Sub-k degrade: make one leaf smaller than k and re-run.
+    small = df.filter((F.col("g") == "g0") & (F.col("key").isin("key0", "key1")))
+    out2 = {
+        (r.level, r.g, r.s): r
+        for r in kmv_rollup(small, "key", ["g", "s"], k=8).collect()
+    }
+    assert out2[("g,s", "g0", "s0")].est_distinct == 2.0
+    assert out2[("g,s", "g0", "s0")].exact_distinct == 2
+
+    # Registry query: branch mix + band sanity at sf0.01.
+    sf = "/root/testdata/sf0.01"
+    reg = rel_sketch_rollup(spark, sf).collect()
+    leaves = [r for r in reg if r.level == "event_type,day"]
+    assert len(leaves) == 150 and sum(r.level == "event_type" for r in reg) == 5
+    exact_path = [r for r in leaves if r.est_distinct == float(r.exact_distinct)]
+    est_path = [r for r in leaves if r.est_distinct != float(r.exact_distinct)]
+    assert exact_path and est_path, (
+        "k=48 must split sf0.01 leaves (42-67 distinct users) across "
+        "both estimator branches"
+    )
+    assert all(r.exact_distinct < _KMV_ROLLUP_K for r in exact_path)
+    # Generous bands: rse ~ 1/sqrt(k-2) ~ 15%; 5x for leaf-sized sets.
+    for r in reg:
+        assert abs(r.est_distinct / r.exact_distinct - 1.0) < 0.75, (
+            r.level, r.event_type, r.day, r.est_distinct, r.exact_distinct
+        )

@@ -307,6 +307,9 @@ INTENTIONAL_NESTED_LOOP = {
     # r11
     "sim_mmr_rerank",       # exact candidate fetch = the brute-force anchor;
                             # production composes the rerank onto the ANN tier
+    # r13
+    "sim_mmr_arrow",        # applyInArrow twin of sim_mmr_rerank — same
+                            # exact candidate-fetch anchor, same adjudication
 }
 
 # Exact Exchange-node count of every registry query's initial physical
@@ -396,6 +399,13 @@ EXCHANGE_CENSUS = {
     # theta-sketch: the distinct-key agg (1 shuffle feeding the persisted
     # flag table) + the 4-row est/exact broadcast-join assembly
     "rel_theta_sketch_setops": 2,
+    # r13 additions
+    "sim_mmr_arrow": 1,
+    # sketch rollup: 1 corpus-width distinct-key shuffle feeding the
+    # persisted hash table; the rest are bounded k-row-heap windows and
+    # tiny per-level agg exchanges over union branches (3 levels × est
+    # window/agg + exact distinct/agg legs)
+    "rel_sketch_rollup": 14,
     "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1, "text_bpe_train": 4, "text_bpe_encode": 6, "text_mixture_sample": 4,
     "rel_recursive_cte": 2, "rel_lateral_topk": 1, "monitor_synthetic_source": 1,
     "rel_order_count_histogram": 3,
@@ -454,6 +464,11 @@ PYTHON_STAGE_CENSUS = {
     # r12: the raw-Arrow map surface — one MapInArrow node (tree +
     # details = 2 matches), deliberate; mapInPandas twin is production
     "mm_ahash_arrow": 2,
+    # r13: the raw-Arrow GROUPED surface — one FlatMapGroupsInArrow node
+    # (tree + details = 2 matches), the last census-visible Python-stage
+    # node to be exercised (SURVEY §5.10a); applyInPandas twin
+    # (sim_mmr_rerank) stays production
+    "sim_mmr_arrow": 2,
 }
 
 
