@@ -879,12 +879,15 @@ def _mmr_oracle(
         # per-vector, the collision join pairwise), so filtering the
         # shared e CTE is output-equivalent — and keeps the oracle from
         # ranking (or div-by-zero-ing on) a vector Spark drops, should a
-        # future testdata SF ever ship one. Both conditions explicit:
-        # list_dot_product's NULL-element behavior is not relied on.
+        # future testdata SF ever ship one. Both predicates go through
+        # list_filter, which never raises — list_dot_product RAISES on
+        # NULL-element lists (found by the degenerate-corpus pytest when
+        # the clamp's first draft used it), and AND gives no evaluation-
+        # order guarantee in a vectorized engine.
         "e AS MATERIALIZED (SELECT vec_id, "
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
-        " WHERE list_dot_product(embedding, embedding) > 0"
-        " AND len(list_filter(embedding, x -> x IS NULL)) = 0)",
+        " WHERE len(list_filter(embedding, x -> x IS NULL)) = 0"
+        " AND len(list_filter(embedding, x -> x <> 0)) > 0)",
         f"q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e"
         f" WHERE vec_id < {N_QUERIES})",
         f"c AS MATERIALIZED (SELECT vec_id AS cand_id, v AS cv FROM e"

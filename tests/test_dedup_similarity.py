@@ -1045,3 +1045,72 @@ def test_mmr_arrow_tail_handles_degenerate_groups(spark):
         n_candidates=25, k=5, arrow_tail=True,
     ).collect()
     assert [(r.round, r.neighbor_id) for r in one] == [(1, 1)]
+
+
+def test_mmr_oracle_clamp_agrees_on_degenerate_vectors(spark, tmp_path):
+    """ADVICE r12 #1, proven END-TO-END rather than left inert: on a
+    corpus that actually CONTAINS zero-norm and NULL-element embeddings
+    (no testdata SF does), the Spark query and the DuckDB oracle must
+    still agree — the oracle's e-CTE clamp and the Spark side's
+    _nonzero_vec + latq filters define the same candidate universe.
+    Builds a tiny embeddings parquet with both degenerate shapes mixed
+    into queries AND corpus, then runs the same comparator the driver
+    uses, for both MMR variants and the arrow twin."""
+    import math
+    import random
+
+    import duckdb
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.similarity import (
+        sim_mmr_ann,
+        sim_mmr_arrow,
+        sim_mmr_rerank,
+    )
+    from .oracle_utils import compare
+
+    rng = random.Random(13)
+    rows = []
+    for vid in range(60):
+        if vid in (3, 25):  # zero-norm: one query-side, one corpus-side
+            vec = [0.0] * 64
+        elif vid in (7, 31):  # NULL-element (nonzero elsewhere)
+            vec = [rng.uniform(-1, 1) for _ in range(64)]
+            vec[5] = None
+        else:
+            vec = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((vid, vec, vid % 3))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+
+    con = duckdb.connect()
+    con.execute("SET threads = 4")
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries import (
+        all_oracles,
+    )
+
+    oracles = all_oracles()
+    for name, fn in (
+        ("sim_mmr_rerank", sim_mmr_rerank),
+        ("sim_mmr_arrow", sim_mmr_arrow),
+        ("sim_mmr_ann", sim_mmr_ann),
+    ):
+        out = fn(spark, str(tmp_path))
+        problems = compare(out, con, oracles[name])
+        assert not problems, f"{name} on degenerate corpus: {problems}"
+        got = out.collect()
+        qids = {r.query_id for r in got}
+        assert 3 not in qids, f"{name}: zero-norm query ranked"
+        assert 7 not in qids, f"{name}: NULL-element query ranked"
+        picks = {r.neighbor_id for r in got}
+        assert 25 not in picks and 31 not in picks, (
+            f"{name}: degenerate corpus vector picked"
+        )
+    con.close()

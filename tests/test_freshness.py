@@ -156,16 +156,39 @@ def test_suite_runner_covers_every_test_file():
     a group would silently never run in the suite lane (found nearly-live
     in r07: test_streaming_stores.py split out of test_streaming.py had to
     be added to a group by hand). Pin: every tests/test_*.py appears in
-    the runner exactly once."""
+    the runner exactly once — OR, since the r13 rebalance, in several
+    groups whose SPARK_GRAFT_PARITY_SHARD specs form a COMPLETE cover
+    (same n, shards 0..n-1): a duplicate without complete shards would
+    either re-run tests (wasted wall) or, worse, a missing shard would
+    silently never run part of the file."""
     script = open(os.path.join(REPO, "tests", "run_suite.sh")).read()
     listed = re.findall(r"tests/(test_\w+\.py)", script)
     on_disk = sorted(
         os.path.basename(p) for p in glob.glob(os.path.join(REPO, "tests", "test_*.py"))
     )
     missing = [f for f in on_disk if f not in listed]
-    dupes = [f for f in set(listed) if listed.count(f) > 1]
     assert not missing, f"test files absent from run_suite.sh groups: {missing}"
-    assert not dupes, f"test files listed in more than one group: {dupes}"
+
+    shard_m = re.search(r"shards=\(([^)]*)\)", script)
+    shard_list = re.findall(r'"([^"]*)"', shard_m.group(1)) if shard_m else []
+    file_shards: dict[str, list[str]] = {}
+    for num, body in re.findall(r'GROUP(\d+)="([^"]*)"', script, re.S):
+        for f in re.findall(r"tests/(test_\w+\.py)", body):
+            idx = int(num) - 1
+            file_shards.setdefault(f, []).append(
+                shard_list[idx] if idx < len(shard_list) else ""
+            )
+    for f, specs in file_shards.items():
+        if len(specs) == 1:
+            continue
+        parsed = sorted(tuple(int(x) for x in s.split("/")) for s in specs if s)
+        assert len(parsed) == len(specs), (
+            f"{f} listed in more than one group without shard specs"
+        )
+        ns = {n for _, n in parsed}
+        assert len(ns) == 1 and [s for s, _ in parsed] == list(range(parsed[0][1])), (
+            f"{f}: shard specs {specs} do not form a complete 0..n-1 cover"
+        )
 
 
 def test_no_shadowed_test_definitions():
