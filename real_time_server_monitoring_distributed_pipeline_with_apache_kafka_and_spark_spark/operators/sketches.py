@@ -262,10 +262,14 @@ def kmv_rollup(
                 est(F.col("_cnt"), F.col("_hk")).alias("est_distinct"),
             )
         )
+        # ``hashed`` is already distinct on (segs..., key), so the LEAF
+        # exact count needs no re-distinct — only merge levels dedupe
+        # keys across their finer groups.
+        exact_src = hashed.select(*gcols, "_key")
+        if gcols != segs:
+            exact_src = exact_src.distinct()
         exact_legs.append(
-            hashed.select(*gcols, "_key")
-            .distinct()
-            .groupBy(*gcols)
+            exact_src.groupBy(*gcols)
             .agg(F.count(F.lit(1)).alias("exact_distinct"))
             .select(
                 F.lit(label).alias("level"),

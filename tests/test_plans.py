@@ -404,8 +404,9 @@ EXCHANGE_CENSUS = {
     # sketch rollup: 1 corpus-width distinct-key shuffle feeding the
     # persisted hash table; the rest are bounded k-row-heap windows and
     # tiny per-level agg exchanges over union branches (3 levels × est
-    # window/agg + exact distinct/agg legs)
-    "rel_sketch_rollup": 14,
+    # window/agg + exact legs; the leaf exact leg rides the already-
+    # distinct hash table with no re-distinct)
+    "rel_sketch_rollup": 13,
     "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1, "text_bpe_train": 4, "text_bpe_encode": 6, "text_mixture_sample": 4,
     "rel_recursive_cte": 2, "rel_lateral_topk": 1, "monitor_synthetic_source": 1,
     "rel_order_count_histogram": 3,
