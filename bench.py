@@ -172,6 +172,17 @@ HEADLINE = HEADLINE24 + [
 ]
 
 
+def apply_recheck_melts(timings: dict, recheck: dict) -> None:
+    """A spike that MELTS on the end-of-run retime was session contention
+    (ADVICE r12 #2): committing the contended median would inflate the
+    baseline the NEXT round's recheck and normalized ratios key off,
+    letting a real regression up to the phantom's size pass unflagged.
+    Record min(median, retime) as the going-forward number, in place —
+    both raw values stay in the recheck block for adjudication."""
+    for n, row in recheck.items():
+        timings[n] = min(row["median"], row["retime"])
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -254,14 +265,7 @@ def main() -> None:
         }
         for _, n in flagged
     }
-    # A spike that MELTS on the end-of-run retime was session contention
-    # (ADVICE r12 #2): committing the contended median would inflate the
-    # baseline the NEXT round's recheck and normalized ratios key off,
-    # letting a real regression up to the phantom's size pass unflagged.
-    # Record min(median, retime) as the going-forward number — both raw
-    # values stay in the recheck block for adjudication.
-    for n, row in recheck.items():
-        timings[n] = min(row["median"], row["retime"])
+    apply_recheck_melts(timings, recheck)
     # The external driver records only the LAST 2000 chars of stdout and
     # parses the final line as the bench result (BENCH_r07 recorded
     # ``parsed: null`` because the line — then carrying per-query raw

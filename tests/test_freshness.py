@@ -246,3 +246,24 @@ def test_rotation_rejects_unregistered_pins():
 
     with _pytest.raises(ValueError, match="not registered"):
         _rotated(("a",), {"zz": 9}, {})
+
+
+def test_bench_recheck_melt_commits_min_median():
+    """ADVICE r12 #2 pin: when the contention recheck's end-of-run
+    retime MELTS a spike, the committed median must be the melted
+    number (min of the two), not the contended one — a committed
+    phantom inflates the next round's recheck baseline so a real
+    regression up to its size would pass unflagged. A spike that
+    PERSISTS keeps its (identical) number; untouched queries keep
+    theirs."""
+    import bench
+
+    timings = {"a": 2.4, "b": 1.0, "c": 3.0}
+    recheck = {
+        "a": {"median": 2.4, "retime": 0.8, "prev": 0.9},  # melted
+        "c": {"median": 3.0, "retime": 3.1, "prev": 1.9},  # persisted
+    }
+    bench.apply_recheck_melts(timings, recheck)
+    assert timings == {"a": 0.8, "b": 1.0, "c": 3.0}
+    # raw evidence stays intact for adjudication
+    assert recheck["a"] == {"median": 2.4, "retime": 0.8, "prev": 0.9}
