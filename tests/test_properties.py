@@ -1161,3 +1161,58 @@ def test_signature_collision_rate_matches_python_model(spark, sigs):
         assert got == want_pairs / (n * (n - 1) / 2), (t, got, want_pairs)
         assert 0.0 <= got <= 1.0
     assert estimate_signature_collision_rate(df, max_hamming=64, sample=1000) == 1.0
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g0", "g1", "g2"]),
+            st.sampled_from(["s0", "s1"]),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(min_value=2, max_value=12),
+)
+def test_kmv_rollup_matches_pure_python_replay(spark, rows, k):
+    """For ANY multiset of (group, subgroup, key) rows and ANY k, every
+    level of the mergeable-KMV rollup must agree with an independent
+    pure-Python md5 replay of the DIRECT (non-merged) sketch — the merge
+    property says building parents from child sketches loses nothing —
+    and every exact companion must equal the true distinct count.
+    Duplicates, single-row groups, all-sub-k and all-estimating regimes
+    are all generated."""
+    import hashlib
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.sketches import (
+        kmv_rollup,
+    )
+
+    data = [(g, s, f"key{i}") for g, s, i in rows]
+    df = spark.createDataFrame(data, "g string, s string, key string")
+    got = {
+        (r.level, r.g, r.s): r
+        for r in kmv_rollup(df, key_col="key", seg_cols=["g", "s"], k=k).collect()
+    }
+
+    def h60(key: str) -> int:
+        return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+    def expect(keys: set[str]) -> tuple[float, int]:
+        hs = sorted(h60(x) for x in keys)
+        if len(hs) < k:
+            return float(len(hs)), len(hs)
+        return float((k - 1) * (1 << 60)) / float(hs[k - 1]), len(hs)
+
+    levels: dict[tuple, set] = {}
+    for g, s, key in data:
+        levels.setdefault(("g,s", g, s), set()).add(key)
+        levels.setdefault(("g", g, None), set()).add(key)
+        levels.setdefault(("total", None, None), set()).add(key)
+    assert set(got) == set(levels)
+    for lvl, keys in levels.items():
+        est, exact = expect(keys)
+        assert got[lvl].exact_distinct == exact, lvl
+        assert got[lvl].est_distinct == est, lvl
