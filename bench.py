@@ -169,6 +169,7 @@ HEADLINE = HEADLINE24 + [
     # added r13
     "sim_mmr_arrow",              # applyInArrow (FlatMapGroupsInArrow) MMR twin
     "rel_sketch_rollup",          # mergeable KMV sketch rollup per segment
+    "text_url_dedup",             # URL canonicalization + exact dedup
 ]
 
 

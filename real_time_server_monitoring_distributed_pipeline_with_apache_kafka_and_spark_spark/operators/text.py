@@ -912,3 +912,51 @@ def bpe_encode_counts(
             F.sum(F.col("cnt") * F.col("n_syms")).alias("n_bpe_tokens"),
         )
     )
+
+
+def canonicalize_url(url: Column) -> Column:
+    """URL canonicalization — every crawl pipeline's first dedup key
+    (r13, VERDICT r12 #3b): normalize the variants that make one page
+    look like many before exact dedup. Steps, in order:
+
+    1. scheme and authority lowercased (path case is preserved — it is
+       significant per RFC 3986)
+    2. leading ``www.`` stripped from the host
+    3. default port stripped (``:80`` for http, ``:443`` for https)
+    4. fragment dropped (``#...`` never reaches the server)
+    5. ``utm_*`` tracking query parameters dropped, separators tidied
+       (a query left empty disappears entirely)
+    6. duplicate ``/`` runs in the path collapsed
+    7. trailing ``/`` stripped from non-root paths; an empty path
+       becomes ``/``
+
+    Pure built-ins (lower/regexp_extract/regexp_replace/concat): one
+    whole-stage-codegen'd per-row map, no shuffle, no UDF — at 100 TB
+    this canonicalizer rides the scan. Every regex sticks to the
+    Java-regex ∩ RE2 common subset and every replacement is a literal
+    (no group references — their syntax differs between engines), so
+    the DuckDB oracle replays the identical steps (with the ``'g'``
+    flag: Spark's regexp_replace is always global, DuckDB's is not).
+    """
+    head = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+    scheme = F.lower(F.regexp_extract(url, head + r".*$", 1))
+    auth = F.lower(F.regexp_extract(url, head + r"([^/?#]*).*$", 2))
+    rest = F.regexp_extract(url, head + r"[^/?#]*(.*)$", 2)
+    auth = F.regexp_replace(auth, r"^www\.", "")
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    # utm removal in two passes: "utm followed by another param" keeps
+    # the separator for the successor; "utm at the end (or alone)"
+    # consumes its own leading ? or &.
+    rest = F.regexp_replace(rest, r"utm_[A-Za-z]+=[^&#]*&", "")
+    rest = F.regexp_replace(rest, r"[?&]utm_[A-Za-z]+=[^&#]*", "")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"(\?.*)$", 1)
+    path = F.regexp_replace(path, r"/{2,}", "/")
+    path = F.when(path == "/", path).otherwise(F.regexp_replace(path, r"/+$", ""))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.concat(scheme, F.lit("://"), auth, path, query)

@@ -223,10 +223,11 @@ _REGISTERED: tuple[str, ...] = (
     "sim_mmr_ann",
     "mm_ahash_arrow",
     "rel_theta_sketch_setops",
-    # -- r13 additions (kept to 2: the 42-query freshness cohort must
-    # fit the 50-slot window alongside the pins, VERDICT r12 #1) --
+    # -- r13 additions (kept to 3: the 42-query freshness cohort fits
+    # the 50-slot window alongside 2 pins + 3 new = 47, VERDICT r12 #1) --
     "sim_mmr_arrow",
     "rel_sketch_rollup",
+    "text_url_dedup",
 )
 
 # Hand-pinned window head: queries whose IMPLEMENTATION changed since

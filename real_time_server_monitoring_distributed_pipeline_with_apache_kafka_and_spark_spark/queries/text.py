@@ -962,7 +962,118 @@ def text_bootstrap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + exact dedup (r13, VERDICT r12 #3b — every
+    crawl pipeline's first dedup key). The documents tables carry no URL
+    column, so the query derives a deterministic MESSY url per doc from
+    (source, doc_id) — eight variant forms per canonical page (scheme/
+    host case, www., :443, fragment, utm_* params, doubled slash,
+    trailing slash, mixed kept+utm query), replayed literally in the
+    oracle; the OPERATOR under test is operators.text.canonicalize_url
+    (pure built-ins, one codegen'd per-row map — rides the scan at any
+    scale; the only shuffle is the dedup groupBy). Variants 0-6
+    canonicalize to one page; variant 7 keeps its non-tracking ?id=
+    param and correctly stays distinct — so the output pins BOTH that
+    mess collapses and that meaningful query strings survive. Per
+    canonical URL: n_docs, n_raw_forms (distinct messy spellings: >1
+    proves the canonicalizer did the work), and the representative
+    min doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    gid = F.floor(F.col("doc_id") / 8).cast("long").cast("string")
+    path = F.concat(F.lit("/docs/d"), gid)
+    m = (F.col("doc_id") % 8).cast("int")
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://"), host, path))
+        .when(m == 1, F.concat(F.lit("HTTPS://WWW."), F.upper(host), path))
+        .when(m == 2, F.concat(F.lit("https://"), host, F.lit(":443"), path))
+        .when(m == 3, F.concat(F.lit("https://"), host, path, F.lit("#section-2")))
+        .when(
+            m == 4,
+            F.concat(
+                F.lit("https://"), host, path,
+                F.lit("?utm_source=feed&utm_campaign=c9"),
+            ),
+        )
+        .when(m == 5, F.concat(F.lit("https://"), host, F.lit("/docs//d"), gid))
+        .when(m == 6, F.concat(F.lit("https://"), host, path, F.lit("/")))
+        .otherwise(
+            F.concat(
+                F.lit("https://"), host, path,
+                F.lit("?id="), (F.col("doc_id") % 7).cast("string"),
+                F.lit("&utm_medium=m"),
+            )
+        )
+    )
+    tagged = docs.select(
+        F.col("doc_id"), url.alias("raw_url"),
+        ops.canonicalize_url(url).alias("canonical_url"),
+    )
+    return tagged.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("raw_url").alias("n_raw_forms"),
+        F.min("doc_id").alias("rep_doc_id"),
+    )
+
+
+_URL_DEDUP_ORACLE = r"""
+WITH tagged AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 8 AS INTEGER)
+      WHEN 0 THEN 'https://' || source || '.example.com/docs/d' || CAST(doc_id // 8 AS VARCHAR)
+      WHEN 1 THEN 'HTTPS://WWW.' || upper(source || '.example.com') || '/docs/d' || CAST(doc_id // 8 AS VARCHAR)
+      WHEN 2 THEN 'https://' || source || '.example.com:443/docs/d' || CAST(doc_id // 8 AS VARCHAR)
+      WHEN 3 THEN 'https://' || source || '.example.com/docs/d' || CAST(doc_id // 8 AS VARCHAR) || '#section-2'
+      WHEN 4 THEN 'https://' || source || '.example.com/docs/d' || CAST(doc_id // 8 AS VARCHAR) || '?utm_source=feed&utm_campaign=c9'
+      WHEN 5 THEN 'https://' || source || '.example.com/docs//d' || CAST(doc_id // 8 AS VARCHAR)
+      WHEN 6 THEN 'https://' || source || '.example.com/docs/d' || CAST(doc_id // 8 AS VARCHAR) || '/'
+      ELSE 'https://' || source || '.example.com/docs/d' || CAST(doc_id // 8 AS VARCHAR) || '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_medium=m'
+    END AS raw_url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, raw_url,
+    lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://.*$', 1)) AS scheme,
+    lower(regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$', 1)) AS auth0,
+    regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest0
+  FROM tagged
+),
+normed AS (
+  SELECT doc_id, raw_url, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(regexp_replace(auth0, '^www\.', ''), ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(regexp_replace(auth0, '^www\.', ''), ':443$', '')
+         ELSE regexp_replace(auth0, '^www\.', '') END AS auth,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(rest0, '#.*$', '', 'g'),
+        'utm_[A-Za-z]+=[^&#]*&', '', 'g'),
+      '[?&]utm_[A-Za-z]+=[^&#]*', '', 'g') AS rest
+  FROM parts
+),
+canon AS (
+  SELECT doc_id, raw_url,
+    scheme || '://' || auth ||
+    CASE WHEN p2 = '' THEN '/' ELSE p2 END ||
+    regexp_extract(rest, '(\?.*)$', 1) AS canonical_url
+  FROM (
+    SELECT *, CASE WHEN p1 = '/' THEN p1 ELSE regexp_replace(p1, '/+$', '') END AS p2
+    FROM (
+      SELECT *, regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/{2,}', '/', 'g') AS p1
+      FROM normed
+    )
+  )
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_forms,
+       CAST(min(doc_id) AS BIGINT) AS rep_doc_id
+FROM canon
+GROUP BY canonical_url
+"""
+
+
 QUERIES = {
+    "text_url_dedup": text_url_dedup,
     "text_bpe_pair_counts": text_bpe_pair_counts,
     "text_quality_classifier": text_quality_classifier,
     "text_bootstrap_stats": text_bootstrap_stats,
@@ -1013,6 +1124,7 @@ def _boot_u_sql(r: int) -> str:
 
 
 ORACLES = {
+    "text_url_dedup": _URL_DEDUP_ORACLE,
     "text_weighted_reservoir": f"""
 WITH t AS (
   SELECT doc_id, lang, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens

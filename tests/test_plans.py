@@ -401,6 +401,10 @@ EXCHANGE_CENSUS = {
     "rel_theta_sketch_setops": 2,
     # r13 additions
     "sim_mmr_arrow": 1,
+    # url dedup: the canonicalizer is a codegen'd per-row map; the two
+    # exchanges are the dedup groupBy's partial/final split around the
+    # countDistinct(raw_url) expand
+    "text_url_dedup": 2,
     # sketch rollup: 1 corpus-width distinct-key shuffle feeding the
     # persisted hash table; the rest are bounded k-row-heap windows and
     # tiny per-level agg exchanges over union branches (3 levels × est

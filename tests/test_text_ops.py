@@ -487,3 +487,52 @@ def test_weighted_reservoir_is_exact_aes(spark):
     corpus_mean = sum(w for _, w in rows if w > 0) / sum(1 for _, w in rows if w > 0)
     sample_mean = sum(rows[d][1] for d, _ in got) / 150
     assert sample_mean > corpus_mean * 1.15, (sample_mean, corpus_mean)
+
+
+def test_canonicalize_url_edge_cases(spark):
+    """r13: hand-pinned canonicalization table — each row exercises one
+    documented step (scheme/host case, www., default ports for BOTH
+    schemes and a non-default port kept, fragment, utm_* in every
+    position incl. utm-only queries, doubled slashes, trailing slash,
+    root path, empty path) plus combinations. The oracle gate proves
+    Spark==DuckDB on the generated variants; this pins Spark==SPEC."""
+    from pyspark.sql import functions as F
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.text import (
+        canonicalize_url,
+    )
+
+    cases = [
+        ("https://Example.COM/a/b", "https://example.com/a/b"),
+        ("HTTP://WWW.EXAMPLE.COM/a", "http://example.com/a"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("https://example.com:443/a", "https://example.com/a"),
+        # non-default port survives; http keeps :443 and vice versa
+        ("https://example.com:8443/a", "https://example.com:8443/a"),
+        ("http://example.com:443/a", "http://example.com:443/a"),
+        ("https://example.com/a#frag", "https://example.com/a"),
+        ("https://example.com/a?utm_source=x", "https://example.com/a"),
+        ("https://example.com/a?utm_a=1&utm_b=2", "https://example.com/a"),
+        ("https://example.com/a?utm_a=1&id=5", "https://example.com/a?id=5"),
+        ("https://example.com/a?id=5&utm_b=2", "https://example.com/a?id=5"),
+        (
+            "https://example.com/a?id=5&utm_b=2&page=3",
+            "https://example.com/a?id=5&page=3",
+        ),
+        ("https://example.com//a///b", "https://example.com/a/b"),
+        ("https://example.com/a/", "https://example.com/a"),
+        ("https://example.com/", "https://example.com/"),
+        ("https://example.com", "https://example.com/"),
+        # path case is significant and preserved
+        ("https://example.com/CaseSensitive", "https://example.com/CaseSensitive"),
+        # everything at once
+        (
+            "HTTPS://WWW.Example.COM:443//Docs//d3/?utm_m=x&id=7#top",
+            "https://example.com/Docs/d3?id=7",
+        ),
+    ]
+    df = spark.createDataFrame(cases, "url string, expected string").select(
+        "url", "expected", canonicalize_url(F.col("url")).alias("got")
+    )
+    bad = [(r.url, r.got, r.expected) for r in df.collect() if r.got != r.expected]
+    assert not bad, bad
