@@ -187,6 +187,15 @@ def kmv_rollup(
     ``exact_distinct`` (long). Estimator and tie-break pins are
     :func:`kmv_setops`'s: est = (k-1)·2^60 / h_(k) with (h, key)
     ordering, both engines reading the same k-th minimum.
+
+    CACHING CONTRACT (ADVICE r13 #4): the plan persists the distinct
+    (segs, key) corpus table plus one bounded k×n_groups sketch table
+    per level so each feeds two live branches without recomputation.
+    The frames stay cached until the session ends or the caller
+    releases them — a long-lived session invoking this repeatedly
+    (property tests, notebooks) should call
+    :func:`release_kmv_caches` on the RETURNED frame after its last
+    action, which unpersists every frame this invocation cached.
     """
     segs = list(seg_cols)
     # One distinct-key aggregation — the only corpus-width shuffle.
@@ -199,6 +208,7 @@ def kmv_rollup(
         .select(*segs, "_key", kmv_hash(F.col("_key")).alias("_h"))
         .persist()
     )
+    caches: list[DataFrame] = [hashed]
 
     scale = F.lit(float((k - 1) * (1 << 60)))
 
@@ -224,9 +234,17 @@ def kmv_rollup(
     # per level would constant-fold the join condition into a nested
     # loop; unioning ALL levels first makes (level, _grp) a real
     # data-dependent key, so the combine stays one broadcast hash join.
+    # NULL seg values are rendered explicitly (ADVICE r13 #2):
+    # concat_ws SKIPS nulls, so (NULL,'x') and ('x',NULL) would collide
+    # into one _grp and the combine would fan out, pairing estimates
+    # with the wrong exact counts. The \x00 sentinel keeps NULL distinct
+    # from every real string; seg values must not contain \x1f or \x00
+    # (unit/NUL separators never appear in real segment labels).
     def grp(gcols: list[str]) -> F.Column:
         return (
-            F.concat_ws("\x1f", *[F.col(c) for c in gcols])
+            F.concat_ws(
+                "\x1f", *[F.coalesce(F.col(c), F.lit("\x00")) for c in gcols]
+            )
             if gcols
             else F.lit("")
         )
@@ -249,6 +267,7 @@ def kmv_rollup(
         # live-plan branch (the connected_components lesson; bounded
         # k × n_groups rows, so the cache is trivial).
         sketch = topk(src, gcols).persist()
+        caches.append(sketch)
         est_legs.append(
             sketch.groupBy(*gcols)
             .agg(F.count(F.lit(1)).alias("_cnt"), F.max("_h").alias("_hk"))
@@ -284,8 +303,23 @@ def kmv_rollup(
             out = out.unionByName(leg)
         return out
 
-    return (
+    out = (
         stack(est_legs)
         .join(F.broadcast(stack(exact_legs)), ["level", "_grp"])
         .drop("_grp")
     )
+    # The caching-contract handle (see docstring): release_kmv_caches
+    # walks this to unpersist exactly the frames THIS invocation cached.
+    out._kmv_caches = caches
+    return out
+
+
+def release_kmv_caches(result: DataFrame) -> None:
+    """Unpersist every frame a :func:`kmv_rollup` invocation cached.
+
+    Call after the last action on the returned frame (the caching
+    contract in :func:`kmv_rollup`'s docstring). A no-op on frames that
+    carry no cache handle, so callers can apply it unconditionally.
+    """
+    for f in getattr(result, "_kmv_caches", ()):
+        f.unpersist()

@@ -924,11 +924,27 @@ def canonicalize_url(url: Column) -> Column:
     2. leading ``www.`` stripped from the host
     3. default port stripped (``:80`` for http, ``:443`` for https)
     4. fragment dropped (``#...`` never reaches the server)
-    5. ``utm_*`` tracking query parameters dropped, separators tidied
-       (a query left empty disappears entirely)
+    5. ``utm_*`` tracking query parameters dropped FROM THE QUERY PART
+       ONLY, separators tidied (a query left empty — including a raw
+       trailing lone ``?`` — disappears entirely)
     6. duplicate ``/`` runs in the path collapsed
     7. trailing ``/`` stripped from non-root paths; an empty path
        becomes ``/``
+
+    The path/query split happens BEFORE utm removal (ADVICE r13 #1): a
+    path may legally contain ``=`` and ``&`` (``/p/utm_x=1&y``) and
+    must never be rewritten. Within the query, every utm match is
+    anchored to a real parameter boundary (``&`` or the leading ``?``)
+    so a non-tracking param that merely CONTAINS the substring
+    (``?a_utm_x=1``) survives — the unanchored r13 form collapsed
+    distinct URLs, silently dropping documents downstream. Three fixed
+    passes cover arbitrary chains: (i) every ``&utm_*=v`` (all
+    non-first params — consecutive matches abut, so one global pass
+    drains them), (ii) a leading ``?utm_*=v&`` hands its ``?`` to the
+    successor (after (i) at most the first param can still be utm),
+    (iii) a lone ``?utm_*=v`` disappears. The param-name class is
+    ``utm_[A-Za-z0-9_]+`` — real trackers carry digits and second
+    underscores (utm_source_platform, utm_id_2; ADVICE r13 #3).
 
     Pure built-ins (lower/regexp_extract/regexp_replace/concat): one
     whole-stage-codegen'd per-row map, no shuffle, no UDF — at 100 TB
@@ -949,13 +965,12 @@ def canonicalize_url(url: Column) -> Column:
         .otherwise(auth)
     )
     rest = F.regexp_replace(rest, r"#.*$", "")
-    # utm removal in two passes: "utm followed by another param" keeps
-    # the separator for the successor; "utm at the end (or alone)"
-    # consumes its own leading ? or &.
-    rest = F.regexp_replace(rest, r"utm_[A-Za-z]+=[^&#]*&", "")
-    rest = F.regexp_replace(rest, r"[?&]utm_[A-Za-z]+=[^&#]*", "")
     path = F.regexp_extract(rest, r"^([^?]*)", 1)
     query = F.regexp_extract(rest, r"(\?.*)$", 1)
+    query = F.regexp_replace(query, r"&utm_[A-Za-z0-9_]+=[^&#]*", "")
+    query = F.regexp_replace(query, r"\?utm_[A-Za-z0-9_]+=[^&#]*&", "?")
+    query = F.regexp_replace(query, r"^\?utm_[A-Za-z0-9_]+=[^&#]*$", "")
+    query = F.regexp_replace(query, r"^\?$", "")
     path = F.regexp_replace(path, r"/{2,}", "/")
     path = F.when(path == "/", path).otherwise(F.regexp_replace(path, r"/+$", ""))
     path = F.when(path == "", F.lit("/")).otherwise(path)

@@ -301,6 +301,21 @@ _FORCE_HEAD: dict[str, int] = {
     #                    green; its entry moves here at 13.)
     "sim_mmr_rerank": 13,
     "sim_mmr_ann": 13,
+    # r14 entries — code touched this round (ADVICE r13):
+    #   text_url_dedup     canonicalize_url utm removal rebuilt: path/
+    #                      query split FIRST, boundary-anchored
+    #                      utm_[A-Za-z0-9_]+ passes, lone-? strip;
+    #                      oracle replays the same passes. The generated
+    #                      variants avoid every fixed edge, so recorded
+    #                      hashes are unchanged — re-verified MATCH at
+    #                      sf0.001/0.01 locally; the pin re-proves.
+    #   rel_sketch_rollup  kmv_rollup's est⋈exact join key now renders
+    #                      NULL segs explicitly (\x00) + caching
+    #                      contract handle; registry segs are non-null,
+    #                      output unchanged — re-verified MATCH at
+    #                      sf0.01 locally.
+    "text_url_dedup": 14,
+    "rel_sketch_rollup": 14,
 }
 
 

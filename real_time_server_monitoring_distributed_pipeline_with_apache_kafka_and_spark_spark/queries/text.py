@@ -1043,18 +1043,26 @@ normed AS (
     CASE WHEN scheme = 'http' THEN regexp_replace(regexp_replace(auth0, '^www\.', ''), ':80$', '')
          WHEN scheme = 'https' THEN regexp_replace(regexp_replace(auth0, '^www\.', ''), ':443$', '')
          ELSE regexp_replace(auth0, '^www\.', '') END AS auth,
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(rest0, '#.*$', '', 'g'),
-        'utm_[A-Za-z]+=[^&#]*&', '', 'g'),
-      '[?&]utm_[A-Za-z]+=[^&#]*', '', 'g') AS rest
+    regexp_replace(rest0, '#.*$', '', 'g') AS rest
   FROM parts
 ),
+-- utm removal on the QUERY PART only, boundary-anchored, three fixed
+-- passes in lockstep with operators.text.canonicalize_url (ADVICE r13):
+-- (i) every '&utm_*=v', (ii) leading '?utm_*=v&' -> '?', (iii) lone
+-- '?utm_*=v' -> '', then a raw lone '?' disappears.
 canon AS (
   SELECT doc_id, raw_url,
     scheme || '://' || auth ||
     CASE WHEN p2 = '' THEN '/' ELSE p2 END ||
-    regexp_extract(rest, '(\?.*)$', 1) AS canonical_url
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_extract(rest, '(\?.*)$', 1),
+            '&utm_[A-Za-z0-9_]+=[^&#]*', '', 'g'),
+          '\?utm_[A-Za-z0-9_]+=[^&#]*&', '?'),
+        '^\?utm_[A-Za-z0-9_]+=[^&#]*$', ''),
+      '^\?$', '') AS canonical_url
   FROM (
     SELECT *, CASE WHEN p1 = '/' THEN p1 ELSE regexp_replace(p1, '/+$', '') END AS p2
     FROM (

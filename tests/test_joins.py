@@ -441,6 +441,23 @@ def test_kmv_rollup_merge_equals_direct_and_mixes_branches(spark):
     assert out2[("g,s", "g0", "s0")].est_distinct == 2.0
     assert out2[("g,s", "g0", "s0")].exact_distinct == 2
 
+    # NULL-seg regression (ADVICE r13 #2): (NULL,'x') and ('x',NULL) are
+    # DIFFERENT leaf groups — concat_ws skips NULLs, so before the \x00
+    # rendering both collapsed to one join key and the est⋈exact combine
+    # fanned out. Pin: one output row per group per level, each exact
+    # count correct.
+    nulled = spark.createDataFrame(
+        [(None, "x", "a"), (None, "x", "b"), ("x", None, "a"), ("x", None, "c"), ("x", None, "d")],
+        "g string, s string, key string",
+    )
+    out3 = kmv_rollup(nulled, "key", ["g", "s"], k=8)
+    rows3 = out3.collect()
+    assert len(rows3) == 2 + 2 + 1  # 2 leaves, 2 g-level groups, 1 total
+    got3 = {(r.level, r.g, r.s): r for r in rows3}
+    assert got3[("g,s", None, "x")].exact_distinct == 2
+    assert got3[("g,s", "x", None)].exact_distinct == 3
+    assert got3[("total", None, None)].exact_distinct == 4
+
     # Registry query: branch mix + band sanity at sf0.01.
     sf = "/root/testdata/sf0.01"
     reg = rel_sketch_rollup(spark, sf).collect()

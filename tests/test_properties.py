@@ -1167,8 +1167,8 @@ def test_signature_collision_rate_matches_python_model(spark, sigs):
 @given(
     st.lists(
         st.tuples(
-            st.sampled_from(["g0", "g1", "g2"]),
-            st.sampled_from(["s0", "s1"]),
+            st.sampled_from(["g0", "g1", "g2", None]),
+            st.sampled_from(["s0", "s1", None]),
             st.integers(min_value=0, max_value=40),
         ),
         min_size=1,
@@ -1183,19 +1183,23 @@ def test_kmv_rollup_matches_pure_python_replay(spark, rows, k):
     property says building parents from child sketches loses nothing —
     and every exact companion must equal the true distinct count.
     Duplicates, single-row groups, all-sub-k and all-estimating regimes
-    are all generated."""
+    are all generated, INCLUDING NULL segment values in either position
+    (ADVICE r13 #2: (NULL,'x') and ('x',NULL) must stay distinct groups
+    in the est⋈exact combine, not collide via concat_ws's NULL-skip)."""
     import hashlib
 
     from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.sketches import (
         kmv_rollup,
+        release_kmv_caches,
     )
 
     data = [(g, s, f"key{i}") for g, s, i in rows]
     df = spark.createDataFrame(data, "g string, s string, key string")
-    got = {
-        (r.level, r.g, r.s): r
-        for r in kmv_rollup(df, key_col="key", seg_cols=["g", "s"], k=k).collect()
-    }
+    out = kmv_rollup(df, key_col="key", seg_cols=["g", "s"], k=k)
+    got = {(r.level, r.g, r.s): r for r in out.collect()}
+    # The caching contract: hypothesis re-invokes this dozens of times in
+    # one session — release each invocation's persisted frames.
+    release_kmv_caches(out)
 
     def h60(key: str) -> int:
         return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)

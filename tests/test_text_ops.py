@@ -519,6 +519,22 @@ def test_canonicalize_url_edge_cases(spark):
             "https://example.com/a?id=5&utm_b=2&page=3",
             "https://example.com/a?id=5&page=3",
         ),
+        # -- r14 boundary fixes (ADVICE r13) --
+        # a non-tracking param merely CONTAINING 'utm_' survives intact
+        # (the unanchored r13 regex mangled it to ?a_id=2)
+        ("https://example.com/a?a_utm_x=1&id=2", "https://example.com/a?a_utm_x=1&id=2"),
+        ("https://example.com/a?xutm_b=1", "https://example.com/a?xutm_b=1"),
+        # a path legally containing '=' and '&' is never rewritten
+        ("https://example.com/p/utm_x=1&y/z", "https://example.com/p/utm_x=1&y/z"),
+        # tracker names with digits / second underscores are stripped
+        ("https://example.com/a?utm_source_platform=ios", "https://example.com/a"),
+        ("https://example.com/a?utm_id_2=9&id=5", "https://example.com/a?id=5"),
+        # a trailing lone '?' (empty query) collapses onto the bare path
+        ("https://example.com/a?", "https://example.com/a"),
+        # utm chains in every position drain fully
+        ("https://example.com/a?utm_a=1&utm_b=2&id=3", "https://example.com/a?id=3"),
+        ("https://example.com/a?utm_a=1&utm_b=2&utm_c=3", "https://example.com/a"),
+        ("https://example.com/a?utm_a=1&", "https://example.com/a"),
         ("https://example.com//a///b", "https://example.com/a/b"),
         ("https://example.com/a/", "https://example.com/a"),
         ("https://example.com/", "https://example.com/"),
