@@ -170,6 +170,9 @@ HEADLINE = HEADLINE24 + [
     "sim_mmr_arrow",              # applyInArrow (FlatMapGroupsInArrow) MMR twin
     "rel_sketch_rollup",          # mergeable KMV sketch rollup per segment
     "text_url_dedup",             # URL canonicalization + exact dedup
+    # added r14
+    "text_langid_gate",           # hashed language gate -> gopher battery
+    "rel_observe_metrics",        # Dataset.observe quality counters
 ]
 
 

@@ -614,6 +614,86 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", pred)
 
 
+def _marker_hash32(word: str) -> int:
+    """Python-side twin of the engine's md5-prefix token hash (first 8
+    hex chars as an int) — used to pre-hash marker profiles at build
+    time so the runtime gate compares LONGS, never strings."""
+    import hashlib
+
+    return int(hashlib.md5(word.encode()).hexdigest()[:8], 16)
+
+
+_LANG_MARKER_HASHES: dict[str, tuple[int, ...]] = {
+    lang: tuple(_marker_hash32(w) for w in words)
+    for lang, words in _LANG_MARKERS.items()
+}
+
+
+def langid_hash_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    lang: str = "en",
+    min_hits: int = 1,
+    min_permille: int = 50,
+) -> DataFrame:
+    """Hash-based language-ID GATE (r14, VERDICT r13 #2a): a filter
+    stage — where :func:`lang_id` classifies every doc, this DROPS the
+    docs that aren't confidently ``lang``, the shape every monolingual
+    curation pipeline puts in FRONT of its quality battery.
+
+    "Hash-based": each token is hashed once (md5-prefix → 32-bit int)
+    and the language profiles are PRE-HASHED marker sets
+    (``_LANG_MARKER_HASHES``, computed at build time with the identical
+    md5), so the per-token membership test compares longs against a
+    fixed int set — at 100 TB the gate never compares strings, and the
+    same hashed-feature stream could feed any number of downstream
+    hashed models (the DSIR lesson) without re-reading text. The hash
+    array is projected ONCE before the four profile filters
+    (higher-order functions have no subexpression elimination — the
+    word_shingles 13x lesson).
+
+    A doc passes iff (integer arithmetic throughout — the gopher_rules
+    bit-exactness policy):
+
+    - no CJK codepoint (those route to the zh pipeline),
+    - target-profile hits >= every other profile's hits (dominance),
+    - hits >= ``min_hits`` (at least some positive evidence), and
+    - 1000·hits >= ``min_permille``·n_tokens (marker density — one
+      stray function word in junk must not pass).
+
+    NULL text fails every conjunct (NULL comparisons are falsy in a
+    filter) and is dropped — a gate, unlike the gopher battery's
+    accounting, is SUPPOSED to lose undecidable docs. Survivors carry
+    ``gate_hits`` (the target-profile hit count). Stateless per-row
+    array expressions: the gate runs at scan speed, zero exchanges,
+    streaming-safe as-is.
+    """
+    toked = df.withColumn(
+        "_th",
+        F.transform(
+            tokens(F.col(text_col)),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+        ),
+    )
+    th = F.col("_th")
+    hits = {
+        lg: F.size(F.filter(th, lambda h: h.isin(*hs)))
+        for lg, hs in _LANG_MARKER_HASHES.items()
+    }
+    others = F.greatest(*[hits[lg] for lg in _LANG_MARKER_HASHES if lg != lang])
+    keep = (
+        ~F.col(text_col).rlike(_CJK_PATTERN)
+        & (hits[lang] >= others)
+        & (hits[lang] >= F.lit(min_hits))
+        & (F.lit(1000) * hits[lang] >= F.lit(min_permille) * F.size(th))
+    )
+    return (
+        toked.withColumn("gate_hits", hits[lang].cast("int"))
+        .filter(keep)
+        .drop("_th")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token set (bag-of-words identity; catches shuffled near-identical docs).

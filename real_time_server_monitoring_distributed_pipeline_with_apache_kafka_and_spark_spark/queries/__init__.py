@@ -228,6 +228,11 @@ _REGISTERED: tuple[str, ...] = (
     "sim_mmr_arrow",
     "rel_sketch_rollup",
     "text_url_dedup",
+    # -- r14 additions (kept to 2: the 43-query r10-proof freshness
+    # cohort fits the 50-slot window alongside 2 pins + 2 new = 47,
+    # VERDICT r13 #1; these are the two named absent classes, #2) --
+    "text_langid_gate",
+    "rel_observe_metrics",
 )
 
 # Hand-pinned window head: queries whose IMPLEMENTATION changed since

