@@ -49,7 +49,9 @@ WINDOW = 50
 # driver rows) and the text_stratified_sample / _salted pair (same
 # contract, different skew posture). MAX_AGE stays 4; raising it again
 # would trade driver-proof freshness for capacity we do not need under
-# this budget.
+# this budget. (r14, VERDICT r13 #6: the full pre-ranked fold order —
+# 5 slots of head-room — is written out in SURVEY §5.10.12; nothing
+# folds until the cap actually binds.)
 MAX_AGE = 4  # a green from round N satisfies compositions of rounds N..N+MAX_AGE
 HEADROOM_FRACTION = 0.15
 
