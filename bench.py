@@ -173,6 +173,7 @@ HEADLINE = HEADLINE24 + [
     # added r14
     "text_langid_gate",           # hashed language gate -> gopher battery
     "rel_observe_metrics",        # Dataset.observe quality counters
+    "rel_profile_drift",          # two-snapshot per-column drift audit
 ]
 
 

@@ -132,6 +132,82 @@ def profile_table(
     )
 
 
+def profile_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    numeric_cols: list[str],
+    string_cols: list[str] = (),
+    ts_cols: list[str] = (),
+    mean_tol: float = 0.01,
+    null_tol: float = 0.001,
+    distinct_band: tuple[float, float] = (0.5, 2.0),
+) -> DataFrame:
+    """Per-column profile DRIFT between two snapshots of one table (r14,
+    SURVEY §5.10.11d — the audit every scheduled 100 TB ingest runs
+    before committing a refresh: :func:`profile_table` answers "what is
+    in this table", this answers "did today's data move"). One row per
+    profiled column: both sides' row/null/distinct counts and exact
+    decimal means, the relative mean shift, and a ``drifted`` verdict.
+
+    The verdict is a disjunction of deterministic gates — relative mean
+    shift > ``mean_tol``, null-rate delta > ``null_tol``, distinct-count
+    ratio outside ``distinct_band``, or a moved min/max for
+    string/timestamp columns (schema-drift's usual first symptom: a new
+    enum value or a time-range jump). Every input to every gate is
+    exact (counts; decimal(38,6) sums cast to double at the end), so
+    both engines compute IDENTICAL doubles and the boolean cannot
+    flicker; gates over a NULL leg (mean on a string column, text range
+    on a numeric one) coalesce to False.
+
+    Plan: one :func:`profile_table` per snapshot — each side's filter
+    pushes into its own scan (at 100 TB with date-partitioned tables
+    that is partition pruning: the audit reads only the two snapshots'
+    files), each profile reduces to ~N-column 1-row aggregates with
+    map-side partials, and the combine is a bounded N×N broadcast join.
+    No corpus-width shuffle anywhere.
+    """
+    keep = [
+        "n_rows", "n_nulls", "n_distinct", "mean_value", "min_text", "max_text"
+    ]
+
+    def side(df: DataFrame, suffix: str) -> DataFrame:
+        prof = profile_table(df, numeric_cols, string_cols, ts_cols)
+        return prof.select(
+            "col_name", *[F.col(c).alias(f"{c}{suffix}") for c in keep]
+        )
+
+    j = side(df_a, "_a").join(F.broadcast(side(df_b, "_b")), "col_name")
+    null_rate_a = F.col("n_nulls_a") / F.col("n_rows_a")
+    null_rate_b = F.col("n_nulls_b") / F.col("n_rows_b")
+    mean_rel_shift = F.abs(F.col("mean_value_b") - F.col("mean_value_a")) / F.nullif(
+        F.abs(F.col("mean_value_a")), F.lit(0.0)
+    )
+    distinct_ratio = F.col("n_distinct_b").cast("double") / F.nullif(
+        F.col("n_distinct_a").cast("double"), F.lit(0.0)
+    )
+    lo, hi = distinct_band
+    drifted = (
+        F.coalesce(mean_rel_shift > F.lit(mean_tol), F.lit(False))
+        | (F.abs(null_rate_b - null_rate_a) > F.lit(null_tol))
+        | F.coalesce(
+            (distinct_ratio < F.lit(lo)) | (distinct_ratio > F.lit(hi)),
+            F.lit(False),
+        )
+        | F.coalesce(F.col("min_text_a") != F.col("min_text_b"), F.lit(False))
+        | F.coalesce(F.col("max_text_a") != F.col("max_text_b"), F.lit(False))
+    )
+    return j.select(
+        "col_name",
+        "n_rows_a", "n_rows_b",
+        "n_nulls_a", "n_nulls_b",
+        "n_distinct_a", "n_distinct_b",
+        F.col("mean_value_a").alias("mean_a"),
+        F.col("mean_value_b").alias("mean_b"),
+        mean_rel_shift.alias("mean_rel_shift"),
+        drifted.alias("drifted"),
+    )
+
+
 def _hist_percentile(q: float) -> Column:
     """Exact interpolated percentile derived from a (value, cnt, cum_start,
     cum_end, n) histogram: the aggregate-expression form of the standard

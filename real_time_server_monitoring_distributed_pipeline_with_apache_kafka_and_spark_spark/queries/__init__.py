@@ -228,11 +228,13 @@ _REGISTERED: tuple[str, ...] = (
     "sim_mmr_arrow",
     "rel_sketch_rollup",
     "text_url_dedup",
-    # -- r14 additions (kept to 2: the 43-query r10-proof freshness
-    # cohort fits the 50-slot window alongside 2 pins + 2 new = 47,
-    # VERDICT r13 #1; these are the two named absent classes, #2) --
+    # -- r14 additions (kept to 3: the 43-query r10-proof freshness
+    # cohort fits the 50-slot window alongside 2 pins + 3 new = 48,
+    # VERDICT r13 #1; the first two are the named absent classes from
+    # VERDICT r13 #2, the third is §5.10.11d's profile-drift class) --
     "text_langid_gate",
     "rel_observe_metrics",
+    "rel_profile_drift",
 )
 
 # Hand-pinned window head: queries whose IMPLEMENTATION changed since

@@ -27,6 +27,35 @@ def rel_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.profile_table(li, numeric_cols=_NUM, string_cols=_STR, ts_cols=_TS)
 
 
+_DRIFT_CUT = "1998-06-01"
+
+
+def rel_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile drift between two lineitem snapshots (r14,
+    SURVEY §5.10.11d): the early period (l_shipdate < 1998-06-01) as
+    yesterday's committed snapshot, the late period as today's refresh —
+    the before-commit audit of a scheduled ingest. One row per profiled
+    column with both sides' counts/distincts/exact means, the relative
+    mean shift, and the deterministic ``drifted`` verdict (see
+    operators.profiling.profile_drift for the gate algebra and the
+    partition-pruning scale story; each side's date filter pushes into
+    its own scan). On this corpus the gates split genuinely: l_shipdate
+    drifts by construction (disjoint ranges -> moved min/max text),
+    l_quantity's mean shift crosses the 1% gate at sf0.01, the uniform
+    columns hold steady."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import functions as F
+
+    cut = F.lit(_DRIFT_CUT).cast("timestamp")
+    return ops.profile_drift(
+        li.filter(F.col("l_shipdate") < cut),
+        li.filter(F.col("l_shipdate") >= cut),
+        numeric_cols=_NUM,
+        string_cols=_STR,
+        ts_cols=_TS,
+    )
+
+
 def rel_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-per-key distribution for lineitem's join key ``l_orderkey`` —
     the measurement that sizes a salt factor (see operators.profiling)."""
@@ -234,6 +263,59 @@ _PROFILE_SQL = "\nUNION ALL\n".join(
     + [_profile_col_sql(c, "str") for c in _STR]
 )
 
+
+def _drift_side_sql(col: str, kind: str, where: str) -> str:
+    """One snapshot side of the drift oracle — the _profile_col_sql
+    shape restricted to the drift-relevant stats, with the snapshot
+    filter (both engines push it into their scan)."""
+    nn = f"count(*) - count({col})"
+    nd = f"count(DISTINCT {col})"
+    if kind == "num":
+        mean = f"CAST(sum(CAST({col} AS DECIMAL(38,6))) AS DOUBLE) / count({col})"
+        mnt = mxt = "CAST(NULL AS VARCHAR)"
+    elif kind == "ts":
+        mean = "CAST(NULL AS DOUBLE)"
+        mnt = f"strftime(min({col}), '%Y-%m-%d %H:%M:%S.%f')"
+        mxt = f"strftime(max({col}), '%Y-%m-%d %H:%M:%S.%f')"
+    else:
+        mean = "CAST(NULL AS DOUBLE)"
+        mnt, mxt = f"min({col})", f"max({col})"
+    return (
+        f"SELECT '{col}' AS col_name, count(*) AS n_rows, {nn} AS n_nulls,"
+        f" {nd} AS n_distinct, {mean} AS mean_value, {mnt} AS min_text,"
+        f" {mxt} AS max_text FROM lineitem WHERE {where}"
+    )
+
+
+def _drift_sql() -> str:
+    cols = [(c, "num") for c in _NUM] + [(c, "ts") for c in _TS] + [(c, "str") for c in _STR]
+    where_a = f"l_shipdate < TIMESTAMP '{_DRIFT_CUT}'"
+    where_b = f"l_shipdate >= TIMESTAMP '{_DRIFT_CUT}'"
+    a = "\nUNION ALL\n".join(_drift_side_sql(c, k, where_a) for c, k in cols)
+    b = "\nUNION ALL\n".join(_drift_side_sql(c, k, where_b) for c, k in cols)
+    shift = "abs(b.mean_value - a.mean_value) / nullif(abs(a.mean_value), 0)"
+    dratio = "CAST(b.n_distinct AS DOUBLE) / nullif(CAST(a.n_distinct AS DOUBLE), 0)"
+    return f"""
+WITH a AS (
+{a}
+),
+b AS (
+{b}
+)
+SELECT a.col_name,
+  a.n_rows AS n_rows_a, b.n_rows AS n_rows_b,
+  a.n_nulls AS n_nulls_a, b.n_nulls AS n_nulls_b,
+  a.n_distinct AS n_distinct_a, b.n_distinct AS n_distinct_b,
+  a.mean_value AS mean_a, b.mean_value AS mean_b,
+  {shift} AS mean_rel_shift,
+  coalesce({shift} > 0.01, FALSE)
+    OR abs(CAST(b.n_nulls AS DOUBLE) / b.n_rows - CAST(a.n_nulls AS DOUBLE) / a.n_rows) > 0.001
+    OR coalesce({dratio} < 0.5 OR {dratio} > 2.0, FALSE)
+    OR coalesce(a.min_text <> b.min_text, FALSE)
+    OR coalesce(a.max_text <> b.max_text, FALSE) AS drifted
+FROM a JOIN b USING (col_name)
+"""
+
 # The histogram-derived interpolated percentile matches quantile_cont's
 # definition; the oracle replays the IDENTICAL op sequence
 # (rn = q*(n-1); (crn-rn)*x[frn] + (rn-frn)*x[crn]) over the same
@@ -304,8 +386,11 @@ SELECT digit, n_obs,
 FROM c
 """
 
+QUERIES["rel_profile_drift"] = rel_profile_drift
+
 ORACLES = {
     "rel_profile_columns": _PROFILE_SQL,
+    "rel_profile_drift": _drift_sql(),
     "rel_benford_check": _BENFORD_SQL,
     "rel_validate_constraints": _VALIDATE_SQL,
     "rel_cascade_delete": _CASCADE_SQL,

@@ -421,6 +421,12 @@ EXCHANGE_CENSUS = {
     # action); the returned frame is the bounded O(statuses+metrics)
     # local report, so its plan is exchange-free by construction
     "rel_observe_metrics": 0,
+    # profile drift: two profile_table passes (stats agg + distinct agg
+    # per snapshot, each a 1-row wide aggregate = 4 single-partition
+    # exchanges + 2 more in the multi-distinct Expand path), combined by
+    # bounded 9x9 broadcast joins; each snapshot's date filter is pushed
+    # into its own scan (the partition-pruning shape at scale)
+    "rel_profile_drift": 6,
     "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1, "text_bpe_train": 4, "text_bpe_encode": 6, "text_mixture_sample": 4,
     "rel_recursive_cte": 2, "rel_lateral_topk": 1, "monitor_synthetic_source": 1,
     "rel_order_count_histogram": 3,

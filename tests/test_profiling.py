@@ -170,3 +170,50 @@ def test_observe_metrics_query_rides_one_pass(spark):
     assert "CollectMetrics" in plan
     src.count()
     assert dict(obs.get)["n_rows"] == n
+
+
+def test_profile_drift_gates_and_symmetry(spark):
+    """r14 (SURVEY 5.10.11d): the snapshot-drift audit. Pins: (1) a
+    hand-built pair of frames trips each gate exactly where designed —
+    mean shift, distinct-ratio blowout, moved text range — and nowhere
+    else; (2) identical snapshots drift nowhere; (3) the registry query
+    at sf0.001 flags l_shipdate (disjoint ranges by construction) and
+    leaves the uniform enum columns steady."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.profiling import (
+        profile_drift,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.profiling import (
+        rel_profile_drift,
+    )
+
+    a = spark.createDataFrame(
+        [(float(i % 10), i % 5, "x") for i in range(100)],
+        "m double, d long, s string",
+    )
+    # m: mean 4.5 -> 5.4 (20% shift, trips the 1% gate); d: 5 -> 20
+    # distinct values (ratio 4.0, outside [0.5, 2]); s: 'x' -> 'x'
+    # everywhere except max moves to 'y' (text-range gate).
+    b = spark.createDataFrame(
+        [(float(i % 10) + 0.9, i % 20, "y" if i == 0 else "x") for i in range(100)],
+        "m double, d long, s string",
+    )
+    got = {
+        r.col_name: r
+        for r in profile_drift(a, b, numeric_cols=["m", "d"], string_cols=["s"]).collect()
+    }
+    assert got["m"].drifted is True and abs(got["m"].mean_rel_shift - 0.2) < 1e-12
+    assert got["d"].drifted is True  # distinct 5 -> 20
+    assert got["s"].drifted is True  # max_text x -> y
+    same = {
+        r.col_name: r.drifted
+        for r in profile_drift(a, a, numeric_cols=["m", "d"], string_cols=["s"]).collect()
+    }
+    assert same == {"m": False, "d": False, "s": False}
+
+    reg = {r.col_name: r for r in rel_profile_drift(spark, "/root/testdata/sf0.001").collect()}
+    assert len(reg) == 9
+    assert reg["l_shipdate"].drifted is True
+    assert reg["l_returnflag"].drifted is False and reg["l_linestatus"].drifted is False
+    assert reg["l_tax"].drifted is False
+    # both snapshots are non-trivial
+    assert all(r.n_rows_a > 0 and r.n_rows_b > 0 for r in reg.values())
