@@ -13,7 +13,12 @@
 # two via the generalized SPARK_GRAFT_FILE_SHARD=s/n collection-item shard
 # in conftest.py, and test_profiling.py moved out of the 6:00 misc group).
 # Streaming/stores groups spend most wall time waiting on micro-batch
-# triggers, so the CPU-bound groups oversubscribe 32 cores only nominally.
+# triggers, so the CPU-bound groups oversubscribe 32 cores only nominally
+# (which is also why test_changelog.py rides with the wait-bound stores
+# (which is why test_dedup_similarity.py — misc's measured 2:16 long
+# pole — item-shards across the two streaming halves: its CPU overlaps
+# their trigger waits; a changelog-into-stores variant was measured and
+# reverted, stores' waits are shorter and it became the 6:05 pole).
 # 8 x 8g driver heap fits the 128 GiB box.
 #
 # Per-group shard routing: shards[i] is the spec, shardenvs[i] names the
@@ -30,17 +35,17 @@ set -u
 cd "$(dirname "$0")/.."
 export SPARK_GRAFT_DRIVER_MEM="${SPARK_GRAFT_DRIVER_MEM:-8g}"
 
-GROUP1="tests/test_streaming.py"
+GROUP1="tests/test_streaming.py tests/test_dedup_similarity.py"
 GROUP2="tests/test_oracle_parity.py tests/test_reference_parity.py"
 GROUP3="tests/test_oracle_parity.py"
 GROUP4="tests/test_plans.py tests/test_skew.py"
 GROUP5="tests/test_properties.py tests/test_profiling.py"
 GROUP6="tests/test_caching.py tests/test_changelog.py tests/test_cli.py \
-tests/test_dedup_similarity.py tests/test_freshness.py tests/test_joins.py \
+tests/test_freshness.py tests/test_joins.py \
 tests/test_multimodal.py tests/test_scaling_probe.py \
 tests/test_sources.py tests/test_text_ops.py"
 GROUP7="tests/test_streaming_stores.py"
-GROUP8="tests/test_streaming.py"
+GROUP8="tests/test_streaming.py tests/test_dedup_similarity.py"
 
 pids=()
 names=(streaming-a oracle-a oracle-b plans properties misc stores streaming-b)
