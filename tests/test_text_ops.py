@@ -605,3 +605,88 @@ def test_langid_hash_gate_spec(spark):
     assert all(r.gate_hits >= 1 for r in out)
     verdicts = {r.passes_gopher for r in out}
     assert verdicts == {True, False}
+
+
+def test_canonicalize_url_matches_urllib_spec_reference(spark):
+    """r14 hardening, born from the ADVICE r13 #1 failure class: the
+    DuckDB oracle replays the SAME regex passes as the engine, so a
+    shared regex bug is invisible to parity (exactly how the mid-token
+    utm match survived r13). This test compares the engine against an
+    INDEPENDENT reference — urllib.parse splitting + explicit per-param
+    filtering, no regexes shared with the implementation — over ~300
+    seeded generated URLs spanning the operator's contract (scheme/host
+    case, www., default and odd ports, fragments, utm chains in every
+    position, names that merely contain 'utm_', digit/underscore
+    tracker names, params without '=', values containing '=', doubled
+    slashes, trailing slashes, empty paths and queries)."""
+    import random
+    import re
+    from urllib.parse import urlsplit
+
+    from pyspark.sql import functions as F
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.text import (
+        canonicalize_url,
+    )
+
+    def reference(url: str) -> str:
+        # Independent spec: urllib does the structural split; the utm
+        # rule is an explicit full-name match per parameter.
+        parts = urlsplit(url)  # handles fragment removal structurally
+        scheme = parts.scheme.lower()
+        host = parts.netloc.lower()
+        if host.startswith("www."):
+            host = host[4:]
+        default = {"http": ":80", "https": ":443"}.get(scheme)
+        if default and host.endswith(default):
+            host = host[: -len(default)]
+        path = re.sub(r"/{2,}", "/", parts.path)
+        if path != "/":
+            path = path.rstrip("/")
+        if path == "":
+            path = "/"
+        kept = [
+            p
+            for p in (parts.query.split("&") if parts.query else [])
+            if not ("=" in p and re.fullmatch(r"utm_[A-Za-z0-9_]+", p.split("=", 1)[0]))
+        ]
+        query = ("?" + "&".join(kept)) if kept else ""
+        return f"{scheme}://{host}{path}{query}"
+
+    rng = random.Random(1414)
+    schemes = ["http", "https", "HTTP", "HTTPS"]
+    hosts = ["Example.COM", "www.example.com", "WWW.Sub.Example.org", "a-b.example.net"]
+    ports = ["", "", ":80", ":443", ":8080"]
+    segs = ["a", "B", "docs", "d3", "CaseSensitive", "utm_x=1&y"]
+    params = [
+        "id=5", "utm_source=feed", "utm_campaign=c9", "a_utm_x=1", "xutm_b=1",
+        "utm_source_platform=ios", "utm_id_2=9", "page=3", "q=a=b", "flag",
+        "utm_a=1", "utm_b=2", "utm_c=3",
+    ]
+    cases = []
+    for _ in range(300):
+        scheme = rng.choice(schemes)
+        host = rng.choice(hosts) + rng.choice(ports)
+        path = "".join(
+            ("//" if rng.random() < 0.2 else "/") + rng.choice(segs)
+            for _ in range(rng.randint(0, 3))
+        )
+        if rng.random() < 0.2:
+            path += "/"
+        q = "&".join(rng.choice(params) for _ in range(rng.randint(0, 4)))
+        url = f"{scheme}://{host}{path}"
+        if q or rng.random() < 0.1:
+            url += "?" + q
+        if rng.random() < 0.3:
+            url += "#frag?x=1"
+        cases.append(url)
+
+    df = spark.createDataFrame([(u,) for u in cases], "url string").select(
+        "url", canonicalize_url(F.col("url")).alias("got")
+    )
+    bad = [
+        (r.url, r.got, reference(r.url))
+        for r in df.collect()
+        if r.got != reference(r.url)
+    ]
+    assert not bad, bad[:10]
