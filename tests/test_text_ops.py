@@ -690,3 +690,58 @@ def test_canonicalize_url_matches_urllib_spec_reference(spark):
         if r.got != reference(r.url)
     ]
     assert not bad, bad[:10]
+
+
+def test_langid_hash_gate_matches_pure_python_replay(spark):
+    """r14 hardening (the shared-construction risk): the gate's DuckDB
+    oracle interpolates the SAME _LANG_MARKER_HASHES ints the engine
+    compares against, so a bug in the profile construction would agree
+    on both sides of the parity gate. Replay the ENTIRE gate decision
+    in pure Python — re-tokenize, re-hash every token with hashlib
+    directly from the marker WORD lists (never the shared hash dict),
+    re-apply the dominance/density/CJK/min-hits conjuncts — over the
+    sf0.001 documents corpus and demand the identical survivor set."""
+    import hashlib
+    import re
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.text import (
+        _LANG_MARKERS,
+        langid_hash_gate,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+
+    def h32(w: str) -> int:
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+
+    profiles = {
+        lang: {h32(w) for w in words} for lang, words in _LANG_MARKERS.items()
+    }
+    cjk = re.compile("[一-鿿]")
+
+    def survives(text: str | None) -> bool:
+        if text is None or cjk.search(text):
+            return False
+        # Spark's trim strips SPACE characters only (not \n/\t) — match
+        # it exactly, or a leading newline would change the token count
+        # and flip the density gate on exotic corpora.
+        toks = re.split(r"\s+", text.strip(" ").lower())
+        hashes = [h32(t) for t in toks]
+        hits = {
+            lang: sum(1 for h in hashes if h in prof)
+            for lang, prof in profiles.items()
+        }
+        others = max(hits["de"], hits["es"], hits["fr"])
+        return (
+            hits["en"] >= others
+            and hits["en"] >= 1
+            and 1000 * hits["en"] >= 50 * len(toks)
+        )
+
+    expect = {doc_id for doc_id, text in rows if survives(text)}
+    got = {
+        r.doc_id for r in langid_hash_gate(docs).select("doc_id").collect()
+    }
+    assert got == expect, (len(got), len(expect), sorted(got ^ expect)[:10])
+    assert expect  # the gate keeps something on this corpus
