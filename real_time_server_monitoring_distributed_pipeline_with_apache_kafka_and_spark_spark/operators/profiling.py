@@ -177,8 +177,17 @@ def profile_drift(
         )
 
     j = side(df_a, "_a").join(F.broadcast(side(df_b, "_b")), "col_name")
-    null_rate_a = F.col("n_nulls_a") / F.col("n_rows_a")
-    null_rate_b = F.col("n_nulls_b") / F.col("n_rows_b")
+    # Every division is NULL-guarded (nullif) rather than raw: under
+    # ANSI mode a zero denominator RAISES, and an empty snapshot side
+    # (the failed-ingest case this audit exists for) has n_rows = 0 —
+    # the NULL leg then coalesces to False like every other gate
+    # (r14 review: the null-rate gate was the one gate missing both).
+    null_rate_a = F.col("n_nulls_a") / F.nullif(
+        F.col("n_rows_a").cast("double"), F.lit(0.0)
+    )
+    null_rate_b = F.col("n_nulls_b") / F.nullif(
+        F.col("n_rows_b").cast("double"), F.lit(0.0)
+    )
     mean_rel_shift = F.abs(F.col("mean_value_b") - F.col("mean_value_a")) / F.nullif(
         F.abs(F.col("mean_value_a")), F.lit(0.0)
     )
@@ -188,7 +197,18 @@ def profile_drift(
     lo, hi = distinct_band
     drifted = (
         F.coalesce(mean_rel_shift > F.lit(mean_tol), F.lit(False))
-        | (F.abs(null_rate_b - null_rate_a) > F.lit(null_tol))
+        # mean_a == 0 makes the RELATIVE shift undefined (NULL leg), so
+        # a mean moving off exactly zero — the most dramatic possible
+        # drift — needs its own gate (r14 review): exact double
+        # comparison, deterministic in both engines.
+        | F.coalesce(
+            (F.col("mean_value_a") == F.lit(0.0))
+            & (F.col("mean_value_b") != F.lit(0.0)),
+            F.lit(False),
+        )
+        | F.coalesce(
+            F.abs(null_rate_b - null_rate_a) > F.lit(null_tol), F.lit(False)
+        )
         | F.coalesce(
             (distinct_ratio < F.lit(lo)) | (distinct_ratio > F.lit(hi)),
             F.lit(False),

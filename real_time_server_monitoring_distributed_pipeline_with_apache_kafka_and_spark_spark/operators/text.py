@@ -1021,8 +1021,13 @@ def canonicalize_url(url: Column) -> Column:
     passes cover arbitrary chains: (i) every ``&utm_*=v`` (all
     non-first params — consecutive matches abut, so one global pass
     drains them), (ii) a leading ``?utm_*=v&`` hands its ``?`` to the
-    successor (after (i) at most the first param can still be utm),
-    (iii) a lone ``?utm_*=v`` disappears. The param-name class is
+    successor — ^-ANCHORED (r14 review): a parameter VALUE may contain
+    a literal ``?`` (``?a=b?utm_x=1&c=2``), and an unanchored pass (ii)
+    would strip from inside it, the same mid-token failure class as the
+    original bug; the anchor also makes at-most-one-match true, which
+    keeps Spark's always-global replace and DuckDB's default
+    first-match replace equivalent — (iii) a lone ``?utm_*=v``
+    disappears. The param-name class is
     ``utm_[A-Za-z0-9_]+`` — real trackers carry digits and second
     underscores (utm_source_platform, utm_id_2; ADVICE r13 #3).
 
@@ -1048,7 +1053,7 @@ def canonicalize_url(url: Column) -> Column:
     path = F.regexp_extract(rest, r"^([^?]*)", 1)
     query = F.regexp_extract(rest, r"(\?.*)$", 1)
     query = F.regexp_replace(query, r"&utm_[A-Za-z0-9_]+=[^&#]*", "")
-    query = F.regexp_replace(query, r"\?utm_[A-Za-z0-9_]+=[^&#]*&", "?")
+    query = F.regexp_replace(query, r"^\?utm_[A-Za-z0-9_]+=[^&#]*&", "?")
     query = F.regexp_replace(query, r"^\?utm_[A-Za-z0-9_]+=[^&#]*$", "")
     query = F.regexp_replace(query, r"^\?$", "")
     path = F.regexp_replace(path, r"/{2,}", "/")

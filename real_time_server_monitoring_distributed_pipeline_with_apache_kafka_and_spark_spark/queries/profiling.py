@@ -309,7 +309,9 @@ SELECT a.col_name,
   a.mean_value AS mean_a, b.mean_value AS mean_b,
   {shift} AS mean_rel_shift,
   coalesce({shift} > 0.01, FALSE)
-    OR abs(CAST(b.n_nulls AS DOUBLE) / b.n_rows - CAST(a.n_nulls AS DOUBLE) / a.n_rows) > 0.001
+    OR coalesce(a.mean_value = 0 AND b.mean_value <> 0, FALSE)
+    OR coalesce(abs(CAST(b.n_nulls AS DOUBLE) / nullif(b.n_rows, 0)
+                    - CAST(a.n_nulls AS DOUBLE) / nullif(a.n_rows, 0)) > 0.001, FALSE)
     OR coalesce({dratio} < 0.5 OR {dratio} > 2.0, FALSE)
     OR coalesce(a.min_text <> b.min_text, FALSE)
     OR coalesce(a.max_text <> b.max_text, FALSE) AS drifted

@@ -1095,7 +1095,7 @@ canon AS (
           regexp_replace(
             regexp_extract(rest, '(\?.*)$', 1),
             '&utm_[A-Za-z0-9_]+=[^&#]*', '', 'g'),
-          '\?utm_[A-Za-z0-9_]+=[^&#]*&', '?'),
+          '^\?utm_[A-Za-z0-9_]+=[^&#]*&', '?'),
         '^\?utm_[A-Za-z0-9_]+=[^&#]*$', ''),
       '^\?$', '') AS canonical_url
   FROM (

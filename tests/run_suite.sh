@@ -13,12 +13,12 @@
 # two via the generalized SPARK_GRAFT_FILE_SHARD=s/n collection-item shard
 # in conftest.py, and test_profiling.py moved out of the 6:00 misc group).
 # Streaming/stores groups spend most wall time waiting on micro-batch
-# triggers, so the CPU-bound groups oversubscribe 32 cores only nominally
-# (which is also why test_changelog.py rides with the wait-bound stores
-# (which is why test_dedup_similarity.py — misc's measured 2:16 long
-# pole — item-shards across the two streaming halves: its CPU overlaps
-# their trigger waits; a changelog-into-stores variant was measured and
-# reverted, stores' waits are shorter and it became the 6:05 pole).
+# triggers, so the CPU-bound groups oversubscribe 32 cores only
+# nominally. That slack is also why test_dedup_similarity.py — misc's
+# measured 2:16 long pole — item-shards across the two streaming
+# halves: its CPU overlaps their trigger waits. A changelog-into-stores
+# variant was measured and REVERTED (stores' waits are shorter and it
+# became the 6:05 pole); test_changelog.py lives in misc.
 # 8 x 8g driver heap fits the 128 GiB box.
 #
 # Per-group shard routing: shards[i] is the spec, shardenvs[i] names the
@@ -27,7 +27,11 @@
 # SPARK_GRAFT_FILE_SHARD shards EVERY collected item of the process, so it
 # is only used for groups whose entire file list is meant to shard. The
 # suite-coverage pin (test_freshness.py) enforces that any multi-listed
-# file's specs form a complete 0..n-1 cover.
+# file's specs form a SAME-ENV complete 0..n-1 cover and that every
+# member of a FILE_SHARD group is multi-listed. Both shard vars are
+# explicitly cleared per group (env NAME= — empty reads as unset in
+# both consumers) so a value exported in the caller's shell cannot
+# leak in and silently drop tests.
 #
 # Usage (from the repo root):   bash tests/run_suite.sh
 # Exit code 0 iff all eight groups pass. Logs land in /tmp/rtsm-suite-*.log.
@@ -56,7 +60,8 @@ SPARK_GRAFT_PARITY_SHARD SPARK_GRAFT_PARITY_SHARD SPARK_GRAFT_PARITY_SHARD \
 SPARK_GRAFT_PARITY_SHARD SPARK_GRAFT_FILE_SHARD)
 for i in "${!groups[@]}"; do
     # shellcheck disable=SC2086  # word-splitting the file list is the point
-    env "${shardenvs[$i]}=${shards[$i]}" \
+    env SPARK_GRAFT_FILE_SHARD= SPARK_GRAFT_PARITY_SHARD= \
+        "${shardenvs[$i]}=${shards[$i]}" \
         python -m pytest ${groups[$i]} -q --no-header \
         > "/tmp/rtsm-suite-${names[$i]}.log" 2>&1 &
     pids+=($!)

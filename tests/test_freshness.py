@@ -171,25 +171,50 @@ def test_suite_runner_covers_every_test_file():
     missing = [f for f in on_disk if f not in listed]
     assert not missing, f"test files absent from run_suite.sh groups: {missing}"
 
-    shard_m = re.search(r"shards=\(([^)]*)\)", script)
+    shard_m = re.search(r"\bshards=\(([^)]*)\)", script)
     shard_list = re.findall(r'"([^"]*)"', shard_m.group(1)) if shard_m else []
-    file_shards: dict[str, list[str]] = {}
+    env_m = re.search(r"\bshardenvs=\(([^)]*)\)", script)
+    env_list = re.findall(r"SPARK_GRAFT_\w+", env_m.group(1)) if env_m else []
+    # (spec, env) per group, per file. A spec only shards a file when its
+    # env var actually applies to that file: FILE_SHARD shards every file
+    # in the group; PARITY_SHARD shards ONLY test_oracle_parity.py (the
+    # name-level shard inside the file) — r14 review: treating the two as
+    # interchangeable let a parity-spec'd group masquerade as one half of
+    # a FILE_SHARD cover.
+    file_shards: dict[str, list[tuple[str, str]]] = {}
     for num, body in re.findall(r'GROUP(\d+)="([^"]*)"', script, re.S):
+        idx = int(num) - 1
+        spec = shard_list[idx] if idx < len(shard_list) else ""
+        env = env_list[idx] if idx < len(env_list) else ""
         for f in re.findall(r"tests/(test_\w+\.py)", body):
-            idx = int(num) - 1
-            file_shards.setdefault(f, []).append(
-                shard_list[idx] if idx < len(shard_list) else ""
+            applies = spec and (
+                env == "SPARK_GRAFT_FILE_SHARD"
+                or (env == "SPARK_GRAFT_PARITY_SHARD" and f == "test_oracle_parity.py")
             )
-    for f, specs in file_shards.items():
-        if len(specs) == 1:
+            file_shards.setdefault(f, []).append((spec if applies else "", env))
+    for f, entries in file_shards.items():
+        specs = [s for s, _ in entries]
+        if len(entries) == 1:
+            # Single-listed: it must NOT be sharded, or part of the file
+            # silently never runs (r14 review: the old pin skipped this).
+            assert not specs[0], (
+                f"{f} is listed once but sharded {specs[0]} — its other "
+                "shards run nowhere"
+            )
             continue
         parsed = sorted(tuple(int(x) for x in s.split("/")) for s in specs if s)
         assert len(parsed) == len(specs), (
-            f"{f} listed in more than one group without shard specs"
+            f"{f} listed in more than one group without applicable shard "
+            f"specs (specs+envs: {entries})"
         )
         ns = {n for _, n in parsed}
         assert len(ns) == 1 and [s for s, _ in parsed] == list(range(parsed[0][1])), (
             f"{f}: shard specs {specs} do not form a complete 0..n-1 cover"
+        )
+        envs = {e for s, e in entries if s}
+        assert len(envs) == 1, (
+            f"{f}: cover mixes shard env vars {envs} — the shards are not "
+            "complements of the same partitioning"
         )
 
 

@@ -210,6 +210,24 @@ def test_profile_drift_gates_and_symmetry(spark):
     }
     assert same == {"m": False, "d": False, "s": False}
 
+    # r14 review edges: (a) a mean moving off exactly zero is drift even
+    # though the RELATIVE shift is undefined; (b) an empty refresh side
+    # (the failed-ingest case) must not raise under ANSI division and
+    # must come back drifted=False booleans, never NULL.
+    za = spark.createDataFrame([(0.0, 1), (0.0, 2)], "m double, d long")
+    zb = spark.createDataFrame([(5.0, 1), (45.0, 2)], "m double, d long")
+    zg = {r.col_name: r for r in profile_drift(za, zb, numeric_cols=["m", "d"]).collect()}
+    assert zg["m"].drifted is True and zg["m"].mean_rel_shift is None
+    empty = spark.createDataFrame([], "m double, d long, s string")
+    eg = {
+        r.col_name: r.drifted
+        for r in profile_drift(a, empty, numeric_cols=["m", "d"], string_cols=["s"]).collect()
+    }
+    # An empty refresh IS drift (every distinct count collapses to 0,
+    # outside the band) — the point is it must be a real True boolean,
+    # reached without an ANSI divide-by-zero raise, never a NULL verdict.
+    assert eg == {"m": True, "d": True, "s": True}
+
     reg = {r.col_name: r for r in rel_profile_drift(spark, "/root/testdata/sf0.001").collect()}
     assert len(reg) == 9
     assert reg["l_shipdate"].drifted is True

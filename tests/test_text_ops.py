@@ -531,6 +531,10 @@ def test_canonicalize_url_edge_cases(spark):
         ("https://example.com/a?utm_id_2=9&id=5", "https://example.com/a?id=5"),
         # a trailing lone '?' (empty query) collapses onto the bare path
         ("https://example.com/a?", "https://example.com/a"),
+        # a literal '?' inside a param VALUE must not open a new utm
+        # match site (r14 review: pass (ii) is ^-anchored for this)
+        ("https://example.com/a?a=b?utm_x=1&c=2", "https://example.com/a?a=b?utm_x=1&c=2"),
+        ("https://example.com/a?utm_a=1&x=2?utm_b=3&y=4", "https://example.com/a?x=2?utm_b=3&y=4"),
         # utm chains in every position drain fully
         ("https://example.com/a?utm_a=1&utm_b=2&id=3", "https://example.com/a?id=3"),
         ("https://example.com/a?utm_a=1&utm_b=2&utm_c=3", "https://example.com/a"),
@@ -662,6 +666,9 @@ def test_canonicalize_url_matches_urllib_spec_reference(spark):
         "id=5", "utm_source=feed", "utm_campaign=c9", "a_utm_x=1", "xutm_b=1",
         "utm_source_platform=ios", "utm_id_2=9", "page=3", "q=a=b", "flag",
         "utm_a=1", "utm_b=2", "utm_c=3",
+        # values containing a literal '?' — a second potential (and
+        # illegitimate) utm match site inside the query (r14 review)
+        "a=b?utm_x=1", "x=2?utm_b=3",
     ]
     cases = []
     for _ in range(300):
