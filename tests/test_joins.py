@@ -475,3 +475,59 @@ def test_kmv_rollup_merge_equals_direct_and_mixes_branches(spark):
         assert abs(r.est_distinct / r.exact_distinct - 1.0) < 0.75, (
             r.level, r.event_type, r.day, r.est_distinct, r.exact_distinct
         )
+
+
+def test_kmv_setops_estimating_branch_matches_pure_python_replay(spark):
+    """r14 hardening (the shared-construction standard): the r12 setops
+    test pins sub-k exactness and band membership, but the ESTIMATING
+    branch was only band-checked — and the DuckDB oracle replays the
+    same formula, so a shared estimator bug would hash-agree. Replay
+    the full k=16 sketch algebra in pure Python (hashlib md5, sorted
+    heaps, the (k-1)*2^60/h_k estimator, Jaccard-over-union-sketch
+    intersection) over sets well above k and demand BIT-EQUAL doubles
+    for all four measures."""
+    import hashlib
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.sketches import (
+        kmv_setops,
+    )
+
+    a_keys = {f"user{i}" for i in range(200)}
+    b_keys = {f"user{i}" for i in range(125, 275)}  # 75-key overlap
+    k = 16
+
+    a = spark.createDataFrame([(x,) for x in a_keys], ["key"])
+    b = spark.createDataFrame([(x,) for x in b_keys], ["key"])
+    rep = {
+        r.measure: r for r in kmv_setops(a, b, k=k, a_name="A", b_name="B").collect()
+    }
+
+    def h60(key: str) -> int:
+        return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+    def sketch_est(keys: set[str]) -> float:
+        heap = sorted((h60(x), x) for x in keys)[:k]
+        if len(heap) < k:
+            return float(len(heap))
+        return float((k - 1) * (1 << 60)) / float(heap[-1][0])
+
+    union = a_keys | b_keys
+    u_heap = sorted((h60(x), x) for x in union)[:k]
+    n_common = sum(1 for _, x in u_heap if x in a_keys and x in b_keys)
+    est_union = sketch_est(union)
+    est_intersect = (n_common / len(u_heap)) * est_union
+
+    assert rep["A"].est_distinct == sketch_est(a_keys)
+    assert rep["B"].est_distinct == sketch_est(b_keys)
+    assert rep["union"].est_distinct == est_union
+    assert rep["intersect"].est_distinct == est_intersect
+    # exact companions against set arithmetic
+    assert rep["A"].exact_distinct == 200
+    assert rep["B"].exact_distinct == 150
+    assert rep["union"].exact_distinct == len(union)
+    assert rep["intersect"].exact_distinct == 75
+    # the estimating branch genuinely fired (est != exact on every row)
+    assert all(
+        rep[m].est_distinct != float(rep[m].exact_distinct)
+        for m in ("A", "B", "union")
+    )
