@@ -196,7 +196,13 @@ def profile_drift(
     )
     lo, hi = distinct_band
     drifted = (
-        F.coalesce(mean_rel_shift > F.lit(mean_tol), F.lit(False))
+        # Exactly ONE side empty is drift by definition, gated on the
+        # never-NULL row counts (follow-up review: the NULL-coalescing
+        # gates all go False when the BASELINE side is the empty one —
+        # an audit against a failed/missing baseline must not silently
+        # pass; both sides empty = no data = no drift).
+        ((F.col("n_rows_a") == 0) != (F.col("n_rows_b") == 0))
+        | F.coalesce(mean_rel_shift > F.lit(mean_tol), F.lit(False))
         # mean_a == 0 makes the RELATIVE shift undefined (NULL leg), so
         # a mean moving off exactly zero — the most dramatic possible
         # drift — needs its own gate (r14 review): exact double

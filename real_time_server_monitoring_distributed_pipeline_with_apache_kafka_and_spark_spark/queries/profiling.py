@@ -308,7 +308,8 @@ SELECT a.col_name,
   a.n_distinct AS n_distinct_a, b.n_distinct AS n_distinct_b,
   a.mean_value AS mean_a, b.mean_value AS mean_b,
   {shift} AS mean_rel_shift,
-  coalesce({shift} > 0.01, FALSE)
+  (a.n_rows = 0) <> (b.n_rows = 0)
+    OR coalesce({shift} > 0.01, FALSE)
     OR coalesce(a.mean_value = 0 AND b.mean_value <> 0, FALSE)
     OR coalesce(abs(CAST(b.n_nulls AS DOUBLE) / nullif(b.n_rows, 0)
                     - CAST(a.n_nulls AS DOUBLE) / nullif(a.n_rows, 0)) > 0.001, FALSE)

@@ -16,6 +16,16 @@ def _ts(s: int):
     return datetime(2024, 1, 1, 0, 0, s)
 
 
+def md5_h60(key: str) -> int:
+    """Pure-Python twin of operators.sketches.kmv_hash (first 15 md5 hex
+    nibbles = 60 bits) — the load-bearing width contract shared by every
+    KMV replay test; keep ONE copy (follow-up review: three verbatim
+    copies had accumulated)."""
+    import hashlib
+
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+
 def test_asof_join_semantics(spark):
     left = spark.createDataFrame(
         [
@@ -425,10 +435,7 @@ def test_kmv_rollup_merge_equals_direct_and_mixes_branches(spark):
 
     # Merge property: total est == direct top-8 over the distinct key
     # set, replayed in pure Python md5 (independent of Spark).
-    def h60(key: str) -> int:
-        return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
-
-    hs = sorted(h60(key) for key in {r[2] for r in rows})
+    hs = sorted(md5_h60(key) for key in {r[2] for r in rows})
     expect_total = float(7 * (1 << 60)) / float(hs[7])
     assert got[("total", None, None)].est_distinct == expect_total
 
@@ -502,17 +509,14 @@ def test_kmv_setops_estimating_branch_matches_pure_python_replay(spark):
         r.measure: r for r in kmv_setops(a, b, k=k, a_name="A", b_name="B").collect()
     }
 
-    def h60(key: str) -> int:
-        return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
-
     def sketch_est(keys: set[str]) -> float:
-        heap = sorted((h60(x), x) for x in keys)[:k]
+        heap = sorted((md5_h60(x), x) for x in keys)[:k]
         if len(heap) < k:
             return float(len(heap))
         return float((k - 1) * (1 << 60)) / float(heap[-1][0])
 
     union = a_keys | b_keys
-    u_heap = sorted((h60(x), x) for x in union)[:k]
+    u_heap = sorted((md5_h60(x), x) for x in union)[:k]
     n_common = sum(1 for _, x in u_heap if x in a_keys and x in b_keys)
     est_union = sketch_est(union)
     est_intersect = (n_common / len(u_heap)) * est_union

@@ -227,6 +227,20 @@ def test_profile_drift_gates_and_symmetry(spark):
     # outside the band) — the point is it must be a real True boolean,
     # reached without an ANSI divide-by-zero raise, never a NULL verdict.
     assert eg == {"m": True, "d": True, "s": True}
+    # ... and so is an empty BASELINE (follow-up review: every
+    # NULL-coalescing gate goes False in that direction — the explicit
+    # one-side-empty gate is what flags it), while two empty sides are
+    # no data, not drift.
+    rg = {
+        r.col_name: r.drifted
+        for r in profile_drift(empty, a, numeric_cols=["m", "d"], string_cols=["s"]).collect()
+    }
+    assert rg == {"m": True, "d": True, "s": True}
+    bg = {
+        r.col_name: r.drifted
+        for r in profile_drift(empty, empty, numeric_cols=["m", "d"], string_cols=["s"]).collect()
+    }
+    assert bg == {"m": False, "d": False, "s": False}
 
     reg = {r.col_name: r for r in rel_profile_drift(spark, "/root/testdata/sf0.001").collect()}
     assert len(reg) == 9

@@ -1201,11 +1201,10 @@ def test_kmv_rollup_matches_pure_python_replay(spark, rows, k):
     # one session — release each invocation's persisted frames.
     release_kmv_caches(out)
 
-    def h60(key: str) -> int:
-        return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+    from .test_joins import md5_h60
 
     def expect(keys: set[str]) -> tuple[float, int]:
-        hs = sorted(h60(x) for x in keys)
+        hs = sorted(md5_h60(x) for x in keys)
         if len(hs) < k:
             return float(len(hs)), len(hs)
         return float((k - 1) * (1 << 60)) / float(hs[k - 1]), len(hs)
