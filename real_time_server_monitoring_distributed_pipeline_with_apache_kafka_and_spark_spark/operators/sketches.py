@@ -310,16 +310,42 @@ def kmv_rollup(
     )
     # The caching-contract handle (see docstring): release_kmv_caches
     # walks this to unpersist exactly the frames THIS invocation cached.
+    # NOTE the handle is an ad-hoc attribute on THIS object only — any
+    # further transformation (.select/.filter) returns a new DataFrame
+    # without it (ADVICE r14 #2). Every invocation therefore ALSO
+    # registers its caches module-side, so release_kmv_caches() with no
+    # argument can drain everything kmv_rollup ever persisted — the
+    # valve for registry/driver/sweep paths that never see the exact
+    # returned object.
     out._kmv_caches = caches
+    _LIVE_KMV_CACHES.append(caches)
     return out
 
 
-def release_kmv_caches(result: DataFrame) -> None:
-    """Unpersist every frame a :func:`kmv_rollup` invocation cached.
+# Every kmv_rollup invocation's persisted frames, in invocation order.
+# Drained by release_kmv_caches(); bounded by invocations-per-session
+# (each entry is level_count+1 small sketch frames).
+_LIVE_KMV_CACHES: list[list[DataFrame]] = []
 
-    Call after the last action on the returned frame (the caching
-    contract in :func:`kmv_rollup`'s docstring). A no-op on frames that
-    carry no cache handle, so callers can apply it unconditionally.
+
+def release_kmv_caches(result: DataFrame | None = None) -> None:
+    """Unpersist frames cached by :func:`kmv_rollup` invocations.
+
+    With ``result`` (the EXACT frame kmv_rollup returned — the handle
+    does not survive further transformations), releases just that
+    invocation's caches. With no argument, drains every invocation this
+    session registered — the long-lived-session valve when the returned
+    object is out of reach (registry sweeps, the correctness driver).
+    Safe to call unconditionally and repeatedly (unpersist is
+    idempotent; frames without a handle are a no-op).
     """
-    for f in getattr(result, "_kmv_caches", ()):
-        f.unpersist()
+    if result is not None:
+        batch = getattr(result, "_kmv_caches", None)
+        if batch is not None:
+            for f in batch:
+                f.unpersist()
+            _LIVE_KMV_CACHES[:] = [b for b in _LIVE_KMV_CACHES if b is not batch]
+        return
+    while _LIVE_KMV_CACHES:
+        for f in _LIVE_KMV_CACHES.pop():
+            f.unpersist()

@@ -2188,30 +2188,15 @@ def rel_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def rel_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Query-metrics instrumentation via ``Dataset.observe`` (r14,
-    VERDICT r13 #2b): a per-status revenue summary whose data-quality
-    counters — rows scanned, NULL customer keys, domain-violating statuses,
-    urgent-priority count, total revenue — ride the SAME single scan as
-    accumulator-style observed metrics (``streaming.metrics.observed``,
-    the batch ``Observation`` leg), never a second pass over the source.
-    That is the 100 TB shape: a quality gate that re-aggregates the
-    corpus to audit a query doubles its cost; ``observe`` attaches the
-    audit to the query's own one pass for free.
-
-    The builder therefore EXECUTES the observed plan (observe's
-    contract: metric values exist only after exactly one action) and
-    returns the combined report as a long-format local frame — section
-    'revenue'/'n_orders' rows per order status (the query results) plus
-    one 'observed' row per metric. Everything is exact arithmetic
-    (counts; DECIMAL(12,2) money sums cast to double at the end), so
-    the oracle replays the observed values as ordinary aggregates and
-    the hash check proves the accumulator path equals re-aggregation.
-    The returned plan is a bounded local scan (O(statuses + metrics)
-    rows); the corpus-width work already happened inside the one
-    observed action.
-    """
-    from ..streaming.metrics import observation_row, observed
+def observe_metrics_plan(spark: SparkSession, sf_dir: str):
+    """The REAL corpus-width plan :func:`rel_observe_metrics` executes —
+    the observed scan plus the per-status aggregate — returned unexecuted
+    as ``(agg_df, Observation)``. Split out so the plan guards can
+    inspect it directly (ADVICE r14 #3: the registry-visible frame is
+    the bounded local report, whose trivial plan would hide a regression
+    in this one; tests/test_profiling.py runs assert_scale_safe + the
+    Python-stage census against THIS plan)."""
+    from ..streaming.metrics import observed
 
     orders = load_table(spark, sf_dir, "orders")
     src, obs = observed(
@@ -2235,6 +2220,35 @@ def rel_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         _dsum("o_totalprice").alias("revenue"),
     )
+    return agg, obs
+
+
+def rel_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-metrics instrumentation via ``Dataset.observe`` (r14,
+    VERDICT r13 #2b): a per-status revenue summary whose data-quality
+    counters — rows scanned, NULL customer keys, domain-violating statuses,
+    urgent-priority count, total revenue — ride the SAME single scan as
+    accumulator-style observed metrics (``streaming.metrics.observed``,
+    the batch ``Observation`` leg), never a second pass over the source.
+    That is the 100 TB shape: a quality gate that re-aggregates the
+    corpus to audit a query doubles its cost; ``observe`` attaches the
+    audit to the query's own one pass for free.
+
+    The builder therefore EXECUTES the observed plan (observe's
+    contract: metric values exist only after exactly one action) and
+    returns the combined report as a long-format local frame — section
+    'revenue'/'n_orders' rows per order status (the query results) plus
+    one 'observed' row per metric. Everything is exact arithmetic
+    (counts; DECIMAL(12,2) money sums cast to double at the end), so
+    the oracle replays the observed values as ordinary aggregates and
+    the hash check proves the accumulator path equals re-aggregation.
+    The returned plan is a bounded local scan (O(statuses + metrics)
+    rows); the corpus-width work already happened inside the one
+    observed action.
+    """
+    from ..streaming.metrics import observation_row
+
+    agg, obs = observe_metrics_plan(spark, sf_dir)
     result_rows = agg.collect()  # the ONE action — metrics ride this scan
     metrics = observation_row(obs)
     rows = [
@@ -2245,8 +2259,12 @@ def rel_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("n_orders", r["o_orderstatus"], float(r["n_orders"]))
         for r in result_rows
     ]
+    # A None metric (sum over zero rows) stays None: the oracle's sum()
+    # emits NULL there too, and substituting 0.0 would silently change
+    # the report's semantics on an empty source (ADVICE r14 #5). The
+    # value column is nullable, so the schemas still agree.
     rows += [
-        ("observed", k, 0.0 if metrics[k] is None else float(metrics[k]))
+        ("observed", k, None if metrics[k] is None else float(metrics[k]))
         for k in sorted(metrics)
     ]
     return spark.createDataFrame(rows, "section string, key string, value double")

@@ -181,19 +181,21 @@ def test_suite_runner_covers_every_test_file():
     # name-level shard inside the file) — r14 review: treating the two as
     # interchangeable let a parity-spec'd group masquerade as one half of
     # a FILE_SHARD cover.
-    file_shards: dict[str, list[tuple[str, str]]] = {}
+    file_shards: dict[str, list[tuple[str, str, int]]] = {}
+    group_files: dict[int, list[str]] = {}
     for num, body in re.findall(r'GROUP(\d+)="([^"]*)"', script, re.S):
         idx = int(num) - 1
         spec = shard_list[idx] if idx < len(shard_list) else ""
         env = env_list[idx] if idx < len(env_list) else ""
-        for f in re.findall(r"tests/(test_\w+\.py)", body):
+        group_files[idx] = re.findall(r"tests/(test_\w+\.py)", body)
+        for f in group_files[idx]:
             applies = spec and (
                 env == "SPARK_GRAFT_FILE_SHARD"
                 or (env == "SPARK_GRAFT_PARITY_SHARD" and f == "test_oracle_parity.py")
             )
-            file_shards.setdefault(f, []).append((spec if applies else "", env))
+            file_shards.setdefault(f, []).append((spec if applies else "", env, idx))
     for f, entries in file_shards.items():
-        specs = [s for s, _ in entries]
+        specs = [s for s, _, _ in entries]
         if len(entries) == 1:
             # Single-listed: it must NOT be sharded, or part of the file
             # silently never runs (r14 review: the old pin skipped this).
@@ -211,11 +213,25 @@ def test_suite_runner_covers_every_test_file():
         assert len(ns) == 1 and [s for s, _ in parsed] == list(range(parsed[0][1])), (
             f"{f}: shard specs {specs} do not form a complete 0..n-1 cover"
         )
-        envs = {e for s, e in entries if s}
+        envs = {e for s, e, _ in entries if s}
         assert len(envs) == 1, (
             f"{f}: cover mixes shard env vars {envs} — the shards are not "
             "complements of the same partitioning"
         )
+        # FILE_SHARD shards by COLLECTION INDEX across the whole group
+        # (conftest): a 0..n-1 spec cover only covers the ITEMS if every
+        # group in the cover collects the identical item sequence, i.e.
+        # byte-identical file lists, order included (ADVICE r15 #1). A
+        # reordered twin would drop some items into no shard while this
+        # pin stayed green.
+        if envs == {"SPARK_GRAFT_FILE_SHARD"}:
+            lists = {i: group_files[i] for _, _, i in entries}
+            first = next(iter(lists.values()))
+            assert all(fl == first for fl in lists.values()), (
+                f"{f}: FILE_SHARD cover groups {sorted(lists)} list "
+                f"different file sequences — the index-based shards are "
+                f"not complements: {lists}"
+            )
 
 
 def test_no_shadowed_test_definitions():

@@ -171,6 +171,23 @@ def test_observe_metrics_query_rides_one_pass(spark):
     src.count()
     assert dict(obs.get)["n_rows"] == n
 
+    # ADVICE r14 #3: the registry-visible frame is the bounded local
+    # report, so the registry-wide guard sweep only ever inspects a
+    # trivial plan. Run the shipped guard against the REAL observed agg
+    # the builder executes — a nested loop or a Python stage creeping
+    # into the corpus-width pass must fail HERE, not stay invisible.
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.guard import (
+        assert_scale_safe,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.relational import (
+        observe_metrics_plan,
+    )
+
+    agg, _ = observe_metrics_plan(spark, sf)
+    report = assert_scale_safe(agg, max_exchanges=1)
+    assert report["exchanges"] == 1, report  # the one groupBy shuffle
+    assert report["python_stages"] == 0, report
+
 
 def test_profile_drift_gates_and_symmetry(spark):
     """r14 (SURVEY 5.10.11d): the snapshot-drift audit. Pins: (1) a

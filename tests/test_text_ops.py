@@ -732,8 +732,11 @@ def test_langid_hash_gate_matches_pure_python_replay(spark):
             return False
         # Spark's trim strips SPACE characters only (not \n/\t) — match
         # it exactly, or a leading newline would change the token count
-        # and flip the density gate on exotic corpora.
-        toks = re.split(r"\s+", text.strip(" ").lower())
+        # and flip the density gate on exotic corpora. The splitter must
+        # mirror Java's default \s (ASCII-only) too: Python's \s also
+        # matches NBSP/U+2028, which would diverge for tokenization
+        # reasons, not gate-logic reasons (ADVICE r14 #4).
+        toks = re.split("[ \t\n\x0b\f\r]+", text.strip(" ").lower())
         hashes = [h32(t) for t in toks]
         hits = {
             lang: sum(1 for h in hashes if h in prof)
