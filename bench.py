@@ -174,6 +174,9 @@ HEADLINE = HEADLINE24 + [
     "text_langid_gate",           # hashed language gate -> gopher battery
     "rel_observe_metrics",        # Dataset.observe quality counters
     "rel_profile_drift",          # two-snapshot per-column drift audit
+    # added r15
+    "dedup_stream_store_recheck",  # streaming MinHash store == batch dedup
+    "rel_entity_resolution",      # blocked fuzzy ER + survivorship merge
 ]
 
 

@@ -199,6 +199,7 @@ def fuzzy_self_join(
     df: DataFrame,
     text_col: str,
     id_col: str,
+    block_cols: list[str] | None = None,
 ) -> DataFrame:
     """All pairs of rows whose ``text_col`` values are within edit
     distance 1, without a cross join (SymSpell / symmetric-delete
@@ -220,7 +221,18 @@ def fuzzy_self_join(
     is real duplication the verify step must score anyway. Output:
     ``(id_a, id_b, text_a, text_b, distance)`` with ``id_a < id_b``,
     deduplicated across shared keys.
+
+    ``block_cols`` (r15, the entity-resolution blocking surface): when
+    set, two rows can only pair when every block column is EQUAL — the
+    block values are folded into the candidate hash key (so cross-block
+    candidates never even meet in the join; at scale this divides every
+    bucket by the block cardinality) and re-verified exactly alongside
+    the edit distance (hash collisions only ever ADD candidates). Rows
+    with a NULL block value never pair (standard ER semantics: a
+    missing block key cannot assert a match). ``block_cols=None``
+    preserves the original text-only behavior bit-for-bit.
     """
+    blocks = list(block_cols or [])
     n = F.length(F.col(text_col))
     deletions = F.when(n >= 1, F.array_distinct(
         F.transform(
@@ -240,7 +252,12 @@ def fuzzy_self_join(
     # below discards.
     keyed = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.transform(variants, lambda v: F.xxhash64(v))).alias("_key"),
+        F.explode(
+            F.transform(
+                variants,
+                lambda v: F.xxhash64(v, *[F.col(b) for b in blocks]),
+            )
+        ).alias("_key"),
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     id_pairs = (
@@ -253,15 +270,26 @@ def fuzzy_self_join(
     # AQE broadcasts the name table when it is small and falls back to a
     # shuffle join when it is not (the id-pair table is the small side at
     # dedup-corpus scale either way).
-    left = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
-    right = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
-    return (
+    left = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("text_a"),
+        *[F.col(b).alias(f"_a_{b}") for b in blocks],
+    )
+    right = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("text_b"),
+        *[F.col(b).alias(f"_b_{b}") for b in blocks],
+    )
+    out = (
         id_pairs.join(left, "id_a")
         .join(right, "id_b")
         .withColumn("distance", F.levenshtein("text_a", "text_b"))
         .filter(F.col("distance") <= 1)
-        .select("id_a", "id_b", "text_a", "text_b", "distance")
     )
+    # Exact block-equality re-verify (NULL == NULL is NULL => dropped).
+    for b in blocks:
+        out = out.filter(F.col(f"_a_{b}") == F.col(f"_b_{b}"))
+    return out.select("id_a", "id_b", "text_a", "text_b", "distance")
 
 
 def interval_event_join(

@@ -235,6 +235,12 @@ _REGISTERED: tuple[str, ...] = (
     "text_langid_gate",
     "rel_observe_metrics",
     "rel_profile_drift",
+    # -- r15 additions (kept to 2: the 44-query r11-proof freshness
+    # cohort hits the MAX_AGE=4 boundary this round, VERDICT r14 #1 —
+    # 3 pins + 2 new + 44 = 49 of the 50-slot window; both are the
+    # named absent classes from VERDICT r14 #2) --
+    "dedup_stream_store_recheck",
+    "rel_entity_resolution",
 )
 
 # Hand-pinned window head: queries whose IMPLEMENTATION changed since
@@ -322,7 +328,27 @@ _FORCE_HEAD: dict[str, int] = {
     #                      output unchanged — re-verified MATCH at
     #                      sf0.01 locally.
     "text_url_dedup": 14,
-    "rel_sketch_rollup": 14,
+    # (rel_sketch_rollup's r14 pin self-expired on the CORRECTNESS_r14
+    # green; its entry moves to the r15 block below.)
+    # r15 entries — code touched this round (ADVICE r14):
+    #   rel_observe_metrics  a None observed metric now stays NULL in
+    #                      the report (oracle parity on an empty
+    #                      source) + the observed-agg construction
+    #                      split into observe_metrics_plan for the
+    #                      plan guards; no testdata SF has an empty
+    #                      orders table, so recorded hashes are
+    #                      unchanged — the pin re-proves.
+    #   rel_sketch_rollup  kmv_rollup invocations now also register
+    #                      their caches module-side (the no-arg
+    #                      release_kmv_caches drain); output unchanged.
+    #   rel_fuzzy_join     fuzzy_self_join grew the block_cols blocking
+    #                      surface for rel_entity_resolution; the
+    #                      block_cols=None path is behavior-identical
+    #                      (re-verified MATCH at sf0.01 locally) — the
+    #                      pin re-proves with the driver.
+    "rel_observe_metrics": 15,
+    "rel_sketch_rollup": 15,
+    "rel_fuzzy_join": 15,
 }
 
 

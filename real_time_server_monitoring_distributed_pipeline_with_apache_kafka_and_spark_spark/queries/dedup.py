@@ -223,6 +223,110 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_stream_store_recheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming==batch dedup convergence as ONE hash-checked report
+    (r15, VERDICT r14 #2a): documents arrive on a THREE-micro-batch file
+    stream (deterministic ``doc_id % 3`` arrival split,
+    ``maxFilesPerTrigger=1``), the MinHash ingest leg
+    (``streaming.jobs.minhash_ingest_stream``) profiles each batch into
+    the exactly-once ``batch_id=N`` store, and the keep-list recheck
+    runs over the STORE's accumulated profiles: banded LSH pairs →
+    drop the b-side → survivor census with an order-independent id
+    digest (count + id sum + md5-prefix sum = a set-equality proof).
+
+    The DuckDB oracle knows nothing about the stream: it replays the
+    ONE-SHOT batch pipeline (the already-hash-checked dedup_minhash_lsh
+    SQL) and the same survivor census, so the driver's hash match
+    PROVES the incrementally built store converges to batch dedup
+    end-to-end — profile coverage (``n_profiled``), the pair set, the
+    drop set, and the exact survivor id SET. ``n_ingest_batches`` is
+    measured from the store's delivery partitions (3 by construction),
+    pinning that the corpus really arrived incrementally rather than in
+    one batch.
+
+    At 100 TB: the expensive shingle+hash profiling happens once per
+    document at ARRIVAL (map-side, per micro-batch); the recheck probes
+    profile rows (~48 ints + the shingle set each), never re-scanning
+    raw text; the banded candidate join is the bucketed
+    minhash_lsh_pairs_from_profiles plan (guarded scale-safe in
+    tests/test_streaming_stores.py per the ADVICE r14 #3 pattern,
+    since the registry-visible frame here is the bounded 1-row local
+    report — the stream must complete before the numbers exist, the
+    same execute-inside-the-builder contract as rel_observe_metrics).
+    """
+    import shutil
+    import tempfile
+
+    from ..streaming import jobs
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="mh_recheck_")
+    profiles = None
+    pairs = None
+    try:
+        src = f"{tmp}/src"
+        store = f"{tmp}/store"
+        for i in range(3):
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i).coalesce(
+                1
+            ).write.parquet(f"{src}/b{i}")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/b*")
+        )
+        q = jobs.minhash_ingest_stream(
+            stream, store, checkpoint_dir=f"{tmp}/ckpt"
+        ).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        profiles = jobs.read_minhash_store(spark, store)
+        pairs = (
+            ops.minhash_lsh_pairs_from_profiles(
+                profiles, threshold=JACCARD_THRESHOLD
+            )
+            .select("a_id", "b_id")
+            .persist()
+        )
+        n_lsh_pairs = pairs.count()
+        drops = pairs.select(F.col("b_id").alias("doc_id")).distinct()
+        surv = docs.select("doc_id").join(drops, "doc_id", "left_anti")
+        digest = (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+        )
+        srow = surv.agg(
+            F.count(F.lit(1)).alias("n_survivors"),
+            F.sum("doc_id").cast("long").alias("survivor_id_sum"),
+            F.sum(digest).cast("long").alias("survivor_digest"),
+        ).collect()[0]
+        row = (
+            docs.count(),
+            profiles.count(),
+            spark.read.parquet(store).select("batch_id").distinct().count(),
+            n_lsh_pairs,
+            drops.count(),
+            srow["n_survivors"],
+            srow["survivor_id_sum"],
+            srow["survivor_digest"],
+        )
+    finally:
+        if pairs is not None:
+            pairs.unpersist()
+        if profiles is not None:
+            profiles.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "n_docs long, n_profiled long, n_ingest_batches long, "
+        "n_lsh_pairs long, n_dropped long, n_survivors long, "
+        "survivor_id_sum long, survivor_digest long",
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3 of 64 bits), chunk-join
     candidates. md5-half-hash features => the DuckDB oracle replays the
@@ -534,6 +638,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_recall": dedup_minhash_recall,
+    "dedup_stream_store_recheck": dedup_stream_store_recheck,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh": dedup_embedding_lsh,
@@ -913,4 +1018,32 @@ SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
        floor(CAST(sum(hit) AS DOUBLE) / nullif(CAST(count(*) AS DOUBLE), 0)
              * 1e9 + 0.5) / 1e9 AS recall
 FROM h
+"""
+
+# Streaming-store recheck: the oracle replays the ONE-SHOT batch pipeline
+# (the hash-checked dedup_minhash_lsh SQL, nested verbatim) + the same
+# drop rule and survivor census — it knows nothing about the stream, so a
+# hash match proves store-probe == batch end-to-end. n_ingest_batches is
+# the literal 3 the arrival split constructs (measured engine-side from
+# the store's delivery partitions). The md5-prefix digest mirrors the
+# engine's conv(substring(md5(id),1,8),16,10) bigint.
+ORACLES["dedup_stream_store_recheck"] = f"""
+WITH {_SHINGLE_CTE},
+lsh AS (SELECT a_id, b_id FROM ({ORACLES["dedup_minhash_lsh"]}) _l),
+drops AS (SELECT DISTINCT b_id AS doc_id FROM lsh),
+surv AS (
+  SELECT d.doc_id FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+  (SELECT CAST(count(*) AS BIGINT) FROM sizes) AS n_profiled,
+  CAST(3 AS BIGINT) AS n_ingest_batches,
+  (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh_pairs,
+  (SELECT CAST(count(*) AS BIGINT) FROM drops) AS n_dropped,
+  CAST(count(*) AS BIGINT) AS n_survivors,
+  CAST(sum(doc_id) AS BIGINT) AS survivor_id_sum,
+  CAST(sum(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       AS BIGINT)) AS BIGINT) AS survivor_digest
+FROM surv
 """

@@ -710,6 +710,63 @@ def rel_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_self_join(customer, text_col="c_name", id_col="c_custkey")
 
 
+def rel_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution survivorship composite (r15, VERDICT r14 #2b):
+    blocking → pairwise scoring → transitive clustering → golden-record
+    merge as ONE query — the master-data shape every warehouse dedup of
+    customer records runs.
+
+    Stage plan, each leg an already-proven operator:
+    1. BLOCKING + SCORING: ``operators.joins.fuzzy_self_join`` with
+       ``block_cols=(c_nationkey, c_mktsegment)`` — symmetric-delete
+       candidate generation where the block values are folded into the
+       candidate hash key, so cross-block candidates never meet in the
+       join (at scale the block divides every bucket by ~|nation×segment|
+       = 125); exact levenshtein ≤ 1 + block-equality verify.
+    2. CLUSTERING: ``operators.dedup.connected_components`` closes the
+       match graph under transitivity (min-id labels; pointer-doubling
+       distributed loop with the small-graph fast path — match edges are
+       ~duplicates, not corpus-sized).
+    3. SURVIVORSHIP: one hash aggregate per entity cluster — oldest
+       record's name wins (``min_by(c_name, c_custkey)``), attributes the
+       block guarantees uniform take ``min``, balances merge as
+       ``max``/exact-DECIMAL ``sum`` — the deterministic golden record.
+
+    The oracle replays blocking+scoring as a block-local join (never
+    all-pairs), closes it with a recursive CTE, and applies the same
+    survivorship rules (``arg_min`` = ``min_by``), so the driver
+    hash-checks the ENTIRE composite including the merge.
+
+    At 100 TB: candidate generation is hash-partitioned on the block+
+    variant key; the label join and the survivorship agg both cluster on
+    entity keys (map-side partials); nothing all-pairs, nothing driver-
+    side except the CC convergence flag."""
+    from ..operators.dedup import connected_components
+    from ..operators.joins import fuzzy_self_join
+
+    customer = load_table(spark, sf_dir, "customer")
+    pairs = fuzzy_self_join(
+        customer.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+        text_col="c_name",
+        id_col="c_custkey",
+        block_cols=["c_nationkey", "c_mktsegment"],
+    )
+    labels = connected_components(
+        pairs.select(F.col("id_a").alias("a_id"), F.col("id_b").alias("b_id")),
+        customer.select("c_custkey"),
+        id_col="c_custkey",
+    )
+    merged = customer.join(labels, "c_custkey")
+    return merged.groupBy(F.col("cluster_id").alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min_by("c_name", "c_custkey").alias("name"),
+        F.min("c_mktsegment").alias("c_mktsegment"),
+        F.min("c_nationkey").alias("c_nationkey"),
+        F.max("c_acctbal").alias("max_acctbal"),
+        F.sum(F.col("c_acctbal").cast(_MONEY)).cast("double").alias("total_acctbal"),
+    )
+
+
 def rel_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-wise winsorization: clamp each event's value to its
     event_type's exact [p05, p95], then robust per-group stats over the
@@ -2300,6 +2357,7 @@ QUERIES = {
     "rel_cdc_merge": rel_cdc_merge,
     "rel_scd2_intervals": rel_scd2_intervals,
     "rel_fuzzy_join": rel_fuzzy_join,
+    "rel_entity_resolution": rel_entity_resolution,
     "rel_winsorize": rel_winsorize,
     "rel_mad_outliers": rel_mad_outliers,
     "rel_pricing_summary": rel_pricing_summary,
@@ -2881,6 +2939,43 @@ SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
        CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS distance
 FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 1
+""",
+    # Blocking replayed as a block-local join (never all-pairs), the
+    # match graph closed with a recursive CTE (the dedup_clusters
+    # pattern), survivorship with arg_min == Spark's min_by; exact
+    # DECIMAL money sum cast to double at the end (the _dsum contract).
+    "rel_entity_resolution": """
+WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS u, b.c_custkey AS v
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+),
+edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+labels AS (
+  SELECT c.c_custkey,
+         CAST(COALESCE(least(m.mn, c.c_custkey), c.c_custkey) AS BIGINT)
+           AS entity_id
+  FROM customer c
+  LEFT JOIN (SELECT u, min(v) AS mn FROM reach GROUP BY u) m
+    ON c.c_custkey = m.u
+)
+SELECT l.entity_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       arg_min(c.c_name, c.c_custkey) AS name,
+       min(c.c_mktsegment) AS c_mktsegment,
+       min(c.c_nationkey) AS c_nationkey,
+       max(c.c_acctbal) AS max_acctbal,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+FROM labels l JOIN customer c USING (c_custkey)
+GROUP BY l.entity_id
 """,
     "rel_asof_join": """
 WITH clicks AS (

@@ -161,6 +161,77 @@ class TestFuzzySelfJoin:
         for r in fuzzy_self_join(corpus, "w", "id").collect():
             assert r["distance"] <= 1
 
+    def test_block_cols_restrict_and_null_blocks_never_pair(self, spark):
+        """r15 (the ER blocking surface): with block_cols set, two rows
+        pair only when EVERY block column is equal — cross-block pairs
+        one edit apart must vanish, same-block behavior is unchanged,
+        and a NULL block value never asserts a match. block_cols=None
+        stays bit-identical to the text-only operator."""
+        rows = [
+            (0, "cat", "A", 1),   # pairs with 1 (same block, lev 1)
+            (1, "cut", "A", 1),
+            (2, "cot", "B", 1),   # lev 1 from both, different first block
+            (3, "cap", "A", 2),   # lev 1 from 0, different second block
+            (4, "car", None, 1),  # lev 1 from 0, NULL block -> never pairs
+        ]
+        df = spark.createDataFrame(rows, "id bigint, w string, blk string, seg int")
+        blocked = {
+            (r["id_a"], r["id_b"])
+            for r in fuzzy_self_join(
+                df, "w", "id", block_cols=["blk", "seg"]
+            ).collect()
+        }
+        assert blocked == {(0, 1)}
+        unblocked = {
+            (r["id_a"], r["id_b"])
+            for r in fuzzy_self_join(df, "w", "id").collect()
+        }
+        # text-only: exactly the 1-edit pairs (cut/cap etc. are 2 edits)
+        assert unblocked == {(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (3, 4)}
+
+
+class TestEntityResolution:
+    def test_survivorship_golden_records(self, spark):
+        """r15 composite: a hand-built 3-record chain (a~b, b~c within one
+        block — transitivity must merge all three even though a~c is 2
+        edits apart), a 1-edit pair split across blocks (must stay two
+        entities), and singletons. Survivorship: oldest record's name,
+        max balance, exact-decimal total."""
+        import real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.relational as rel
+
+        rows = [
+            # chain cluster in block (1, 'B1'): keys 10, 11, 12
+            (10, "Acme Corp", 1, "B1", 100.50),
+            (11, "Acme Corp.", 1, "B1", 200.25),
+            (12, "Acme Corpse", 1, "B1", 50.00),
+            # 1-edit names, DIFFERENT nation -> separate entities
+            (20, "Zeta Ltd", 1, "B1", 10.00),
+            (21, "Zeta Ltd.", 2, "B1", 20.00),
+            # singleton
+            (30, "Solo Inc", 3, "B2", 5.75),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "c_custkey bigint, c_name string, c_nationkey bigint, "
+            "c_mktsegment string, c_acctbal double",
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            df.write.parquet(f"{tmp}/customer.parquet")
+            got = {
+                r["entity_id"]: r
+                for r in rel.rel_entity_resolution(spark, tmp).collect()
+            }
+        assert set(got) == {10, 20, 21, 30}
+        g = got[10]
+        assert g["n_members"] == 3
+        assert g["name"] == "Acme Corp"  # min_by custkey: oldest record wins
+        assert g["max_acctbal"] == 200.25
+        assert abs(g["total_acctbal"] - 350.75) < 1e-9
+        assert got[20]["n_members"] == 1 and got[21]["n_members"] == 1
+        assert got[30]["n_members"] == 1 and got[30]["name"] == "Solo Inc"
+
 
 class TestWeightedSample:
     def test_extremes_and_nesting(self, spark):

@@ -427,6 +427,18 @@ EXCHANGE_CENSUS = {
     # bounded 9x9 broadcast joins; each snapshot's date filter is pushed
     # into its own scan (the partition-pruning shape at scale)
     "rel_profile_drift": 6,
+    # r15 additions
+    # streaming dedup-store recheck: the stream + store probe run INSIDE
+    # the builder (the numbers exist only after the stream completes);
+    # the returned frame is the bounded 1-row local report. The REAL
+    # probe plan is guarded in tests/test_streaming_stores.py (the
+    # ADVICE r14 #3 pattern).
+    "dedup_stream_store_recheck": 0,
+    # entity resolution: the blocked fuzzy pair pipeline executes
+    # eagerly during construction (connected_components small-graph
+    # fast path at sf0.001), leaving the broadcast label join + the one
+    # survivorship hash agg in the inspected plan
+    "rel_entity_resolution": 1,
     "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1, "text_bpe_train": 4, "text_bpe_encode": 6, "text_mixture_sample": 4,
     "rel_recursive_cte": 2, "rel_lateral_topk": 1, "monitor_synthetic_source": 1,
     "rel_order_count_histogram": 3,
