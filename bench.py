@@ -56,6 +56,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark import (  # noqa: E402
     session,
 )
+from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.sketches import (  # noqa: E402
+    release_kmv_caches,
+)
 from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries import (  # noqa: E402
     all_queries,
 )
@@ -212,6 +215,10 @@ def main() -> None:
         # Operators that persist() internally (dedup/similarity pair joins)
         # would otherwise leak cache across queries, charging later queries
         # for earlier ones' memory and muddying per-query attribution.
+        # release_kmv_caches() additionally drops kmv_rollup's module-side
+        # Dataset handles (clearCache unpersists the data but cannot free
+        # the py4j references; r15 review).
+        release_kmv_caches()
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         queries[name](spark, at).write.format("noop").mode("overwrite").save()

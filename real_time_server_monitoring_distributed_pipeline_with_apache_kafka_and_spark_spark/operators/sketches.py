@@ -318,13 +318,21 @@ def kmv_rollup(
     # valve for registry/driver/sweep paths that never see the exact
     # returned object.
     out._kmv_caches = caches
+    # Self-pruning (r15 review): drop registry entries whose frames were
+    # already unpersisted externally (spark.catalog.clearCache() between
+    # bench/sweep queries) so a long session never accumulates dead
+    # Dataset handles — the registry holds only live-cache invocations.
+    _LIVE_KMV_CACHES[:] = [
+        b for b in _LIVE_KMV_CACHES if any(f.is_cached for f in b)
+    ]
     _LIVE_KMV_CACHES.append(caches)
     return out
 
 
 # Every kmv_rollup invocation's persisted frames, in invocation order.
-# Drained by release_kmv_caches(); bounded by invocations-per-session
-# (each entry is level_count+1 small sketch frames).
+# Drained by release_kmv_caches(); self-pruned on each invocation, so
+# its size is bounded by live (still-cached) invocations, not session
+# lifetime (each entry is level_count+1 small sketch frames).
 _LIVE_KMV_CACHES: list[list[DataFrame]] = []
 
 

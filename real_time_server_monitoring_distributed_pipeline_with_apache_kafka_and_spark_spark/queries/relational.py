@@ -763,7 +763,7 @@ def rel_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_mktsegment").alias("c_mktsegment"),
         F.min("c_nationkey").alias("c_nationkey"),
         F.max("c_acctbal").alias("max_acctbal"),
-        F.sum(F.col("c_acctbal").cast(_MONEY)).cast("double").alias("total_acctbal"),
+        _dsum("c_acctbal").alias("total_acctbal"),
     )
 
 

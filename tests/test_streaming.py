@@ -422,6 +422,7 @@ def test_rate_replay_backpressure_bounds_batches(spark):
     )
     rate = 50
     replay = rate_replay_stream(data, rows_per_second=rate)
+    t_start = time.time()
     q = (
         replay.writeStream.format("memory")
         .queryName("bp_sink")
@@ -449,8 +450,17 @@ def test_rate_replay_backpressure_bounds_batches(spark):
 
     # Per batch: rows <= rate x (measured gap to the previous trigger,
     # rounded up, + 1s for the rate source's per-second offset
-    # quantization). The first progress entry has no measured gap —
-    # its rows are bounded by the total assertion below instead.
+    # quantization). The FIRST batch is bounded against the query start
+    # time (r15 review: leaving it out would let a broken source drain
+    # the whole 200-row backlog into batch 0 unnoticed — exactly the
+    # failure this test exists for).
+    assert progress, "stream produced no progress entries"
+    gap0 = max(trigger_ts(progress[0]) - t_start, 0.0)
+    bound0 = rate * (math.ceil(gap0) + 1)
+    assert progress[0]["numInputRows"] <= bound0, (
+        f"first batch admitted {progress[0]['numInputRows']} rows "
+        f"{gap0:.2f}s after start (bound {bound0}): {per_batch}"
+    )
     for prev, cur in zip(progress, progress[1:]):
         gap = max(trigger_ts(cur) - trigger_ts(prev), 0.0)
         bound = rate * (math.ceil(gap) + 1)
