@@ -200,9 +200,10 @@ class TestEntityResolution:
         import real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries.relational as rel
 
         rows = [
-            # chain cluster in block (1, 'B1'): keys 10, 11, 12
+            # chain cluster in block (1, 'B1'): keys 10, 11, 12 —
+            # Corp~Corps~Corpse is 1 edit per hop, Corp~Corpse is 2
             (10, "Acme Corp", 1, "B1", 100.50),
-            (11, "Acme Corp.", 1, "B1", 200.25),
+            (11, "Acme Corps", 1, "B1", 200.25),
             (12, "Acme Corpse", 1, "B1", 50.00),
             # 1-edit names, DIFFERENT nation -> separate entities
             (20, "Zeta Ltd", 1, "B1", 10.00),
