@@ -257,6 +257,7 @@ def dedup_stream_store_recheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     report — the stream must complete before the numbers exist, the
     same execute-inside-the-builder contract as rel_observe_metrics).
     """
+    import os
     import shutil
     import tempfile
 
@@ -274,16 +275,26 @@ def dedup_stream_store_recheck(spark: SparkSession, sf_dir: str) -> DataFrame:
         # how many part files the wave wrote, so the splits keep their
         # natural parallel write (an earlier coalesce(1)-per-wave
         # staging funneled the text column through one task per wave).
+        # Each wave is staged OUTSIDE the watched glob and enters it as
+        # one atomic directory rename: appending part-files directly
+        # would expose them one job-commit rename at a time, and the
+        # running query's ~10ms idle listing could catch a half-landed
+        # wave and split it into two micro-batches (n_ingest_batches=4
+        # while the oracle derives 3).
         # Ladder (same-window control run): k1 15.5 s -> k25 31.6 s,
         # slope 0.233 with the batch pipeline at 14.5 s — the composite
         # is ~16 s of fixed streaming machinery plus sublinear growth.
-        def land(i: int) -> None:
-            docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i).write.mode(
-                "append"
-            ).parquet(src)
+        os.makedirs(src)
 
-        land(0)  # the source dir must exist before the stream starts
-        stream = spark.readStream.schema(docs.schema).parquet(src)
+        def land(i: int) -> None:
+            stage = f"{tmp}/stage{i}"
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i).write.parquet(
+                stage
+            )
+            os.rename(stage, f"{src}/b{i}")
+
+        land(0)  # the glob must match something before the stream starts
+        stream = spark.readStream.schema(docs.schema).parquet(f"{src}/b*")
         q = jobs.minhash_ingest_stream(
             stream, store, checkpoint_dir=f"{tmp}/ckpt"
         ).start()
