@@ -1114,3 +1114,147 @@ def test_mmr_oracle_clamp_agrees_on_degenerate_vectors(spark, tmp_path):
             f"{name}: degenerate corpus vector picked"
         )
     con.close()
+
+
+def test_minhash_lsh_matches_pure_python_replay(spark):
+    """r15 hardening (the shared-construction risk, same standard as the
+    langid/KMV/theta replays): dedup_minhash_lsh's DuckDB oracle replays
+    the SAME md5-base + permutation arithmetic with the SAME coefficients
+    the engine uses, so a conceptual bug in the pipeline (hash substring
+    window, modulus placement, band tupling, verify arithmetic) would
+    agree on both sides of the parity gate. Replay the ENTIRE pipeline —
+    tokenize, shingle, hash every shingle with hashlib directly, run the
+    permutation mins in Python ints, band with Python tuples, verify
+    exact Jaccard from Python sets — over the sf0.001 corpus and demand
+    the identical (pair set, jaccard) surface. Only the coefficient
+    LIST is shared (coefficients are data: any valid values work, and
+    all three implementations must agree on which ones are in use)."""
+    import hashlib
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.dedup import (
+        _MERSENNE,
+        _perm_coeffs,
+    )
+
+    num_perm, bands, n, thr = 48, 12, 3, 0.8
+    rows_per_band = num_perm // bands
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    a_co, b_co = _perm_coeffs(num_perm, seed=42)
+
+    # Tokenization mirrors word_shingles exactly: Spark trim strips
+    # SPACE only; Java's default \s is ASCII-only (the langid replay's
+    # documented conventions).
+    def shingle_set(text: str | None) -> set[str]:
+        if text is None:
+            return set()
+        toks = text.strip(" ").lower()
+        toks = __import__("re").split("[ \t\n\x0b\f\r]+", toks)
+        if len(toks) < n:
+            return set()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {doc_id: shingle_set(text) for doc_id, text in rows}
+    sets = {i: s for i, s in sets.items() if s}
+
+    def signature(sh: set[str]) -> list[int]:
+        bases = [
+            int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % _MERSENNE for w in sh
+        ]
+        return [
+            min((a_co[i] * b + b_co[i]) % _MERSENNE for b in bases)
+            for i in range(num_perm)
+        ]
+
+    sigs = {i: signature(s) for i, s in sets.items()}
+    buckets: dict[tuple, list[int]] = {}
+    for doc_id, sig in sigs.items():
+        for bi in range(bands):
+            key = (bi, *sig[bi * rows_per_band : (bi + 1) * rows_per_band])
+            buckets.setdefault(key, []).append(doc_id)
+    cands = {
+        (a, b)
+        for members in buckets.values()
+        for a in members
+        for b in members
+        if a < b
+    }
+    expect = {}
+    for a, b in cands:
+        common = len(sets[a] & sets[b])
+        j = common / (len(sets[a]) + len(sets[b]) - common)
+        if j >= thr:
+            expect[(a, b)] = j
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators import (
+        dedup as ops,
+    )
+
+    shingled = d.word_shingles(docs)
+    got = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in ops.minhash_lsh_pairs(shingled, threshold=thr).collect()
+    }
+    assert expect, "testdata should contain seeded near-dup pairs"
+    assert set(got) == set(expect), sorted(set(got) ^ set(expect))[:10]
+    diffs = {p: (got[p], expect[p]) for p in got if got[p] != expect[p]}
+    assert not diffs, dict(list(diffs.items())[:5])
+
+
+def test_simhash_matches_pure_python_replay(spark):
+    """r15 hardening, same shared-construction standard: dedup_simhash's
+    oracle replays the engine's md5-half features, 64 bit-sums, sign
+    fold, chunk pigeonhole join and popcount verify with the same SQL
+    shapes — so replay the ENTIRE pipeline in pure Python (hashlib
+    halves, multiplicity-preserving word counts, Python-int folds and
+    chunking) over the sf0.001 corpus and demand the identical
+    (pair, hamming) surface."""
+    import hashlib
+    import re
+
+    max_hamming, n_chunks = 3, 8
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+
+    def signature(text: str) -> tuple[int, int]:
+        # Engine explodes EVERY split token (no distinct, no empty-token
+        # filter) — multiplicity and ""-tokens must count here too.
+        words = re.split("[ \t\n\x0b\f\r]+", text.strip(" ").lower())
+        sums_lo, sums_hi = [0] * 32, [0] * 32
+        for w in words:
+            digest = hashlib.md5(w.encode()).hexdigest()
+            hlo, hhi = int(digest[:8], 16), int(digest[8:16], 16)
+            for j in range(32):
+                sums_lo[j] += 1 if (hlo >> j) & 1 else -1
+                sums_hi[j] += 1 if (hhi >> j) & 1 else -1
+        lo = sum(1 << j for j in range(32) if sums_lo[j] > 0)
+        hi = sum(1 << j for j in range(32) if sums_hi[j] > 0)
+        return lo, hi
+
+    sigs = {doc_id: signature(text) for doc_id, text in rows if text is not None}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, (lo, hi) in sigs.items():
+        for c in range(n_chunks):
+            half, off = (lo, 8 * c) if c < 4 else (hi, 8 * (c - 4))
+            buckets.setdefault((c, (half >> off) & 0xFF), []).append(doc_id)
+    expect = {}
+    for members in buckets.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                x, y = (a, b) if a < b else (b, a)
+                if (x, y) in expect:
+                    continue
+                h = bin(sigs[x][0] ^ sigs[y][0]).count("1") + bin(
+                    sigs[x][1] ^ sigs[y][1]
+                ).count("1")
+                if h <= max_hamming:
+                    expect[(x, y)] = h
+
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in d.simhash_pairs(docs, max_hamming=max_hamming).collect()
+    }
+    assert expect, "testdata should contain seeded near-dup pairs"
+    assert got == expect, (
+        len(got), len(expect), sorted(set(got) ^ set(expect))[:10],
+    )
