@@ -755,3 +755,104 @@ def test_langid_hash_gate_matches_pure_python_replay(spark):
     }
     assert got == expect, (len(got), len(expect), sorted(got ^ expect)[:10])
     assert expect  # the gate keeps something on this corpus
+
+
+def test_fingerprint_matches_pure_python_replay(spark):
+    """r15 hardening, the shared-construction standard: text_fingerprint's
+    oracle replays the same md5-of-sorted-bag and the same Rabin-Karp
+    fold (base 1000003 mod 2^31-1) the engine computes, so replay both
+    fingerprints third-hand — hashlib digests, Python-int fold over the
+    token stream in order — and demand identical values per document.
+    Python's sorted() orders by code point and Spark's array_sort by
+    UTF-8 binary; UTF-8 preserves code-point order, so they agree."""
+    import hashlib
+    import re
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.text import (
+        _FP_BASE,
+        _FP_MOD,
+        fingerprint,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+
+    def replay(text: str) -> tuple[str, int]:
+        toks = re.split("[ \t\n\x0b\f\r]+", text.strip(" ").lower())
+        bag = " ".join(sorted(set(toks)))
+        fp = hashlib.md5(bag.encode()).hexdigest()
+        acc = 0
+        for t in toks:
+            acc = (acc * _FP_BASE + int(hashlib.md5(t.encode()).hexdigest()[:8], 16)) % _FP_MOD
+        return fp, acc
+
+    expect = {doc_id: replay(text) for doc_id, text in rows if text is not None}
+    got = {
+        r.doc_id: (r.fingerprint, r.rolling_fp)
+        for r in fingerprint(docs).select("doc_id", "fingerprint", "rolling_fp").collect()
+        if r.fingerprint is not None
+    }
+    assert expect and got == expect, (
+        len(got), len(expect),
+        [(k, got.get(k), expect.get(k)) for k in list(set(got) ^ set(expect))[:3]]
+        or [(k, got[k], expect[k]) for k in got if got[k] != expect[k]][:3],
+    )
+
+
+def test_bpe_train_matches_pure_python_replay(spark):
+    """r15 hardening, the shared-construction standard: text_bpe_train's
+    oracle replays the engine's separator-framed string-replace merge
+    trick with the same SQL shapes, so a conceptual bug in the BPE
+    semantics (overlapping-pair counting vs leftmost non-overlapping
+    merging, the tie order, the [a-z]-only vocabulary) would agree on
+    both sides. Replay the 3-step training trajectory with an
+    INDEPENDENT formulation — symbol LISTS merged by an index scan, no
+    separator strings anywhere — and demand the identical
+    (step, pair, count) rows."""
+    import re
+    from collections import Counter
+
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = [r.text for r in docs.select("text").collect() if r.text is not None]
+    vocab: Counter[str] = Counter()
+    word_re = re.compile("^[a-z]+$")
+    for text in rows:
+        for w in re.split("[ \t\n\x0b\f\r]+", text.strip(" ").lower()):
+            if word_re.match(w):
+                vocab[w] += 1
+
+    state = {w: list(w) for w in vocab}
+    expect = []
+    for step in (1, 2, 3):
+        # Count EVERY adjacent position (overlaps included) — that is
+        # what the engine's zip_with explode counts, even though the
+        # merge below is leftmost non-overlapping.
+        counts: Counter[tuple[str, str]] = Counter()
+        for w, syms in state.items():
+            n = vocab[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += n
+        (a, b), n_pairs = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expect.append((step, a, b, n_pairs))
+        for w, syms in state.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            state[w] = merged
+
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.n_pairs)
+        for r in bpe_train_merges(docs, n_merges=3).orderBy("step").collect()
+    ]
+    assert got == expect, (got, expect)
