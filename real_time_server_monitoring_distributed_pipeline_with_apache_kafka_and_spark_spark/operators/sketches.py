@@ -188,14 +188,31 @@ def kmv_rollup(
     :func:`kmv_setops`'s: est = (k-1)·2^60 / h_(k) with (h, key)
     ordering, both engines reading the same k-th minimum.
 
-    CACHING CONTRACT (ADVICE r13 #4): the plan persists the distinct
-    (segs, key) corpus table plus one bounded k×n_groups sketch table
-    per level so each feeds two live branches without recomputation.
-    The frames stay cached until the session ends or the caller
+    CACHING CONTRACT (ADVICE r13 #4, narrowed r15): the plan persists
+    the distinct (segs, key) corpus table plus the LEAF sketch (the two
+    frames whose recompute would re-touch corpus-width data from their
+    second consumer). Mid/total-level sketches are NOT persisted —
+    each is a window over ≤ k × n_child_groups cached-leaf rows, so a
+    branch recomputing one costs bounded arithmetic while every
+    persist() added a separate cache-materialization job (measured r15:
+    the two merge-level persists cost more wall time than they saved).
+    The cached frames stay until the session ends or the caller
     releases them — a long-lived session invoking this repeatedly
     (property tests, notebooks) should call
     :func:`release_kmv_caches` on the RETURNED frame after its last
     action, which unpersists every frame this invocation cached.
+
+    EXACT LEGS IN ONE PASS (r15 optimization, guide §2.3/§2.4): the
+    per-level exact companions used to be three separate pipelines —
+    leaf groupBy, plus a corpus-width ``.distinct()`` + re-aggregate for
+    EACH merge level (two extra full shuffles of the distinct-key
+    table). They are now ONE ``rollup(*segs)`` + ``count(DISTINCT
+    key)`` pass: Spark expands each row once per level and dedups
+    map-side, so every level's exact count rides a single exchange.
+    ``grouping_id()`` distinguishes a rolled-up NULL from a genuine
+    NULL segment value, so the (level, _grp) join key is built exactly
+    as the est legs build it. Measured at sf0.1: 13 exchanges -> 10,
+    output rows bit-identical.
     """
     segs = list(seg_cols)
     # One distinct-key aggregation — the only corpus-width shuffle.
@@ -250,11 +267,12 @@ def kmv_rollup(
         )
 
     est_legs: list[DataFrame] = []
-    exact_legs: list[DataFrame] = []
+    levels: list[tuple[int, list[str], str]] = []
     sketch = None
     for i in range(len(segs), -1, -1):
         gcols = segs[:i]
         label = ",".join(gcols) if gcols else "total"
+        levels.append((i, gcols, label))
         if sketch is None:
             src = hashed  # leaf level: sketch the distinct-key table
         else:
@@ -262,12 +280,14 @@ def kmv_rollup(
             # sketch rows — the same key can sit in several child
             # sketches of one parent.
             src = sketch.select(*gcols, "_key", "_h").distinct()
-        # Each sketch feeds two branches (its own estimate leg and the
-        # next merge level) — persist so the window runs once, not per
-        # live-plan branch (the connected_components lesson; bounded
-        # k × n_groups rows, so the cache is trivial).
-        sketch = topk(src, gcols).persist()
-        caches.append(sketch)
+        sketch = topk(src, gcols)
+        if i == len(segs):
+            # Only the LEAF sketch is persisted (its recompute is a
+            # corpus-width window; it feeds its est leg and the first
+            # merge). Merge-level sketches recompute from this cache in
+            # bounded arithmetic — see the caching-contract docstring.
+            sketch = sketch.persist()
+            caches.append(sketch)
         est_legs.append(
             sketch.groupBy(*gcols)
             .agg(F.count(F.lit(1)).alias("_cnt"), F.max("_h").alias("_hk"))
@@ -281,20 +301,39 @@ def kmv_rollup(
                 est(F.col("_cnt"), F.col("_hk")).alias("est_distinct"),
             )
         )
-        # ``hashed`` is already distinct on (segs..., key), so the LEAF
-        # exact count needs no re-distinct — only merge levels dedupe
-        # keys across their finer groups.
-        exact_src = hashed.select(*gcols, "_key")
-        if gcols != segs:
-            exact_src = exact_src.distinct()
-        exact_legs.append(
-            exact_src.groupBy(*gcols)
-            .agg(F.count(F.lit(1)).alias("exact_distinct"))
-            .select(
-                F.lit(label).alias("level"),
-                grp(gcols).alias("_grp"),
-                "exact_distinct",
+
+    # ALL exact companions in one rollup(*segs) + count(DISTINCT key)
+    # pass (see docstring). grouping_id bit i (from the right) set <=>
+    # segs[i] was rolled up, so level segs[:i] has gid = 2^(n-i) - 1;
+    # matching on gid (not on NULL-ness) keeps genuine NULL segment
+    # values at the leaf level distinct from rolled-up levels.
+    gid = F.col("_gid")
+    lvl_expr = None
+    grp_expr = None
+    for i, gcols, label in levels:
+        gv = (1 << (len(segs) - i)) - 1
+        lvl_expr = (
+            F.when(gid == gv, F.lit(label))
+            if lvl_expr is None
+            else lvl_expr.when(gid == gv, F.lit(label))
+        )
+        grp_expr = (
+            F.when(gid == gv, grp(gcols))
+            if grp_expr is None
+            else grp_expr.when(gid == gv, grp(gcols))
+        )
+    if segs:
+        exact = (
+            hashed.rollup(*segs)
+            .agg(
+                F.countDistinct("_key").alias("exact_distinct"),
+                F.grouping_id().alias("_gid"),
             )
+            .select(lvl_expr.alias("level"), grp_expr.alias("_grp"), "exact_distinct")
+        )
+    else:  # degenerate no-segment call: one 'total' level, no rollup
+        exact = hashed.agg(F.count(F.lit(1)).alias("exact_distinct")).select(
+            F.lit("total").alias("level"), F.lit("").alias("_grp"), "exact_distinct"
         )
 
     def stack(legs: list[DataFrame]) -> DataFrame:
@@ -303,11 +342,7 @@ def kmv_rollup(
             out = out.unionByName(leg)
         return out
 
-    out = (
-        stack(est_legs)
-        .join(F.broadcast(stack(exact_legs)), ["level", "_grp"])
-        .drop("_grp")
-    )
+    out = stack(est_legs).join(F.broadcast(exact), ["level", "_grp"]).drop("_grp")
     # The caching-contract handle (see docstring): release_kmv_caches
     # walks this to unpersist exactly the frames THIS invocation cached.
     # NOTE the handle is an ad-hoc attribute on THIS object only — any

@@ -284,14 +284,22 @@ def dedup_stream_store_recheck(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Ladder (same-window control run): k1 15.5 s -> k25 31.6 s,
         # slope 0.233 with the batch pipeline at 14.5 s — the composite
         # is ~16 s of fixed streaming machinery plus sublinear growth.
+        #
+        # All three waves are written in ONE partitionBy pass (r15
+        # optimization, guide §2.4/§6): three per-wave filter+write jobs
+        # re-scanned the full documents table three times; one
+        # partitioned write scans it once and lands the identical row
+        # split as _res=0/1/2 subdirectories (the partition column lives
+        # in the directory name, so the files keep exactly docs.schema).
+        # Waves still enter the watched glob one rename at a time.
         os.makedirs(src)
+        stage = f"{tmp}/stage"
+        docs.withColumn("_res", F.pmod(F.col("doc_id"), F.lit(3))).write.partitionBy(
+            "_res"
+        ).parquet(stage)
 
         def land(i: int) -> None:
-            stage = f"{tmp}/stage{i}"
-            docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i).write.parquet(
-                stage
-            )
-            os.rename(stage, f"{src}/b{i}")
+            os.rename(f"{stage}/_res={i}", f"{src}/b{i}")
 
         land(0)  # the glob must match something before the stream starts
         stream = spark.readStream.schema(docs.schema).parquet(f"{src}/b*")
@@ -326,12 +334,32 @@ def dedup_stream_store_recheck(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("long").alias("survivor_id_sum"),
             F.sum(digest).cast("long").alias("survivor_digest"),
         ).collect()[0]
+        # Tail census in TWO actions instead of four (r15 optimization,
+        # guide §1.2 "don't compute things twice"): n_profiled and
+        # n_ingest_batches come from ONE aggregate over the store scan
+        # (batch_id is the store's partition column — the old separate
+        # distinct() was a second full store read), and n_dropped is
+        # derived as n_docs - n_survivors, exact because doc_id is unique
+        # and every dropped b_id is a document id (drops ⊆ docs), so
+        # |survivors| = |docs| - |drops| — the same set algebra the
+        # oracle replays. An EMPTY wave's batch_id=N directory holds no
+        # rows, so count(DISTINCT batch_id) still matches the oracle's
+        # eligible-class derivation (unreachable at the testdata SFs).
+        n_docs = docs.count()
+        prow = (
+            spark.read.parquet(store)
+            .agg(
+                F.count(F.lit(1)).alias("n_profiled"),
+                F.countDistinct("batch_id").alias("n_ingest_batches"),
+            )
+            .collect()[0]
+        )
         row = (
-            docs.count(),
-            profiles.count(),
-            spark.read.parquet(store).select("batch_id").distinct().count(),
+            n_docs,
+            prow["n_profiled"],
+            prow["n_ingest_batches"],
             n_lsh_pairs,
-            drops.count(),
+            n_docs - srow["n_survivors"],
             srow["n_survivors"],
             srow["survivor_id_sum"],
             srow["survivor_digest"],
@@ -558,18 +586,33 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere, no Python.
 
     Caching contract (same as pipeline_training_prep / jaccard_pairs):
-    the multi-consumer stages (``kept`` feeds the dedup agg AND the
-    survivor join; ``survivors`` feeds the shingle scan AND the final
-    anti-join) stay ``persist()``-ed — measured 6.4s -> 3.5s warm at
-    sf0.1 without/with. Long sessions clearCache()/unpersist().
+    the multi-consumer stage output (``survivors`` feeds the shingle
+    scan AND the final anti-join) stays ``persist()``-ed — measured
+    6.4s -> 3.5s warm at sf0.1 without/with. Long sessions
+    clearCache()/unpersist().
     """
     from ..operators import text as text_ops
 
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     scored = text_ops.quality_score(docs)
-    kept = scored.filter(F.col("quality") >= 0.33).persist()
-    reps = ops.exact_dedup(kept, ["text"], "doc_id").select("doc_id", "n_copies")
-    survivors = kept.join(reps, "doc_id").persist()
+    kept = scored.filter(F.col("quality") >= 0.33)
+    # Exact dedup + copy count as ONE window over the content key (r15
+    # optimization, guide §2.4; same rewrite as pipeline_training_prep):
+    # min-id representative filter + group count in a single Window node
+    # (one corpus exchange on `text`) replacing exact_dedup's agg exchange
+    # plus a join-back whose build side is corpus-sized at 100 TB. `kept`
+    # now has a single consumer, so its persist() collapses into the
+    # (still multi-consumer) ``survivors``.
+    w = Window.partitionBy("text")
+    survivors = (
+        kept.withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .withColumn("_rep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_rep"))
+        .drop("_rep")
+        .persist()
+    )
     # narrow projection below the shingle explode: the persisted shingle
     # table then carries no quality columns through its 8 plan branches
     pairs = ops.jaccard_pairs(
@@ -599,15 +642,17 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (split, n_docs, total_tokens).
 
     Caching contract (same as operators.dedup.jaccard_pairs): the two
-    multi-consumer stage outputs (``scored`` feeds the dedup agg AND the
-    survivor join; ``deduped`` feeds the contamination scan AND the
-    final anti-join) stay ``persist()``-ed — without it each branch
-    recomputes the whole upstream regex/quality chain (measured ~15%
-    slower at sf0.1). Long-lived sessions clearCache()/unpersist().
+    multi-consumer stage outputs (``survivors`` feeds the shingle scan
+    AND the near-dup anti-join; ``deduped`` feeds the contamination scan
+    AND the final anti-join) stay ``persist()``-ed — without it each
+    branch recomputes the whole upstream regex/quality chain (measured
+    ~15% slower at sf0.1). Long-lived sessions clearCache()/unpersist().
     """
     from ..operators import text as text_ops
     from ..operators.text import hash_bucket_100, source_quality_filter
     from ..operators.text import tokens as tokenize
+
+    from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     kept_sources = source_quality_filter(docs, threshold=0.33).filter(
@@ -616,9 +661,24 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") >= 10).join(
         F.broadcast(kept_sources), "source"
     )
-    scored = text_ops.quality_score(corpus).filter(F.col("quality") >= 0.33).persist()
-    reps = ops.exact_dedup(scored, ["text"], "doc_id").select("doc_id")
-    survivors = scored.join(reps, "doc_id")
+    scored = text_ops.quality_score(corpus).filter(F.col("quality") >= 0.33)
+    # Exact dedup as ONE window over the content key (r15 optimization,
+    # guide §2.4) instead of exact_dedup's groupBy + join-back: the min-id
+    # representative filter keeps the identical row set, with one corpus
+    # exchange on `text` replacing the agg exchange plus a join whose
+    # build side (one row per DISTINCT text) is corpus-sized at 100 TB —
+    # the join-back was a second full shuffle (or an impossible broadcast)
+    # at scale. scored now has a single consumer chain, so the old
+    # `scored.persist()` moved down to `survivors` (still two consumers:
+    # the shingle scan and the final anti-join).
+    survivors = (
+        scored.withColumn(
+            "_rep", F.min("doc_id").over(Window.partitionBy("text"))
+        )
+        .filter(F.col("doc_id") == F.col("_rep"))
+        .drop("_rep")
+        .persist()
+    )
     pairs = ops.jaccard_pairs(
         ops.word_shingles(survivors.select("doc_id", "text")),
         threshold=JACCARD_THRESHOLD,

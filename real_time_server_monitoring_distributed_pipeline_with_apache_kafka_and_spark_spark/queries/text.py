@@ -101,18 +101,21 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     content holds it near 1 — worth tracking per ingest batch BEFORE
     paying for MinHash.
 
-    Plan: distinct shingles per doc (one explode projection), a
-    min(doc_id)-per-shingle hash agg (map-side partials — shingle
-    frequency skew collapses before the shuffle), an equi-join back on
-    the shingle, and a per-doc count agg. novelty = int/int — exact.
+    Plan: distinct shingles per doc (one explode projection), the
+    min(doc_id) first-occurrence as a WINDOW over the shingle partition
+    (r15 optimization, guide §2.3/§2.4 — the old hash agg + equi-join
+    back shuffled the shingle table once for the agg and once for the
+    join probe side; the window computes the identical per-row value on
+    ONE exchange), and a per-doc count agg. novelty = int/int — exact.
     """
+    from pyspark.sql import Window
+
     from ..operators.dedup import word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
     sh = word_shingles(docs, n=3)
-    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     return (
-        sh.join(firsts, "shingle")
+        sh.withColumn("first_doc", F.min("doc_id").over(Window.partitionBy("shingle")))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -195,16 +198,19 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf_cnt"))
     n_tok = Window.partitionBy("doc_id")
-    df_cnt = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.withColumn("n_tokens", F.sum("tf_cnt").over(n_tok))
-        # df_cnt carries NO broadcast hint: document-frequency tables are
-        # vocabulary-sized (Heaps'-law gigabytes at 100 TB) — AQE
-        # broadcasts the tiny test-scale table at runtime and keeps the
-        # shuffle join at real scale. The 1-row n_docs scalar stays an
+        # df as a WINDOW over the term partition (r15 optimization, guide
+        # §2.3): the old groupBy("term") + join-back shuffled the tf
+        # table once for the agg and once for the join probe side (no
+        # broadcast hint by design — document-frequency tables are
+        # vocabulary-sized, Heaps'-law gigabytes at 100 TB); the window
+        # computes the identical per-row df on ONE term exchange. The
+        # n_tokens window then rides its own doc_id exchange, which the
+        # final ranking window reuses. The 1-row n_docs scalar stays an
         # explicit broadcast.
-        .join(df_cnt, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .withColumn("n_tokens", F.sum("tf_cnt").over(n_tok))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
@@ -361,20 +367,24 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     soup (OCR garbage, wrong-language shards), a standard curation signal
     when no external LM is available.
 
-    One explode + one term-count hash agg (the "training" pass) + a
-    shuffle join back on term + one per-doc agg — every step a plain
-    hash-partitioned operator, so it scales like word count. The score is
-    floor-rounded to 9 decimals on both engines (JVM log vs libm last-ulp
-    policy, same as text_tfidf)."""
+    One explode + the term count as a WINDOW over the term partition
+    (r15 optimization, guide §2.3 — the old hash agg + join back
+    shuffled the term table once for the agg and once for the join
+    probe side; the window computes the identical per-row count on ONE
+    exchange) + one per-doc agg — every step a plain hash-partitioned
+    operator, so it scales like word count. The score is floor-rounded
+    to 9 decimals on both engines (JVM log vs libm last-ulp policy,
+    same as text_tfidf)."""
+    from pyspark.sql import Window
+
     from ..functions.numeric import display_round
     from ..operators.text import tokens as tokenize
 
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
-    tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     n_total = terms.agg(F.count(F.lit(1)).alias("n_total"))
     scored = (
-        terms.join(tf, "term")
+        terms.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_total))
         .groupBy("doc_id")
         .agg(
@@ -417,11 +427,18 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    cnt2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
-    cnt1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cnt1"))
+    # Both LM counts as WINDOWS (r15 optimization, guide §2.3): the two
+    # hash aggs + two join-backs shuffled the bigram table four times
+    # ((w1,w2) agg + join, (w1) agg + join); the windows compute the
+    # identical per-row counts on TWO exchanges. count(w1,w2) partitions
+    # by the pair, count(w1 as context) by w1 — same values, same rows.
+    from pyspark.sql import Window
+
     scored = (
-        bg.join(cnt2, ["w1", "w2"])
-        .join(cnt1, "w1")
+        bg.withColumn(
+            "cnt2", F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
+        )
+        .withColumn("cnt1", F.count(F.lit(1)).over(Window.partitionBy("w1")))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

@@ -320,7 +320,7 @@ INTENTIONAL_NESTED_LOOP = {
 # deterministic at fixed SF + Spark version (AQE's runtime coalescing
 # happens below the Exchange node and doesn't change node counts).
 EXCHANGE_CENSUS = {
-    "dedup_clusters": 0, "dedup_containment": 6, "dedup_cross_corpus": 4,
+    "dedup_clusters": 0, "dedup_containment": 5, "dedup_cross_corpus": 4,
     "dedup_embedding_clusters": 0, "dedup_embedding_cosine": 2,
     # dedup_embedding_lsh: 1 agg exchange + the parallelize_if_narrow
     # respread cosine_pairs_lsh adds on single-file inputs (a no-op —
@@ -330,7 +330,7 @@ EXCHANGE_CENSUS = {
     # md5 SimHash is high-entropy (distinct sigs ~ N), where grouped
     # banding measured ~3x SLOWER — the r12 regime split in
     # hamming64_pairs; only the saturating a-hash family groups.
-    "dedup_ngram_jaccard": 8, "dedup_semdedup": 5, "dedup_simhash": 2,
+    "dedup_ngram_jaccard": 6, "dedup_semdedup": 5, "dedup_simhash": 2,
     "mm_audio_rms": 0,
     "mm_audio_silence_trim": 1, "mm_binary_meta": 0, "mm_decode_features": 0,
     "mm_frame_sample": 0, "mm_image_ahash": 2, "mm_image_dedup_clusters": 0,
@@ -353,8 +353,8 @@ EXCHANGE_CENSUS = {
     # post-connected-components-small-graph-fast-path plans: at sf0.001
     # the edge pipeline executes eagerly during query construction, so
     # the inspected plan is the final broadcast label join only.
-    "pipeline_corpus_curation": 17, "pipeline_embedding_prep": 1,
-    "pipeline_multimodal_prep": 5, "pipeline_training_prep": 23,
+    "pipeline_corpus_curation": 9, "pipeline_embedding_prep": 1,
+    "pipeline_multimodal_prep": 5, "pipeline_training_prep": 13,
     "rel_agg_stats": 1, "rel_approx_distinct": 2, "rel_approx_percentile": 1,
     "rel_array_funcs": 0, "rel_asof_join": 2, "rel_benford_check": 2,
     "rel_cascade_delete": 3, "rel_cdc_merge": 1, "rel_cohort_retention": 3,
@@ -386,7 +386,7 @@ EXCHANGE_CENSUS = {
     "sim_matryoshka_recall": 2, "sim_top_pc": 3,
     # r09 additions
     "sim_ann_ivfpq_recall": 2, "text_dsir_sample": 6, "rel_bloom_semi_join": 3,
-    "dedup_minhash_recall": 18, "rel_join_size_estimate": 6,
+    "dedup_minhash_recall": 16, "rel_join_size_estimate": 6,
     "monitor_trace_knn": 5,
     # r11 additions
     "text_chunk_udtf": 0,
@@ -410,7 +410,7 @@ EXCHANGE_CENSUS = {
     # tiny per-level agg exchanges over union branches (3 levels × est
     # window/agg + exact legs; the leaf exact leg rides the already-
     # distinct hash table with no re-distinct)
-    "rel_sketch_rollup": 13,
+    "rel_sketch_rollup": 10,
     # r14 additions
     # langid gate -> gopher battery: BOTH stages are stateless per-row
     # array expressions — the whole composite rides the scan (the plan
@@ -439,7 +439,7 @@ EXCHANGE_CENSUS = {
     # fast path at sf0.001), leaving the broadcast label join + the one
     # survivorship hash agg in the inspected plan
     "rel_entity_resolution": 1,
-    "sim_knn_join": 3, "text_bigram_logprob": 3, "text_bpe_pair_counts": 1, "text_bpe_train": 4, "text_bpe_encode": 6, "text_mixture_sample": 4,
+    "sim_knn_join": 3, "text_bigram_logprob": 2, "text_bpe_pair_counts": 1, "text_bpe_train": 4, "text_bpe_encode": 6, "text_mixture_sample": 4,
     "rel_recursive_cte": 2, "rel_lateral_topk": 1, "monitor_synthetic_source": 1,
     "rel_order_count_histogram": 3,
     "text_char_entropy": 2, "text_chunking": 0, "text_decontaminate": 2,
@@ -452,7 +452,7 @@ EXCHANGE_CENSUS = {
     "text_quality_classifier": 1, "text_bootstrap_stats": 1,
     "text_sequence_packing": 3, "text_shuffle_order": 3,
     "text_source_quality_filter": 1, "text_stratified_sample": 1,
-    "text_stratified_sample_salted": 1, "text_tfidf": 5,
+    "text_stratified_sample_salted": 1, "text_tfidf": 4,
     "text_token_fertility": 1, "text_token_stats": 0,
     "text_unigram_logprob": 3, "text_vocab_topk": 1,
     "text_weighted_sample": 0, "text_zipf_slope": 1,
