@@ -496,12 +496,17 @@ def cosine_pairs_lsh(
     # when the build side broadcasts (the single-file test regime): a
     # one-file corpus would run the whole fan-out + verify on ONE task.
     # Round-robin respread only when narrow — a no-op at real scale,
-    # where the shuffle join sets its own parallelism.
+    # where the shuffle join sets its own parallelism. Applied to
+    # ``tagged`` BEFORE the a/b split (r15 optimization): with the
+    # respread on the a side only, the two join-side subtrees no longer
+    # canonicalize equal, so ReusedExchange cannot dedup them and the
+    # hyperplane-bucket Arrow stage runs TWICE; respreading the shared
+    # frame keeps both sides identical (one Python pass, one exchange
+    # reused).
     from ..sources.readers import parallelize_if_narrow
 
-    a = parallelize_if_narrow(
-        tagged.select(F.col("id").alias("a_id"), "table_idx", "bucket")
-    )
+    tagged = parallelize_if_narrow(tagged)
+    a = tagged.select(F.col("id").alias("a_id"), "table_idx", "bucket")
     b = tagged.select(F.col("id").alias("b_id"), "table_idx", "bucket")
     candidates = (
         a.join(b, ["table_idx", "bucket"])

@@ -534,16 +534,13 @@ def duplicated_span_stats(
 
     The token array and the span array are materialized as projections
     BEFORE the explode (higher-order fns get no common-subexpression
-    elimination — same measured trap as :func:`word_shingles`), the span
-    table is ``persist()``-ed (it feeds the frequency branch AND the
-    join-back branch — without it the md5-per-position transform runs
-    twice; measured 9.0s -> 5.5s at sf0.1), and the fingerprint is the
-    first 16 md5 hex chars (64 bits — string half as wide through two
-    shuffles; cross-doc collisions are ~|spans|^2/2^65, noise for a
-    fraction-valued signal, and the oracle truncates identically so
-    parity is exact). Same caching contract as :func:`word_shingles`
-    consumers: long-lived sessions release via
-    ``spark.catalog.clearCache()``.
+    elimination — same measured trap as :func:`word_shingles`), and the
+    fingerprint is the first 16 md5 hex chars (64 bits — string half as
+    wide through the shuffle; cross-doc collisions are ~|spans|^2/2^65,
+    noise for a fraction-valued signal, and the oracle truncates
+    identically so parity is exact). Since the r15 window rewrite the
+    span table has a single consumer, so no persist (and no caching
+    contract) is needed.
 
     Output: one row per input doc — n_spans (0 for docs shorter than
     ``k`` tokens), n_dup_spans, dup_span_fraction (0.0 when no spans).
@@ -557,22 +554,26 @@ def duplicated_span_stats(
             lambda i: F.substring(F.md5(F.concat_ws(" ", F.slice(tc, i + 1, k))), 1, 16),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    span_rows = toks_df.select(F.col(id_col), F.explode(spans).alias("fp")).persist()
-    # Distinct (doc, fp) BEFORE the frequency count: a span repeated
-    # inside one doc must not inflate its cross-document count.
-    fp_docs = (
-        span_rows.distinct()
-        .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_n_docs"))
-    )
+    span_rows = toks_df.select(F.col(id_col), F.explode(spans).alias("fp"))
+    # Cross-document test as ONE window over the fingerprint partition
+    # (r15 optimization, guide §2.3/§2.4): "fp occurs in >= 2 distinct
+    # docs" is exactly min(doc) != max(doc) over the fp's occurrence
+    # rows — intra-document repeats cannot move either extreme, so the
+    # old distinct -> count -> join-back (three full passes over the
+    # span table) collapses to one exchange. span_rows now has a single
+    # consumer, so its persist() (which guarded the md5 transform
+    # against the two-branch recompute) is gone too.
+    from pyspark.sql import Window
+
+    w_fp = Window.partitionBy("fp")
     per_doc = (
-        span_rows.join(fp_docs, "fp")
+        span_rows.withColumn(
+            "_dup", F.min(id_col).over(w_fp) != F.max(id_col).over(w_fp)
+        )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.when(F.col("_n_docs") >= 2, 1).otherwise(0)).alias(
-                "n_dup_spans"
-            ),
+            F.sum(F.when(F.col("_dup"), 1).otherwise(0)).alias("n_dup_spans"),
         )
     )
     return (

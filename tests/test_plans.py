@@ -325,7 +325,12 @@ EXCHANGE_CENSUS = {
     # dedup_embedding_lsh: 1 agg exchange + the parallelize_if_narrow
     # respread cosine_pairs_lsh adds on single-file inputs (a no-op —
     # and no exchange — once the corpus has >= cores files).
-    "dedup_embedding_lsh": 2, "dedup_exact": 1, "dedup_minhash_lsh": 4,
+    # dedup_embedding_lsh 2 -> 3 (r15): the narrow-scan respread moved
+    # ABOVE the a/b candidate split so both join-side subtrees
+    # canonicalize equal — the initial plan shows one more static
+    # exchange, but at runtime AQE ReusedExchange dedups the pair and
+    # the hyperplane-tag Arrow stage runs ONCE instead of twice.
+    "dedup_embedding_lsh": 3, "dedup_exact": 1, "dedup_minhash_lsh": 4,
     # dedup_simhash stays on id-level banding (group_signatures=False):
     # md5 SimHash is high-entropy (distinct sigs ~ N), where grouped
     # banding measured ~3x SLOWER — the r12 regime split in
@@ -443,7 +448,7 @@ EXCHANGE_CENSUS = {
     "rel_recursive_cte": 2, "rel_lateral_topk": 1, "monitor_synthetic_source": 1,
     "rel_order_count_histogram": 3,
     "text_char_entropy": 2, "text_chunking": 0, "text_decontaminate": 2,
-    "text_dup_spans": 3, "text_fingerprint": 0, "text_fixed_n_per_lang": 1,
+    "text_dup_spans": 2, "text_fingerprint": 0, "text_fixed_n_per_lang": 1,
     "text_gopher_rules": 0, "text_hapax_ratio": 2,
     "text_hash_split": 1, "text_langid": 0, "text_langid_confusion": 2,
     "text_length_percentiles": 1, "text_ngram_novelty": 2,
