@@ -586,33 +586,22 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere, no Python.
 
     Caching contract (same as pipeline_training_prep / jaccard_pairs):
-    the multi-consumer stage output (``survivors`` feeds the shingle
-    scan AND the final anti-join) stays ``persist()``-ed — measured
-    6.4s -> 3.5s warm at sf0.1 without/with. Long sessions
-    clearCache()/unpersist().
+    the multi-consumer stages (``kept`` feeds the dedup agg AND the
+    survivor join; ``survivors`` feeds the shingle scan AND the final
+    anti-join) stay ``persist()``-ed — measured 6.4s -> 3.5s warm at
+    sf0.1 without/with. Long sessions clearCache()/unpersist().
     """
     from ..operators import text as text_ops
 
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     scored = text_ops.quality_score(docs)
-    kept = scored.filter(F.col("quality") >= 0.33)
-    # Exact dedup + copy count as ONE window over the content key (r15
-    # optimization, guide §2.4; same rewrite as pipeline_training_prep):
-    # min-id representative filter + group count in a single Window node
-    # (one corpus exchange on `text`) replacing exact_dedup's agg exchange
-    # plus a join-back whose build side is corpus-sized at 100 TB. `kept`
-    # now has a single consumer, so its persist() collapses into the
-    # (still multi-consumer) ``survivors``.
-    w = Window.partitionBy("text")
-    survivors = (
-        kept.withColumn("n_copies", F.count(F.lit(1)).over(w))
-        .withColumn("_rep", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("_rep"))
-        .drop("_rep")
-        .persist()
-    )
+    kept = scored.filter(F.col("quality") >= 0.33).persist()
+    # Exact dedup stays the exact_dedup agg + join-back — see
+    # pipeline_training_prep: the r15 window-over-text rewrite measured
+    # 1.7x SLOWER (full-row shuffle + ~kB-string sort vs map-side-partial
+    # agg + id-keyed join-back). Window folds only win on narrow keys.
+    reps = ops.exact_dedup(kept, ["text"], "doc_id").select("doc_id", "n_copies")
+    survivors = kept.join(reps, "doc_id").persist()
     # narrow projection below the shingle explode: the persisted shingle
     # table then carries no quality columns through its 8 plan branches
     pairs = ops.jaccard_pairs(
@@ -642,17 +631,15 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (split, n_docs, total_tokens).
 
     Caching contract (same as operators.dedup.jaccard_pairs): the two
-    multi-consumer stage outputs (``survivors`` feeds the shingle scan
-    AND the near-dup anti-join; ``deduped`` feeds the contamination scan
-    AND the final anti-join) stay ``persist()``-ed — without it each
-    branch recomputes the whole upstream regex/quality chain (measured
-    ~15% slower at sf0.1). Long-lived sessions clearCache()/unpersist().
+    multi-consumer stage outputs (``scored`` feeds the dedup agg AND the
+    survivor join; ``deduped`` feeds the contamination scan AND the
+    final anti-join) stay ``persist()``-ed — without it each branch
+    recomputes the whole upstream regex/quality chain (measured ~15%
+    slower at sf0.1). Long-lived sessions clearCache()/unpersist().
     """
     from ..operators import text as text_ops
     from ..operators.text import hash_bucket_100, source_quality_filter
     from ..operators.text import tokens as tokenize
-
-    from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     kept_sources = source_quality_filter(docs, threshold=0.33).filter(
@@ -661,24 +648,19 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") >= 10).join(
         F.broadcast(kept_sources), "source"
     )
-    scored = text_ops.quality_score(corpus).filter(F.col("quality") >= 0.33)
-    # Exact dedup as ONE window over the content key (r15 optimization,
-    # guide §2.4) instead of exact_dedup's groupBy + join-back: the min-id
-    # representative filter keeps the identical row set, with one corpus
-    # exchange on `text` replacing the agg exchange plus a join whose
-    # build side (one row per DISTINCT text) is corpus-sized at 100 TB —
-    # the join-back was a second full shuffle (or an impossible broadcast)
-    # at scale. scored now has a single consumer chain, so the old
-    # `scored.persist()` moved down to `survivors` (still two consumers:
-    # the shingle scan and the final anti-join).
-    survivors = (
-        scored.withColumn(
-            "_rep", F.min("doc_id").over(Window.partitionBy("text"))
-        )
-        .filter(F.col("doc_id") == F.col("_rep"))
-        .drop("_rep")
-        .persist()
-    )
+    scored = text_ops.quality_score(corpus).filter(F.col("quality") >= 0.33).persist()
+    # Exact dedup stays the exact_dedup agg + join-back — an r15 window
+    # rewrite (min(doc_id) OVER (PARTITION BY text)) was measured 1.7x
+    # SLOWER in an interleaved in-process A/B (7.84 vs 4.53 s at sf0.1):
+    # a window over the TEXT key shuffles and SORTS full document rows
+    # by a ~kB string, while the agg dedups (text, id) pairs map-side
+    # and the representative list joins back by id (broadcast at test
+    # scale; id-keyed shuffle, never a long-string sort, at 100 TB).
+    # The window-fold rewrite only wins on NARROW keys (see
+    # jaccard_pairs); guide §1.1's "fresh ideal plan is usually slower
+    # at first" in the flesh.
+    reps = ops.exact_dedup(scored, ["text"], "doc_id").select("doc_id")
+    survivors = scored.join(reps, "doc_id")
     pairs = ops.jaccard_pairs(
         ops.word_shingles(survivors.select("doc_id", "text")),
         threshold=JACCARD_THRESHOLD,

@@ -358,8 +358,8 @@ EXCHANGE_CENSUS = {
     # post-connected-components-small-graph-fast-path plans: at sf0.001
     # the edge pipeline executes eagerly during query construction, so
     # the inspected plan is the final broadcast label join only.
-    "pipeline_corpus_curation": 9, "pipeline_embedding_prep": 1,
-    "pipeline_multimodal_prep": 5, "pipeline_training_prep": 13,
+    "pipeline_corpus_curation": 13, "pipeline_embedding_prep": 1,
+    "pipeline_multimodal_prep": 5, "pipeline_training_prep": 19,
     "rel_agg_stats": 1, "rel_approx_distinct": 2, "rel_approx_percentile": 1,
     "rel_array_funcs": 0, "rel_asof_join": 2, "rel_benford_check": 2,
     "rel_cascade_delete": 3, "rel_cdc_merge": 1, "rel_cohort_retention": 3,
