@@ -367,24 +367,31 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     soup (OCR garbage, wrong-language shards), a standard curation signal
     when no external LM is available.
 
-    One explode + the term count as a WINDOW over the term partition
-    (r15 optimization, guide §2.3 — the old hash agg + join back
-    shuffled the term table once for the agg and once for the join
-    probe side; the window computes the identical per-row count on ONE
-    exchange) + one per-doc agg — every step a plain hash-partitioned
-    operator, so it scales like word count. The score is floor-rounded
-    to 9 decimals on both engines (JVM log vs libm last-ulp policy,
-    same as text_tfidf)."""
-    from pyspark.sql import Window
+    One explode + one term-count hash agg (the "training" pass) + a
+    shuffle join back on term + one per-doc agg — every step a plain
+    hash-partitioned operator, so it scales like word count. The score is
+    floor-rounded to 9 decimals on both engines (JVM log vs libm last-ulp
+    policy, same as text_tfidf).
 
+    An r15 window-fold of the term count (count() OVER (PARTITION BY
+    term), the text_tfidf rewrite) was measured and REVERTED for this
+    BENCHED query: locally the Zipf-collapsed tf table broadcasts, so
+    the join-back costs almost nothing, while the window adds a full
+    sort of the term table — interleaved A/B 1.03 vs 0.88 s, and
+    control-paired medians ~0.55 weather-adjusted vs the 0.436
+    committed baseline. At cluster scale (no vocab broadcast) the
+    window form shuffles once instead of twice — revisit if this query
+    ever runs there; text_tfidf / text_bigram_logprob keep the window
+    form where the local cost measured as a wash."""
     from ..functions.numeric import display_round
     from ..operators.text import tokens as tokenize
 
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     n_total = terms.agg(F.count(F.lit(1)).alias("n_total"))
     scored = (
-        terms.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        terms.join(tf, "term")
         .crossJoin(F.broadcast(n_total))
         .groupBy("doc_id")
         .agg(
