@@ -140,27 +140,26 @@ HEADLINE = HEADLINE24 + [
     "text_gopher_rules",          # stateless array-fold gates, zero-exchange scan
     "monitor_mttr",               # run-length incidents over one user partitioning
     "text_ngram_novelty",         # min-per-shingle agg + shingle equi-join back
-    # (text_token_fertility and rel_variant_extract trimmed r15: the
-    # 64-entry line outgrew the driver's 1900-char budget, and these
-    # sub-second overhead-dominated rows were chronic phantom-drift
-    # sources — rel_variant_extract melted in r13 AND flagged again in
-    # r14 with an unchanged plan. Their plan shapes stay census-pinned
-    # in tests/test_plans.py; ladder rows unaffected.)
+    # (text_token_fertility and rel_variant_extract were trimmed r15
+    # when the 64-entry line outgrew the driver's 1900-char budget;
+    # RESTORED r16 (VERDICT r15 #2) — compact JSON separators bought the
+    # line back under budget, so the coverage loss was unnecessary.
+    # Their chronic sub-second phantom-drift history stands: treat their
+    # recheck flags with the r13/r14 adjudications in mind.)
+    "text_token_fertility",       # narrow scan + per-lang hash agg
+    "rel_variant_extract",        # parse_json once + typed variant_get paths
     # added r08: the round's new operator classes
     "rel_recursive_cte",          # WITH RECURSIVE -> UnionLoop frontier joins
     "rel_lateral_topk",           # correlated LATERAL -> WindowGroupLimit
     "text_bpe_encode",            # vocab-side merges + corpus equi-join encode
-    # (monitor_synthetic_source trimmed r15 with the pair above — same
-    # sub-second phantom-drift class, same line-budget squeeze; the
-    # Python-source plan stays pinned in tests/test_plans.py)
+    "monitor_synthetic_source",   # Python data source scan + partial agg (restored r16)
     "rel_order_count_histogram",  # Q13: pre-agg rewrite of outer-join histogram
     # added r08: the engine's former largest fixed cost, benched so the
     # SQL-parse construction path (~18s -> ~7s/run) is tracked per round
     "sim_ann_ivfpq",              # IVF cells + PQ ADC + exact refine
     # added r09: the round's new operator classes
     "rel_bloom_semi_join",        # hand-built runtime bloom filter + semi join
-    # (text_dsir_sample trimmed r15 with the phantom-drift trio — 1.04
-    # -> 1.47 s across r13/r14 with an unchanged plan; census-pinned)
+    "text_dsir_sample",           # DSIR importance-ranked selection (restored r16)
     "sim_ann_ivfpq_recall",       # compressed-tier quality report
     "monitor_trace_knn",          # hourly-profile z-norm similarity search
     # added r10 (VERDICT r09 #8): the two remaining never-benched heavy
@@ -373,7 +372,18 @@ def main() -> None:
     }
     with open(sidecar_path, "w") as f:
         json.dump(sidecar, f, indent=1)
-    def emit(with_norm: bool) -> str:
+    def emit(norm_detail: str) -> str:
+        # norm_detail: "full" | "slim" (summary ratios only, no
+        # worst/best mover names) | "none". Graduated shedding keeps the
+        # most diagnostic signal that fits the budget.
+        norm_block = None
+        if norm_compact and norm_detail == "full":
+            norm_block = norm_compact
+        elif norm_compact and norm_detail == "slim":
+            norm_block = {
+                k: norm_compact[k]
+                for k in ("prev_round", "weather", "median", "raw_median")
+            }
         return json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
@@ -395,23 +405,29 @@ def main() -> None:
                 # Weather-normalized round-over-round summary (VERDICT r10
                 # #3) — full per-query ratios in the BENCH_SAMPLES.json
                 # sidecar.
-                **({"normalized_vs_prev": norm_compact} if with_norm and norm_compact else {}),
+                **({"normalized_vs_prev": norm_block} if norm_block else {}),
                 # Contention recheck (VERDICT r11 #3): end-of-run retimes
                 # of >1.5x-vs-committed movers; {} = clean run.
                 "recheck": recheck,
-            }
+            },
+            # Compact separators (r16, VERDICT r15 #2): json.dumps's
+            # default ", "/": " padding cost ~140 chars at 64 queries —
+            # the difference between carrying the full headline set and
+            # the r15 coverage trim. Same JSON, every parser reads it.
+            separators=(",", ":"),
         )
 
-    line = emit(True)
-    if len(line) > 1900 and norm_compact:
+    line = emit("full")
+    for detail in ("slim", "none"):
         # The normalized block is derivable from the committed sidecar;
-        # dropping it beats breaking the driver's 2000-char tail parse.
-        line = emit(False)
+        # shedding it beats breaking the driver's 2000-char tail parse.
+        if len(line) > 1900 and norm_compact:
+            line = emit(detail)
     while len(line) > 1900 and recheck:
         # Same for recheck overflow (full block stays in the sidecar):
         # shed the SMALLEST-ratio entry first, keep the worst movers.
         recheck.pop(min(recheck, key=lambda n: recheck[n]["median"] / recheck[n]["prev"]))
-        line = emit(False)
+        line = emit("none")
     if len(line) > 1900:  # loud, not silent: growth past the buffer breaks the driver parse
         raise SystemExit(f"bench stdout line {len(line)} chars > 1900: trim the bench set")
     print(line)

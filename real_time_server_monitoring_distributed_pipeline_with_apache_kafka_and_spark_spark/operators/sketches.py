@@ -323,10 +323,20 @@ def kmv_rollup(
             else grp_expr.when(gid == gv, grp(gcols))
         )
     if segs:
+        # countDistinct skips NULL keys, but the replaced count(lit(1))
+        # over the distinct table counted a NULL key as one — and the est
+        # legs still admit the NULL-key sketch row (NULLS FIRST ranks it
+        # first), so exact and est legs would silently disagree on a
+        # nullable key_col (ADVICE r15 #2; unreachable at the testdata
+        # SFs, where keys are non-null). Count the NULL key explicitly to
+        # preserve the original semantics.
+        null_key = F.max(F.when(F.col("_key").isNull(), 1).otherwise(0))
         exact = (
             hashed.rollup(*segs)
             .agg(
-                F.countDistinct("_key").alias("exact_distinct"),
+                (F.countDistinct("_key") + null_key)
+                .cast("long")
+                .alias("exact_distinct"),
                 F.grouping_id().alias("_gid"),
             )
             .select(lvl_expr.alias("level"), grp_expr.alias("_grp"), "exact_distinct")

@@ -299,7 +299,16 @@ def dedup_stream_store_recheck(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(stage)
 
         def land(i: int) -> None:
-            os.rename(f"{stage}/_res={i}", f"{src}/b{i}")
+            # A residue class with zero rows emits NO _res=i directory
+            # from the partitioned write (ADVICE r15 #3) — unreachable at
+            # the testdata SFs, but a sparse corpus must land an EMPTY
+            # wave (no files -> no micro-batch -> the class contributes
+            # no batch_id, exactly the oracle's eligible-class
+            # derivation) rather than die in an os.rename traceback.
+            if os.path.isdir(f"{stage}/_res={i}"):
+                os.rename(f"{stage}/_res={i}", f"{src}/b{i}")
+            else:
+                os.makedirs(f"{src}/b{i}")
 
         land(0)  # the glob must match something before the stream starts
         stream = spark.readStream.schema(docs.schema).parquet(f"{src}/b*")

@@ -152,6 +152,41 @@ def test_bench_headliners_are_registered_queries():
     assert bench.HEADLINE[: len(bench.HEADLINE17)] == bench.HEADLINE17
 
 
+def test_bench_line_fits_driver_budget_with_full_headline():
+    """The driver records only the last 2000 chars of stdout and parses the
+    final line; bench.py hard-exits when its (fully shed: no normalized
+    block, empty recheck) line exceeds 1900 chars. r15 trimmed four
+    headliners to fit that budget; r16 restored them by switching the
+    emit to compact JSON separators (VERDICT r15 #2). Pin the arithmetic:
+    the irreducible line — every headliner at a worst-plausible 99.99 s,
+    all three frozen subtotals present — must fit, or a future headliner
+    addition re-breaks the driver parse at round end, silently."""
+    import json
+
+    import bench
+
+    timings = {name: 99.99 for name in bench.HEADLINE}
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": 0.1,
+            "legacy9_total": 999.999,
+            "headline17_total": 999.999,
+            "headline24_total": 999.999,
+            "recheck": {},
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) <= 1900, (
+        f"fully-shed bench line is {len(line)} chars with "
+        f"{len(bench.HEADLINE)} headliners — the driver parse budget is "
+        "1900; trim emission further before adding headliners"
+    )
+
+
 def test_suite_runner_covers_every_test_file():
     """tests/run_suite.sh partitions the suite into parallel pytest groups
     by EXPLICIT file list — a newly added test file that is not placed in

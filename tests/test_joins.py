@@ -465,6 +465,24 @@ def test_kmv_rollup_merge_equals_direct_and_mixes_branches(spark):
     assert got3[("g,s", "x", None)].exact_distinct == 3
     assert got3[("total", None, None)].exact_distinct == 4
 
+    # NULL-KEY symmetry (ADVICE r15 #2): the est legs admit the NULL-key
+    # sketch row (kmv_hash(NULL) = NULL ranks first under NULLS FIRST),
+    # so the exact legs must count a NULL key as one distinct value too —
+    # countDistinct alone would silently drop it and the two legs would
+    # disagree on a nullable key_col. Pin est == exact on a sub-k group
+    # holding {a, b, NULL}.
+    nullkey = spark.createDataFrame(
+        [("g0", "s0", "a"), ("g0", "s0", "b"), ("g0", "s0", None)],
+        "g string, s string, key string",
+    )
+    out4 = {
+        (r.level, r.g, r.s): r
+        for r in kmv_rollup(nullkey, "key", ["g", "s"], k=8).collect()
+    }
+    assert out4[("g,s", "g0", "s0")].exact_distinct == 3
+    assert out4[("g,s", "g0", "s0")].est_distinct == 3.0
+    assert out4[("total", None, None)].exact_distinct == 3
+
     # Registry query: branch mix + band sanity at sf0.01.
     sf = "/root/testdata/sf0.01"
     reg = rel_sketch_rollup(spark, sf).collect()
