@@ -118,7 +118,22 @@ def jaccard_pairs(
     # no new shuffle). Measured at sf0.1: 8 exchanges -> 6, 14 joins -> 6,
     # pair output bit-identical (df per surviving shingle is unchanged by
     # the freq cap: the cap drops whole shingle GROUPS, never group rows).
-    sh = shingled.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+    # REGIME-SPLIT r16 (ADVICE r15 #1): the shingle key is unbounded-hot
+    # when no freq cap is set (stopword runs), and a window partition
+    # cannot be skew-split — above the hot-key input threshold the
+    # freq-agg + join-back returns (map-side hot-key collapse,
+    # AQE-splittable probe). Same df values; pinned by test. The id_col
+    # windows below are NOT split: a per-doc partition is bounded by
+    # document length at any corpus size.
+    from ..functions.scale import hot_key_agg_mode
+
+    if hot_key_agg_mode(shingled) == "window":
+        sh = shingled.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+    else:
+        freq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = shingled.join(freq, "shingle")
     if max_shingle_freq is not None:
         sh = sh.filter(F.col("df") <= max_shingle_freq)
     ranked = sh.withColumn(
@@ -994,12 +1009,20 @@ def containment_pairs(
     # twice on `shingle`, and the sizes agg joined back once per side;
     # each window computes the identical value on ONE exchange (the
     # n_shingles count rides the rank window's id_col exchange).
+    # REGIME-SPLIT r16 on the unbounded shingle key only (ADVICE r15 #1,
+    # jaccard_pairs note): per-doc windows stay — bounded partitions.
+    from ..functions.scale import hot_key_agg_mode
+
     w_doc_n = Window.partitionBy(id_col)
-    ranked = (
-        shingled.withColumn(
+    if hot_key_agg_mode(shingled) == "window":
+        with_df = shingled.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
         )
-        .withColumn(
+    else:
+        freq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        with_df = shingled.join(freq, "shingle")
+    ranked = (
+        with_df.withColumn(
             "rk",
             F.row_number().over(Window.partitionBy(id_col).orderBy("df", "shingle")),
         )

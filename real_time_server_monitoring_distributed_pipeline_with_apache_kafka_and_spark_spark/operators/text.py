@@ -562,15 +562,28 @@ def duplicated_span_stats(
     # old distinct -> count -> join-back (three full passes over the
     # span table) collapses to one exchange. span_rows now has a single
     # consumer, so its persist() (which guarded the md5 transform
-    # against the two-branch recompute) is gone too.
+    # against the two-branch recompute) is gone too. REGIME-SPLIT r16
+    # (ADVICE r15 #1): above the hot-key input threshold the min/max agg
+    # + join-back returns — a boilerplate span fingerprint at corpus
+    # scale is one unsplittable window-partition straggler, while the
+    # join form collapses hot fps map-side and its probe side is
+    # AQE-skew-splittable. Same _dup per row; pinned by test.
     from pyspark.sql import Window
 
-    w_fp = Window.partitionBy("fp")
-    per_doc = (
-        span_rows.withColumn(
+    from ..functions.scale import hot_key_agg_mode
+
+    if hot_key_agg_mode(df) == "window":
+        w_fp = Window.partitionBy("fp")
+        dup_rows = span_rows.withColumn(
             "_dup", F.min(id_col).over(w_fp) != F.max(id_col).over(w_fp)
         )
-        .groupBy(id_col)
+    else:
+        spread = span_rows.groupBy("fp").agg(
+            (F.min(id_col) != F.max(id_col)).alias("_dup")
+        )
+        dup_rows = span_rows.join(spread, "fp")
+    per_doc = (
+        dup_rows.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
             F.sum(F.when(F.col("_dup"), 1).otherwise(0)).alias("n_dup_spans"),

@@ -102,21 +102,35 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     paying for MinHash.
 
     Plan: distinct shingles per doc (one explode projection), the
-    min(doc_id) first-occurrence as a WINDOW over the shingle partition
-    (r15 optimization, guide §2.3/§2.4 — the old hash agg + equi-join
-    back shuffled the shingle table once for the agg and once for the
-    join probe side; the window computes the identical per-row value on
-    ONE exchange), and a per-doc count agg. novelty = int/int — exact.
+    min(doc_id) first-occurrence attached per row, and a per-doc count
+    agg. novelty = int/int — exact. The first-occurrence attachment is
+    REGIME-SPLIT (r16, ADVICE r15 #1; both forms value-identical, pinned
+    by test): below the hot-key size threshold it is a WINDOW over the
+    shingle partition (r15 optimization, guide §2.3/§2.4 — fewer
+    exchange-stages, the measured local win: the driver benched 2.24x);
+    above it the min-agg + equi-join-back returns, because a window
+    partition cannot be split — a boilerplate shingle at corpus scale is
+    one straggler task — while the join probe side is AQE-skew-splittable
+    and the agg collapses hot shingles map-side. Byte math at scale is a
+    wash either way (one corpus-width shuffle each; the agg's own shuffle
+    carries vocabulary-width partials).
     """
     from pyspark.sql import Window
 
+    from ..functions.scale import hot_key_agg_mode
     from ..operators.dedup import word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
     sh = word_shingles(docs, n=3)
+    if hot_key_agg_mode(docs) == "window":
+        sh = sh.withColumn(
+            "first_doc", F.min("doc_id").over(Window.partitionBy("shingle"))
+        )
+    else:
+        firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+        sh = sh.join(firsts, "shingle")
     return (
-        sh.withColumn("first_doc", F.min("doc_id").over(Window.partitionBy("shingle")))
-        .groupBy("doc_id")
+        sh.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
@@ -199,7 +213,9 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf_cnt"))
     n_tok = Window.partitionBy("doc_id")
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
+    from ..functions.scale import hot_key_agg_mode
+
+    if hot_key_agg_mode(docs) == "window":
         # df as a WINDOW over the term partition (r15 optimization, guide
         # §2.3): the old groupBy("term") + join-back shuffled the tf
         # table once for the agg and once for the join probe side (no
@@ -207,10 +223,20 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # vocabulary-sized, Heaps'-law gigabytes at 100 TB); the window
         # computes the identical per-row df on ONE term exchange. The
         # n_tokens window then rides its own doc_id exchange, which the
-        # final ranking window reuses. The 1-row n_docs scalar stays an
-        # explicit broadcast.
-        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
-        .withColumn("n_tokens", F.sum("tf_cnt").over(n_tok))
+        # final ranking window reuses.
+        with_df = tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+    else:
+        # At-scale regime (r16, ADVICE r15 #1): a stopword-grade term's
+        # window partition is one unsplittable straggler task; the
+        # agg+join form collapses hot terms map-side and its probe side
+        # is AQE-skew-splittable. Identical df values, pinned by test.
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        with_df = tf.join(dfreq, "term")
+    scored = (
+        # The 1-row n_docs scalar stays an explicit broadcast.
+        with_df.withColumn("n_tokens", F.sum("tf_cnt").over(n_tok))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
@@ -373,16 +399,23 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-rounded to 9 decimals on both engines (JVM log vs libm last-ulp
     policy, same as text_tfidf).
 
-    An r15 window-fold of the term count (count() OVER (PARTITION BY
-    term), the text_tfidf rewrite) was measured and REVERTED for this
-    BENCHED query: locally the Zipf-collapsed tf table broadcasts, so
-    the join-back costs almost nothing, while the window adds a full
-    sort of the term table — interleaved A/B 1.03 vs 0.88 s, and
-    control-paired medians ~0.55 weather-adjusted vs the 0.436
-    committed baseline. At cluster scale (no vocab broadcast) the
-    window form shuffles once instead of twice — revisit if this query
-    ever runs there; text_tfidf / text_bigram_logprob keep the window
-    form where the local cost measured as a wash."""
+    WINDOW-VS-JOIN, both regimes resolved (r16, VERDICT r15 #9): the
+    join form wins at BOTH ends, so no regime switch is installed here.
+    Locally (measured r15, interleaved A/B): join 0.88 s vs window
+    1.03 s — the Zipf-collapsed tf table broadcasts, so the join-back is
+    nearly free while the window pays a full sort of the term table. At
+    cluster scale the r15 framing ("window = one shuffle instead of
+    two") overcounted: the groupBy(term) agg's own shuffle carries
+    map-side-collapsed VOCABULARY-width partials, not corpus bytes, so
+    both forms move the corpus-width term table across the wire exactly
+    once (window partition exchange vs join probe exchange) — and the
+    window concentrates every instance of a stopword-grade term into ONE
+    unsplittable sort task (ADVICE r15 #1), while the join probe side is
+    AQE-skew-splittable. Fewer bytes is a wash; skew says join. The
+    hot-key window folds elsewhere (text_tfidf, text_bigram_logprob,
+    jaccard/containment, dup_spans, ngram_novelty) carry the same
+    analysis as a size-keyed regime split in functions/scale.py because
+    there the window form IS the measured local win."""
     from ..functions.numeric import display_round
     from ..operators.text import tokens as tokenize
 
@@ -434,19 +467,30 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    # Both LM counts as WINDOWS (r15 optimization, guide §2.3): the two
-    # hash aggs + two join-backs shuffled the bigram table four times
-    # ((w1,w2) agg + join, (w1) agg + join); the windows compute the
-    # identical per-row counts on TWO exchanges. count(w1,w2) partitions
-    # by the pair, count(w1 as context) by w1 — same values, same rows.
+    # Both LM counts as WINDOWS below the hot-key threshold (r15
+    # optimization, guide §2.3): the two hash aggs + two join-backs
+    # shuffled the bigram table four times ((w1,w2) agg + join, (w1) agg
+    # + join); the windows compute the identical per-row counts on TWO
+    # exchanges. count(w1,w2) partitions by the pair, count(w1 as
+    # context) by w1 — same values, same rows. REGIME-SPLIT r16 (ADVICE
+    # r15 #1): at corpus scale a stopword-grade w1 context is one
+    # unsplittable window-partition straggler, so the agg+join form
+    # (map-side hot-key collapse, AQE-skew-splittable probe) returns
+    # above the threshold; value-identical, pinned by test.
     from pyspark.sql import Window
 
-    scored = (
-        bg.withColumn(
+    from ..functions.scale import hot_key_agg_mode
+
+    if hot_key_agg_mode(docs) == "window":
+        counted = bg.withColumn(
             "cnt2", F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
-        )
-        .withColumn("cnt1", F.count(F.lit(1)).over(Window.partitionBy("w1")))
-        .groupBy("doc_id")
+        ).withColumn("cnt1", F.count(F.lit(1)).over(Window.partitionBy("w1")))
+    else:
+        c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
+        c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cnt1"))
+        counted = bg.join(c2, ["w1", "w2"]).join(c1, "w1")
+    scored = (
+        counted.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.avg(F.log(F.col("cnt2") / F.col("cnt1"))).alias("_lp"),

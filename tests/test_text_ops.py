@@ -856,3 +856,59 @@ def test_bpe_train_matches_pure_python_replay(spark):
         for r in bpe_train_merges(docs, n_merges=3).orderBy("step").collect()
     ]
     assert got == expect, (got, expect)
+
+
+def test_hot_key_regime_split_plans_differ_results_agree(spark, monkeypatch):
+    """r16 regime split (ADVICE r15 #1): the unbounded-hot-key corpus
+    statistics (term df, w1/bigram LM counts, shingle df, span-fp
+    spread, shingle first-occurrence) plan as WINDOW folds below the
+    input-size threshold and as agg + join-back above it — the window
+    form is the measured local win, the join form the skew-splittable
+    at-scale shape. Pin BOTH halves of that contract on every touched
+    query: the two modes must return identical rows (the switch may
+    never change results), and their plans must actually differ (else
+    the switch is dead code and the at-scale regime silently vanished)."""
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.plans.inspect import (
+        plan_report,
+    )
+    from real_time_server_monitoring_distributed_pipeline_with_apache_kafka_and_spark_spark.queries import (
+        all_queries,
+    )
+
+    q = all_queries()
+    names = [
+        "text_tfidf",
+        "text_bigram_logprob",
+        "text_ngram_novelty",
+        "text_dup_spans",
+        "dedup_ngram_jaccard",
+        "dedup_containment",
+    ]
+    outs = {}
+    for mode in ("window", "join"):
+        monkeypatch.setenv("SPARK_GRAFT_HOT_KEY_MODE", mode)
+        for n in names:
+            spark.catalog.clearCache()
+            df = q[n](spark, SF_SMOKE)
+            cols = sorted(df.columns)
+            rows = sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+            rep = plan_report(df)
+            shape = tuple(
+                rep[k]
+                for k in (
+                    "exchanges",
+                    "broadcast_joins",
+                    "sort_merge_joins",
+                    "nested_loop_joins",
+                )
+            )
+            outs[(mode, n)] = (rows, shape)
+    spark.catalog.clearCache()
+    for n in names:
+        rows_w, shape_w = outs[("window", n)]
+        rows_j, shape_j = outs[("join", n)]
+        assert rows_w == rows_j, f"{n}: regime modes disagree on results"
+        assert shape_w != shape_j, (
+            f"{n}: window and join modes produced identical plan shapes "
+            f"({shape_w}) — the regime switch is not switching"
+        )
