@@ -265,7 +265,7 @@ def dedup_stream_store_recheck(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tmp = tempfile.mkdtemp(prefix="mh_recheck_")
-    profiles = None
+    store_df = None
     pairs = None
     try:
         src = f"{tmp}/src"
@@ -323,7 +323,13 @@ def dedup_stream_store_recheck(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
 
-        profiles = jobs.read_minhash_store(spark, store)
+        # ONE store scan feeds both the LSH probe and the tail's
+        # profile/batch census (r16, VERDICT r15 #4): read_minhash_store
+        # + a separate spark.read.parquet(store) for the census was two
+        # scans of the same directory; the persisted frame is scanned
+        # once and both consumers read the cache.
+        store_df = spark.read.parquet(store).persist()
+        profiles = store_df.drop("batch_id")
         pairs = (
             ops.minhash_lsh_pairs_from_profiles(
                 profiles, threshold=JACCARD_THRESHOLD
@@ -356,8 +362,7 @@ def dedup_stream_store_recheck(spark: SparkSession, sf_dir: str) -> DataFrame:
         # eligible-class derivation (unreachable at the testdata SFs).
         n_docs = docs.count()
         prow = (
-            spark.read.parquet(store)
-            .agg(
+            store_df.agg(
                 F.count(F.lit(1)).alias("n_profiled"),
                 F.countDistinct("batch_id").alias("n_ingest_batches"),
             )
@@ -376,8 +381,8 @@ def dedup_stream_store_recheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if pairs is not None:
             pairs.unpersist()
-        if profiles is not None:
-            profiles.unpersist()
+        if store_df is not None:
+            store_df.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
         [row],
