@@ -397,7 +397,14 @@ EXCHANGE_CENSUS = {
     "text_chunk_udtf": 0,
     "text_weighted_reservoir": 0,
     "sim_coreset_kcenter": 1,
-    "sim_mmr_rerank": 1,
+    # sim_mmr_rerank 1 -> 2 (r16, VERDICT r15 #7): the numpy pre-rank
+    # shortlist splits the single cv-laden ranking exchange into (a) a
+    # NARROW (cand_id, query_id, alat) approx-rank exchange — 24 bytes/
+    # row instead of the 64-double vector payload — and (b) the greedy
+    # tail's exchange over the <= 2*n_candidates surviving rows per
+    # query, now the only rows that carry cv or pay the exact fold.
+    # One more Exchange NODE, ~24x fewer corpus-row bytes shuffled.
+    "sim_mmr_rerank": 2,
     # r12 additions
     "sim_mmr_ann": 2,
     "mm_ahash_arrow": 0,
@@ -405,7 +412,8 @@ EXCHANGE_CENSUS = {
     # flag table) + the 4-row est/exact broadcast-join assembly
     "rel_theta_sketch_setops": 2,
     # r13 additions
-    "sim_mmr_arrow": 1,
+    # 1 -> 2 r16: same numpy-shortlist split as sim_mmr_rerank above
+    "sim_mmr_arrow": 2,
     # url dedup: the canonicalizer is a codegen'd per-row map; the two
     # exchanges are the dedup groupBy's partial/final split around the
     # countDistinct(raw_url) expand
@@ -493,8 +501,10 @@ PYTHON_STAGE_CENSUS = {
     "text_chunk_udtf": 2,
     # r11: MMR greedy over bounded per-query candidate groups — one
     # FlatMapGroupsInPandas node (counted since the r11 census-regex fix:
-    # applyInPandas stages were previously INVISIBLE to the census)
-    "sim_mmr_rerank": 2,
+    # applyInPandas stages were previously INVISIBLE to the census).
+    # 2 -> 4 r16: + one MapInArrow node (tree + details = 2 matches),
+    # the numpy pre-rank shortlist pass (VERDICT r15 #7)
+    "sim_mmr_rerank": 4,
     # r12: MMR on the LSH candidate tier — the two Arrow bucket-matmul
     # legs (query + corpus side, the sim_ann_lsh shape) plus the same
     # bounded greedy FlatMapGroupsInPandas tail
@@ -505,8 +515,9 @@ PYTHON_STAGE_CENSUS = {
     # r13: the raw-Arrow GROUPED surface — one FlatMapGroupsInArrow node
     # (tree + details = 2 matches), the last census-visible Python-stage
     # node to be exercised (SURVEY §5.10a); applyInPandas twin
-    # (sim_mmr_rerank) stays production
-    "sim_mmr_arrow": 2,
+    # (sim_mmr_rerank) stays production.
+    # 2 -> 4 r16: + the shared numpy-shortlist MapInArrow pass
+    "sim_mmr_arrow": 4,
 }
 
 
