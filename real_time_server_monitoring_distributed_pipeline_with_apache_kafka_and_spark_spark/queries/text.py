@@ -81,11 +81,18 @@ def text_langid_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output per surviving doc: the labeled lang (so the gate's
     confusion surface is visible), gate_hits, and the battery verdict.
     Both stages are stateless per-row expressions — the composite runs
-    at scan speed with ZERO exchanges.
+    at scan speed, and at corpus scale (many input files) with ZERO
+    exchanges. Locally the one-file testdata layout would funnel every
+    doc's token-hashing through a SINGLE task, so the narrow-scan
+    respread is applied (r16; `parallelize_if_narrow` — a no-op, and no
+    exchange, once the input has >= cores files, i.e. at any real
+    scale). Weather-gated interleaved A/B at sf0.1: 1.72 -> 1.52 s
+    median, respread faster in every paired sample.
     """
     from ..operators.text import gopher_rules, langid_hash_gate
+    from ..sources.readers import parallelize_if_narrow
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_if_narrow(load_table(spark, sf_dir, "documents"))
     gated = langid_hash_gate(docs, lang="en", min_hits=1, min_permille=50)
     return gopher_rules(gated).select(
         "doc_id", "lang", "gate_hits", "n_tokens", "passes_gopher"
